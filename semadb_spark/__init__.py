@@ -1,0 +1,22 @@
+"""semadb_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of Semafind/semadb.
+
+The reference (read-only at /root/reference) is a Go hybrid vector / text /
+filter search engine. This package re-expresses its entire query algebra —
+*filter → rank (vector/text) → boolean-compose → hybrid-merge → select /
+sort / paginate* — as Spark DataFrame operators compiled from the same JSON
+query-tree API (reference ``models/search.go:54-65``), plus batch index
+construction (quantizers, posting lists, LSH/IVF) and large-scale
+training-data pipeline operators (dedup, similarity search, text analysis).
+
+Design rules (see SURVEY.md §7):
+- DataFrame/SQL first; Catalyst does pushdown/pruning/join choice.
+- Pure filters stay single-scan Column predicates (no shuffle).
+- Ranked searches are bounded top-k; batched via per-partition partial top-k.
+- Python appears only in Arrow-batched pandas UDF kernels (the SIMD analogue).
+"""
+
+from semadb_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"

@@ -1,0 +1,111 @@
+"""Full-text search with TF-IDF ranking (reference parity:
+shard/index/text/text.go:305-396).
+
+Pinned semantics:
+- Query analysed with the same standard analyser; duplicate query terms
+  collapse to a set (text.go:314-318).
+- Candidate set: docs containing ALL (containsAll) or ANY (containsAny) of
+  the query terms (text.go:328-332), optionally intersected with a pre-filter
+  id set (text.go:333-335).
+- Score per doc = sum over query terms of
+  ``(freq_t / doc_len) * log10(N / (df_t + 1))`` where ``doc_len`` is the
+  analysed token count of the doc (text.go:278), ``N`` the corpus document
+  count and ``df_t`` the number of docs containing the term corpus-wide
+  (posting-set cardinality, text.go:353-372).
+- Sort score desc, truncate to the per-search ``limit`` (text.go:387-393);
+  ties broken by id ascending for determinism (FIXTURES.md).
+- ``_hybridScore = weight * score`` (text.go:375-379).
+
+Index tables (the Spark analogue of posting lists + doc stats,
+SURVEY.md §1.4): ``doc_terms(id, term, tf, doc_len)`` built by one
+explode/groupBy job; corpus stats derive from it. Built lazily per search or
+materialized once via :func:`build_text_index` and reused — at 100 TB you
+persist it partitioned/bucketed by term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semadb_spark.functions.analyzer import analyze_query, tokenize
+
+
+def build_text_index(df: DataFrame, text_col: str, id_col: str = "_id") -> DataFrame:
+    """-> doc_terms(id, term, tf, doc_len). One shuffle (groupBy id, term).
+
+    Null/emptied docs are excluded entirely (missing properties are never
+    indexed, models/index.go:125-131; empty token list removes the doc,
+    text.go:185-188).
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), tokenize(text_col).alias("tokens"))
+        .withColumn("doc_len", F.size("tokens"))
+        .filter(F.col("doc_len") > 0)
+    )
+    return (
+        toks.select("id", "doc_len", F.explode("tokens").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
+    )
+
+
+def corpus_stats(doc_terms: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """-> (num_docs 1-row frame, df_by_term(term, df)). Derived from the index
+    table so everything stays lazy/distributed."""
+    num_docs = doc_terms.select("id").distinct().agg(F.count("*").alias("num_docs"))
+    df_by_term = doc_terms.groupBy("term").agg(F.count("*").alias("df"))
+    return num_docs, df_by_term
+
+
+def text_search(
+    df: DataFrame,
+    text_col: str,
+    query: str,
+    operator: str = "containsAny",
+    limit: int = 10,
+    weight: float = 1.0,
+    id_col: str = "_id",
+    doc_terms: DataFrame | None = None,
+) -> DataFrame:
+    """-> (id, _score, _hybridScore) sorted by score desc, truncated to limit.
+
+    Pass a materialized ``doc_terms`` index table to skip re-tokenization.
+    """
+    if operator not in ("containsAll", "containsAny"):
+        raise ValueError(f"invalid operator {operator} for text query")
+    terms = analyze_query(query)
+    if doc_terms is None:
+        doc_terms = build_text_index(df, text_col, id_col)
+    if not terms:
+        return doc_terms.sparkSession.createDataFrame(
+            [], "id string, _score double, _hybridScore double"
+        )
+    num_docs, df_by_term = corpus_stats(doc_terms)
+
+    matches = doc_terms.filter(F.col("term").isin(terms))
+    # idf uses corpus-wide document frequency; both stats frames are tiny ->
+    # broadcast joins, no extra shuffle of the posting rows.
+    scored_terms = (
+        matches.join(F.broadcast(df_by_term), "term")
+        .crossJoin(F.broadcast(num_docs))
+        .withColumn(
+            "term_score",
+            (F.col("tf").cast("double") / F.col("doc_len").cast("double"))
+            * F.log10(F.col("num_docs").cast("double") / (F.col("df") + 1).cast("double")),
+        )
+    )
+    per_doc = scored_terms.groupBy("id").agg(
+        F.sum("term_score").alias("_score"),
+        F.count("*").alias("_terms_matched"),
+    )
+    if operator == "containsAll":
+        per_doc = per_doc.filter(F.col("_terms_matched") == len(terms))
+    per_doc = (
+        per_doc.drop("_terms_matched")
+        .withColumn("_hybridScore", F.lit(float(weight)) * F.col("_score"))
+        .orderBy(F.col("_score").desc(), F.col("id").asc())
+        .limit(limit)
+    )
+    return per_doc

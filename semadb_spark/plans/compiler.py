@@ -1,0 +1,451 @@
+"""JSON query-tree -> DataFrame compiler (the engine core).
+
+Reproduces the reference's search pipeline (models/search.go:9-15):
+*filter first -> vector/text search with hybrid weights -> select/sort ->
+offset/limit*, over the exact JSON query-tree API (models/search.go:54-65).
+
+Compilation strategy (SURVEY.md §3.1 "Spark lifecycle equivalent"):
+
+- A subtree of **pure filters** (string/integer/float/stringArray/_id leaves
+  composed with ``_and``/``_or``) compiles to a single boolean ``Column`` —
+  one scan, full Catalyst pushdown/pruning, zero shuffles. This strictly
+  improves on the reference, which materializes an id bitmap per leaf
+  (shard/index/search.go:21-169).
+- A subtree containing **ranked leaves** (vectorFlat/vectorVamana/text)
+  produces a scored frame ``(id, _distance, _score, _hybridScore)`` plus an
+  id-set frame, merged by the hybrid rules (shard/index/search.go:248-297):
+  duplicate ids sum their hybrid scores, first non-null distance/score wins
+  (made deterministic by child index), ``_and`` drops ranked rows outside the
+  intersected id set.
+- Result shaping mirrors Shard.SearchPoints (shard/shard.go:329-472): ranked
+  rows first (hybrid score desc), then filter-only rows; user sort keys
+  override with missing-values-last (utils/compare.go:64-75); offset/limit
+  last. The offset+limit pre-trim uses ``orderBy().limit(offset+limit)``
+  (TakeOrderedAndProject: distributed per-partition top-k) before a
+  single-partition row_number — the same scatter/gather trick as the
+  reference's per-shard limit shrinking (cluster/actions.go:267-310), with no
+  Poisson approximation needed because the per-partition top-k is exact.
+
+``vectorVamana`` queries execute as exact top-k: the reference's graph search
+is an approximation of exactly this ranking (recall < 1, filtered mode
+documented as optimistic, docs/content/docs/search/filtered.md:49-51), so the
+exact result dominates it in recall; ``searchSize``/parameters are validated
+and accepted for API parity. Approximate serving at scale lives in
+:mod:`semadb_spark.operators.ann`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from semadb_spark.operators import knn as knn_ops
+from semadb_spark.operators import text_search as text_ops
+from semadb_spark.schema import IndexSchema
+
+RANKED_COLS = ("_distance", "_score", "_hybridScore")
+
+
+@dataclass
+class Compiled:
+    """Result of compiling one query node.
+
+    Exactly one of ``pred`` / ``ids`` is the authority for set membership:
+    pure subtrees keep a Column predicate (no materialization), ranked
+    subtrees carry id-set + scored frames.
+    """
+
+    pred: Column | None = None
+    ids: DataFrame | None = None  # (id)
+    ranked: DataFrame | None = None  # (id, _distance, _score, _hybridScore)
+
+    @property
+    def is_pure(self) -> bool:
+        return self.pred is not None
+
+
+class SearchEngine:
+    """Compiles SemaDB search requests against one collection DataFrame."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        schema: IndexSchema | dict | str,
+        id_col: str = "_id",
+        text_indexes: dict[str, DataFrame] | None = None,
+    ) -> None:
+        self.df = df
+        self.schema = (
+            schema if isinstance(schema, IndexSchema) else IndexSchema.from_json(schema)
+        )
+        self.id_col = id_col
+        # property -> prebuilt doc_terms table (reused across searches)
+        self.text_indexes = dict(text_indexes or {})
+
+    # -- public API ---------------------------------------------------------
+
+    def search(self, request: dict) -> DataFrame:
+        """Execute a full SearchRequest; returns the shaped result frame with
+        ``_distance``/``_score``/``_hybridScore`` plus selected columns."""
+        self.validate_request(request)
+        compiled = self.compile(request["query"])
+        rows = self._assemble(compiled)
+        rows = self._shape(rows, request)
+        return rows
+
+    def compile(self, query: dict) -> Compiled:
+        prop = query["property"]
+        if prop == "_and":
+            return self._compile_bool([self.compile(q) for q in query["_and"]], True)
+        if prop == "_or":
+            return self._compile_bool([self.compile(q) for q in query["_or"]], False)
+        if prop == "_id":
+            return Compiled(pred=self._compile_id(query))
+        if prop not in self.schema:
+            raise ValueError(f"property {prop} not found in index schema, cannot query")
+        value = self.schema[prop]
+        if value.type in ("vectorFlat", "vectorVamana"):
+            return self._compile_vector(prop, query, value)
+        if value.type == "text":
+            return self._compile_text(prop, query, value)
+        if value.type == "string":
+            return Compiled(pred=self._compile_string(prop, query["string"], value))
+        if value.type == "integer":
+            return Compiled(pred=self._compile_numeric(prop, query["integer"]))
+        if value.type == "float":
+            return Compiled(pred=self._compile_numeric(prop, query["float"]))
+        if value.type == "stringArray":
+            return Compiled(
+                pred=self._compile_string_array(prop, query["stringArray"], value)
+            )
+        raise ValueError(f"unknown index type {value.type}")
+
+    # -- leaf filters (F1-F10) ---------------------------------------------
+
+    def _col(self, prop: str) -> Column:
+        return F.col(prop)  # dotted paths resolve into structs natively
+
+    def _compile_id(self, query: dict) -> Column:
+        # shard/index/search.go:171-209: equals or containsAny over UUIDs;
+        # unknown ids silently match nothing.
+        if "string" in query and query["string"] is not None:
+            opts = query["string"]
+            if opts["operator"] != "equals":
+                raise ValueError(f"invalid operator {opts['operator']} for _id")
+            return F.col(self.id_col) == F.lit(opts["value"])
+        if "stringArray" in query and query["stringArray"] is not None:
+            opts = query["stringArray"]
+            if opts["operator"] != "containsAny":
+                raise ValueError(f"invalid operator {opts['operator']} for _id")
+            return F.col(self.id_col).isin(list(opts["value"]))
+        raise ValueError("invalid query for _id, expected string or stringArray")
+
+    def _compile_string(self, prop: str, opts: dict, value) -> Column:
+        c = self._col(prop)
+        v = opts["value"]
+        end = opts.get("endValue")
+        if not value.case_sensitive:
+            # case folding at index & query time (inverted/string.go:29-50)
+            c, v = F.lower(c), v.lower()
+            end = end.lower() if end is not None else None
+        op = opts["operator"]
+        if op == "startsWith":
+            return c.startswith(v)
+        return self._range_op(c, op, F.lit(v), F.lit(end))
+
+    def _compile_numeric(self, prop: str, opts: dict) -> Column:
+        return self._range_op(
+            self._col(prop), opts["operator"], F.lit(opts["value"]), F.lit(opts.get("endValue"))
+        )
+
+    @staticmethod
+    def _range_op(c: Column, op: str, v: Column, end: Column) -> Column:
+        # Missing (null) values are never in any posting list, so every
+        # operator including notEquals excludes them (inverted.go:183-252).
+        if op == "equals":
+            return c == v
+        if op == "notEquals":
+            return c != v
+        if op == "greaterThan":
+            return c > v
+        if op == "greaterThanOrEquals":
+            return c >= v
+        if op == "lessThan":
+            return c < v
+        if op == "lessThanOrEquals":
+            return c <= v
+        if op == "inRange":
+            return (c >= v) & (c <= end)  # inclusive both ends (inverted.go:244-252)
+        raise ValueError(f"invalid operator {op}")
+
+    def _compile_string_array(self, prop: str, opts: dict, value) -> Column:
+        c = self._col(prop)
+        vals = list(dict.fromkeys(opts["value"]))
+        if not value.case_sensitive:
+            c = F.transform(c, F.lower)
+            vals = list(dict.fromkeys(v.lower() for v in vals))
+        lit_arr = F.array(*[F.lit(v) for v in vals])
+        if opts["operator"] == "containsAll":
+            # AND of per-value equals lookups (inverted/array.go:58-78)
+            return F.size(F.array_intersect(c, lit_arr)) == len(vals)
+        if opts["operator"] == "containsAny":
+            return F.arrays_overlap(c, lit_arr)
+        raise ValueError(f"invalid operator {opts['operator']} for stringArray")
+
+    # -- ranked leaves (R1-R5) ---------------------------------------------
+
+    def _prefiltered_df(self, filter_query: dict | None) -> DataFrame:
+        """Apply a ranked leaf's pre-filter (R4): computed BEFORE the ranked
+        search, pure predicates stay in the same scan."""
+        if filter_query is None:
+            return self.df
+        sub = self.compile(filter_query)
+        if sub.is_pure:
+            return self.df.filter(sub.pred)
+        return self.df.join(sub.ids, self.id_col, "left_semi")
+
+    def _compile_vector(self, prop: str, query: dict, value) -> Compiled:
+        key = "vectorFlat" if value.type == "vectorFlat" else "vectorVamana"
+        opts = query.get(key)
+        if opts is None:
+            raise ValueError(f"{key} query options not provided for property {prop}")
+        vector = opts["vector"]
+        if value.vector_size and len(vector) != value.vector_size:
+            raise ValueError(
+                f"{key} query vector length mismatch for property {prop}, "
+                f"expected {value.vector_size} got {len(vector)}"
+            )
+        if opts.get("operator", "near") != "near":
+            raise ValueError(f"invalid operator {opts['operator']} for vector query")
+        limit = int(opts.get("limit", 10))
+        weight = float(opts.get("weight") or 1.0)
+        base = self._prefiltered_df(opts.get("filter"))
+        topk = knn_ops.knn_topk(
+            base, prop, vector, value.distance_metric, limit, id_col=self.id_col
+        )
+        ranked = (
+            topk.select(self.id_col, "_distance")
+            .withColumn("_score", F.lit(None).cast("double"))
+            .withColumn(
+                # HybridScore = -1 * weight * distance (flat.go:79-110)
+                "_hybridScore",
+                F.lit(-1.0 * weight) * F.col("_distance"),
+            )
+        )
+        return Compiled(ids=ranked.select(self.id_col), ranked=ranked)
+
+    def _compile_text(self, prop: str, query: dict, value) -> Compiled:
+        opts = query.get("text")
+        if opts is None:
+            raise ValueError(f"text query options not provided for property {prop}")
+        limit = int(opts.get("limit", 10))
+        weight = float(opts.get("weight") or 1.0)
+        doc_terms = self.text_indexes.get(prop)
+        scored = text_ops.text_search(
+            self.df,
+            prop,
+            opts["value"],
+            operator=opts["operator"],
+            # pre-filter intersects the candidate set BEFORE truncation
+            # (text.go:333-335, 387-393), so apply limit after the semi-join.
+            limit=limit,
+            weight=weight,
+            id_col=self.id_col,
+            doc_terms=doc_terms,
+        )
+        if opts.get("filter") is not None:
+            sub = self.compile(opts["filter"])
+            cand = (
+                self.df.filter(sub.pred).select(self.id_col)
+                if sub.is_pure
+                else sub.ids
+            )
+            # Re-run scoring with the candidate restriction before limit:
+            # build from unlimited scores to keep truncation semantics right.
+            full = text_ops.text_search(
+                self.df,
+                prop,
+                opts["value"],
+                operator=opts["operator"],
+                limit=2**31 - 1,
+                weight=weight,
+                id_col=self.id_col,
+                doc_terms=doc_terms,
+            )
+            scored = (
+                full.join(cand.withColumnRenamed(self.id_col, "id"), "id", "left_semi")
+                .orderBy(F.col("_score").desc(), F.col("id").asc())
+                .limit(limit)
+            )
+        ranked = (
+            scored.withColumnRenamed("id", self.id_col)
+            .withColumn("_distance", F.lit(None).cast("double"))
+            .select(self.id_col, "_distance", "_score", "_hybridScore")
+        )
+        return Compiled(ids=ranked.select(self.id_col), ranked=ranked)
+
+    # -- boolean composition (B1-B3) ---------------------------------------
+
+    def _ids_of(self, c: Compiled) -> DataFrame:
+        if c.is_pure:
+            return self.df.filter(c.pred).select(self.id_col)
+        return c.ids
+
+    def _compile_bool(self, children: list[Compiled], conjunction: bool) -> Compiled:
+        if len(children) == 1:
+            return children[0]
+        if all(c.is_pure for c in children):
+            combine = (lambda a, b: a & b) if conjunction else (lambda a, b: a | b)
+            return Compiled(pred=reduce(combine, [c.pred for c in children]))
+
+        # Mixed/ranked: materialize id sets (shard/index/search.go:248-252).
+        id_frames = [self._ids_of(c) for c in children]
+        if conjunction:
+            final_set = reduce(lambda a, b: a.join(b, self.id_col, "left_semi"), id_frames)
+        else:
+            final_set = reduce(DataFrame.unionByName, id_frames).distinct()
+
+        ranked_frames = [
+            c.ranked.withColumn("_src", F.lit(i))
+            for i, c in enumerate(children)
+            if c.ranked is not None
+        ]
+        merged = None
+        if ranked_frames:
+            unioned = reduce(DataFrame.unionByName, ranked_frames)
+            # Duplicate ids: sum hybrid scores; first (lowest child index)
+            # non-null distance/score wins (search.go:255-289) — the struct
+            # min makes the reference's append-order rule deterministic.
+            merged = unioned.groupBy(self.id_col).agg(
+                F.sum("_hybridScore").alias("_hybridScore"),
+                F.min(
+                    F.when(
+                        F.col("_distance").isNotNull(),
+                        F.struct(F.col("_src"), F.col("_distance")),
+                    )
+                ).alias("_dmin"),
+                F.min(
+                    F.when(
+                        F.col("_score").isNotNull(),
+                        F.struct(F.col("_src"), F.col("_score")),
+                    )
+                ).alias("_smin"),
+            ).select(
+                self.id_col,
+                F.col("_dmin._distance").alias("_distance"),
+                F.col("_smin._score").alias("_score"),
+                "_hybridScore",
+            )
+            if conjunction:
+                # _and drops ranked rows outside the intersection (search.go:266-268)
+                merged = merged.join(final_set, self.id_col, "left_semi")
+        return Compiled(ids=final_set, ranked=merged)
+
+    # -- result assembly + shaping (P1-P3, B4) ------------------------------
+
+    def _assemble(self, compiled: Compiled) -> DataFrame:
+        """Backfill point data: ranked rows keep scores, filter-only ids are
+        appended with null scores (shard/shard.go:350-369)."""
+        if compiled.is_pure:
+            return (
+                self.df.filter(compiled.pred)
+                .withColumn("_distance", F.lit(None).cast("double"))
+                .withColumn("_score", F.lit(None).cast("double"))
+                .withColumn("_hybridScore", F.lit(0.0))
+                .withColumn("_rankedFirst", F.lit(1))
+            )
+        ranked = compiled.ranked
+        if ranked is None:
+            rows = self.df.join(compiled.ids, self.id_col, "left_semi")
+            return (
+                rows.withColumn("_distance", F.lit(None).cast("double"))
+                .withColumn("_score", F.lit(None).cast("double"))
+                .withColumn("_hybridScore", F.lit(0.0))
+                .withColumn("_rankedFirst", F.lit(1))
+            )
+        ranked_rows = self.df.join(ranked, self.id_col).withColumn(
+            "_rankedFirst", F.lit(0)
+        )
+        leftover_ids = compiled.ids.join(
+            ranked.select(self.id_col), self.id_col, "left_anti"
+        )
+        leftover_rows = (
+            self.df.join(leftover_ids, self.id_col, "left_semi")
+            .withColumn("_distance", F.lit(None).cast("double"))
+            .withColumn("_score", F.lit(None).cast("double"))
+            .withColumn("_hybridScore", F.lit(0.0))
+            .withColumn("_rankedFirst", F.lit(1))
+        )
+        return ranked_rows.unionByName(leftover_rows)
+
+    def _shape(self, rows: DataFrame, request: dict) -> DataFrame:
+        # Default order: ranked first by hybrid desc, then filter-only rows,
+        # id tiebreak (shard.go:350-369 + search.go:291-295). User sort keys
+        # take precedence with missing-last (utils/compare.go:56-89); the
+        # default order acts as the stable-sort tiebreak.
+        order = [
+            F.col("_rankedFirst").asc(),
+            F.col("_hybridScore").desc(),
+            F.col(self.id_col).asc(),
+        ]
+        sort_opts = request.get("sort") or []
+        if len(sort_opts) > 10:
+            raise ValueError("sort options exceed maximum of 10")
+        user_order = [
+            (
+                F.col(s["property"]).desc_nulls_last()
+                if s.get("descending")
+                else F.col(s["property"]).asc_nulls_last()
+            )
+            for s in sort_opts
+        ]
+        order = user_order + order
+
+        offset = int(request.get("offset", 0))
+        limit = request.get("limit")
+        if limit is not None:
+            # Distributed pre-trim (TakeOrderedAndProject), then exact slice.
+            rows = rows.orderBy(*order).limit(offset + int(limit))
+        w = Window.orderBy(*order)
+        rows = rows.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") > offset
+        )
+        if limit is not None:
+            rows = rows.filter(F.col("_rn") <= offset + int(limit))
+        rows = rows.drop("_rn", "_rankedFirst")
+
+        select = request.get("select")
+        if select and select != ["*"] and "*" not in select:
+            cols = [F.col(self.id_col)]
+            roots: dict[str, list[str]] = {}
+            for p in select:
+                if "." in p:
+                    roots.setdefault(p.split(".", 1)[0], []).append(p)
+                else:
+                    cols.append(F.col(p))
+            for root, paths in roots.items():
+                # re-nest dotted selects: {"nested": {"field": v}} (shard.go:431-448)
+                cols.append(
+                    F.struct(
+                        *[F.col(p).alias(p.split(".", 1)[1]) for p in paths]
+                    ).alias(root)
+                )
+            cols += [F.col(c) for c in RANKED_COLS]
+            rows = rows.select(*cols)
+        return rows
+
+    # -- validation (models/search.go:27-50) --------------------------------
+
+    @staticmethod
+    def validate_request(request: dict) -> None:
+        if "query" not in request:
+            raise ValueError("query is required")
+        offset = int(request.get("offset", 0))
+        if offset < 0:
+            raise ValueError("offset must be greater than or equal to 0")
+        limit = request.get("limit")
+        if limit is not None and not (1 <= int(limit) <= 100):
+            raise ValueError("limit must be between 1 and 100")

@@ -1,0 +1,277 @@
+"""Query-tree compiler tests over a products-style fixture (FIXTURES.md §1,
+mirroring reference shard/index/search_test.go + shard_search_test.go)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from semadb_spark.plans import SearchEngine
+from semadb_spark.schema import IndexSchema
+
+SCHEMA = IndexSchema.from_json(
+    {
+        "vector": {"type": "vectorFlat", "vectorFlat": {"vectorSize": 2, "distanceMetric": "euclidean"}},
+        "category": {"type": "string", "string": {"caseSensitive": False}},
+        "labels": {"type": "stringArray", "stringArray": {"caseSensitive": False}},
+        "size": {"type": "integer"},
+        "price": {"type": "float"},
+        "description": {"type": "text", "text": {"analyser": "standard"}},
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def products(spark):
+    rows = [
+        # _id, vector, category, labels, size, price, description
+        ("00", [0.0, 0.0], "Shoes", ["red", "SALE"], 10, 5.0, "the red running shoe fast"),
+        ("01", [1.0, 0.0], "shoes", ["blue"], -5, 10.0, "blue walking shoe"),
+        ("02", [0.0, 1.0], "Hats", ["red"], 20, 20.0, "red wizard hat gandalf"),
+        ("03", [1.0, 1.0], "hats", None, 30, 2.5, "plain cap"),
+        ("04", [2.0, 2.0], None, ["green", "sale"], None, None, None),
+        ("05", [5.0, 5.0], "Coats", ["winter"], 40, 99.9, "warm winter coat gandalf wizard"),
+        ("06", None, "coats", ["winter", "sale"], 50, 49.0, "gandalf the grey wizard"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "_id string, vector array<float>, category string, labels array<string>, "
+        "size long, price double, description string",
+    )
+    return df
+
+
+@pytest.fixture(scope="module")
+def engine(products):
+    return SearchEngine(products, SCHEMA)
+
+
+def ids(df):
+    return [r["_id"] for r in df.select("_id").collect()]
+
+
+def search_ids(engine, query, **req):
+    return ids(engine.search({"query": query, **req}))
+
+
+# -- pure filters (F1-F10) ---------------------------------------------------
+
+def test_equals_case_folded(engine):
+    got = search_ids(engine, {"property": "category", "string": {"operator": "equals", "value": "SHOES"}})
+    assert sorted(got) == ["00", "01"]
+
+
+def test_not_equals_excludes_nulls(engine):
+    got = search_ids(engine, {"property": "category", "string": {"operator": "notEquals", "value": "shoes"}})
+    assert sorted(got) == ["02", "03", "05", "06"]  # null category absent
+
+
+def test_starts_with(engine):
+    got = search_ids(engine, {"property": "category", "string": {"operator": "startsWith", "value": "ha"}})
+    assert sorted(got) == ["02", "03"]
+
+
+def test_integer_range_inclusive(engine):
+    got = search_ids(engine, {"property": "size", "integer": {"operator": "inRange", "value": 10, "endValue": 30}})
+    assert sorted(got) == ["00", "02", "03"]
+
+
+def test_integer_negative_bounds(engine):
+    got = search_ids(engine, {"property": "size", "integer": {"operator": "lessThan", "value": 0}})
+    assert got == ["01"]
+
+
+def test_float_greater(engine):
+    got = search_ids(engine, {"property": "price", "float": {"operator": "greaterThanOrEquals", "value": 20.0}})
+    assert sorted(got) == ["02", "05", "06"]
+
+
+def test_contains_all_case_folded(engine):
+    got = search_ids(engine, {"property": "labels", "stringArray": {"operator": "containsAll", "value": ["RED", "sale"]}})
+    assert got == ["00"]
+
+
+def test_contains_any(engine):
+    got = search_ids(engine, {"property": "labels", "stringArray": {"operator": "containsAny", "value": ["sale"]}})
+    assert sorted(got) == ["00", "04", "06"]
+
+
+def test_id_lookup_unknown_silently_skipped(engine):
+    got = search_ids(engine, {"property": "_id", "stringArray": {"operator": "containsAny", "value": ["02", "zz"]}})
+    assert got == ["02"]
+
+
+def test_and_or_pure(engine):
+    q = {
+        "property": "_and",
+        "_and": [
+            {"property": "size", "integer": {"operator": "greaterThan", "value": 15}},
+            {
+                "property": "_or",
+                "_or": [
+                    {"property": "category", "string": {"operator": "equals", "value": "hats"}},
+                    {"property": "category", "string": {"operator": "equals", "value": "coats"}},
+                ],
+            },
+        ],
+    }
+    assert sorted(search_ids(engine, q)) == ["02", "03", "05", "06"]
+
+
+# -- ranked: vector (R1, R4, R5) --------------------------------------------
+
+def test_knn_basic_order(engine):
+    q = {"property": "vector", "vectorFlat": {"vector": [0.0, 0.0], "operator": "near", "limit": 3}}
+    got = search_ids(engine, q)
+    assert got == ["00", "01", "02"]  # d=0, then ties d=1 broken by _id
+
+
+def test_knn_distance_and_hybrid(engine):
+    q = {"property": "vector", "vectorFlat": {"vector": [0.0, 0.0], "operator": "near", "limit": 2, "weight": 2.0}}
+    rows = engine.search({"query": q}).select("_id", "_distance", "_hybridScore").collect()
+    assert rows[0]["_distance"] == 0.0 and rows[0]["_hybridScore"] == 0.0
+    assert rows[1]["_distance"] == 1.0 and rows[1]["_hybridScore"] == -2.0
+
+
+def test_knn_prefilter(engine):
+    q = {
+        "property": "vector",
+        "vectorFlat": {
+            "vector": [0.0, 0.0],
+            "operator": "near",
+            "limit": 2,
+            "filter": {"property": "category", "string": {"operator": "startsWith", "value": "hat"}},
+        },
+    }
+    assert search_ids(engine, q) == ["02", "03"]
+
+
+def test_knn_skips_null_vectors(engine):
+    q = {"property": "vector", "vectorFlat": {"vector": [0.0, 0.0], "operator": "near", "limit": 7}}
+    got = search_ids(engine, q)
+    assert "06" not in got and len(got) == 6
+
+
+# -- ranked: text (R3) -------------------------------------------------------
+
+def test_text_contains_any_scores(engine):
+    q = {"property": "description", "text": {"operator": "containsAny", "value": "gandalf wizard", "limit": 5}}
+    rows = engine.search({"query": q}).select("_id", "_score").collect()
+    got = [r["_id"] for r in rows]
+    assert set(got) == {"02", "05", "06"}
+    scores = {r["_id"]: r["_score"] for r in rows}
+    # 06 has both terms in a 4-token doc -> highest score
+    assert max(scores, key=scores.get) == "06"
+    assert all(s > 0 for s in scores.values())
+
+
+def test_text_contains_all(engine):
+    q = {"property": "description", "text": {"operator": "containsAll", "value": "gandalf wizard", "limit": 5}}
+    assert sorted(search_ids(engine, q)) == ["02", "05", "06"]
+
+
+def test_text_stopwords_removed(engine):
+    # "the" is a stopword: matches nothing on its own
+    q = {"property": "description", "text": {"operator": "containsAny", "value": "the", "limit": 5}}
+    assert search_ids(engine, q) == []
+
+
+def test_text_limit_truncates(engine):
+    q = {"property": "description", "text": {"operator": "containsAny", "value": "gandalf", "limit": 2}}
+    assert len(search_ids(engine, q)) == 2
+
+
+def test_text_prefilter(engine):
+    q = {
+        "property": "description",
+        "text": {
+            "operator": "containsAny",
+            "value": "gandalf wizard",
+            "limit": 5,
+            "filter": {"property": "size", "integer": {"operator": "greaterThan", "value": 45}},
+        },
+    }
+    assert search_ids(engine, q) == ["06"]
+
+
+# -- hybrid merge (B3/B4) ----------------------------------------------------
+
+def test_hybrid_or_sums_scores(engine):
+    q = {
+        "property": "_or",
+        "_or": [
+            {"property": "vector", "vectorFlat": {"vector": [5.0, 5.0], "operator": "near", "limit": 2}},
+            {"property": "description", "text": {"operator": "containsAny", "value": "winter coat", "limit": 3}},
+        ],
+    }
+    rows = engine.search({"query": q}).select("_id", "_distance", "_score", "_hybridScore").collect()
+    by_id = {r["_id"]: r for r in rows}
+    # "05" appears in both branches: hybrid = -distance + text score, keeps both
+    assert "05" in by_id
+    assert by_id["05"]["_distance"] == 0.0
+    assert by_id["05"]["_score"] is not None
+    assert by_id["05"]["_hybridScore"] == pytest.approx(by_id["05"]["_score"])
+
+
+def test_hybrid_and_drops_non_intersection(engine):
+    q = {
+        "property": "_and",
+        "_and": [
+            {"property": "vector", "vectorFlat": {"vector": [0.0, 0.0], "operator": "near", "limit": 4}},
+            {"property": "category", "string": {"operator": "equals", "value": "hats"}},
+        ],
+    }
+    got = search_ids(engine, q)
+    assert sorted(got) == ["02", "03"]
+
+
+def test_filter_only_rows_appended_after_ranked(engine):
+    # OR of ranked + pure filter: ranked rows first, filter-only rows after
+    q = {
+        "property": "_or",
+        "_or": [
+            {"property": "vector", "vectorFlat": {"vector": [0.0, 0.0], "operator": "near", "limit": 2}},
+            {"property": "category", "string": {"operator": "equals", "value": "coats"}},
+        ],
+    }
+    got = search_ids(engine, q)
+    assert got[:2] == ["00", "01"]  # ranked, by hybrid desc
+    assert set(got[2:]) == {"05", "06"}  # appended filter-only
+
+
+# -- shaping (P1-P3) ---------------------------------------------------------
+
+def test_sort_missing_last(engine):
+    q = {"property": "size", "integer": {"operator": "greaterThan", "value": -100}}
+    got = search_ids(
+        engine,
+        {
+            "property": "_or",
+            "_or": [q, {"property": "labels", "stringArray": {"operator": "containsAny", "value": ["green"]}}],
+        },
+        sort=[{"property": "price", "descending": True}],
+    )
+    assert got[-1] == "04"  # null price sorts last even descending
+
+
+def test_offset_limit(engine):
+    q = {"property": "size", "integer": {"operator": "greaterThan", "value": -100}}
+    all_ids = search_ids(engine, q, sort=[{"property": "size", "descending": False}])
+    paged = search_ids(engine, q, sort=[{"property": "size", "descending": False}], offset=2, limit=2)
+    assert paged == all_ids[2:4]
+
+
+def test_select_subset(engine):
+    q = {"property": "_id", "string": {"operator": "equals", "value": "00"}}
+    df = engine.search({"query": q, "select": ["category", "price"]})
+    assert set(df.columns) == {"_id", "category", "price", "_distance", "_score", "_hybridScore"}
+
+
+def test_select_star(engine, products):
+    q = {"property": "_id", "string": {"operator": "equals", "value": "00"}}
+    df = engine.search({"query": q, "select": ["*"]})
+    for c in products.columns:
+        assert c in df.columns
+
+
+def test_schema_validation_unknown_property(engine):
+    with pytest.raises(ValueError, match="not found in index schema"):
+        engine.search({"query": {"property": "nope", "string": {"operator": "equals", "value": "x"}}})
