@@ -1,38 +1,763 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus the
+training-pipeline additions) as (spark, sf_dir) -> DataFrame callables;
+``oracle_sql()`` carries the DuckDB-equivalent SQL the driver hash-compares
+against at sf0.01. Column names/aliases match pairwise by construction.
+
+Determinism rules (FIXTURES.md): ties broken by ``_id`` ascending everywhere;
+float outputs rounded (distances 4dp, scores 6dp) so engine-vs-oracle ulp
+noise can't flip a hash; text queries use <=2 query terms so per-doc score
+sums are bitwise order-independent.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from semadb_spark.functions.analyzer import duckdb_tokenize_sql
+from semadb_spark.operators import dedup as dedup_ops
+from semadb_spark.operators import knn as knn_ops
+from semadb_spark.operators import textstats as ts_ops
+from semadb_spark.plans import SearchEngine
+
+# ---------------------------------------------------------------------------
+# helpers
+
+TOK = duckdb_tokenize_sql("text")  # standard analyser (stopwords removed)
+TOK_ALL = duckdb_tokenize_sql("text", remove_stopwords=False)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _part(spark, sf_dir):
+    return _t(spark, sf_dir, "part").withColumn("_id", F.col("p_partkey").cast("string"))
+
+
+def _emb(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings").withColumn("_id", F.col("vec_id").cast("string"))
+
+
+def _docs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").withColumn("_id", F.col("doc_id").cast("string"))
+
+
+def _corpus(spark, sf_dir):
+    """documents ⋈ embeddings by row id: one hybrid collection with text +
+    vector + categorical columns (the products-table analogue)."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            d.doc_id.cast("string").alias("_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+            "embedding",
+            "label",
+        )
+    )
+
+
+def _qvec(spark, sf_dir, vec_id=0):
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).select("embedding").first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+EMB_SCHEMA = {
+    "embedding": {"type": "vectorFlat", "vectorFlat": {"vectorSize": 64, "distanceMetric": "euclidean"}},
+    "label": {"type": "integer"},
+}
+
+PART_SCHEMA = {
+    "p_brand": {"type": "string", "string": {"caseSensitive": True}},
+    "p_type": {"type": "string", "string": {"caseSensitive": False}},
+    "p_name": {"type": "string", "string": {"caseSensitive": False}},
+    "p_size": {"type": "integer"},
+    "p_retailprice": {"type": "float"},
+}
+
+CORPUS_SCHEMA = {
+    "text": {"type": "text", "text": {"analyser": "standard"}},
+    "lang": {"type": "string", "string": {"caseSensitive": False}},
+    "source": {"type": "string", "string": {"caseSensitive": True}},
+    "n_chars": {"type": "integer"},
+    "embedding": {"type": "vectorFlat", "vectorFlat": {"vectorSize": 64, "distanceMetric": "euclidean"}},
+    "label": {"type": "integer"},
+}
+
+# DuckDB euclidean^2 / dot over DOUBLE[] pairs (a, b are SQL expressions)
+def _dk_eu(a: str, b: str) -> str:
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2])))"
+
+
+def _dk_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1]*p[2]))"
+
+
+# TF-IDF oracle CTE over `documents`-shaped relation with _id/text columns.
+def _dk_tfidf(terms: list[str], source_cte: str = "SELECT CAST(doc_id AS VARCHAR) AS _id, text FROM documents") -> str:
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    base AS ({source_cte}),
+    toks AS (SELECT _id, {TOK} AS tokens FROM base WHERE text IS NOT NULL),
+    docs2 AS (SELECT _id, tokens, len(tokens) AS doc_len FROM toks WHERE len(tokens) > 0),
+    nd AS (SELECT count(*) AS n FROM docs2),
+    trm AS (SELECT _id, doc_len, unnest(tokens) AS term FROM docs2),
+    tf AS (SELECT _id, term, count(*) AS tf, any_value(doc_len) AS doc_len
+           FROM trm WHERE term IN ({inlist}) GROUP BY _id, term),
+    dfq AS (SELECT term, count(DISTINCT _id) AS df FROM trm WHERE term IN ({inlist}) GROUP BY term),
+    scored AS (SELECT tf._id,
+                      sum((tf.tf::DOUBLE / tf.doc_len::DOUBLE) * log10(nd.n::DOUBLE / (dfq.df + 1)::DOUBLE)) AS s,
+                      count(*) AS nmatch
+               FROM tf JOIN dfq USING (term) CROSS JOIN nd GROUP BY tf._id)
+    """
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship kitchen-sink hybrid query on sf0.001: pre-filtered vector
+    search + text search composed with _and, hybrid-score merged."""
+    sf_dir = "/root/testdata/sf0.001"
+    corpus = _corpus(spark, sf_dir)
+    eng = SearchEngine(corpus, CORPUS_SCHEMA)
+    qv = _qvec(spark, sf_dir)
+    request = {
+        "query": {
+            "property": "_and",
+            "_and": [
+                {
+                    "property": "embedding",
+                    "vectorFlat": {
+                        "vector": qv,
+                        "operator": "near",
+                        "limit": 50,
+                        "filter": {
+                            "property": "n_chars",
+                            "integer": {"operator": "greaterThan", "value": 50},
+                        },
+                    },
+                },
+                {
+                    "property": "text",
+                    "text": {"operator": "containsAny", "value": "join stream", "limit": 50},
+                },
+            ],
+        },
+        "select": ["lang", "source", "n_chars"],
+        "limit": 20,
+    }
+    return eng.search(request)
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- F1-F10: filters via the query-tree compiler ------------------------
+
+    def filter_string_equals(spark, sf_dir):
+        eng = SearchEngine(_part(spark, sf_dir), PART_SCHEMA)
+        res = eng.search({"query": {"property": "p_brand", "string": {"operator": "equals", "value": "Brand#4"}}})
+        return res.select("_id", "p_brand", "p_size")
+
+    q["filter_string_equals"] = filter_string_equals
+
+    def filter_string_not_equals(spark, sf_dir):
+        eng = SearchEngine(_part(spark, sf_dir), PART_SCHEMA)
+        res = eng.search({"query": {"property": "p_type", "string": {"operator": "notEquals", "value": "MEDIUM"}}})
+        return res.select("_id", "p_type")
+
+    q["filter_string_not_equals"] = filter_string_not_equals
+
+    def filter_starts_with(spark, sf_dir):
+        eng = SearchEngine(_part(spark, sf_dir), PART_SCHEMA)
+        res = eng.search({"query": {"property": "p_name", "string": {"operator": "startsWith", "value": "sm"}}})
+        return res.select("_id", "p_name")
+
+    q["filter_starts_with"] = filter_starts_with
+
+    def filter_int_range(spark, sf_dir):
+        eng = SearchEngine(_part(spark, sf_dir), PART_SCHEMA)
+        res = eng.search({"query": {"property": "p_size", "integer": {"operator": "inRange", "value": 10, "endValue": 25}}})
+        return res.select("_id", "p_size")
+
+    q["filter_int_range"] = filter_int_range
+
+    def filter_float_gte(spark, sf_dir):
+        eng = SearchEngine(_part(spark, sf_dir), PART_SCHEMA)
+        res = eng.search({"query": {"property": "p_retailprice", "float": {"operator": "greaterThanOrEquals", "value": 990.0}}})
+        return res.select("_id", "p_retailprice")
+
+    q["filter_float_gte"] = filter_float_gte
+
+    def filter_bool_compose(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem").withColumn(
+            "_id", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+        )
+        eng = SearchEngine(
+            li,
+            {
+                "l_quantity": {"type": "integer"},
+                "l_returnflag": {"type": "string", "string": {"caseSensitive": True}},
+                "l_linestatus": {"type": "string", "string": {"caseSensitive": True}},
+            },
+        )
+        res = eng.search(
+            {
+                "query": {
+                    "property": "_and",
+                    "_and": [
+                        {"property": "l_quantity", "integer": {"operator": "inRange", "value": 10, "endValue": 20}},
+                        {
+                            "property": "_or",
+                            "_or": [
+                                {"property": "l_returnflag", "string": {"operator": "equals", "value": "A"}},
+                                {"property": "l_linestatus", "string": {"operator": "equals", "value": "O"}},
+                            ],
+                        },
+                    ],
+                }
+            }
+        )
+        return res.select("_id", "l_quantity", "l_returnflag", "l_linestatus")
+
+    q["filter_bool_compose"] = filter_bool_compose
+
+    def filter_id_contains_any(spark, sf_dir):
+        cust = _t(spark, sf_dir, "customer").withColumn("_id", F.col("c_custkey").cast("string"))
+        eng = SearchEngine(cust, {"c_mktsegment": {"type": "string", "string": {"caseSensitive": True}}})
+        res = eng.search(
+            {"query": {"property": "_id", "stringArray": {"operator": "containsAny", "value": ["1", "2", "3", "100", "999999"]}}}
+        )
+        return res.select("_id", "c_name", "c_mktsegment")
+
+    q["filter_id_contains_any"] = filter_id_contains_any
+
+    def shaping_sort_page(spark, sf_dir):
+        orders = _t(spark, sf_dir, "orders").withColumn("_id", F.col("o_orderkey").cast("string"))
+        eng = SearchEngine(orders, {"o_orderstatus": {"type": "string", "string": {"caseSensitive": True}}, "o_totalprice": {"type": "float"}})
+        res = eng.search(
+            {
+                "query": {"property": "o_orderstatus", "string": {"operator": "equals", "value": "O"}},
+                "sort": [{"property": "o_totalprice", "descending": True}],
+                "offset": 10,
+                "limit": 20,
+            }
+        )
+        return res.select("_id", "o_totalprice")
+
+    q["shaping_sort_page"] = shaping_sort_page
+
+    # -- R1/R4/R5: exact vector search --------------------------------------
+
+    def _knn(spark, sf_dir, metric, schema_metric=None, flt=None):
+        emb = _emb(spark, sf_dir)
+        schema = {
+            "embedding": {"type": "vectorFlat", "vectorFlat": {"vectorSize": 64, "distanceMetric": metric}},
+            "label": {"type": "integer"},
+        }
+        eng = SearchEngine(emb, schema)
+        node = {"vector": _qvec(spark, sf_dir), "operator": "near", "limit": 10}
+        if flt is not None:
+            node["filter"] = flt
+        res = eng.search({"query": {"property": "embedding", "vectorFlat": node}})
+        return res.select("_id", F.round("_distance", 4).alias("_distance"))
+
+    q["knn_euclidean"] = lambda spark, sf_dir: _knn(spark, sf_dir, "euclidean")
+    q["knn_cosine"] = lambda spark, sf_dir: _knn(spark, sf_dir, "cosine")
+    q["knn_dot"] = lambda spark, sf_dir: _knn(spark, sf_dir, "dot")
+    q["knn_filtered"] = lambda spark, sf_dir: _knn(
+        spark, sf_dir, "euclidean",
+        flt={"property": "label", "integer": {"operator": "inRange", "value": 2, "endValue": 6}},
+    )
+
+    def knn_haversine(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        v = F.col("embedding").cast("array<double>")
+        geo = emb.select(
+            "_id",
+            F.array(F.element_at(v, 1) * 90.0, F.element_at(v, 2) * 180.0).alias("geo"),
+        )
+        qv = _qvec(spark, sf_dir)
+        qgeo = [qv[0] * 90.0, qv[1] * 180.0]
+        eng = SearchEngine(geo, {"geo": {"type": "vectorFlat", "vectorFlat": {"vectorSize": 2, "distanceMetric": "haversine"}}})
+        res = eng.search({"query": {"property": "geo", "vectorFlat": {"vector": qgeo, "operator": "near", "limit": 10}}})
+        return res.select("_id", F.round("_distance", 4).alias("_distance"))
+
+    q["knn_haversine"] = knn_haversine
+
+    def knn_batch(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        queries_df = (
+            emb.filter(F.col("vec_id") < 5)
+            .select(F.col("_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        )
+        res = knn_ops.knn_topk_batch(emb, "embedding", queries_df, "euclidean", 5)
+        return res.select("query_id", "_id", F.round("_distance", 4).alias("_distance"))
+
+    q["knn_batch"] = knn_batch
+
+    # -- R3: text search -----------------------------------------------------
+
+    def text_tfidf_any(spark, sf_dir):
+        eng = SearchEngine(_docs(spark, sf_dir), CORPUS_SCHEMA)
+        res = eng.search({"query": {"property": "text", "text": {"operator": "containsAny", "value": "spark query", "limit": 75}}})
+        return res.select("_id", F.round("_score", 6).alias("_score"))
+
+    q["text_tfidf_any"] = text_tfidf_any
+
+    def text_tfidf_all(spark, sf_dir):
+        eng = SearchEngine(_docs(spark, sf_dir), CORPUS_SCHEMA)
+        res = eng.search({"query": {"property": "text", "text": {"operator": "containsAll", "value": "window merge", "limit": 75}}})
+        return res.select("_id", F.round("_score", 6).alias("_score"))
+
+    q["text_tfidf_all"] = text_tfidf_all
+
+    # -- B1-B5: hybrid composition ------------------------------------------
+
+    def _hybrid(spark, sf_dir, conj):
+        corpus = _corpus(spark, sf_dir)
+        eng = SearchEngine(corpus, CORPUS_SCHEMA)
+        key = "_and" if conj else "_or"
+        res = eng.search(
+            {
+                "query": {
+                    "property": key,
+                    key: [
+                        {"property": "embedding", "vectorFlat": {"vector": _qvec(spark, sf_dir), "operator": "near", "limit": 30}},
+                        {"property": "text", "text": {"operator": "containsAny", "value": "join stream", "limit": 30}},
+                    ],
+                }
+            }
+        )
+        return res.select(
+            "_id",
+            F.round("_distance", 4).alias("_distance"),
+            F.round("_score", 6).alias("_score"),
+            F.round(F.col("_hybridScore") + F.lit(0.0), 4).alias("_hybridScore"),
+        )
+
+    q["hybrid_and"] = lambda spark, sf_dir: _hybrid(spark, sf_dir, True)
+    q["hybrid_or"] = lambda spark, sf_dir: _hybrid(spark, sf_dir, False)
+
+    # -- pipeline: dedup -----------------------------------------------------
+
+    def dedup_exact(spark, sf_dir):
+        return dedup_ops.exact_dedup(_docs(spark, sf_dir), ["text"], "_id")
+
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_minhash_lsh(spark, sf_dir):
+        return dedup_ops.minhash_lsh_pairs(_docs(spark, sf_dir), "text", "_id", num_hashes=8, bands=4, k=3)
+
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_simhash(spark, sf_dir):
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        return docs.select("_id", dedup_ops.simhash("text", bits=16, k=3).alias("simhash"))
+
+    q["dedup_simhash"] = dedup_simhash
+
+    def dedup_ngram_jaccard(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        cands = dedup_ops.minhash_lsh_pairs(docs, "text", "_id", num_hashes=8, bands=4, k=3)
+        pairs = dedup_ops.ngram_jaccard_pairs(docs, "text", "_id", cands, k=3)
+        return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def embed_neardup(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        pairs = dedup_ops.embedding_neardup_pairs(emb, "embedding", "_id", threshold=0.3, block_col="label")
+        return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+    q["embed_neardup"] = embed_neardup
+
+    # -- pipeline: text analysis --------------------------------------------
+
+    def lang_id_counts(spark, sf_dir):
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        pred = docs.withColumn("predicted", ts_ops.detect_language("text"))
+        return pred.groupBy("lang", "predicted").agg(F.count("*").alias("n"))
+
+    q["lang_id_counts"] = lang_id_counts
+
+    def quality_scores(spark, sf_dir):
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        feats = ts_ops.quality_features("text")
+        return docs.select(
+            "_id",
+            feats["n_tokens"].alias("n_tokens"),
+            F.round(feats["mean_token_len"], 6).alias("mean_token_len"),
+            F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+            F.round(feats["digit_ratio"], 6).alias("digit_ratio"),
+            F.round(ts_ops.quality_score("text"), 6).alias("quality"),
+        )
+
+    q["quality_scores"] = quality_scores
+
+    def token_count_by_source(spark, sf_dir):
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        return (
+            docs.withColumn("n_tok", ts_ops.token_count("text"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+        )
+
+    q["token_count_by_source"] = token_count_by_source
+
+    def fingerprint_docs(spark, sf_dir):
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        return docs.select("_id", ts_ops.fingerprint("text").alias("fp"))
+
+    q["fingerprint_docs"] = fingerprint_docs
+
+    # -- aggregation internals (SURVEY §2.8) --------------------------------
+
+    def agg_events_rollup(spark, sf_dir):
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+        # read it as raw nanos and convert (integer div — no double rounding).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = _t(spark, sf_dir, "events")
+        day = F.date_format(F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd")
+        return (
+            ev.groupBy("event_type", day.alias("day"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        )
+
+    q["agg_events_rollup"] = agg_events_rollup
+
+    # -- ANN (rows-only check: recall-validated in tests, not SQL-expressible)
+
+    def ann_ivf_topk(spark, sf_dir):
+        from semadb_spark.operators.ann import ivf_build, ivf_search
+
+        emb = _emb(spark, sf_dir)
+        index = ivf_build(emb, "embedding", "_id", nlist=8, seed=42)
+        qrows = emb.filter(F.col("vec_id") < 5).select("_id", "embedding").collect()
+        queries_list = [(r["_id"], [float(x) for x in r["embedding"]]) for r in qrows]
+        return ivf_search(index, queries_list, "euclidean", 10, nprobe=3)
+
+    q["ann_ivf_topk"] = ann_ivf_topk
+
+    def ann_lsh_topk(spark, sf_dir):
+        from semadb_spark.operators.ann import rplsh_build, rplsh_search
+
+        emb = _emb(spark, sf_dir)
+        index = rplsh_build(emb, "embedding", 64, "_id", tables=8, bits=4, seed=42)
+        qrows = emb.filter(F.col("vec_id") < 5).select("_id", "embedding").collect()
+        queries_list = [(r["_id"], [float(x) for x in r["embedding"]]) for r in qrows]
+        return rplsh_search(index, queries_list, "euclidean", 10)
+
+    q["ann_lsh_topk"] = ann_lsh_topk
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB 1.0; views pre-registered: region nation customer
+# supplier part orders lineitem events documents embeddings)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["filter_string_equals"] = """
+        SELECT CAST(p_partkey AS VARCHAR) AS _id, p_brand, p_size
+        FROM part WHERE p_brand = 'Brand#4'
     """
-    return {}
+
+    o["filter_string_not_equals"] = """
+        SELECT CAST(p_partkey AS VARCHAR) AS _id, p_type
+        FROM part WHERE lower(p_type) <> lower('MEDIUM')
+    """
+
+    o["filter_starts_with"] = """
+        SELECT CAST(p_partkey AS VARCHAR) AS _id, p_name
+        FROM part WHERE lower(p_name) LIKE 'sm%'
+    """
+
+    o["filter_int_range"] = """
+        SELECT CAST(p_partkey AS VARCHAR) AS _id, p_size
+        FROM part WHERE p_size BETWEEN 10 AND 25
+    """
+
+    o["filter_float_gte"] = """
+        SELECT CAST(p_partkey AS VARCHAR) AS _id, p_retailprice
+        FROM part WHERE p_retailprice >= 990.0
+    """
+
+    o["filter_bool_compose"] = """
+        SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS _id,
+               l_quantity, l_returnflag, l_linestatus
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 20
+          AND (l_returnflag = 'A' OR l_linestatus = 'O')
+    """
+
+    o["filter_id_contains_any"] = """
+        SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name, c_mktsegment
+        FROM customer
+        WHERE CAST(c_custkey AS VARCHAR) IN ('1', '2', '3', '100', '999999')
+    """
+
+    o["shaping_sort_page"] = """
+        SELECT CAST(o_orderkey AS VARCHAR) AS _id, o_totalprice
+        FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY o_totalprice DESC NULLS LAST, CAST(o_orderkey AS VARCHAR) ASC
+        LIMIT 20 OFFSET 10
+    """
+
+    _knn_tpl = """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        d AS (SELECT CAST(vec_id AS VARCHAR) AS _id, embedding::DOUBLE[] AS v, label
+              FROM embeddings WHERE embedding IS NOT NULL),
+        scored AS (SELECT d._id, {dist} AS dist FROM d, q {where})
+        SELECT _id, round(dist, 4) AS _distance FROM scored
+        ORDER BY dist ASC, _id ASC LIMIT 10
+    """
+    o["knn_euclidean"] = _knn_tpl.format(dist=_dk_eu("d.v", "q.qv"), where="")
+    o["knn_cosine"] = _knn_tpl.format(dist=f"1 - {_dk_dot('d.v', 'q.qv')}", where="")
+    o["knn_dot"] = _knn_tpl.format(dist=f"-({_dk_dot('d.v', 'q.qv')})", where="")
+    o["knn_filtered"] = _knn_tpl.format(
+        dist=_dk_eu("d.v", "q.qv"), where="WHERE d.label BETWEEN 2 AND 6"
+    )
+
+    o["knn_haversine"] = """
+        WITH q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        q AS (SELECT qv[1] * 90.0 AS qlat, qv[2] * 180.0 AS qlon FROM q0),
+        d0 AS (SELECT CAST(vec_id AS VARCHAR) AS _id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+        d AS (SELECT _id, v[1] * 90.0 AS lat, v[2] * 180.0 AS lon FROM d0),
+        scored AS (
+          SELECT d._id,
+                 2.0 * 6371000.0 * asin(sqrt(
+                   sin((radians(d.lat) - radians(q.qlat)) / 2) * sin((radians(d.lat) - radians(q.qlat)) / 2)
+                   + cos(radians(d.lat)) * cos(radians(q.qlat))
+                     * sin((radians(d.lon) - radians(q.qlon)) / 2) * sin((radians(d.lon) - radians(q.qlon)) / 2)
+                 )) AS dist
+          FROM d, q)
+        SELECT _id, round(dist, 4) AS _distance FROM scored
+        ORDER BY dist ASC, _id ASC LIMIT 10
+    """
+
+    o["knn_batch"] = f"""
+        WITH q AS (SELECT CAST(vec_id AS VARCHAR) AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        d AS (SELECT CAST(vec_id AS VARCHAR) AS _id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE embedding IS NOT NULL),
+        scored AS (SELECT q.query_id, d._id, {_dk_eu("d.v", "q.qv")} AS dist FROM d CROSS JOIN q),
+        ranked AS (SELECT query_id, _id, dist,
+                          row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, _id ASC) AS rn
+                   FROM scored)
+        SELECT query_id, _id, round(dist, 4) AS _distance FROM ranked WHERE rn <= 5
+    """
+
+    o["text_tfidf_any"] = f"""
+        WITH {_dk_tfidf(["spark", "query"])}
+        SELECT _id, round(s, 6) AS _score FROM scored
+        ORDER BY s DESC, _id ASC LIMIT 75
+    """
+
+    o["text_tfidf_all"] = f"""
+        WITH {_dk_tfidf(["window", "merge"])}
+        SELECT _id, round(s, 6) AS _score FROM scored WHERE nmatch = 2
+        ORDER BY s DESC, _id ASC LIMIT 75
+    """
+
+    _corpus_cte = """
+        SELECT CAST(d.doc_id AS VARCHAR) AS _id, d.text, e.embedding::DOUBLE[] AS v
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """
+    _hybrid_tpl = f"""
+        WITH {_dk_tfidf(["join", "stream"], source_cte=_corpus_cte)},
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        vd AS (SELECT c._id, {_dk_eu("c.v", "q.qv")} AS dist
+               FROM (SELECT _id, v FROM base WHERE v IS NOT NULL) c, q),
+        knn AS (SELECT _id, dist FROM vd ORDER BY dist ASC, _id ASC LIMIT 30),
+        txt AS (SELECT _id, s FROM scored ORDER BY s DESC, _id ASC LIMIT 30),
+        merged AS (
+          SELECT coalesce(k._id, t._id) AS _id, k.dist, t.s,
+                 coalesce(-k.dist, 0) + coalesce(t.s, 0) AS hybrid
+          FROM knn k FULL OUTER JOIN txt t ON k._id = t._id
+        )
+        SELECT _id, round(dist, 4) AS _distance, round(s, 6) AS _score,
+               round(hybrid + 0.0, 4) AS _hybridScore
+        FROM merged {{where}}
+    """
+    o["hybrid_and"] = _hybrid_tpl.format(where="WHERE dist IS NOT NULL AND s IS NOT NULL")
+    o["hybrid_or"] = _hybrid_tpl.format(where="")
+
+    o["dedup_exact"] = """
+        SELECT md5(coalesce(text, '')) AS content_hash,
+               min(CAST(doc_id AS VARCHAR)) AS keep_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY 1
+    """
+
+    # shared shingle CTE (token 3-grams, stopwords kept)
+    _shingle_cte = f"""
+        toks AS (SELECT CAST(doc_id AS VARCHAR) AS id, {TOK_ALL} AS t
+                 FROM documents WHERE text IS NOT NULL),
+        sh AS (SELECT id,
+                      list_distinct(CASE WHEN len(t) >= 3
+                        THEN list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+                        ELSE [array_to_string(t, ' ')] END) AS s
+               FROM toks)
+    """
+
+    def _mh(seed: int) -> str:
+        return f"list_min(list_transform(s, x -> ('0x' || substr(md5('{seed}:' || x), 1, 15))::BIGINT))"
+
+    _sig_cte = f"""
+        sig AS (SELECT id, {", ".join(f"{_mh(i)} AS h{i}" for i in range(8))} FROM sh),
+        bands AS (
+          SELECT id, 0 AS band, CAST(h0 AS VARCHAR) || '_' || CAST(h1 AS VARCHAR) AS key FROM sig
+          UNION ALL SELECT id, 1, CAST(h2 AS VARCHAR) || '_' || CAST(h3 AS VARCHAR) FROM sig
+          UNION ALL SELECT id, 2, CAST(h4 AS VARCHAR) || '_' || CAST(h5 AS VARCHAR) FROM sig
+          UNION ALL SELECT id, 3, CAST(h6 AS VARCHAR) || '_' || CAST(h7 AS VARCHAR) FROM sig
+        )
+    """
+
+    o["dedup_minhash_lsh"] = f"""
+        WITH {_shingle_cte}, {_sig_cte}
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    """
+
+    _simhash_bit = "((h >> {i}) & 1) * 2 - 1"
+    _simhash_expr = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> {_simhash_bit.format(i=i)})) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(16)
+    )
+    o["dedup_simhash"] = f"""
+        WITH {_shingle_cte},
+        hashes AS (SELECT id, list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs FROM sh)
+        SELECT id AS _id, CAST({_simhash_expr} AS BIGINT) AS simhash FROM hashes
+    """
+
+    o["dedup_ngram_jaccard"] = f"""
+        WITH {_shingle_cte}, {_sig_cte},
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        )
+        SELECT c.id_a, c.id_b,
+               round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s))::DOUBLE, 6) AS jaccard
+        FROM cand c JOIN sh sa ON c.id_a = sa.id JOIN sh sb ON c.id_b = sb.id
+    """
+
+    o["embed_neardup"] = """
+        WITH e AS (SELECT CAST(vec_id AS VARCHAR) AS id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE embedding IS NOT NULL),
+        n AS (SELECT id, label,
+                     list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS nv
+              FROM e),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 list_sum(list_transform(list_zip(a.nv, b.nv), p -> p[1] * p[2])) AS cos_sim
+          FROM n a JOIN n b ON a.label = b.label AND a.id < b.id
+        )
+        SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim FROM pairs WHERE cos_sim >= 0.3
+    """
+
+    _tokd = f"list_distinct({TOK_ALL})"
+    _langs = {
+        "de": ("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+        "en": ("the", "and", "of", "to", "is", "that", "for", "with"),
+        "es": ("el", "la", "los", "las", "es", "un", "una", "que"),
+        "fr": ("le", "la", "les", "est", "une", "dans", "que", "pour"),
+    }
+    _sc = {
+        lang: f"len(list_intersect(td, [{', '.join(repr(w) for w in words)}]))"
+        for lang, words in _langs.items()
+    }
+    o["lang_id_counts"] = f"""
+        WITH t AS (SELECT lang, {_tokd} AS td FROM documents WHERE text IS NOT NULL),
+        s AS (SELECT lang, {_sc['de']} AS s_de, {_sc['en']} AS s_en, {_sc['es']} AS s_es, {_sc['fr']} AS s_fr FROM t),
+        p AS (SELECT lang,
+                CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+                     WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                     WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                     WHEN s_es >= s_fr THEN 'es'
+                     ELSE 'fr' END AS predicted
+              FROM s)
+        SELECT lang, predicted, count(*) AS n FROM p GROUP BY lang, predicted
+    """
+
+    _stop_list = "', '".join(
+        # must match analyzer.ENGLISH_STOPWORDS
+        "a an and are as at be but by for if in into is it no not of on or such that the their then there these they this to was will with".split()
+    )
+    o["quality_scores"] = f"""
+        WITH base AS (
+          SELECT CAST(doc_id AS VARCHAR) AS _id, text, {TOK_ALL} AS toks
+          FROM documents WHERE text IS NOT NULL
+        ),
+        f AS (
+          SELECT _id,
+                 len(toks) AS n_tokens,
+                 length(text) AS n_chars,
+                 length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum_chars,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+                 length(regexp_replace(text, '[^ ]', '', 'g')) AS space_chars,
+                 len(list_filter(toks, t -> list_contains(['{_stop_list}'], t))) AS n_stop
+          FROM base
+        ),
+        r AS (
+          SELECT _id, n_tokens,
+                 CASE WHEN n_tokens > 0 THEN alnum_chars::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END AS mean_token_len,
+                 n_stop::DOUBLE / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END)::DOUBLE AS stopword_ratio,
+                 digit_chars::DOUBLE / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)::DOUBLE AS digit_ratio
+          FROM f
+        )
+        SELECT _id, n_tokens,
+               round(mean_token_len, 6) AS mean_token_len,
+               round(stopword_ratio, 6) AS stopword_ratio,
+               round(digit_ratio, 6) AS digit_ratio,
+               round((
+                 (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.5 END)
+                 + (CASE WHEN stopword_ratio >= 0.05 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.5 END)
+                 + (1.0 - least(digit_ratio * 2, 1.0))
+               ) / 3, 6) AS quality
+        FROM r
+    """
+
+    o["token_count_by_source"] = f"""
+        SELECT source, count(*) AS n_docs, sum(len({TOK_ALL})) AS total_tokens
+        FROM documents WHERE text IS NOT NULL GROUP BY source
+    """
+
+    o["fingerprint_docs"] = f"""
+        SELECT CAST(doc_id AS VARCHAR) AS _id,
+               md5(array_to_string(list_sort(list_distinct({TOK_ALL})), ' ')) AS fp
+        FROM documents WHERE text IS NOT NULL
+    """
+
+    o["agg_events_rollup"] = """
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    """
+
+    # ann_ivf_topk / ann_lsh_topk intentionally omitted: approximate results
+    # are validated as recall-vs-exact-oracle in tests/test_ann.py (the
+    # reference's own method), not value-hashes.
+    return o

@@ -1,0 +1,272 @@
+"""Approximate nearest-neighbour search — the 100 TB scale path.
+
+The reference serves ANN with a Vamana/DiskANN graph
+(shard/index/vamana/*, ~1000 LoC of per-query pointer chasing) — an
+architecture that fights Spark's execution model (SURVEY.md §7 "Exact before
+approximate"). The Spark-first substitutes, same contract (recall/QPS tradeoff
+against the exact scan):
+
+- **IVF** (inverted file index): batch KMeans (pyspark.ml) learns ``nlist``
+  centroids; vectors are assigned to their nearest centroid partition. A
+  query probes the ``nprobe`` nearest centroids and exact-reranks only those
+  partitions — at scale the table is *stored partitioned by centroid id*, so
+  probing is partition pruning (reads ~nprobe/nlist of the data).
+- **Random-projection LSH**: ``tables`` independent sets of ``bits``
+  hyperplanes; sign patterns form bucket keys. Candidates = union over
+  tables of same-bucket rows, exact-reranked. Equivalent to Spark ML's
+  BucketedRandomProjectionLSH but with NumPy-batched signature computation
+  and direct control of the candidate join.
+
+Both build steps are Spark batch jobs (the north-star sweet spot); both
+serve query *batches* (single query = batch of 1).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from semadb_spark.functions.distances import numpy_distance_matrix
+
+# -- IVF ----------------------------------------------------------------------
+
+
+class IVFIndex:
+    """Inverted-file index: centroids + centroid-assigned vectors."""
+
+    def __init__(self, centroids: np.ndarray, assigned: DataFrame, vec_col: str, id_col: str):
+        self.centroids = centroids  # (nlist, dim) driver-side, broadcast into kernels
+        self.assigned = assigned  # original columns + centroid_id
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+
+def ivf_build(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "_id",
+    nlist: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> IVFIndex:
+    """Fit KMeans centroids and assign every vector to its nearest centroid.
+
+    At scale, persist ``index.assigned`` with
+    ``.write.partitionBy("centroid_id")`` so a probe prunes file groups.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = df.filter(F.col(vec_col).isNotNull()).withColumn(
+        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="_features", predictionCol="centroid_id")
+    model = km.fit(ml_df)
+    centroids = np.asarray(model.clusterCenters(), dtype=np.float64)
+    assigned = model.transform(ml_df).drop("_features")
+    return IVFIndex(centroids, assigned, vec_col, id_col)
+
+
+def ivf_search(
+    index: IVFIndex,
+    queries: Sequence[tuple],
+    metric: str,
+    k: int,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Batch ANN search: probe ``nprobe`` centroid partitions per query, exact
+    rerank within them. -> (query_id, id, _distance, _rank)."""
+    queries = list(queries)
+    if not queries:
+        raise ValueError("ivf_search requires at least one query")
+    qids = [str(q[0]) for q in queries]
+    qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
+    # centroid shortlist per query (driver-side: nlist x q tiny matrix)
+    cdist = numpy_distance_matrix(metric, index.centroids, qmat)  # (nlist, q)
+    probe_rows = [
+        (qid, [int(c) for c in np.argsort(cdist[:, j])[:nprobe]])
+        for j, qid in enumerate(qids)
+    ]
+    spark = index.assigned.sparkSession
+    probes = spark.createDataFrame(
+        [(qid, c) for qid, cs in probe_rows for c in cs], "query_id string, centroid_id int"
+    )
+    # Partition-pruned candidate set: only probed centroid groups survive.
+    candidates = index.assigned.join(F.broadcast(probes), "centroid_id")
+    # Exact rerank per query within its own probed candidates.
+    qlookup = {qid: qmat[j] for j, qid in enumerate(qids)}
+    id_col, vec_col = index.id_col, index.vec_col
+    out_schema = f"query_id string, {id_col} string, _distance double"
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            frames = []
+            for qid, grp in pdf.groupby("query_id"):
+                vecs = np.stack(grp[vec_col].to_numpy())
+                d = numpy_distance_matrix(metric, vecs, qlookup[qid][None, :])[:, 0]
+                take = min(k, len(d))
+                idx = np.argpartition(d, take - 1)[:take]
+                idx = idx[np.argsort(d[idx], kind="stable")]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            id_col: grp[id_col].astype(str).to_numpy()[idx],
+                            "_distance": d[idx],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    cand_local_topk = candidates.select("query_id", id_col, vec_col).mapInPandas(
+        rerank, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_distance").asc(), F.col(id_col).asc())
+    return cand_local_topk.withColumn("_rank", F.row_number().over(w)).filter(
+        F.col("_rank") <= k
+    )
+
+
+# -- Random-projection LSH ----------------------------------------------------
+
+
+class RPLSHIndex:
+    def __init__(self, planes: np.ndarray, buckets: DataFrame, df: DataFrame, vec_col: str, id_col: str):
+        self.planes = planes  # (tables, bits, dim)
+        self.buckets = buckets  # (id, table, bucket)
+        self.df = df
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+
+def _bucket_ids(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, d) x (tables, bits, d) -> (n, tables) integer bucket keys."""
+    n_tables, bits, _ = planes.shape
+    out = np.zeros((vecs.shape[0], n_tables), dtype=np.int64)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    for t in range(n_tables):
+        signs = (vecs @ planes[t].T) > 0  # (n, bits)
+        out[:, t] = signs.astype(np.int64) @ weights
+    return out
+
+
+def rplsh_build(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    id_col: str = "_id",
+    tables: int = 4,
+    bits: int = 12,
+    seed: int = 42,
+) -> RPLSHIndex:
+    """Compute per-table bucket keys for every vector (one mapInPandas pass,
+    no shuffle). At scale, write the bucket table bucketed by (table, bucket)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(tables, bits, dim))
+    out_schema = f"{id_col} string, table int, bucket long"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            b = _bucket_ids(vecs, planes)  # (n, tables)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].astype(str).to_numpy(), tables),
+                    "table": np.tile(np.arange(tables, dtype=np.int32), n),
+                    "bucket": b.reshape(-1),
+                }
+            )
+
+    buckets = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).cast("string").alias(id_col), vec_col)
+        .mapInPandas(assign, out_schema)
+    )
+    return RPLSHIndex(planes, buckets, df, vec_col, id_col)
+
+
+def rplsh_search(
+    index: RPLSHIndex,
+    queries: Sequence[tuple],
+    metric: str,
+    k: int,
+) -> DataFrame:
+    """Batch ANN via bucket-match candidates + exact rerank.
+    -> (query_id, id, _distance, _rank)."""
+    queries = list(queries)
+    if not queries:
+        raise ValueError("rplsh_search requires at least one query")
+    qids = [str(q[0]) for q in queries]
+    qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
+    qb = _bucket_ids(qmat, index.planes)  # (q, tables)
+    spark = index.df.sparkSession
+    id_col = index.id_col
+    probe = spark.createDataFrame(
+        [
+            (qid, t, int(qb[j, t]))
+            for j, qid in enumerate(qids)
+            for t in range(index.planes.shape[0])
+        ],
+        "query_id string, table int, bucket long",
+    )
+    cand_ids = (
+        index.buckets.join(F.broadcast(probe), ["table", "bucket"])
+        .select("query_id", id_col)
+        .distinct()
+    )
+    cand = cand_ids.join(
+        index.df.select(F.col(id_col).cast("string").alias(id_col), index.vec_col),
+        id_col,
+    )
+    qlookup = {qid: qmat[j] for j, qid in enumerate(qids)}
+    vec_col = index.vec_col
+    out_schema = f"query_id string, {id_col} string, _distance double"
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            frames = []
+            for qid, grp in pdf.groupby("query_id"):
+                vecs = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                d = numpy_distance_matrix(metric, vecs, qlookup[qid][None, :])[:, 0]
+                take = min(k, len(d))
+                idx = np.argpartition(d, take - 1)[:take]
+                idx = idx[np.argsort(d[idx], kind="stable")]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            id_col: grp[id_col].to_numpy()[idx],
+                            "_distance": d[idx],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    local = cand.mapInPandas(rerank, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("_distance").asc(), F.col(id_col).asc())
+    return local.withColumn("_rank", F.row_number().over(w)).filter(F.col("_rank") <= k)
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, id_col: str = "_id") -> float:
+    """Mean fraction of exact top-k ids recovered per query (the reference's
+    own validation method, shard/index/flat/flat_test.go:134-191)."""
+    a = approx.select("query_id", F.col(id_col).cast("string").alias("id"))
+    e = exact.select("query_id", F.col(id_col).cast("string").alias("id"))
+    per_q = (
+        e.join(a.withColumn("hit", F.lit(1)), ["query_id", "id"], "left")
+        .groupBy("query_id")
+        .agg(F.avg(F.coalesce(F.col("hit"), F.lit(0))).alias("recall"))
+    )
+    row = per_q.agg(F.avg("recall").alias("r")).first()
+    return float(row["r"]) if row["r"] is not None else 0.0
