@@ -623,8 +623,16 @@ def oracle_sql() -> dict[str, str]:
                FROM toks)
     """
 
-    def _mh(seed: int) -> str:
-        return f"list_min(list_transform(s, x -> ('0x' || substr(md5('{seed}:' || x), 1, 15))::BIGINT))"
+    from semadb_spark.operators.dedup import _MASK31, _MERSENNE31, minhash_coeffs
+
+    _mh_coeffs = minhash_coeffs(8)
+
+    def _mh(i: int) -> str:
+        # Carter-Wegman universal family over a 31-bit md5 reduction (matches
+        # minhash_signature_array; overflow-safe for DuckDB BIGINT)
+        a, b = _mh_coeffs[i]
+        base = f"(('0x' || substr(md5(x), 1, 15))::BIGINT & {_MASK31})"
+        return f"list_min(list_transform(s, x -> ({a} * {base} + {b}) % {_MERSENNE31}))"
 
     _sig_cte = f"""
         sig AS (SELECT id, {", ".join(f"{_mh(i)} AS h{i}" for i in range(8))} FROM sh),

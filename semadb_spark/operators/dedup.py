@@ -66,14 +66,65 @@ def _seeded_hash(seed: int):
     return lambda s: md5_hash64(s, seed)
 
 
-def minhash_signature(c: Column, num_hashes: int, k: int = 3) -> list[Column]:
-    """Per-row MinHash signature columns h0..h{n-1} (min of seeded hashes over
-    the shingle set) — computed without any shuffle."""
-    sh = shingles(c, k)
+_MAX_LONG = (1 << 62) - 1
+
+
+_MERSENNE31 = (1 << 31) - 1
+_MASK31 = (1 << 31) - 1
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 12345) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the Carter-Wegman universal family
+    h_i(x) = (a_i * x + b_i) mod (2^31 - 1) with x < 2^31.
+
+    a_i*x + b_i < 2^62: overflow-safe in both Spark (long) and DuckDB
+    (BIGINT, which *errors* on overflow). The modulus must be far smaller
+    than a_i*x so the product wraps many times — a near-wrapless variant
+    (e.g. mod 2^61-1) is piecewise-monotone in x, which correlates the
+    per-seed minima and floods LSH buckets with false candidate pairs."""
+    import random
+
+    rng = random.Random(seed)
     return [
-        F.array_min(F.transform(sh, _seeded_hash(seed))).alias(f"h{seed}")
-        for seed in range(num_hashes)
+        (rng.randrange(1, _MERSENNE31) | 1, rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
     ]
+
+
+def minhash_signature_array(c: Column, num_hashes: int, k: int = 3) -> Column:
+    """Per-row MinHash signature as ONE array<long> column.
+
+    Performance notes (bench-driven):
+    - One expression tree so tokenization/shingling evaluates once per row —
+      CollapseProject would otherwise re-evaluate the whole pipeline once per
+      signature column, and HOFs get no codegen CSE (measured ~50x slowdown).
+    - ONE md5 per shingle; the k-hash family is universal hashing
+      h_i = (a_i * x + b_i) mod 2^61-1 over a 31-bit reduction x of the
+      digest (pairwise independent across i — a correlated family like
+      h1 + i*h2 floods LSH buckets with false candidate pairs).
+    Elementwise min-fold: acc[i] = min(acc[i], h_i(shingle)).
+    """
+    sh = shingles(c, k)
+    coeffs = minhash_coeffs(num_hashes)
+    base = F.transform(sh, lambda s: md5_hash64(s).bitwiseAND(F.lit(_MASK31)))
+    per_shingle = F.transform(
+        base,
+        lambda x: F.array(
+            *[(F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE31) for a, b in coeffs]
+        ),
+    )
+    return F.aggregate(
+        per_shingle,
+        F.array_repeat(F.lit(_MAX_LONG), num_hashes),
+        lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b)),
+    )
+
+
+def minhash_signature(c: Column, num_hashes: int, k: int = 3) -> list[Column]:
+    """Signature as separate h0..h{n-1} columns (thin wrapper over the array
+    form; prefer :func:`minhash_signature_array` in plans)."""
+    sig = minhash_signature_array(c, num_hashes, k)
+    return [F.element_at(sig, i + 1).alias(f"h{i}") for i in range(num_hashes)]
 
 
 def minhash_lsh_pairs(
@@ -91,36 +142,65 @@ def minhash_lsh_pairs(
     join, so shuffle volume is O(corpus x bands), not O(n^2).
     """
     rows_per_band = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("id"), *minhash_signature(F.col(text_col), num_hashes, k)
+    # Parallelize: tiny single-file inputs arrive as one partition, and the
+    # signature computation is CPU-bound — spread rows before computing. The
+    # explicit partition count stops AQE from coalescing the small shuffle
+    # back to one task (the bytes are tiny but the compute is not).
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt")).repartition(
+        n_parts, F.col("id")
     )
-    band_keys = [
-        F.concat_ws(
-            "_", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select("id", *band_keys).select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
+
+    # Let-binding trick: wrap the signature in a 1-element array and derive
+    # all band keys inside one transform lambda, so the whole shingle+hash
+    # pipeline evaluates ONCE per row. (HOF expressions are codegen-fallback:
+    # no common-subexpression elimination — referencing the signature
+    # expression once per band key measured ~50x slower.)
+    def band_keys(sig: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.element_at(sig, b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("key"),
+                )
+                for b in range(bands)
+            ]
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+    band_structs = F.flatten(
+        F.transform(
+            F.array(minhash_signature_array(F.col("_txt"), num_hashes, k)),
+            band_keys,
+        )
+    )
+    banded = base.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    # One shuffle: group each (band, bucket) and enumerate in-bucket pairs
+    # (a self-join would re-evaluate the whole signature pipeline per branch).
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -138,8 +218,12 @@ def ngram_jaccard_pairs(
     -> (id_a, id_b, jaccard). The shingle-set frame joins in twice; candidate
     sets are small post-LSH, so both joins broadcast at typical dedup rates.
     """
-    sets = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    sets = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        # parallelize shingle compute on small inputs (explicit count: AQE
+        # would coalesce the tiny-by-bytes, heavy-by-CPU shuffle to 1 task)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col("id"))
+        .select("id", shingles(F.col("_txt"), k).alias("sh"))
     )
     out = (
         candidates.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -167,21 +251,35 @@ def simhash(c: Column | str, bits: int = 16, k: int = 3) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     hashes = F.transform(shingles(c, k), lambda s: md5_hash64(s))
 
-    def _vote(i: int):
-        mask = 1 << i
-        # bitwiseAND instead of shiftright: F.shiftright's int arg breaks
-        # py4j conversion inside higher-order-function lambdas.
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    acc = F.lit(0).cast("long")
-    for i in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote(i))
-        acc = acc + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    # Single fold producing all bit votes at once (one shingle pass per row).
+    # bitwiseAND instead of shiftright: F.shiftright's int arg breaks py4j
+    # conversion inside higher-order-function lambdas.
+    def bit_votes(h: Column) -> Column:
+        return F.array(
+            *[
+                F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(-1))
+                for i in range(bits)
+            ]
         )
-    return acc
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, b: a + b),
+    )
+    # Fold votes -> signature in ONE pass over the votes array: HOF
+    # expressions are codegen-fallback (no common-subexpression elimination),
+    # so referencing `votes` per bit would re-run the whole shingle fold.
+    bit_weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            bit_weights,
+            lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
 
 
 def simhash_pairs(

@@ -1,0 +1,150 @@
+"""Tests for training-pipeline operators: dedup, text stats, ANN recall."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from semadb_spark.operators import dedup as D
+from semadb_spark.operators import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("0", "the quick brown fox jumps over the lazy dog near the river bank"),
+        ("1", "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        ("2", "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup
+        ("3", "completely different content about spark query engines and data"),
+        ("4", "der hund und die katze sind nicht ein gutes team mit der maus"),
+        ("5", "el perro es un animal que vive con la familia en la casa"),
+        ("6", None),
+        ("7", "numbers 123 456 789 0 1 2 3 4 5 6 7 8 9 10 11 12"),
+    ]
+    return spark.createDataFrame(rows, "_id string, text string")
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("x", "one two")], "_id string, text string")
+    sh = df.select(D.shingles("text", 3).alias("s")).first()["s"]
+    assert sh == ["one two"]
+
+
+def test_exact_dedup(docs):
+    out = {r["keep_id"]: r["dup_count"] for r in D.exact_dedup(docs, ["text"], "_id").collect()}
+    assert out["0"] == 2  # 0 and 1 identical, keeper = min id
+    assert "1" not in out
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(docs, "text", "_id", 8, 4, 3).collect()}
+    assert ("0", "1") in pairs  # exact dup always collides in every band
+    # near-dup 2 should collide with 0/1 in at least one band
+    assert any(p in pairs for p in [("0", "2"), ("1", "2")])
+    # unrelated docs should not pair
+    assert ("3", "4") not in pairs and ("4", "5") not in pairs
+
+
+def test_ngram_jaccard_values(docs):
+    cand = D.minhash_lsh_pairs(docs, "text", "_id", 8, 4, 3)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(docs, "text", "_id", cand, 3).collect()}
+    assert pairs[("0", "1")] == 1.0
+    for (a, b), j in pairs.items():
+        assert 0.0 <= j <= 1.0
+
+
+def test_simhash_near_dup_hamming(docs, spark):
+    sigs = {r["_id"]: r["sh"] for r in docs.filter(F.col("text").isNotNull()).select("_id", D.simhash("text", 16, 3).alias("sh")).collect()}
+    assert sigs["0"] == sigs["1"]  # identical docs -> identical simhash
+    ham_near = bin(sigs["0"] ^ sigs["2"]).count("1")
+    ham_far = bin(sigs["0"] ^ sigs["3"]).count("1")
+    assert ham_near < ham_far  # near dup closer than unrelated
+
+
+def test_simhash_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.simhash_pairs(docs, "text", "_id", 16, max_hamming=3).collect()}
+    assert ("0", "1") in pairs
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        ("0", [1.0, 0.0, 0.0], 0),
+        ("1", [0.99, 0.01, 0.0], 0),   # near dup of 0
+        ("2", [0.0, 1.0, 0.0], 0),     # orthogonal
+        ("3", [0.0, 0.0, 1.0], 1),     # other block
+    ]
+    df = spark.createDataFrame(rows, "_id string, v array<float>, blk int")
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in D.embedding_neardup_pairs(df, "v", "_id", 0.9, "blk").collect()}
+    assert ("0", "1") in pairs and pairs[("0", "1")] > 0.99
+    assert ("0", "2") not in pairs
+    assert not any("3" in p for p in pairs)
+
+
+def test_detect_language(spark):
+    rows = [
+        ("en", "the cat and the dog is that for with"),
+        ("de", "der hund und die katze ist nicht ein"),
+        ("es", "el perro es un animal que la casa los"),
+        ("fr", "le chien est dans une maison pour que"),
+        ("und", "xyzzy plugh quux"),
+    ]
+    df = spark.createDataFrame(rows, "expected string, text string")
+    out = df.select("expected", TS.detect_language("text").alias("got")).collect()
+    for r in out:
+        assert r["got"] == r["expected"], f"{r['expected']} -> {r['got']}"
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame([("a", "Hello, world! The 42 cats."), ("b", "")], "_id string, text string")
+    rows = {r["_id"]: r for r in df.select("_id", TS.token_count("text").alias("n"), TS.quality_score("text").alias("q")).collect()}
+    assert rows["a"]["n"] == 5  # hello world the 42 cats
+    assert rows["b"]["n"] == 0
+    assert 0.0 <= rows["a"]["q"] <= 1.0
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [("a", "alpha beta gamma"), ("b", "gamma beta alpha beta")], "_id string, text string"
+    )
+    fps = [r["fp"] for r in df.select(TS.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]  # same token set -> same fingerprint
+
+
+def test_ann_recall(spark):
+    import numpy as np
+
+    from semadb_spark.operators.ann import ivf_build, ivf_search, recall_at_k, rplsh_build, rplsh_search
+    from semadb_spark.operators.knn import knn_topk_batch
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(8, 16)) * 3
+    vecs = np.concatenate([c + rng.normal(size=(40, 16)) for c in centers])
+    df = spark.createDataFrame(
+        [(str(i), [float(x) for x in v]) for i, v in enumerate(vecs)], "_id string, v array<float>"
+    )
+    qlist = [(str(i), [float(x) for x in vecs[i]]) for i in range(10)]
+    qdf = spark.createDataFrame(
+        [(qid, v) for qid, v in qlist], "query_id string, query_vec array<float>"
+    )
+    exact = knn_topk_batch(df, "v", qdf, "euclidean", 10).select("query_id", "_id")
+    approx = ivf_search(ivf_build(df, "v", "_id", nlist=8, seed=1), qlist, "euclidean", 10, nprobe=3)
+    r = recall_at_k(approx, exact)
+    assert r >= 0.8, f"IVF recall too low: {r}"
+    lsh = rplsh_search(rplsh_build(df, "v", 16, "_id", tables=8, bits=4, seed=1), qlist, "euclidean", 10)
+    r2 = recall_at_k(lsh, exact)
+    assert r2 >= 0.5, f"LSH recall too low: {r2}"
+
+
+def test_knn_scan_matches_batch(spark):
+    import numpy as np
+
+    from semadb_spark.operators.knn import knn_topk_batch, knn_topk_scan
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(200, 8))
+    df = spark.createDataFrame(
+        [(str(i), [float(x) for x in v]) for i, v in enumerate(vecs)], "_id string, v array<float>"
+    ).repartition(4)
+    qlist = [(str(i), [float(x) for x in vecs[i]]) for i in range(3)]
+    qdf = spark.createDataFrame([(q, v) for q, v in qlist], "query_id string, query_vec array<float>")
+    a = {(r["query_id"], r["_id"]) for r in knn_topk_batch(df, "v", qdf, "euclidean", 5).collect()}
+    b = {(r["query_id"], r["_id"]) for r in knn_topk_scan(df, "v", qlist, "euclidean", 5).collect()}
+    assert a == b
