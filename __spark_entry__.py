@@ -468,6 +468,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    # -- W2: update merge semantics as a pure DataFrame op ------------------
+
+    def dml_update_merge(spark, sf_dir):
+        """Key-wise merge update with the "_delete" sentinel
+        (shard/shard.go:275-281, sentinel shard/shard.go:41), applied as a
+        broadcast-join MERGE over the customer table — no table shuffle."""
+        from semadb_spark.collection import apply_update_merge
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+            "_id", F.col("c_custkey").cast("string")
+        )
+        upd = cust.filter(F.col("c_custkey") % 7 == 0).select(
+            "_id",
+            F.when(F.col("c_custkey") % 21 == 0, F.lit("_delete"))
+            .otherwise(F.concat(F.lit("seg-"), F.col("c_nationkey").cast("string")))
+            .alias("c_mktsegment"),
+            (F.col("c_acctbal") * 1.1).alias("c_acctbal"),
+        )
+        return apply_update_merge(cust, upd).select("_id", "c_mktsegment", "c_acctbal")
+
+    q["dml_update_merge"] = dml_update_merge
+
     return q
 
 
@@ -768,4 +790,15 @@ def oracle_sql() -> dict[str, str]:
     # ann_ivf_topk / ann_lsh_topk intentionally omitted: approximate results
     # are validated as recall-vs-exact-oracle in tests/test_ann.py (the
     # reference's own method), not value-hashes.
+    o["dml_update_merge"] = """
+        SELECT CAST(c_custkey AS VARCHAR) AS _id,
+               CASE WHEN c_custkey % 7 = 0 THEN
+                    CASE WHEN c_custkey % 21 = 0 THEN NULL
+                         ELSE 'seg-' || CAST(c_nationkey AS VARCHAR) END
+                    ELSE c_mktsegment END AS c_mktsegment,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal * 1.1
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer
+    """
+
     return o

@@ -1,0 +1,283 @@
+"""Collection: parquet-backed point store with SemaDB write-path semantics.
+
+Parity targets (reference, Go):
+- W1 InsertPoints   shard/shard.go:133-227 — batch insert; duplicate ids
+  rejected both within the batch and against stored points ("point already
+  exists"); all-or-nothing.
+- W2 UpdatePoints   shard/shard.go:231-325 — **merge** semantics: incoming
+  point map merged key-wise into the existing map (merge loop at
+  shard/shard.go:275-281); the string value ``"_delete"``
+  (shard/shard.go:41) drops the key; points that don't exist are silently
+  skipped and not reported in the returned updated-id list.
+- W3 DeletePoints   shard/shard.go:476-550 — delete by id set; missing ids
+  are no-ops; returns the ids actually deleted.
+
+Storage model (Spark-first, not a bbolt translation):
+- A collection is a directory holding ``_schema.json`` (the IndexSchema) and
+  immutable snapshot dirs ``v0/ v1/ ...``; ``_current`` names the live one.
+  Every DML op writes a NEW snapshot then atomically swaps the pointer —
+  copy-on-write exactly like Delta/Iceberg, giving all-or-nothing semantics
+  (the reference gets the same from one bbolt write transaction,
+  shard/shard.go:148-150) plus readers-never-block-writers.
+- Rows: ``_id string`` + one typed column per indexed property (+ arbitrary
+  payload columns; an optional ``payload map<string,string>`` gets key-wise
+  merge like the reference's PointAsMap).
+- At cluster scale the rewrite is shuffle-free: both sides are bucketed by
+  ``_id`` (``maxRecordsPerFile`` caps file size ≙ the reference's 100k-point
+  shard fill, cluster/placement.go:9-52), and the update/delete joins are
+  broadcast joins when the change batch is small — the common case.
+
+Column-vs-map note: the reference merges a msgpack map at depth 1
+(shard/shard.go:275-281). Here each top-level key is a column, so the merge
+is per-column: a NULL in the updates frame means "key absent — keep old
+value"; the sentinel ``"_delete"`` (string/text columns), a single-element
+``["_delete"]`` (stringArray), or listing the column in ``_unset
+array<string>`` (typed columns, which can't hold the string sentinel) drops
+the value. The optional ``payload`` map column merges key-wise with the
+string sentinel, byte-for-byte the reference loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid as _uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+from .schema import IndexSchema
+
+DELETE_VALUE = "_delete"  # shard/shard.go:41
+_CURRENT = "_current"
+_SCHEMA_FILE = "_schema.json"
+
+
+class DuplicatePointError(ValueError):
+    pass
+
+
+def _merge_column(
+    old: Column, upd: Column, dtype: T.DataType, unset: Column | None
+) -> Column:
+    """One column of the W2 merge (shard/shard.go:275-281).
+
+    NULL update = key absent = keep; sentinel = drop; else overwrite.
+    """
+    if isinstance(dtype, T.StringType):
+        is_delete = upd == DELETE_VALUE
+    elif isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StringType):
+        is_delete = (F.size(upd) == 1) & (upd[0] == DELETE_VALUE)
+    else:
+        is_delete = F.lit(False)
+    if unset is not None:
+        merged = F.when(is_delete | unset, F.lit(None).cast(dtype))
+    else:
+        merged = F.when(is_delete, F.lit(None).cast(dtype))
+    return merged.when(upd.isNotNull(), upd).otherwise(old)
+
+
+def _merge_payload(old: Column, upd: Column) -> Column:
+    """Key-wise map merge with the ``"_delete"`` sentinel — the literal
+    reference loop (shard/shard.go:275-281) over map<string,string>."""
+    old = F.coalesce(old, F.create_map())
+    upd = F.coalesce(upd, F.create_map())
+    keep_old = F.map_filter(old, lambda k, _: ~F.map_contains_key(upd, k))
+    merged = F.map_concat(keep_old, upd)
+    return F.map_filter(merged, lambda _, v: v != DELETE_VALUE)
+
+
+def apply_update_merge(
+    existing: DataFrame, updates: DataFrame, id_col: str = "_id"
+) -> DataFrame:
+    """Pure-DataFrame W2 merge: returns `existing` with `updates` merged in.
+
+    Rows of `updates` whose id has no match are dropped (update of a missing
+    point is a no-op, shard/shard.go:252-256). Column set of the result ==
+    column set of `existing`; update columns must be a subset. Broadcast-safe:
+    Spark will broadcast `updates` when small (the typical DML batch), so the
+    merge is a map-side join over the full table — no table shuffle.
+    """
+    upd_cols = [c for c in updates.columns if c != id_col and c != "_unset"]
+    unknown = set(upd_cols) - set(existing.columns)
+    if unknown:
+        raise ValueError(f"update columns not in collection: {sorted(unknown)}")
+    has_unset = "_unset" in updates.columns
+    dtypes = dict(zip(existing.schema.names, [f.dataType for f in existing.schema.fields]))
+
+    u = updates.select(
+        F.col(id_col).alias("__uid"),
+        *[F.col(c).alias(f"__u_{c}") for c in upd_cols],
+        *([F.col("_unset").alias("__unset")] if has_unset else []),
+    )
+    joined = existing.join(u, existing[id_col] == F.col("__uid"), "left")
+    out_cols: list[Column] = []
+    for c in existing.columns:
+        if c == id_col:
+            out_cols.append(existing[c].alias(c))
+            continue
+        if c not in upd_cols:
+            if has_unset:
+                # _unset may name columns absent from the update frame.
+                dropped = F.col("__uid").isNotNull() & F.coalesce(
+                    F.array_contains(F.col("__unset"), c), F.lit(False)
+                )
+                out_cols.append(
+                    F.when(dropped, F.lit(None).cast(dtypes[c]))
+                    .otherwise(existing[c])
+                    .alias(c)
+                )
+            else:
+                out_cols.append(existing[c].alias(c))
+            continue
+        upd_c = F.col(f"__u_{c}")
+        unset_c = (
+            F.coalesce(F.array_contains(F.col("__unset"), c), F.lit(False))
+            if has_unset
+            else None
+        )
+        if c == "payload" and isinstance(dtypes[c], T.MapType):
+            merged = F.when(F.col("__uid").isNull(), existing[c]).otherwise(
+                _merge_payload(existing[c], upd_c)
+            )
+        else:
+            merged = F.when(F.col("__uid").isNull(), existing[c]).otherwise(
+                _merge_column(existing[c], upd_c, dtypes[c], unset_c)
+            )
+        out_cols.append(merged.alias(c))
+    return joined.select(*out_cols)
+
+
+class Collection:
+    """A named point container = schema + snapshot-versioned parquet table.
+
+    Mirrors models/collection.go:3-13 (collection = id + index schema +
+    shards); shards are Spark's problem here (files/partitions).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, _SCHEMA_FILE)) as f:
+            self.schema = IndexSchema.from_json(f.read())
+
+    # -- lifecycle ----------------------------------------------------------
+    @classmethod
+    def create(
+        cls, spark: SparkSession, path: str, index_schema: dict | str | IndexSchema
+    ) -> "Collection":
+        schema = (
+            index_schema
+            if isinstance(index_schema, IndexSchema)
+            else IndexSchema.from_json(index_schema)
+        )
+        os.makedirs(path, exist_ok=True)
+        if os.path.exists(os.path.join(path, _SCHEMA_FILE)):
+            raise ValueError(f"collection already exists at {path}")
+        with open(os.path.join(path, _SCHEMA_FILE), "w") as f:
+            f.write(schema.to_json())
+        empty = spark.createDataFrame([], schema.struct_type())
+        coll = cls(spark, path)
+        coll._write_snapshot(empty)
+        return coll
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "Collection":
+        if not os.path.exists(os.path.join(path, _SCHEMA_FILE)):
+            raise ValueError(f"no collection at {path}")
+        return cls(spark, path)
+
+    # -- snapshot bookkeeping ----------------------------------------------
+    def _current_version(self) -> int:
+        p = os.path.join(self.path, _CURRENT)
+        if not os.path.exists(p):
+            return -1
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def _data_path(self, version: int | None = None) -> str:
+        v = self._current_version() if version is None else version
+        return os.path.join(self.path, f"v{v}")
+
+    def _write_snapshot(self, df: DataFrame) -> None:
+        nxt = self._current_version() + 1
+        # maxRecordsPerFile ≙ reference shard fill limit (100k points,
+        # config/singleServer.yaml:41-42): bounds file size at scale.
+        df.write.option("maxRecordsPerFile", 100_000).parquet(
+            self._data_path(nxt), mode="overwrite"
+        )
+        # Pin the frame schema beside the snapshot: an all-empty write emits
+        # no part files, so reads need an explicit schema.
+        with open(os.path.join(self._data_path(nxt), "_frame_schema.json"), "w") as f:
+            f.write(df.schema.json())
+        tmp = os.path.join(self.path, f".{_CURRENT}.{_uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, os.path.join(self.path, _CURRENT))  # atomic swap
+
+    # -- read side ----------------------------------------------------------
+    def df(self) -> DataFrame:
+        return self.spark.read.schema(self._df_schema()).parquet(self._data_path())
+
+    def _df_schema(self) -> T.StructType:
+        with open(os.path.join(self._data_path(), "_frame_schema.json")) as f:
+            return T.StructType.fromJson(json.loads(f.read()))
+
+    def count(self) -> int:
+        # ≙ point count bookkeeping shard/shard.go:78-96 (we can afford to
+        # count; parquet row-group metadata makes this a metadata-only scan).
+        return self.df().count()
+
+    # -- W1: insert ---------------------------------------------------------
+    def insert(self, points: DataFrame, id_col: str = "_id") -> int:
+        """All-or-nothing batch insert with duplicate rejection
+        (shard/shard.go:137-144 in-batch, :188-196 vs stored)."""
+        points = points.withColumnRenamed(id_col, "_id") if id_col != "_id" else points
+        in_batch_dup = (
+            points.groupBy("_id").count().filter(F.col("count") > 1).select("_id").head(1)
+        )
+        if in_batch_dup:
+            raise DuplicatePointError(f"duplicate point id: {in_batch_dup[0][0]}")
+        existing = self.df()
+        clash = points.join(F.broadcast(existing.select("_id")), "_id", "left_semi").head(1)
+        if clash:
+            raise DuplicatePointError(f"point already exists: {clash[0][0]}")
+        merged = existing.unionByName(points, allowMissingColumns=True)
+        n = points.count()
+        self._write_snapshot(merged)
+        return n
+
+    # -- W2: update ---------------------------------------------------------
+    def update(self, updates: DataFrame, id_col: str = "_id") -> list[str]:
+        """Merge-update; returns ids actually updated (missing ids skipped,
+        shard/shard.go:252-256). See apply_update_merge for semantics."""
+        updates = updates.withColumnRenamed(id_col, "_id") if id_col != "_id" else updates
+        existing = self.df()
+        updated_ids = [
+            r[0]
+            for r in updates.select("_id")
+            .join(existing.select("_id"), "_id", "left_semi")
+            .collect()
+        ]
+        if not updated_ids:
+            return []
+        self._write_snapshot(apply_update_merge(existing, updates))
+        return updated_ids
+
+    # -- W3: delete ---------------------------------------------------------
+    def delete(self, ids: list[str] | DataFrame) -> list[str]:
+        """Delete by id set; missing ids are no-ops (shard/shard.go:506-510).
+        Returns ids actually deleted. Left-anti join = the whole operator."""
+        if isinstance(ids, DataFrame):
+            id_df = ids.select(F.col(ids.columns[0]).alias("_id")).distinct()
+        else:
+            id_df = self.spark.createDataFrame([(i,) for i in ids], "_id string").distinct()
+        existing = self.df()
+        deleted = [
+            r[0]
+            for r in id_df.join(existing.select("_id"), "_id", "left_semi").collect()
+        ]
+        if not deleted:
+            return []
+        remaining = existing.join(F.broadcast(id_df), "_id", "left_anti")
+        self._write_snapshot(remaining)
+        return deleted

@@ -1,0 +1,139 @@
+"""W1/W2/W3 write-path semantics, mirroring the reference's shard tests
+(shard/shard_vector_test.go:364-824 CRUD + duplicate rejection + persistence,
+shard/shard_misc_test.go:10-77 update-merge + "_delete" sentinel)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from semadb_spark.collection import Collection, DuplicatePointError, apply_update_merge
+
+SCHEMA = {
+    "vec": {"type": "vectorFlat", "vectorFlat": {"vectorSize": 2, "distanceMetric": "euclidean"}},
+    "tag": {"type": "string", "string": {"caseSensitive": False}},
+    "size": {"type": "integer", "integer": {}},
+}
+
+
+def _points(spark, n, start=0):
+    rows = [
+        Row(
+            _id=f"p{i}",
+            vec=[float(i), float(i)],
+            tag=f"tag{i % 3}",
+            size=i,
+            payload={"note": f"n{i}"},
+        )
+        for i in range(start, start + n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture
+def coll(spark, tmp_path):
+    return Collection.create(spark, str(tmp_path / "coll"), SCHEMA)
+
+
+def test_create_open_empty(spark, coll):
+    assert coll.count() == 0
+    reopened = Collection.open(spark, coll.path)
+    assert reopened.count() == 0
+    assert set(reopened.schema.keys()) == set(SCHEMA.keys())
+
+
+def test_insert_and_read_back(spark, coll):
+    assert coll.insert(_points(spark, 10)) == 10
+    assert coll.count() == 10
+    # F9: point lookup by _id
+    row = coll.df().filter(F.col("_id") == "p3").collect()
+    assert len(row) == 1 and row[0].size == 3 and row[0].payload["note"] == "n3"
+
+
+def test_insert_duplicate_in_batch_rejected(spark, coll):
+    pts = _points(spark, 3).union(_points(spark, 1))
+    with pytest.raises(DuplicatePointError, match="duplicate point id"):
+        coll.insert(pts)
+    assert coll.count() == 0  # all-or-nothing
+
+
+def test_insert_existing_rejected(spark, coll):
+    coll.insert(_points(spark, 5))
+    with pytest.raises(DuplicatePointError, match="point already exists"):
+        coll.insert(_points(spark, 2, start=4))  # p4 clashes
+    assert coll.count() == 5
+
+
+def test_update_merge_keeps_untouched_keys(spark, coll):
+    coll.insert(_points(spark, 5))
+    upd = spark.createDataFrame([Row(_id="p1", tag="fresh")])
+    assert sorted(coll.update(upd)) == ["p1"]
+    r = coll.df().filter(F.col("_id") == "p1").collect()[0]
+    assert r.tag == "fresh"
+    assert r.size == 1 and r.vec == [1.0, 1.0]  # untouched keys survive
+
+
+def test_update_delete_sentinel_string(spark, coll):
+    coll.insert(_points(spark, 3))
+    upd = spark.createDataFrame([Row(_id="p2", tag="_delete")])
+    coll.update(upd)
+    r = coll.df().filter(F.col("_id") == "p2").collect()[0]
+    assert r.tag is None and r.size == 2
+
+
+def test_update_unset_typed_column(spark, coll):
+    coll.insert(_points(spark, 3))
+    upd = spark.createDataFrame([Row(_id="p0", size=99, _unset=["vec"])])
+    coll.update(upd)
+    r = coll.df().filter(F.col("_id") == "p0").collect()[0]
+    assert r.vec is None and r.size == 99
+
+
+def test_update_payload_map_merge(spark, coll):
+    coll.insert(_points(spark, 2))
+    upd = spark.createDataFrame(
+        [Row(_id="p0", payload={"note": "_delete", "extra": "x"})]
+    )
+    coll.update(upd)
+    r = coll.df().filter(F.col("_id") == "p0").collect()[0]
+    assert r.payload == {"extra": "x"}  # note dropped, extra added
+
+
+def test_update_missing_point_is_noop(spark, coll):
+    coll.insert(_points(spark, 2))
+    upd = spark.createDataFrame([Row(_id="ghost", tag="x"), Row(_id="p1", tag="y")])
+    assert coll.update(upd) == ["p1"]
+    assert coll.count() == 2
+
+
+def test_delete_and_missing_noop(spark, coll):
+    coll.insert(_points(spark, 5))
+    assert sorted(coll.delete(["p1", "p3", "ghost"])) == ["p1", "p3"]
+    assert coll.count() == 3
+    assert coll.delete(["ghost2"]) == []
+    # reinsert a deleted id works (id freed, shard/shard_vector_test.go)
+    coll.insert(_points(spark, 1, start=1))
+    assert coll.count() == 4
+
+
+def test_persistence_across_reopen(spark, coll):
+    coll.insert(_points(spark, 4))
+    coll.delete(["p0"])
+    re = Collection.open(spark, coll.path)
+    assert re.count() == 3
+    assert sorted(r._id for r in re.df().select("_id").collect()) == ["p1", "p2", "p3"]
+
+
+def test_apply_update_merge_pure(spark):
+    existing = spark.createDataFrame(
+        [Row(_id="a", x=1, y="old"), Row(_id="b", x=2, y="keep")]
+    )
+    upd = spark.createDataFrame([Row(_id="a", y="new")])
+    out = {r._id: r for r in apply_update_merge(existing, upd).collect()}
+    assert out["a"].y == "new" and out["a"].x == 1
+    assert out["b"].y == "keep"
+
+
+def test_apply_update_merge_unknown_column(spark):
+    existing = spark.createDataFrame([Row(_id="a", x=1)])
+    upd = spark.createDataFrame([Row(_id="a", zz=5)])
+    with pytest.raises(ValueError, match="update columns not in collection"):
+        apply_update_merge(existing, upd)
