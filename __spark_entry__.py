@@ -468,6 +468,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    # -- W9/D5: quantizers --------------------------------------------------
+
+    def bq_hamming_topk(spark, sf_dir):
+        """Binary quantization (per-dim mean threshold, binary.go:145-178;
+        encode binary.go:103-129) + hamming top-k via JVM bit_count
+        (distance.go:45-54)."""
+        from semadb_spark.operators.quantize import bq_encode, bq_fit, bq_topk
+
+        emb = _emb(spark, sf_dir)
+        thr = bq_fit(emb, "embedding")
+        codes = bq_encode(emb, "embedding", thr)
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+        return bq_topk(codes, "bq_code", q, thr, "hamming", 10).select("_id", "_distance")
+
+    q["bq_hamming_topk"] = bq_hamming_topk
+
+    def pq_adc_topk(spark, sf_dir):
+        """Product quantization (per-subvector k-means, product.go:175-236)
+        + asymmetric-distance-table top-k scan (product.go:238-276). KMeans
+        is not SQL-expressible -> rows-only check; recall vs the exact
+        oracle is asserted in tests/test_quantize.py."""
+        from semadb_spark.operators import quantize as Q
+
+        emb = _emb(spark, sf_dir)
+        books = Q.pq_fit(emb, "embedding", num_subvectors=8, num_centroids=16, seed=1)
+        codes = Q.pq_encode(emb, "embedding", books)
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+        return Q.pq_adc_topk(codes, "pq_code", books, qv, 10).select("_id", "_distance")
+
+    q["pq_adc_topk"] = pq_adc_topk
+
     # -- W2: update merge semantics as a pure DataFrame op ------------------
 
     def dml_update_merge(spark, sf_dir):
@@ -790,6 +821,21 @@ def oracle_sql() -> dict[str, str]:
     # ann_ivf_topk / ann_lsh_topk intentionally omitted: approximate results
     # are validated as recall-vs-exact-oracle in tests/test_ann.py (the
     # reference's own method), not value-hashes.
+    o["bq_hamming_topk"] = """
+        WITH d AS (SELECT CAST(vec_id AS VARCHAR) AS _id, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE embedding IS NOT NULL),
+        dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM d) + 1)) AS ord),
+        u AS (SELECT _id, dims.ord, v[dims.ord] AS val FROM d CROSS JOIN dims),
+        m AS (SELECT ord, avg(val) AS mu FROM u GROUP BY ord),
+        q AS (SELECT u.ord, u.val AS qval FROM u WHERE u._id = '0'),
+        scored AS (
+          SELECT u._id,
+                 sum(CASE WHEN (u.val > m.mu) != (q.qval > m.mu) THEN 1 ELSE 0 END)::DOUBLE AS _distance
+          FROM u JOIN m USING (ord) JOIN q ON q.ord = u.ord
+          GROUP BY u._id)
+        SELECT _id, _distance FROM scored ORDER BY _distance ASC, _id ASC LIMIT 10
+    """
+
     o["dml_update_merge"] = """
         SELECT CAST(c_custkey AS VARCHAR) AS _id,
                CASE WHEN c_custkey % 7 = 0 THEN

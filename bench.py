@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "knn_filtered",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    "bq_hamming_topk",
+    "pq_adc_topk",
     # text search + hybrid
     "text_tfidf_any",
     "text_tfidf_all",
@@ -45,6 +47,8 @@ BENCH_QUERIES = [
     "quality_scores",
     "token_count_by_source",
     "fingerprint_docs",
+    # write path
+    "dml_update_merge",
 ]
 
 VECTOR_QPS_BATCH = 128  # queries in the throughput batch

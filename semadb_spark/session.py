@@ -43,7 +43,34 @@ def get_spark(
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``semadb_spark`` importable on Python workers regardless of the
+    driver script's cwd: pandas-UDF closures reference module functions, and
+    workers don't inherit the driver's sys.path edits. Zip the package and
+    addPyFile it — the same mechanism a cluster submit would use
+    (``--py-files``)."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    marker = "_semadb_pkg_shipped"
+    if getattr(spark.sparkContext, marker, False):
+        return
+    zip_path = os.path.join(
+        spark.sparkContext._temp_dir or "/tmp", "semadb_spark_pkg.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    setattr(spark.sparkContext, marker, True)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):

@@ -1,0 +1,155 @@
+"""Quantizer tests: BQ known-value packing/distances (mirrors
+distance/distance_test.go known-value cases + binary.go encode docs) and PQ
+recall vs the exact brute-force oracle (the reference's Test_Recall pattern,
+shard/index/flat/flat_test.go:134-191)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from semadb_spark.operators.knn import knn_topk
+from semadb_spark.operators.quantize import (
+    PQCodebooks,
+    bq_encode,
+    bq_fit,
+    bq_topk,
+    encode_bits_np,
+    pq_adc_table,
+    pq_adc_topk,
+    pq_centroid_dists,
+    pq_encode,
+    pq_fit,
+)
+
+
+def test_pack_bits_known_values():
+    # binary.go:113-121 example: threshold 0.5, [0.1, 0.6, 0.7, 0.4] -> 0110
+    code = encode_bits_np(np.array([[0.1, 0.6, 0.7, 0.4]]), np.float64(0.5))
+    assert code.shape == (1, 1) and code[0, 0] == 0b0110
+    # strict inequality: v == threshold -> bit 0
+    code = encode_bits_np(np.array([[0.5, 0.6]]), np.float64(0.5))
+    assert code[0, 0] == 0b10
+    # >64 dims spills into a second word, LSB-first
+    v = np.zeros((1, 65))
+    v[0, 64] = 1.0
+    code = encode_bits_np(v, np.float64(0.5))
+    assert code.shape == (1, 2) and code[0, 0] == 0 and code[0, 1] == 1
+    # bit 63 exercises the sign bit of the int64 view
+    v = np.zeros((1, 64))
+    v[0, 63] = 1.0
+    assert encode_bits_np(v, np.float64(0.5))[0, 0] == np.int64(-(2**63))
+
+
+def test_bq_fit_is_per_dim_mean(spark):
+    df = spark.createDataFrame(
+        [Row(v=[0.0, 4.0]), Row(v=[2.0, 0.0]), Row(v=[4.0, 2.0])]
+    ).repartition(3)
+    thr = bq_fit(df, "v")
+    assert np.allclose(thr, [2.0, 2.0])
+
+
+def test_bq_hamming_topk_matches_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.random((60, 32))
+    df = spark.createDataFrame(
+        [Row(_id=f"{i:03d}", v=[float(x) for x in vecs[i]]) for i in range(60)]
+    )
+    thr = bq_fit(df, "v")
+    codes = bq_encode(df, "v", thr)
+    q = vecs[0]
+    got = bq_topk(codes, "bq_code", q, thr, "hamming", 10).select("_id", "_distance").collect()
+    # numpy oracle
+    bits = vecs > thr
+    qbits = q > thr
+    dists = (bits != qbits).sum(axis=1)
+    order = sorted(range(60), key=lambda i: (dists[i], f"{i:03d}"))[:10]
+    assert [r._id for r in got] == [f"{i:03d}" for i in order]
+    assert [int(r._distance) for r in got] == [int(dists[i]) for i in order]
+
+
+def test_bq_jaccard_known_values(spark):
+    # jaccard = 1 - |AND|/|OR| (distance.go:56-67); binarized at 0.5
+    df = spark.createDataFrame(
+        [
+            Row(_id="same", v=[1.0, 1.0, 0.0, 0.0]),
+            Row(_id="half", v=[1.0, 0.0, 1.0, 0.0]),
+            Row(_id="disj", v=[0.0, 0.0, 1.0, 1.0]),
+            Row(_id="zero", v=[0.0, 0.0, 0.0, 0.0]),
+        ]
+    )
+    codes = bq_encode(df, "v", 0.5)
+    got = {
+        r._id: r._distance
+        for r in bq_topk(codes, "bq_code", [1.0, 1.0, 0.0, 0.0], 0.5, "jaccard", 4).collect()
+    }
+    assert got["same"] == 0.0
+    assert got["half"] == pytest.approx(1 - 1 / 3)
+    assert got["disj"] == 1.0
+    assert got["zero"] == 1.0  # union non-empty (query bits), no overlap
+    # union empty only when BOTH sides are zero (distance.go:62-64)
+    got0 = {
+        r._id: r._distance
+        for r in bq_topk(codes, "bq_code", [0.0, 0.0, 0.0, 0.0], 0.5, "jaccard", 4).collect()
+    }
+    assert got0["zero"] == 0.0
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("embedding").isNotNull())
+        .select(F.col("vec_id").cast("string").alias("_id"), F.col("embedding").alias("v"))
+    )
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+def test_pq_encode_shape_and_range(spark, emb):
+    books = pq_fit(emb, "v", num_subvectors=8, num_centroids=16, seed=1)
+    assert books.centroids.shape == (8, 16, 8)
+    codes = pq_encode(emb, "v", books).select("pq_code").collect()
+    arr = np.array([r.pq_code for r in codes])
+    assert arr.shape[1] == 8
+    assert arr.min() >= 0 and arr.max() < 16
+
+
+def test_pq_adc_recall_vs_exact(spark, emb):
+    """Reference accepts >= limit/2 true neighbours (vamana_test.go:230-253);
+    PQ is lossier than the graph so we assert the same floor at k=10."""
+    books = pq_fit(emb, "v", num_subvectors=8, num_centroids=16, seed=1)
+    codes = pq_encode(emb, "v", books).cache()
+    q = [float(x) for x in emb.filter(F.col("_id") == "7").head()[1]]
+    approx = {r._id for r in pq_adc_topk(codes, "pq_code", books, q, 10).collect()}
+    exact = {r._id for r in knn_topk(emb, "v", q, "euclidean", 10).collect()}
+    assert len(approx & exact) >= 5
+    codes.unpersist()
+
+
+def test_pq_adc_self_distance_smallest(spark, emb):
+    books = pq_fit(emb, "v", num_subvectors=8, num_centroids=16, seed=1)
+    codes = pq_encode(emb, "v", books)
+    q = [float(x) for x in emb.filter(F.col("_id") == "3").head()[1]]
+    top = pq_adc_topk(codes, "pq_code", books, q, 3).collect()
+    assert "3" in {r._id for r in top}
+
+
+def test_pq_dot_metric_and_centroid_dists():
+    rng = np.random.default_rng(3)
+    cents = rng.random((2, 4, 3))
+    books = PQCodebooks(centroids=cents, metric="dot")
+    q = rng.random(6)
+    table = pq_adc_table(books, q)
+    assert table.shape == (2, 4)
+    assert table[0, 1] == pytest.approx(-(q[:3] @ cents[0, 1]))
+    cd = pq_centroid_dists(books)
+    assert cd.shape == (2, 4, 4)
+    assert cd[1, 0, 2] == pytest.approx(-(cents[1, 0] @ cents[1, 2]))
+
+
+def test_pq_rejects_bad_params(spark, emb):
+    with pytest.raises(ValueError, match="divisible"):
+        pq_fit(emb, "v", num_subvectors=7, num_centroids=4)
+    with pytest.raises(ValueError, match="metric"):
+        pq_fit(emb, "v", num_subvectors=8, num_centroids=4, metric="hamming")
