@@ -51,7 +51,7 @@ BENCH_QUERIES = [
     "dml_update_merge",
 ]
 
-VECTOR_QPS_BATCH = 128  # queries in the throughput batch
+VECTOR_QPS_BATCH = 512  # queries in the throughput batch (batch-first regime)
 
 
 def main() -> None:

@@ -1,0 +1,98 @@
+"""Seeded k-means for index builds (IVF coarse centroids, PQ codebooks).
+
+The reference runs a single-node Lloyd's over vectors collected in memory
+(utils/kmeans.go, used by the product quantizer product.go:175-236). The
+Spark-scale shape of the same idea:
+
+- **Fit on a bounded sample** collected to the driver and clustered with
+  vectorized NumPy (k-means++ init + Lloyd). Codebook/centroid quality
+  converges long before the full corpus is seen, so the sample cap — not the
+  table size — bounds fit cost at 100 TB. (pyspark.ml.KMeans distributes the
+  fit, but each iteration is a full-table job; for index builds whose k is
+  small that is strictly worse than sample-and-fit.)
+- **Assign distributed**: the argmin-over-centroids encode runs as an
+  Arrow-batched pandas UDF over the full table, centroids riding in the
+  closure (broadcast-equivalent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_SAMPLE_CAP = 131_072
+
+
+def kmeans_np(
+    X: np.ndarray, k: int, seed: int = 42, max_iter: int = 25, tol: float = 1e-6
+) -> np.ndarray:
+    """k-means++ init + Lloyd iterations, fully vectorized. -> (k, d).
+
+    Deterministic for a given (X, k, seed). If fewer distinct points than k,
+    surplus centroids repeat the first point (the reference likewise allows
+    degenerate/empty clusters, utils/kmeans.go)."""
+    X = np.asarray(X, dtype=np.float64)
+    n, d = X.shape
+    rng = np.random.default_rng(seed)
+    if n <= k:
+        centers = np.repeat(X[:1], k, axis=0)
+        centers[:n] = X
+        return centers
+    # k-means++ with incremental min-distance bookkeeping: O(nkd) total
+    centers = np.empty((k, d))
+    centers[0] = X[rng.integers(n)]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centers[i] = X[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(axis=1))
+    x_sq = (X**2).sum(axis=1)[:, None]
+    prev_inertia = np.inf
+    for _ in range(max_iter):
+        # squared L2 via the expansion trick: one GEMM per iteration
+        dists = x_sq - 2.0 * (X @ centers.T) + (centers**2).sum(axis=1)[None, :]
+        labels = dists.argmin(axis=1)
+        inertia = dists[np.arange(n), labels].sum()
+        for j in range(k):
+            members = X[labels == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
+        if prev_inertia - inertia <= tol * max(abs(prev_inertia), 1.0):
+            break
+        prev_inertia = inertia
+    return centers
+
+
+def collect_vector_sample(
+    df: DataFrame, vec_col: str, cap: int = DEFAULT_SAMPLE_CAP, seed: int = 42
+) -> np.ndarray:
+    """Bounded driver-side sample of non-null vectors -> (n<=cap, d).
+
+    limit() short-circuits the scan: Spark stops launching tasks once enough
+    rows arrive, so on a 100 TB table this reads O(cap) rows, not the table.
+    """
+    rows = df.select(vec_col).filter(F.col(vec_col).isNotNull()).limit(cap).collect()
+    if not rows:
+        raise ValueError("no vectors to sample")
+    return np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+
+
+def assign_centroids(
+    df: DataFrame, vec_col: str, centroids: np.ndarray, out_col: str = "centroid_id"
+) -> DataFrame:
+    """Nearest-centroid id per row (Arrow-batched GEMM; null vectors -> null)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    c_sq = (cents**2).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(col: pd.Series) -> pd.Series:
+        mask = col.notna()
+        out = pd.Series([None] * len(col), dtype="Int32")
+        if mask.any():
+            X = np.stack(col[mask].to_numpy()).astype(np.float64)
+            dists = (X**2).sum(axis=1)[:, None] - 2.0 * (X @ cents.T) + c_sq[None, :]
+            out[np.flatnonzero(mask.to_numpy())] = dists.argmin(axis=1).astype(np.int32)
+        return out
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))

@@ -51,23 +51,30 @@ def ivf_build(
     id_col: str = "_id",
     nlist: int = 16,
     seed: int = 42,
-    max_iter: int = 10,
+    max_iter: int = 25,
+    sample_cap: int | None = None,
 ) -> IVFIndex:
-    """Fit KMeans centroids and assign every vector to its nearest centroid.
+    """Fit coarse centroids on a bounded sample (driver-side vectorized
+    Lloyd — see functions/kmeans.py for why this beats a distributed fit for
+    index builds), then assign every vector distributed.
 
     At scale, persist ``index.assigned`` with
     ``.write.partitionBy("centroid_id")`` so a probe prunes file groups.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    ml_df = df.filter(F.col(vec_col).isNotNull()).withColumn(
-        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    from semadb_spark.functions.kmeans import (
+        DEFAULT_SAMPLE_CAP,
+        assign_centroids,
+        collect_vector_sample,
+        kmeans_np,
     )
-    km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="_features", predictionCol="centroid_id")
-    model = km.fit(ml_df)
-    centroids = np.asarray(model.clusterCenters(), dtype=np.float64)
-    assigned = model.transform(ml_df).drop("_features")
+
+    sample = collect_vector_sample(
+        df, vec_col, cap=sample_cap or DEFAULT_SAMPLE_CAP, seed=seed
+    )
+    centroids = kmeans_np(sample, nlist, seed=seed, max_iter=max_iter)
+    assigned = assign_centroids(
+        df.filter(F.col(vec_col).isNotNull()), vec_col, centroids
+    )
     return IVFIndex(centroids, assigned, vec_col, id_col)
 
 
@@ -87,18 +94,16 @@ def ivf_search(
     qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
     # centroid shortlist per query (driver-side: nlist x q tiny matrix)
     cdist = numpy_distance_matrix(metric, index.centroids, qmat)  # (nlist, q)
-    probe_rows = [
-        (qid, [int(c) for c in np.argsort(cdist[:, j])[:nprobe]])
-        for j, qid in enumerate(qids)
+    probe_sets = [
+        frozenset(int(c) for c in np.argsort(cdist[:, j])[:nprobe]) for j in range(len(qids))
     ]
-    spark = index.assigned.sparkSession
-    probes = spark.createDataFrame(
-        [(qid, c) for qid, cs in probe_rows for c in cs], "query_id string, centroid_id int"
-    )
-    # Partition-pruned candidate set: only probed centroid groups survive.
-    candidates = index.assigned.join(F.broadcast(probes), "centroid_id")
-    # Exact rerank per query within its own probed candidates.
-    qlookup = {qid: qmat[j] for j, qid in enumerate(qids)}
+    all_probed = sorted(set().union(*probe_sets))
+    # ONE pruned scan, no join: the isin filter prunes centroid partitions
+    # when the index table is stored partitionBy("centroid_id"); per-query
+    # probe membership is a mask inside the kernel (the query batch rides in
+    # the closure). Each Arrow batch emits only its local top-k per query, so
+    # the final merge sees O(batches x q x k) rows however big the table is.
+    candidates = index.assigned.filter(F.col("centroid_id").isin(all_probed))
     id_col, vec_col = index.id_col, index.vec_col
     out_schema = f"query_id string, {id_col} string, _distance double"
 
@@ -106,25 +111,28 @@ def ivf_search(
         for pdf in batches:
             if pdf.empty:
                 continue
+            vecs = np.stack(pdf[vec_col].to_numpy())
+            cids = pdf["centroid_id"].to_numpy()
+            ids = pdf[id_col].astype(str).to_numpy()
+            dists = numpy_distance_matrix(metric, vecs, qmat)  # (n, q)
             frames = []
-            for qid, grp in pdf.groupby("query_id"):
-                vecs = np.stack(grp[vec_col].to_numpy())
-                d = numpy_distance_matrix(metric, vecs, qlookup[qid][None, :])[:, 0]
+            for j, qid in enumerate(qids):
+                mask = np.isin(cids, list(probe_sets[j]))
+                if not mask.any():
+                    continue
+                d = dists[mask, j]
                 take = min(k, len(d))
                 idx = np.argpartition(d, take - 1)[:take]
                 idx = idx[np.argsort(d[idx], kind="stable")]
                 frames.append(
                     pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            id_col: grp[id_col].astype(str).to_numpy()[idx],
-                            "_distance": d[idx],
-                        }
+                        {"query_id": qid, id_col: ids[mask][idx], "_distance": d[idx]}
                     )
                 )
-            yield pd.concat(frames, ignore_index=True)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
-    cand_local_topk = candidates.select("query_id", id_col, vec_col).mapInPandas(
+    cand_local_topk = candidates.select("centroid_id", id_col, vec_col).mapInPandas(
         rerank, out_schema
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_distance").asc(), F.col(id_col).asc())

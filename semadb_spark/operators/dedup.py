@@ -107,16 +107,26 @@ def minhash_signature_array(c: Column, num_hashes: int, k: int = 3) -> Column:
     sh = shingles(c, k)
     coeffs = minhash_coeffs(num_hashes)
     base = F.transform(sh, lambda s: md5_hash64(s).bitwiseAND(F.lit(_MASK31)))
-    per_shingle = F.transform(
-        base,
-        lambda x: F.array(
-            *[(F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE31) for a, b in coeffs]
+    # Let-bind the md5 array (1-element array + transform), then take each
+    # minimum as its own cheap arithmetic pass over the bound value. This
+    # allocates O(num_hashes) arrays per row; the previous shape (array[8]
+    # per shingle + zip_with min-fold) allocated O(shingles) arrays and ran
+    # ~3x slower in interpreted HOF evaluation.
+    return F.element_at(
+        F.transform(
+            F.array(base),
+            lambda xs: F.array(
+                *[
+                    F.array_min(
+                        F.transform(
+                            xs, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE31)
+                        )
+                    )
+                    for a, b in coeffs
+                ]
+            ),
         ),
-    )
-    return F.aggregate(
-        per_shingle,
-        F.array_repeat(F.lit(_MAX_LONG), num_hashes),
-        lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b)),
+        1,
     )
 
 
@@ -336,7 +346,15 @@ def embedding_neardup_pairs(
         l2_normalize(F.col(vec_col).cast("array<double>")).alias("v"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
-    a, b = base.alias("a"), base.alias("b")
+    # Round-robin spread the probe side: single-file inputs arrive as one
+    # partition and the pair dot-products are CPU-bound. Catalyst broadcasts
+    # the build side when it fits (each task then handles a slice of `a`
+    # against all of `b` — parallelism bounded by cores, not distinct
+    # blocks); past the broadcast threshold it shuffles both sides by blk,
+    # which at scale has enough distinct buckets to parallelize naturally.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    a = base.repartition(n_parts).alias("a")
+    b = base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
         cond = (F.col("a.blk") == F.col("b.blk")) & cond

@@ -221,57 +221,36 @@ def pq_fit(
     num_centroids: int,
     metric: str = "euclidean",
     seed: int = 42,
-    sample_fraction: float | None = None,
+    sample_cap: int | None = None,
 ) -> PQCodebooks:
     """Per-subvector k-means codebooks via pyspark.ml (product.go:175-236;
     the reference's utils.KMeans is euclidean, as is ml's).
 
-    ``sample_fraction`` caps the training set at scale — codebook quality
-    converges long before the full corpus is seen.
+    ``sample_cap`` bounds the training set at scale — codebook quality
+    converges long before the full corpus is seen (one bounded collect feeds
+    all m sub-fits; see functions/kmeans.py).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from semadb_spark.functions.kmeans import (
+        DEFAULT_SAMPLE_CAP,
+        collect_vector_sample,
+        kmeans_np,
+    )
 
     metric = _effective_metric(metric)
-    vecs = df.select(F.col(vec_col).alias("v")).filter(F.col("v").isNotNull())
-    if sample_fraction is not None:
-        vecs = vecs.sample(fraction=sample_fraction, seed=seed)
-    first = vecs.head(1)
-    if not first:
-        raise ValueError("pq_fit: no vectors to fit")
-    d = len(first[0][0])
+    vecs = df.select(F.col(vec_col).alias("v"))
+    sample = collect_vector_sample(
+        vecs, "v", cap=sample_cap or DEFAULT_SAMPLE_CAP, seed=seed
+    )
+    d = sample.shape[1]
     if d % num_subvectors != 0:
         raise ValueError(
             f"vector length {d} must be divisible by num subvectors {num_subvectors}"
         )
     sublen = d // num_subvectors
-    # One cached pass feeds all m k-means fits; each fit clusters only its
-    # slice column.
-    slices = vecs.select(
-        *[
-            array_to_vector(
-                F.slice(F.col("v"), i * sublen + 1, sublen).cast("array<double>")
-            ).alias(f"s{i}")
-            for i in range(num_subvectors)
-        ]
-    ).cache()
-    try:
-        books = []
-        for i in range(num_subvectors):
-            km = KMeans(
-                k=num_centroids,
-                seed=seed + i,
-                featuresCol=f"s{i}",
-                predictionCol="p",
-                initMode="k-means||",
-            )
-            model = km.fit(slices)
-            centers = np.zeros((num_centroids, sublen))
-            got = model.clusterCenters()
-            centers[: len(got)] = np.asarray(got)  # k-means may drop empties
-            books.append(centers)
-    finally:
-        slices.unpersist()
+    books = [
+        kmeans_np(sample[:, i * sublen : (i + 1) * sublen], num_centroids, seed=seed + i)
+        for i in range(num_subvectors)
+    ]
     return PQCodebooks(centroids=np.stack(books), metric=metric)
 
 

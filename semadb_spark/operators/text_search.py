@@ -76,19 +76,47 @@ def text_search(
     if operator not in ("containsAll", "containsAny"):
         raise ValueError(f"invalid operator {operator} for text query")
     terms = analyze_query(query)
-    if doc_terms is None:
-        doc_terms = build_text_index(df, text_col, id_col)
     if not terms:
-        return doc_terms.sparkSession.createDataFrame(
+        return df.sparkSession.createDataFrame(
             [], "id string, _score double, _hybridScore double"
         )
-    num_docs, df_by_term = corpus_stats(doc_terms)
+    if doc_terms is None:
+        # Ad-hoc path: push the query-term filter BELOW the (id, term)
+        # aggregation so the shuffle carries only query-term postings — the
+        # posting rows for the other ~every term in the corpus never leave
+        # their input partition. num_docs is a shuffle-free second pass
+        # (partial counts only). A materialized doc_terms skips both scans.
+        # Repartition before tokenizing: small single-file corpora arrive as
+        # one input partition and tokenization is CPU-bound (explicit count
+        # so AQE doesn't coalesce a tiny-by-bytes, heavy-by-CPU shuffle).
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+        toks = (
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+            .repartition(n_parts, F.col("id"))
+            .select("id", tokenize("_txt").alias("tokens"))
+            .withColumn("doc_len", F.size("tokens"))
+            .filter(F.col("doc_len") > 0)
+        )
+        num_docs = toks.agg(F.count("*").alias("num_docs"))
+        matches = (
+            toks.select("id", "doc_len", F.explode("tokens").alias("term"))
+            .filter(F.col("term").isin(terms))
+            .groupBy("id", "term")
+            .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
+        )
+    else:
+        num_docs = doc_terms.select("id").distinct().agg(F.count("*").alias("num_docs"))
+        matches = doc_terms.filter(F.col("term").isin(terms))
+    # Corpus-wide document frequency per query term: doc_terms rows are
+    # unique per (id, term), so df_t = count per term over the matched rows
+    # alone — no full-corpus stats pass needed (text.go:368-371 reads the
+    # posting-set cardinality the same way). Computed as a window over the
+    # matched rows so the tokenize pipeline evaluates once, not per stat.
+    from pyspark.sql import Window
 
-    matches = doc_terms.filter(F.col("term").isin(terms))
-    # idf uses corpus-wide document frequency; both stats frames are tiny ->
-    # broadcast joins, no extra shuffle of the posting rows.
     scored_terms = (
-        matches.join(F.broadcast(df_by_term), "term")
+        matches.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(num_docs))
         .withColumn(
             "term_score",
