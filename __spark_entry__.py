@@ -499,6 +499,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_adc_topk"] = pq_adc_topk
 
+    # -- multimodal: binary columns + mapInPandas feature extraction --------
+
+    def multimodal_image_meta(spark, sf_dir):
+        """Binary-column plumbing: documents.text encoded to opaque blobs,
+        features extracted by the Arrow mapInPandas kernel (decode stubbed
+        deterministically; see operators/multimodal.py)."""
+        from semadb_spark.operators.multimodal import image_features
+
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        assets = docs.select(
+            F.col("_id").alias("asset_id"), F.encode("text", "utf-8").alias("content")
+        )
+        return image_features(assets).select(
+            F.col("asset_id").alias("_id"), "n_bytes", "content_md5", "width", "height"
+        )
+
+    q["multimodal_image_meta"] = multimodal_image_meta
+
     # -- W2: update merge semantics as a pure DataFrame op ------------------
 
     def dml_update_merge(spark, sf_dir):
@@ -834,6 +852,18 @@ def oracle_sql() -> dict[str, str]:
           FROM u JOIN m USING (ord) JOIN q ON q.ord = u.ord
           GROUP BY u._id)
         SELECT _id, _distance FROM scored ORDER BY _distance ASC, _id ASC LIMIT 10
+    """
+
+    o["multimodal_image_meta"] = """
+        WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS _id, text FROM documents
+                   WHERE text IS NOT NULL),
+        h AS (SELECT _id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5,
+                     ('0x' || substr(md5(text), 1, 15))::BIGINT AS h64
+              FROM d)
+        SELECT _id, n_bytes, content_md5,
+               CAST(16 + h64 % 64 AS INTEGER) AS width,
+               CAST(16 + (h64 >> 6) % 64 AS INTEGER) AS height
+        FROM h
     """
 
     o["dml_update_merge"] = """

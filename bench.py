@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "fingerprint_docs",
     # write path
     "dml_update_merge",
+    # multimodal
+    "multimodal_image_meta",
 ]
 
 VECTOR_QPS_BATCH = 512  # queries in the throughput batch (batch-first regime)
