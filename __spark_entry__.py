@@ -468,6 +468,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    def ann_vamana_topk(spark, sf_dir):
+        """W7: Vamana graph built as a distributed Spark job (DiskANN
+        merged-build: overlapping shards + per-shard reference algorithm,
+        operators/vamana.py), then served by beam search over the exported
+        edge table. Graph build is not SQL-expressible -> rows-only check;
+        connectivity + recall invariants live in tests/test_vamana.py."""
+        import numpy as np
+
+        from semadb_spark.operators import vamana as vm
+
+        emb = _emb(spark, sf_dir).select("_id", F.col("embedding").alias("v"))
+        index = vm.vamana_build(
+            emb, "v", "_id", degree_bound=32, alpha=1.2, search_size=40, seed=7
+        )
+        adj: dict = {}
+        for r in index.edges.collect():
+            adj.setdefault(r.src, []).append(r.dst)
+        vectors = {r._id: np.asarray(r.v, dtype=np.float64) for r in emb.collect()}
+        rows = []
+        for qid in [str(i) for i in range(5)]:
+            for nid, d in vm.beam_search(
+                adj, vectors, index.entry_id, vectors[qid], 10, index.search_size
+            ):
+                rows.append((qid, nid, float(d)))
+        return spark.createDataFrame(rows, "query_id string, _id string, _distance double")
+
+    q["ann_vamana_topk"] = ann_vamana_topk
+
     # -- W9/D5: quantizers --------------------------------------------------
 
     def bq_hamming_topk(spark, sf_dir):

@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "knn_filtered",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    "ann_vamana_topk",
     "bq_hamming_topk",
     "pq_adc_topk",
     # text search + hybrid

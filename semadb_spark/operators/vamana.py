@@ -1,0 +1,426 @@
+"""Vamana (DiskANN-family) graph index — built as a Spark batch job.
+
+Reference parity (Go, shard/index/vamana/):
+- insert: greedy beam search from the start node collects a visited set;
+  robustPrune(alpha) selects <= degreeBound diverse neighbours;
+  bi-directional edges added with re-prune past the bound
+  (insert.go:16-68, search.go:9-102 greedy, search.go:106-138 robustPrune).
+- delete: neighbours of deleted nodes absorb the deleted nodes' own edges
+  (one level deep), re-pruned; stranded nodes reconnect to the start node
+  (prune.go:12-154, vamana.go:136-263).
+- params: searchSize 25-75, degreeBound 32-64, alpha 1.1-1.5
+  (models/index.go:275-313).
+
+Spark shape (SURVEY.md §7 M7): query-time graph traversal is pointer
+chasing and stays out of Spark; the *build* is the distributed part. This is
+the published DiskANN merged-build recipe: overlap-partition the corpus
+(each point assigned to its ``replicas`` nearest coarse centroids), build a
+local Vamana graph per shard with the reference's exact insert algorithm
+(NumPy kernels inside ``applyInPandas``), then union the per-shard edge
+lists and cap each node's merged neighbour list. Overlapping membership is
+what stitches shards into one navigable graph. The resulting edge DataFrame
+is the serving artifact (export to your ANN server); ``beam_search`` over
+the collected graph doubles as the in-test serving path — the analogue of
+the reference's shardpy bench shim (internal/shardpy/shardpy.go:20-80).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["VamanaIndex", "vamana_build", "vamana_delete", "beam_search", "bfs_reachable"]
+
+
+# ---------------------------------------------------------------------------
+# Local (per-shard) kernels — the reference algorithm, NumPy-vectorized
+
+
+def _greedy_search(
+    X: np.ndarray, adj: list[list[int]], start: int, q: np.ndarray, search_size: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy beam search (search.go:9-102). Returns (ids, dists) of the
+    visited set sorted by distance — the robustPrune candidate pool."""
+    dists: dict[int, float] = {start: float(((X[start] - q) ** 2).sum())}
+    beam: list[int] = [start]
+    in_beam: set[int] = {start}
+    visited: set[int] = set()
+    while True:
+        # closest unvisited beam member (searchSet scan, search.go:66-72)
+        beam.sort(key=dists.__getitem__)
+        if len(beam) > search_size:
+            for dropped in beam[search_size:]:
+                in_beam.discard(dropped)
+            del beam[search_size:]
+        nxt = next((i for i in beam if i not in visited), None)
+        if nxt is None:
+            break
+        visited.add(nxt)
+        nbrs = [n for n in adj[nxt] if n not in in_beam]
+        if nbrs:
+            new = [i for i in nbrs if i not in dists]
+            if new:
+                d = ((X[new] - q) ** 2).sum(axis=1)
+                dists.update(zip(new, d.tolist()))
+            beam.extend(nbrs)
+            in_beam.update(nbrs)
+    vis = sorted(visited, key=dists.__getitem__)
+    return np.asarray(vis, dtype=np.int64), np.asarray([dists[i] for i in vis])
+
+
+def _robust_prune(
+    X: np.ndarray,
+    node: int,
+    cand_ids: np.ndarray,
+    cand_dists: np.ndarray,
+    degree_bound: int,
+    alpha: float,
+) -> list[int]:
+    """alpha-RNG pruning, exactly search.go:106-138: walk candidates by
+    distance; keep c; drop any later candidate j with
+    alpha * d(c, j) < d(node, j)."""
+    keep: list[int] = []
+    removed = np.zeros(len(cand_ids), dtype=bool)
+    for i in range(len(cand_ids)):
+        if removed[i] or cand_ids[i] == node:
+            continue
+        c = int(cand_ids[i])
+        keep.append(c)
+        if len(keep) >= degree_bound:
+            break
+        rest = np.arange(i + 1, len(cand_ids))
+        rest = rest[~removed[rest]]
+        if len(rest):
+            d_c = ((X[cand_ids[rest]] - X[c]) ** 2).sum(axis=1)
+            removed[rest[alpha * d_c < cand_dists[rest]]] = True
+    return keep
+
+
+def _local_build(
+    X: np.ndarray, degree_bound: int, alpha: float, search_size: int
+) -> tuple[list[list[int]], int]:
+    """Sequential Vamana construction (insert.go:16-68) over one shard.
+    Start node = shard medoid (the reference keeps a synthetic start point
+    with the same navigational role, vamana.go:93-120)."""
+    n = len(X)
+    start = int(((X - X.mean(axis=0)) ** 2).sum(axis=1).argmin())
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for a in range(n):
+        if a == start:
+            continue
+        vis_ids, vis_dists = _greedy_search(X, adj, start, X[a], search_size)
+        adj[a] = _robust_prune(X, a, vis_ids, vis_dists, degree_bound, alpha)
+        # bi-directional edges with re-prune past the degree bound
+        # (insert.go:34-66)
+        for b in adj[a]:
+            if a in adj[b]:
+                continue
+            if len(adj[b]) + 1 > degree_bound:
+                cand = np.asarray(adj[b] + [a], dtype=np.int64)
+                d = ((X[cand] - X[b]) ** 2).sum(axis=1)
+                order = np.argsort(d, kind="stable")
+                adj[b] = _robust_prune(
+                    X, b, cand[order], d[order], degree_bound, alpha
+                )
+            else:
+                adj[b].append(a)
+    return adj, start
+
+
+# ---------------------------------------------------------------------------
+# Distributed build
+
+
+@dataclass
+class VamanaIndex:
+    """edges: (src string, dst string, dist double); entry_id: global start."""
+
+    edges: DataFrame
+    entry_id: str
+    degree_bound: int
+    alpha: float
+    search_size: int
+
+
+def vamana_build(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "_id",
+    degree_bound: int = 64,
+    alpha: float = 1.2,
+    search_size: int = 75,
+    num_shards: int | None = None,
+    replicas: int = 2,
+    seed: int = 42,
+) -> VamanaIndex:
+    """DiskANN merged build: overlap-assign -> per-shard Vamana
+    (applyInPandas) -> edge union -> per-node merge cap.
+
+    Each shard must fit one worker's memory (tune ``num_shards`` ~
+    rows/100k, mirroring the reference's 100k-point shard cap,
+    config/singleServer.yaml:41-42); shards build in parallel across the
+    cluster, which is the published way DiskANN scales its build.
+    """
+    from semadb_spark.functions.kmeans import collect_vector_sample, kmeans_np
+
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("string").alias("id"), F.col(vec_col).alias("v")
+    )
+    sample = collect_vector_sample(base, "v", seed=seed)
+    if num_shards is None:
+        # target ~200 rows per shard build (sequential-insert cost grows
+        # superlinearly with shard size; more, smaller shards parallelize)
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        num_shards = max(2, min(parallelism, (len(sample) * replicas) // 200 or 2))
+    cents = kmeans_np(sample, num_shards, seed=seed)
+    c_sq = (cents**2).sum(axis=1)
+    # global entry point: sample point nearest the sample mean (the medoid
+    # role of the reference start node)
+    entry_vec = sample[((sample - sample.mean(axis=0)) ** 2).sum(axis=1).argmin()]
+
+    @F.pandas_udf("array<int>")
+    def top_shards(col: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(col), dtype=object)
+        mask = col.notna()
+        if mask.any():
+            Xb = np.stack(col[mask].to_numpy()).astype(np.float64)
+            d = (Xb**2).sum(axis=1)[:, None] - 2.0 * (Xb @ cents.T) + c_sq[None, :]
+            r = min(replicas, d.shape[1])
+            out[np.flatnonzero(mask.to_numpy())] = list(
+                np.argsort(d, axis=1)[:, :r].astype(np.int32).tolist()
+            )
+        return out
+
+    assigned = (
+        base.withColumn("shards", top_shards(F.col("v")))
+        .select("id", "v", F.explode("shards").alias("shard"))
+    )
+    # Skew guard (salting): k-means shards can be very uneven and the local
+    # build is sequential, so the biggest shard sets the wall clock. Split
+    # any shard past ``max_shard_rows`` into hash-salted sub-builds — the
+    # replica overlap still stitches the sub-graphs together.
+    max_shard_rows = 400
+    counts = {r["shard"]: r["n"] for r in assigned.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    splits = {s: -(-n // max_shard_rows) for s, n in counts.items()}
+    split_expr = F.coalesce(
+        *[
+            F.when(F.col("shard") == s, F.lit(k)) for s, k in splits.items()
+        ] or [F.lit(1)],
+        F.lit(1),
+    )
+    assigned = assigned.withColumn(
+        "shard",
+        F.concat_ws("_", F.col("shard"), F.pmod(F.xxhash64("id"), split_expr)),
+    )
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["src", "dst", "dist"])
+        X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        adj, _ = _local_build(X, degree_bound, alpha, search_size)
+        rows = []
+        for a, nbrs in enumerate(adj):
+            if nbrs:
+                d = ((X[nbrs] - X[a]) ** 2).sum(axis=1)
+                for b, dd in zip(nbrs, d):
+                    rows.append((ids[a], ids[b], float(dd)))
+        return pd.DataFrame(rows, columns=["src", "dst", "dist"])
+
+    # Explicit repartition by shard BEFORE the grouped build: the group
+    # shuffle is tiny in bytes but huge in CPU, and AQE would coalesce it to
+    # one task (byte-based target). The explicit partition count is
+    # non-coalescible and satisfies the groupBy's distribution, so shard
+    # builds actually run in parallel.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    raw_edges = (
+        assigned.repartition(n_parts, "shard")
+        .groupBy("shard")
+        .applyInPandas(build_shard, "src string, dst string, dist double")
+    )
+    # Merge overlapping shards' lists: distinct edge set, then keep each
+    # node's closest ``degree_bound`` (the cheap merge cap from the DiskANN
+    # merged-build recipe; in-shard diversity came from robustPrune).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
+    edges = (
+        raw_edges.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= degree_bound)
+        .drop("_rn")
+    )
+    # The edge table is the index artifact: persist and materialize once so
+    # downstream consumers (search, delete-repair, export) don't re-run the
+    # build — at full scale you would `.write.parquet()` it instead.
+    edges = edges.persist()
+    edges.count()
+
+    # entry id: row nearest the global medoid vector
+    entry_lit = F.array(*[F.lit(float(x)) for x in entry_vec])
+    entry_id = (
+        base.withColumn(
+            "_d",
+            F.aggregate(
+                F.zip_with(F.col("v").cast("array<double>"), entry_lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .orderBy(F.col("_d").asc(), F.col("id").asc())
+        .select("id")
+        .head()[0]
+    )
+    return VamanaIndex(edges, entry_id, degree_bound, alpha, search_size)
+
+
+def vamana_delete(
+    index: VamanaIndex, vectors: DataFrame, delete_ids: list[str],
+    vec_col: str = "v", id_col: str = "id",
+) -> VamanaIndex:
+    """Graph repair on delete (prune.go:12-154, removeInboundEdges
+    prune.go:85-154) as DataFrame ops:
+
+    1. drop all edges touching the delete set;
+    2. nodes that pointed at a deleted node absorb that node's surviving
+       out-edges (one level deep — the reference explicitly does not
+       recurse), deduped, capped to degreeBound by distance;
+    3. stranded nodes (all inbound edges gone) reconnect to the entry node.
+    """
+    spark = index.edges.sparkSession
+    if index.entry_id in delete_ids:
+        raise ValueError("cannot delete the entry node; rebuild instead")
+    del_df = F.broadcast(
+        spark.createDataFrame([(i,) for i in delete_ids], "del_id string")
+    )
+    e = index.edges
+    # surviving edges of deleted nodes: what their in-neighbours will absorb
+    del_out = (
+        e.join(del_df, e.src == F.col("del_id"))
+        .drop("del_id")
+        .join(del_df, e.dst == F.col("del_id"), "left_anti")
+        .select(F.col("src").alias("mid"), F.col("dst").alias("cand"))
+    )
+    # A -> B(deleted) => A absorbs B's survivors
+    absorbed = (
+        e.join(del_df, e.dst == F.col("del_id"))
+        .select("src", F.col("dst").alias("mid"))
+        .join(del_out, "mid")
+        .filter(F.col("src") != F.col("cand"))
+        .select("src", F.col("cand").alias("dst"))
+    )
+    kept = (
+        e.join(del_df, e.src == F.col("del_id"), "left_anti")
+        .join(del_df, e.dst == F.col("del_id"), "left_anti")
+        .select("src", "dst")
+    )
+    vecs = vectors.select(
+        F.col(id_col).cast("string").alias("vid"), F.col(vec_col).alias("vv")
+    )
+    merged = (
+        kept.unionByName(absorbed)
+        .distinct()
+        .join(vecs.withColumnRenamed("vid", "src").withColumnRenamed("vv", "_sv"), "src")
+        .join(vecs.withColumnRenamed("vid", "dst").withColumnRenamed("vv", "_dv"), "dst")
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_sv").cast("array<double>"),
+                    F.col("_dv").cast("array<double>"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .select("src", "dst", "dist")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
+    capped = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= index.degree_bound)
+        .drop("_rn")
+    )
+    # stranded: alive nodes with no inbound edge -> reconnect from entry
+    entry_vec = vecs.filter(F.col("vid") == index.entry_id).head()[1]
+    entry_lit = F.array(*[F.lit(float(x)) for x in entry_vec])
+    alive = vecs.join(del_df, vecs.vid == F.col("del_id"), "left_anti")
+    stranded = (
+        alive.join(capped.select(F.col("dst").alias("vid")).distinct(), "vid", "left_anti")
+        .filter(F.col("vid") != index.entry_id)
+        .select(
+            F.lit(index.entry_id).alias("src"),
+            F.col("vid").alias("dst"),
+            F.aggregate(
+                F.zip_with(
+                    entry_lit,
+                    F.col("vv").cast("array<double>"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+    )
+    return VamanaIndex(
+        capped.unionByName(stranded),
+        index.entry_id,
+        index.degree_bound,
+        index.alpha,
+        index.search_size,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Serving / validation helpers (driver-side, over the exported graph)
+
+
+def beam_search(
+    adj: dict[str, list[str]],
+    vectors: dict[str, np.ndarray],
+    entry_id: str,
+    q: np.ndarray,
+    k: int,
+    search_size: int,
+) -> list[tuple[str, float]]:
+    """Greedy beam search over the exported graph — the serving path the
+    edge table feeds (mirrors search.go:9-102 on the client side)."""
+    dists = {entry_id: float(((vectors[entry_id] - q) ** 2).sum())}
+    beam = [entry_id]
+    visited: set[str] = set()
+    while True:
+        beam.sort(key=lambda i: dists[i])
+        beam = beam[:search_size]
+        nxt = next((i for i in beam if i not in visited), None)
+        if nxt is None:
+            break
+        visited.add(nxt)
+        for n in adj.get(nxt, []):
+            if n not in dists:
+                dists[n] = float(((vectors[n] - q) ** 2).sum())
+            if n not in visited and n not in beam:
+                beam.append(n)
+    ranked = sorted(visited, key=lambda i: (dists[i], i))[:k]
+    return [(i, dists[i]) for i in ranked]
+
+
+def bfs_reachable(adj: dict[str, list[str]], entry_id: str) -> set[str]:
+    """Connectivity check from the entry node (the reference's
+    checkConnectivity test invariant, vamana_test.go:29-46)."""
+    seen = {entry_id}
+    frontier = [entry_id]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for vtx in adj.get(u, []):
+                if vtx not in seen:
+                    seen.add(vtx)
+                    nxt.append(vtx)
+        frontier = nxt
+    return seen
