@@ -240,6 +240,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["filter_bool_compose"] = filter_bool_compose
 
+    def filter_str_array_contains(spark, sf_dir):
+        """F7/F8: stringArray containsAll ∧ containsAny via _and
+        (shard/index/inverted/array.go:58-86), over a tokenized name
+        column."""
+        part = _part(spark, sf_dir).withColumn("name_words", F.split("p_name", " "))
+        schema = dict(PART_SCHEMA, name_words={"type": "stringArray", "stringArray": {"caseSensitive": False}})
+        eng = SearchEngine(part, schema)
+        res = eng.search(
+            {
+                "query": {
+                    "property": "_and",
+                    "_and": [
+                        {"property": "name_words", "stringArray": {"operator": "containsAll", "value": ["small"]}},
+                        {"property": "name_words", "stringArray": {"operator": "containsAny", "value": ["ring", "bolt"]}},
+                    ],
+                }
+            }
+        )
+        return res.select("_id", "p_name")
+
+    q["filter_str_array_contains"] = filter_str_array_contains
+
     def filter_id_contains_any(spark, sf_dir):
         cust = _t(spark, sf_dir, "customer").withColumn("_id", F.col("c_custkey").cast("string"))
         eng = SearchEngine(cust, {"c_mktsegment": {"type": "string", "string": {"caseSensitive": True}}})
@@ -581,6 +603,13 @@ def oracle_sql() -> dict[str, str]:
     o["filter_string_equals"] = """
         SELECT CAST(p_partkey AS VARCHAR) AS _id, p_brand, p_size
         FROM part WHERE p_brand = 'Brand#4'
+    """
+
+    o["filter_str_array_contains"] = """
+        SELECT CAST(p_partkey AS VARCHAR) AS _id, p_name
+        FROM part
+        WHERE list_has_all(list_transform(string_split(p_name, ' '), x -> lower(x)), ['small'])
+          AND list_has_any(list_transform(string_split(p_name, ' '), x -> lower(x)), ['ring', 'bolt'])
     """
 
     o["filter_string_not_equals"] = """
