@@ -1,0 +1,158 @@
+"""Property-based invariants (SURVEY §5 test plan): randomized inputs via
+hypothesis, small example counts since every example runs Spark jobs.
+
+- hybrid score of an overlap row = weighted sum of branch scores (B3)
+- pre-filtered kNN results ⊆ filter set, and are exactly the exact-kNN of
+  the filtered subset (R4: pre-filter semantics, not post-filter)
+- containsAll results ⊆ containsAny results for the same values (F7/F8)
+- multi-key sort puts missing values last regardless of direction (P2)
+- update-merge is idempotent: applying the same batch twice == once (W2)
+"""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Row, functions as F
+
+from semadb_spark.collection import apply_update_merge
+from semadb_spark.operators.knn import knn_topk
+from semadb_spark.plans.compiler import SearchEngine
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+DOC_SCHEMA = {
+    "vec": {"type": "vectorFlat", "vectorFlat": {"vectorSize": 4, "distanceMetric": "euclidean"}},
+    "cat": {"type": "string", "string": {"caseSensitive": False}},
+    "num": {"type": "integer", "integer": {}},
+    "labels": {"type": "stringArray", "stringArray": {"caseSensitive": False}},
+}
+
+
+def _mk_docs(spark, seed, n=40, with_nulls=False):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        num = None if (with_nulls and i % 7 == 0) else int(rng.integers(0, 50))
+        rows.append(
+            Row(
+                _id=f"{i:03d}",
+                vec=[float(x) for x in rng.random(4)],
+                cat=f"c{int(rng.integers(0, 4))}",
+                num=num,
+                labels=[f"l{int(x)}" for x in rng.integers(0, 6, size=3)],
+            )
+        )
+    schema = "_id string, vec array<float>, cat string, num bigint, labels array<string>"
+    return spark.createDataFrame(rows, schema)
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 10_000), w1=st.floats(0.1, 3), w2=st.floats(0.1, 3))
+def test_hybrid_score_is_weighted_sum(spark, seed, w1, w2):
+    docs = _mk_docs(spark, seed)
+    eng = SearchEngine(docs, DOC_SCHEMA)
+    qv = [0.5, 0.5, 0.5, 0.5]
+    res = eng.search(
+        {
+            "query": {
+                "property": "_or",
+                "_or": [
+                    {"property": "vec", "vectorFlat": {"vector": qv, "operator": "near", "limit": 40, "weight": w1}},
+                    {"property": "vec", "vectorFlat": {"vector": qv, "operator": "near", "limit": 40, "weight": w2}},
+                ],
+            },
+            "limit": 40,
+        }
+    ).collect()
+    # every row appears in both branches (same vector query) -> hybrid score
+    # = w1*(-d) + w2*(-d)
+    docs_v = {r._id: np.asarray(r.vec, dtype=np.float64) for r in docs.collect()}
+    for r in res:
+        d = float(((docs_v[r._id] - np.asarray(qv)) ** 2).sum())
+        assert r._hybridScore == pytest.approx(-(w1 + w2) * d, rel=1e-6, abs=1e-9)
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 10_000), cut=st.integers(5, 45))
+def test_prefilter_knn_equals_knn_of_filtered_subset(spark, seed, cut):
+    docs = _mk_docs(spark, seed)
+    eng = SearchEngine(docs, DOC_SCHEMA)
+    qv = [0.2, 0.8, 0.2, 0.8]
+    res = eng.search(
+        {
+            "query": {
+                "property": "vec",
+                "vectorFlat": {
+                    "vector": qv,
+                    "operator": "near",
+                    "limit": 10,
+                    "filter": {"property": "num", "integer": {"operator": "lessThan", "value": cut}},
+                },
+            },
+            "limit": 10,
+        }
+    ).collect()
+    subset = docs.filter(F.col("num") < cut)
+    want = knn_topk(subset, "vec", qv, "euclidean", 10).collect()
+    assert [r._id for r in res] == [r._id for r in want]
+    # subset property: every result satisfies the filter
+    allowed = {r._id for r in subset.collect()}
+    assert {r._id for r in res} <= allowed
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 10_000), vals=st.lists(st.sampled_from(["l0", "l1", "l2", "l3"]), min_size=1, max_size=3, unique=True))
+def test_contains_all_subset_of_contains_any(spark, seed, vals):
+    docs = _mk_docs(spark, seed)
+    eng = SearchEngine(docs, DOC_SCHEMA)
+
+    def ids(op):
+        res = eng.search(
+            {"query": {"property": "labels", "stringArray": {"operator": op, "value": vals}}, "limit": 100}
+        )
+        return {r._id for r in res.collect()}
+
+    assert ids("containsAll") <= ids("containsAny")
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 10_000), descending=st.booleans())
+def test_sort_missing_last(spark, seed, descending):
+    docs = _mk_docs(spark, seed, with_nulls=True)
+    eng = SearchEngine(docs, DOC_SCHEMA)
+    res = eng.search(
+        {
+            "query": {"property": "cat", "string": {"operator": "startsWith", "value": "c"}},
+            "select": ["num"],
+            "sort": [{"property": "num", "descending": descending}],
+            "limit": 100,
+        }
+    ).collect()
+    nums = [r.num for r in res]
+    seen_null = False
+    for v in nums:
+        if v is None:
+            seen_null = True
+        else:
+            assert not seen_null, "non-null after null: missing must sort last"
+    assert None in nums  # fixture guarantees some nulls
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 10_000))
+def test_update_merge_idempotent(spark, seed):
+    docs = _mk_docs(spark, seed, n=20)
+    rng = np.random.default_rng(seed + 1)
+    upd = spark.createDataFrame(
+        [
+            Row(_id=f"{i:03d}", cat="_delete" if i % 5 == 0 else f"u{int(rng.integers(0,9))}")
+            for i in range(0, 20, 2)
+        ]
+    )
+    once = apply_update_merge(docs, upd)
+    twice = apply_update_merge(once, upd)
+    assert once.exceptAll(twice).count() == 0 and twice.exceptAll(once).count() == 0
