@@ -70,9 +70,15 @@ def main() -> None:
 
     spark = get_spark(app_name="semadb-bench", cpus=cpus)
 
-    # warm the JVM + file listing so per-query timings measure the operator
+    # warm the JVM + file listing + codegen paths shared across queries so
+    # per-query timings measure the operator, not one-time session setup
     for t in ("lineitem", "documents", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    from semadb_spark.functions.analyzer import tokenize
+
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        F.explode(tokenize("text"))
+    ).count()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -227,6 +227,16 @@ class Collection:
         # count; parquet row-group metadata makes this a metadata-only scan).
         return self.df().count()
 
+    # -- search (the shard API surface: Shard.SearchPoints) -----------------
+    def search(self, request: dict) -> DataFrame:
+        """Run a JSON query-tree search request against the collection
+        (shard/shard.go:329-472 via the compiler; request shape
+        models/search.go:19-25)."""
+        from .plans.compiler import SearchEngine
+
+        schema_dict = {p: {"type": v.type, v.type: v.params} for p, v in self.schema.items()}
+        return SearchEngine(self.df(), schema_dict).search(request)
+
     # -- W1: insert ---------------------------------------------------------
     def insert(self, points: DataFrame, id_col: str = "_id") -> int:
         """All-or-nothing batch insert with duplicate rejection

@@ -122,6 +122,38 @@ def test_persistence_across_reopen(spark, coll):
     assert sorted(r._id for r in re.df().select("_id").collect()) == ["p1", "p2", "p3"]
 
 
+def test_collection_search_end_to_end(spark, coll):
+    """create -> insert -> search, the reference's full shard lifecycle
+    (httpapi/v2/handlers_test.go create/insert/search flow)."""
+    coll.insert(_points(spark, 10))
+    res = coll.search(
+        {
+            "query": {
+                "property": "_and",
+                "_and": [
+                    {"property": "tag", "string": {"operator": "equals", "value": "tag1"}},
+                    {"property": "size", "integer": {"operator": "greaterThan", "value": 2}},
+                ],
+            },
+            "select": ["size"],
+            "sort": [{"property": "size", "descending": True}],
+            "limit": 10,
+        }
+    ).collect()
+    assert [r.size for r in res] == [7, 4]  # tag1 = sizes 1,4,7; >2 desc
+    # vector search over the same collection
+    res = coll.search(
+        {
+            "query": {
+                "property": "vec",
+                "vectorFlat": {"vector": [5.0, 5.0], "operator": "near", "limit": 3},
+            },
+            "limit": 3,
+        }
+    ).collect()
+    assert [r._id for r in res] == ["p5", "p4", "p6"]
+
+
 def test_apply_update_merge_pure(spark):
     existing = spark.createDataFrame(
         [Row(_id="a", x=1, y="old"), Row(_id="b", x=2, y="keep")]
