@@ -80,17 +80,25 @@ def main() -> None:
         F.explode(tokenize("text"))
     ).count()
 
+    # Two-pass timing per query: the first (cold) run pays one-time codegen
+    # and index build; the second (warm) run is steady-state — the number
+    # comparable to the reference's published QPS, which is measured with a
+    # full in-memory cache and excludes index build / cold start
+    # (BASELINE.md caveats, reference README.md:198,204). Both are reported.
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
+        n = qs[name](spark, sf_dir).count()
+        cold[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: warm {dt:.2f}s / cold {cold[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     # vector throughput: batch of exact top-10 over the embeddings table via
     # the partition-local scan (the serving-shaped workload)
@@ -113,6 +121,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "cold_queries": cold,
+                "timing": "warm steady-state (cold incl. codegen+index-build in cold_queries)",
                 "sf": sf,
                 "vector_qps": vector_qps,
                 "cpus": cpus,
