@@ -289,6 +289,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["filter_id_contains_any"] = filter_id_contains_any
 
+    def filter_nested_path(spark, sf_dir):
+        """§1.2 nested properties: dotted path filter into a struct column +
+        dotted select with re-nesting (models/index.go:115-152,
+        shard/shard.go:431-448). Output flattened for oracle hashing."""
+        cust = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").cast("string").alias("_id"),
+            F.struct(
+                F.col("c_mktsegment").alias("segment"), F.col("c_name").alias("name")
+            ).alias("contact"),
+            "c_acctbal",
+        )
+        eng = SearchEngine(
+            cust,
+            {
+                "contact.segment": {"type": "string", "string": {"caseSensitive": True}},
+                "contact.name": {"type": "string", "string": {"caseSensitive": True}},
+            },
+        )
+        res = eng.search(
+            {
+                "query": {"property": "contact.segment", "string": {"operator": "equals", "value": "BUILDING"}},
+                "select": ["contact.name"],
+            }
+        )
+        return res.select("_id", F.col("contact.name").alias("name"))
+
+    q["filter_nested_path"] = filter_nested_path
+
+    def filter_case_fold(spark, sf_dir):
+        """F10 case folding: caseSensitive=false equals matches across case
+        (shard/index/inverted/string.go:29-50)."""
+        eng = SearchEngine(_part(spark, sf_dir), PART_SCHEMA)
+        res = eng.search({"query": {"property": "p_type", "string": {"operator": "equals", "value": "medium"}}})
+        return res.select("_id", "p_type")
+
+    q["filter_case_fold"] = filter_case_fold
+
+    def sort_missing_last(spark, sf_dir):
+        """P2: missing values sort last regardless of direction
+        (utils/compare.go:64-75), with offset pagination."""
+        docs = _docs(spark, sf_dir).withColumn(
+            "score", F.when(F.col("n_chars") % 3 != 0, F.col("n_chars"))
+        )
+        eng = SearchEngine(
+            docs,
+            {
+                "source": {"type": "string", "string": {"caseSensitive": True}},
+                "score": {"type": "integer"},
+            },
+        )
+        res = eng.search(
+            {
+                "query": {"property": "source", "string": {"operator": "startsWith", "value": "src1"}},
+                "sort": [{"property": "score", "descending": False}],
+                "select": ["score"],
+                "offset": 5,
+                "limit": 30,
+            }
+        )
+        return res.select("_id", "score")
+
+    q["sort_missing_last"] = sort_missing_last
+
     def shaping_sort_page(spark, sf_dir):
         orders = _t(spark, sf_dir, "orders").withColumn("_id", F.col("o_orderkey").cast("string"))
         eng = SearchEngine(orders, {"o_orderstatus": {"type": "string", "string": {"caseSensitive": True}}, "o_totalprice": {"type": "float"}})
@@ -696,6 +759,27 @@ def oracle_sql() -> dict[str, str]:
     o["filter_starts_with"] = """
         SELECT CAST(p_partkey AS VARCHAR) AS _id, p_name
         FROM part WHERE lower(p_name) LIKE 'sm%'
+    """
+
+    o["filter_nested_path"] = """
+        SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name AS name
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    """
+
+    o["filter_case_fold"] = """
+        SELECT CAST(p_partkey AS VARCHAR) AS _id, p_type
+        FROM part WHERE lower(p_type) = 'medium'
+    """
+
+    o["sort_missing_last"] = """
+        WITH base AS (
+            SELECT CAST(doc_id AS VARCHAR) AS _id,
+                   CASE WHEN n_chars % 3 <> 0 THEN n_chars END AS score
+            FROM documents WHERE source LIKE 'src1%'
+        )
+        SELECT _id, score FROM base
+        ORDER BY score ASC NULLS LAST, _id ASC
+        LIMIT 30 OFFSET 5
     """
 
     o["filter_int_range"] = """
