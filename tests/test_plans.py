@@ -1,0 +1,112 @@
+"""Physical-plan regression tests: the scale posture (COVERAGE.md §Scale).
+
+These assert the *plan shape* Catalyst produces for our operators, so a
+refactor can't silently drop predicate pushdown, column pruning, the
+distributed top-k pre-trim, or the broadcast merge join. The reference gets
+the equivalents from hand-coded strategies (filter-first design
+models/search.go:9-15, partial decode shard/index/utils.go:10-26, per-shard
+top-k cluster/actions.go:267-299); for us they must fall out of the plan.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from semadb_spark.plans import SearchEngine
+
+SCHEMA = {
+    "cat": {"type": "string", "string": {"caseSensitive": True}},
+    "size": {"type": "integer"},
+    "vec": {"type": "vectorFlat", "vectorFlat": {"vectorSize": 2, "distanceMetric": "euclidean"}},
+}
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "tbl.parquet")
+    spark.range(2000).select(
+        F.col("id").cast("string").alias("_id"),
+        F.concat(F.lit("cat"), (F.col("id") % 7).cast("string")).alias("cat"),
+        (F.col("id") % 100).alias("size"),
+        F.array((F.col("id") % 13).cast("float"), (F.col("id") % 17).cast("float")).alias("vec"),
+        F.sha1(F.col("id").cast("string")).alias("payload"),
+    ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(table):
+    eng = SearchEngine(table, SCHEMA)
+    res = eng.search(
+        {"query": {"property": "cat", "string": {"operator": "equals", "value": "cat3"}}, "limit": 10}
+    )
+    plan = _plan(res)
+    # equals filter pushed into the parquet scan, not evaluated post-read
+    assert "PushedFilters: [" in plan and "EqualTo(cat,cat3)" in plan, plan
+
+
+def test_column_pruning_reaches_scan(table):
+    eng = SearchEngine(table, SCHEMA)
+    res = eng.search(
+        {
+            "query": {"property": "size", "integer": {"operator": "greaterThan", "value": 90}},
+            "select": ["size"],
+            "limit": 10,
+        }
+    )
+    plan = _plan(res)
+    # partial-decode analogue: untouched wide column never read from parquet
+    assert "payload" not in plan, plan
+    assert "vec" not in plan.split("ReadSchema")[1].split("\n")[0], plan
+
+
+def test_limit_becomes_distributed_topk(table):
+    eng = SearchEngine(table, SCHEMA)
+    res = eng.search(
+        {
+            "query": {"property": "size", "integer": {"operator": "lessThan", "value": 90}},
+            "sort": [{"property": "size", "descending": True}],
+            "limit": 20,
+        }
+    )
+    # per-partition top-k + merge (the reference's Poisson-trimmed scatter
+    # P5/P6, cluster/actions.go:267-299, done natively by Spark)
+    assert "TakeOrderedAndProject" in _plan(res), _plan(res)
+
+
+def test_knn_prefilter_pushed_to_scan(table):
+    eng = SearchEngine(table, SCHEMA)
+    res = eng.search(
+        {
+            "query": {
+                "property": "vec",
+                "vectorFlat": {
+                    "vector": [1.0, 2.0],
+                    "operator": "near",
+                    "limit": 5,
+                    "filter": {"property": "cat", "string": {"operator": "equals", "value": "cat1"}},
+                },
+            },
+            "limit": 5,
+        }
+    )
+    plan = _plan(res)
+    # R4 pre-filter semantics: the filter constrains the scan feeding the
+    # distance top-k (filter-first, search.go:58-66) — pushed to parquet
+    assert "EqualTo(cat,cat1)" in plan, plan
+
+
+def test_update_merge_broadcasts_small_updates(spark, table):
+    from semadb_spark.collection import apply_update_merge
+
+    upd = spark.range(5).select(
+        F.col("id").cast("string").alias("_id"), F.lit("catX").alias("cat")
+    )
+    plan = _plan(apply_update_merge(table, upd))
+    # W2 merge joins the (small) update batch without shuffling the table
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
