@@ -100,6 +100,66 @@ def main() -> None:
         total += dt
         print(f"# {name}: warm {dt:.2f}s / cold {cold[name]:.2f}s ({n} rows)", file=sys.stderr)
 
+    # ann-benchmarks-scale vector block: replicate the embeddings table to
+    # ~1M vectors (glove-100-angular, the reference's headline row, is
+    # 1.18M x 100d) and measure (a) IVF index build — the north-star batch
+    # workload, (b) IVF batch serving QPS, (c) recall@10 vs the exact scan
+    # on the same corpus, (d) exact-scan batch QPS. Corpus setup is one-time
+    # and untimed (parquet in /tmp, reused).
+    from semadb_spark.operators.ann import ivf_build, ivf_search, recall_at_k
+
+    target_rows = int(os.environ.get("SPARK_GRAFT_BENCH_VEC_ROWS", 1_000_000))
+    big_path = f"/tmp/semadb_bench_emb_{target_rows}.parquet"
+    if not os.path.exists(os.path.join(big_path, "_SUCCESS")):
+        emb0 = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        reps = max(1, target_rows // emb0.count())
+        (
+            emb0.crossJoin(spark.range(reps).withColumnRenamed("id", "rep"))
+            .select(
+                (F.col("vec_id") * reps + F.col("rep")).cast("string").alias("_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: (x + F.sin((F.col("rep") + 1) * (i + 1)) * F.lit(0.03)).cast("float"),
+                ).alias("embedding"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(big_path)
+        )
+    big = spark.read.parquet(big_path)
+    big_n = big.count()
+
+    t0 = time.time()
+    index = ivf_build(big, "embedding", "_id", nlist=128, seed=42)
+    index.assigned.persist().count()
+    build_1m = round(time.time() - t0, 3)
+
+    qrows_1m = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(1024).collect()
+    qlist_1m = [(str(i), [float(x) for x in r["embedding"]]) for i, r in enumerate(qrows_1m)]
+    ivf_search(index, qlist_1m[:8], "euclidean", 10, nprobe=8).count()  # warm codegen
+    t0 = time.time()
+    approx = ivf_search(index, qlist_1m, "euclidean", 10, nprobe=8)
+    approx.persist().count()
+    ivf_dt = time.time() - t0
+
+    from semadb_spark.operators.knn import knn_topk_scan as _scan
+
+    t0 = time.time()
+    exact = _scan(big, "embedding", qlist_1m[:64], "euclidean", 10)
+    exact.persist().count()
+    exact_dt = time.time() - t0
+    qids64 = {q[0] for q in qlist_1m[:64]}
+    recall = recall_at_k(approx.filter(F.col("query_id").isin(qids64)), exact)
+    vector_1m = {
+        "rows": big_n,
+        "dim": len(qlist_1m[0][1]),
+        "ivf_build_sec": build_1m,
+        "ivf_qps": round(len(qlist_1m) / ivf_dt, 1),
+        "ivf_recall_at10": round(recall, 4),
+        "exact_scan_qps": round(64 / exact_dt, 1),
+    }
+    print(f"# vector_1m: {vector_1m}", file=sys.stderr)
+
     # vector throughput: batch of exact top-10 over the embeddings table via
     # the partition-local scan (the serving-shaped workload)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).withColumn(
@@ -125,6 +185,7 @@ def main() -> None:
                 "timing": "warm steady-state (cold incl. codegen+index-build in cold_queries)",
                 "sf": sf,
                 "vector_qps": vector_qps,
+                "vector_1m": vector_1m,
                 "cpus": cpus,
             }
         )

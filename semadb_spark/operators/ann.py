@@ -75,6 +75,12 @@ def ivf_build(
     assigned = assign_centroids(
         df.filter(F.col(vec_col).isNotNull()), vec_col, centroids
     )
+    # Centroid-contiguous layout (shuffle-free): each Arrow batch the search
+    # kernel sees then holds one-or-few centroids, so it emits
+    # O(queries_probing x k) rows per batch instead of per (batch x every
+    # centroid present) — the same locality partitionBy("centroid_id") gives
+    # the persisted form at full scale.
+    assigned = assigned.sortWithinPartitions("centroid_id")
     return IVFIndex(centroids, assigned, vec_col, id_col)
 
 
@@ -98,6 +104,15 @@ def ivf_search(
         frozenset(int(c) for c in np.argsort(cdist[:, j])[:nprobe]) for j in range(len(qids))
     ]
     all_probed = sorted(set().union(*probe_sets))
+    # invert: centroid -> indices of the queries probing it, so the kernel
+    # computes each centroid's rows against exactly its probing queries
+    # (computing the full (rows x all-queries) matrix and masking wastes a
+    # (1 - nprobe/nlist) fraction of the FLOPs — at nprobe 8 / nlist 128
+    # that is 94% of the work)
+    probing_queries: dict[int, np.ndarray] = {
+        c: np.asarray([j for j, ps in enumerate(probe_sets) if c in ps], dtype=np.int64)
+        for c in all_probed
+    }
     # ONE pruned scan, no join: the isin filter prunes centroid partitions
     # when the index table is stored partitionBy("centroid_id"); per-query
     # probe membership is a mask inside the kernel (the query batch rides in
@@ -111,22 +126,34 @@ def ivf_search(
         for pdf in batches:
             if pdf.empty:
                 continue
-            vecs = np.stack(pdf[vec_col].to_numpy())
-            cids = pdf["centroid_id"].to_numpy()
-            ids = pdf[id_col].astype(str).to_numpy()
-            dists = numpy_distance_matrix(metric, vecs, qmat)  # (n, q)
             frames = []
-            for j, qid in enumerate(qids):
-                mask = np.isin(cids, list(probe_sets[j]))
-                if not mask.any():
+            # per-centroid dense compute: rows of centroid c meet only the
+            # queries probing c (local top-k per (centroid, query) is a
+            # superset of the per-batch top-k, so the final global merge is
+            # unchanged)
+            for cid, grp in pdf.groupby("centroid_id", sort=False):
+                qidx = probing_queries.get(int(cid))
+                if qidx is None or not len(qidx):
                     continue
-                d = dists[mask, j]
-                take = min(k, len(d))
-                idx = np.argpartition(d, take - 1)[:take]
-                idx = idx[np.argsort(d[idx], kind="stable")]
+                vecs = np.stack(grp[vec_col].to_numpy())
+                ids = grp[id_col].astype(str).to_numpy()
+                dists = numpy_distance_matrix(metric, vecs, qmat[qidx])  # (n_c, q_c)
+                take = min(k, len(vecs))
+                part = np.argpartition(dists, take - 1, axis=0)[:take]
+                d_sel = np.take_along_axis(dists, part, axis=0)  # (take, q_c)
+                order = np.argsort(d_sel, axis=0, kind="stable")
+                rows_sorted = np.take_along_axis(part, order, axis=0)
+                d_sorted = np.take_along_axis(d_sel, order, axis=0)
+                # column-major flatten -> one frame per centroid group
                 frames.append(
                     pd.DataFrame(
-                        {"query_id": qid, id_col: ids[mask][idx], "_distance": d[idx]}
+                        {
+                            "query_id": np.repeat(
+                                np.asarray([qids[qp] for qp in qidx], dtype=object), take
+                            ),
+                            id_col: ids[rows_sorted.ravel(order="F")],
+                            "_distance": d_sorted.ravel(order="F"),
+                        }
                     )
                 )
             if frames:
