@@ -419,22 +419,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- R3: text search -----------------------------------------------------
 
     def _docs_text_index(spark, sf_dir):
-        """Materialized doc_terms posting table for the documents corpus —
-        built once per session like the reference's insert-time text index
-        (shard/index/text/text.go:151-258), reused by every text search."""
+        """Materialized (doc_terms, num_docs) for the documents corpus —
+        built once per session like the reference's insert-time text index +
+        _numDocuments counter (shard/index/text/text.go:16-20,151-258),
+        reused by every text search."""
         from semadb_spark.operators.text_search import build_text_index
 
         def build():
             idx = build_text_index(_docs(spark, sf_dir), "text")
-            idx.persist().count()
-            return idx
+            idx.persist()
+            n = idx.select("id").distinct().count()
+            return idx, n
 
         return _cached_index("text_docs", sf_dir, build)
 
     def text_tfidf_any(spark, sf_dir):
+        idx, n = _docs_text_index(spark, sf_dir)
         eng = SearchEngine(
             _docs(spark, sf_dir), CORPUS_SCHEMA,
-            text_indexes={"text": _docs_text_index(spark, sf_dir)},
+            text_indexes={"text": idx}, text_index_stats={"text": n},
         )
         res = eng.search({"query": {"property": "text", "text": {"operator": "containsAny", "value": "spark query", "limit": 75}}})
         return res.select("_id", F.round("_score", 6).alias("_score"))
@@ -442,9 +445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_tfidf_any"] = text_tfidf_any
 
     def text_tfidf_all(spark, sf_dir):
+        idx, n = _docs_text_index(spark, sf_dir)
         eng = SearchEngine(
             _docs(spark, sf_dir), CORPUS_SCHEMA,
-            text_indexes={"text": _docs_text_index(spark, sf_dir)},
+            text_indexes={"text": idx}, text_index_stats={"text": n},
         )
         res = eng.search({"query": {"property": "text", "text": {"operator": "containsAll", "value": "window merge", "limit": 75}}})
         return res.select("_id", F.round("_score", 6).alias("_score"))
@@ -460,12 +464,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         def build():
             idx = build_text_index(corpus, "text")
-            idx.persist().count()
-            return idx
+            idx.persist()
+            return idx, idx.select("id").distinct().count()
 
+        idx, n = _cached_index("text_corpus", sf_dir, build)
         eng = SearchEngine(
             corpus, CORPUS_SCHEMA,
-            text_indexes={"text": _cached_index("text_corpus", sf_dir, build)},
+            text_indexes={"text": idx}, text_index_stats={"text": n},
         )
         key = "_and" if conj else "_or"
         res = eng.search(

@@ -68,10 +68,14 @@ def text_search(
     weight: float = 1.0,
     id_col: str = "_id",
     doc_terms: DataFrame | None = None,
+    num_docs: int | None = None,
 ) -> DataFrame:
     """-> (id, _score, _hybridScore) sorted by score desc, truncated to limit.
 
-    Pass a materialized ``doc_terms`` index table to skip re-tokenization.
+    Pass a materialized ``doc_terms`` index table to skip re-tokenization,
+    and ``num_docs`` (corpus document count, the reference's persisted
+    ``_numDocuments`` counter, text.go:16-20) to skip the per-query distinct
+    over the posting table — at scale both are index-time artifacts.
     """
     if operator not in ("containsAll", "containsAny"):
         raise ValueError(f"invalid operator {operator} for text query")
@@ -98,7 +102,12 @@ def text_search(
             .withColumn("doc_len", F.size("tokens"))
             .filter(F.col("doc_len") > 0)
         )
-        num_docs = toks.agg(F.count("*").alias("num_docs"))
+        if num_docs is not None:
+            num_docs = df.sparkSession.createDataFrame(
+                [(int(num_docs),)], "num_docs long"
+            )
+        else:
+            num_docs = toks.agg(F.count("*").alias("num_docs"))
         matches = (
             toks.select("id", "doc_len", F.explode("tokens").alias("term"))
             .filter(F.col("term").isin(terms))
@@ -106,7 +115,14 @@ def text_search(
             .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
         )
     else:
-        num_docs = doc_terms.select("id").distinct().agg(F.count("*").alias("num_docs"))
+        if num_docs is not None:
+            num_docs = df.sparkSession.createDataFrame(
+                [(int(num_docs),)], "num_docs long"
+            )
+        else:
+            num_docs = (
+                doc_terms.select("id").distinct().agg(F.count("*").alias("num_docs"))
+            )
         matches = doc_terms.filter(F.col("term").isin(terms))
     # Corpus-wide document frequency per query term: doc_terms rows are
     # unique per (id, term), so df_t = count per term over the matched rows

@@ -76,6 +76,7 @@ class SearchEngine:
         schema: IndexSchema | dict | str,
         id_col: str = "_id",
         text_indexes: dict[str, DataFrame] | None = None,
+        text_index_stats: dict[str, int] | None = None,
     ) -> None:
         self.df = df
         self.schema = (
@@ -84,6 +85,9 @@ class SearchEngine:
         self.id_col = id_col
         # property -> prebuilt doc_terms table (reused across searches)
         self.text_indexes = dict(text_indexes or {})
+        # property -> corpus document count (the reference's _numDocuments
+        # counter, an index-time artifact; skips a per-query distinct)
+        self.text_index_stats = dict(text_index_stats or {})
 
     # -- public API ---------------------------------------------------------
 
@@ -255,6 +259,7 @@ class SearchEngine:
             weight=weight,
             id_col=self.id_col,
             doc_terms=doc_terms,
+            num_docs=self.text_index_stats.get(prop),
         )
         if opts.get("filter") is not None:
             sub = self.compile(opts["filter"])
@@ -274,6 +279,7 @@ class SearchEngine:
                 weight=weight,
                 id_col=self.id_col,
                 doc_terms=doc_terms,
+                num_docs=self.text_index_stats.get(prop),
             )
             scored = (
                 full.join(cand.withColumnRenamed(self.id_col, "id"), "id", "left_semi")
