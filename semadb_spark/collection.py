@@ -227,15 +227,64 @@ class Collection:
         # count; parquet row-group metadata makes this a metadata-only scan).
         return self.df().count()
 
+    # -- W6: persisted text index -------------------------------------------
+    def _index_path(self, prop: str, version: int | None = None) -> str:
+        v = self._current_version() if version is None else version
+        return os.path.join(self.path, f"v{v}_idx", f"text_{prop.replace('.', '_')}")
+
+    def build_text_index(self, prop: str | None = None) -> dict[str, int]:
+        """Materialize the doc_terms posting table + _numDocuments counter
+        per text property, stored beside the current snapshot — the Spark
+        analogue of the reference's insert-time text index
+        (shard/index/text/text.go:16-20,151-258). Returns {prop: num_docs}.
+
+        The index is version-pinned: a later insert/update/delete writes a
+        new snapshot and search falls back to ad-hoc scoring until the index
+        is rebuilt (batch-first index maintenance, SURVEY.md §2.2 W6)."""
+        from .operators.text_search import build_text_index as _build
+
+        props = (
+            [prop] if prop else [p for p, v in self.schema.items() if v.type == "text"]
+        )
+        stats: dict[str, int] = {}
+        for p in props:
+            if self.schema[p].type != "text":
+                raise ValueError(f"property {p} is not a text index")
+            path = self._index_path(p)
+            _build(self.df(), p).write.mode("overwrite").parquet(path)
+            n = self.spark.read.parquet(path).select("id").distinct().count()
+            # leading underscore: ignored by parquet directory listings
+            with open(os.path.join(path, "_num_docs.json"), "w") as f:
+                json.dump({"num_docs": n}, f)
+            stats[p] = n
+        return stats
+
+    def _text_indexes(self) -> tuple[dict[str, DataFrame], dict[str, int]]:
+        idxs: dict[str, DataFrame] = {}
+        stats: dict[str, int] = {}
+        for p, v in self.schema.items():
+            if v.type != "text":
+                continue
+            path = self._index_path(p)
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                idxs[p] = self.spark.read.parquet(path)
+                with open(os.path.join(path, "_num_docs.json")) as f:
+                    stats[p] = json.load(f)["num_docs"]
+        return idxs, stats
+
     # -- search (the shard API surface: Shard.SearchPoints) -----------------
     def search(self, request: dict) -> DataFrame:
         """Run a JSON query-tree search request against the collection
         (shard/shard.go:329-472 via the compiler; request shape
-        models/search.go:19-25)."""
+        models/search.go:19-25). Uses the persisted text index for the
+        current snapshot when one exists."""
         from .plans.compiler import SearchEngine
 
         schema_dict = {p: {"type": v.type, v.type: v.params} for p, v in self.schema.items()}
-        return SearchEngine(self.df(), schema_dict).search(request)
+        idxs, stats = self._text_indexes()
+        return SearchEngine(
+            self.df(), schema_dict, text_indexes=idxs, text_index_stats=stats
+        ).search(request)
 
     # -- W1: insert ---------------------------------------------------------
     def insert(self, points: DataFrame, id_col: str = "_id") -> int:

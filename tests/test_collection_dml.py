@@ -169,3 +169,34 @@ def test_apply_update_merge_unknown_column(spark):
     upd = spark.createDataFrame([Row(_id="a", zz=5)])
     with pytest.raises(ValueError, match="update columns not in collection"):
         apply_update_merge(existing, upd)
+
+
+def test_persisted_text_index(spark, tmp_path):
+    """W6 as a collection-level artifact: build_text_index materializes the
+    posting table + numDocs counter beside the snapshot; search uses it and
+    matches the ad-hoc path exactly; a new snapshot invalidates it."""
+    schema = dict(SCHEMA, text={"type": "text", "text": {"analyser": "standard"}})
+    coll = Collection.create(spark, str(tmp_path / "tcoll"), schema)
+    rows = [
+        Row(_id=f"d{i}", vec=[float(i), 0.0], tag="t", size=i,
+            text=f"spark engine document number {i}" + (" query" if i % 2 else ""))
+        for i in range(20)
+    ]
+    coll.insert(spark.createDataFrame(rows))
+    req = {"query": {"property": "text", "text": {"operator": "containsAny",
+                                                  "value": "query engine", "limit": 10}},
+           "limit": 10}
+    adhoc = [(r._id, round(r._score, 9)) for r in coll.search(req).collect()]
+    stats = coll.build_text_index()
+    assert stats == {"text": 20}
+    import os
+    assert os.path.exists(os.path.join(coll._index_path("text"), "_SUCCESS"))
+    indexed = [(r._id, round(r._score, 9)) for r in coll.search(req).collect()]
+    assert indexed == adhoc
+    # new snapshot -> version-pinned index is stale and must not be used
+    coll.insert(spark.createDataFrame(
+        [Row(_id="d99", vec=[9.0, 9.0], tag="t", size=99, text="query query query")]))
+    idxs, _ = coll._text_indexes()
+    assert idxs == {}
+    post = coll.search(req).collect()
+    assert "d99" in {r._id for r in post}
