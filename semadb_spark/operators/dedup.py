@@ -91,7 +91,9 @@ def minhash_coeffs(num_hashes: int, seed: int = 12345) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature_array(c: Column, num_hashes: int, k: int = 3) -> Column:
+def minhash_signature_array(
+    c: Column, num_hashes: int, k: int = 3, hash_fn: str = "md5"
+) -> Column:
     """Per-row MinHash signature as ONE array<long> column.
 
     Performance notes (bench-driven):
@@ -106,7 +108,14 @@ def minhash_signature_array(c: Column, num_hashes: int, k: int = 3) -> Column:
     """
     sh = shingles(c, k)
     coeffs = minhash_coeffs(num_hashes)
-    base = F.transform(sh, lambda s: md5_hash64(s).bitwiseAND(F.lit(_MASK31)))
+    if hash_fn == "xxhash64":
+        # production fast path: JVM-native xxhash64, ~3x faster than the
+        # md5-prefix hash but not reproducible in the DuckDB oracle
+        base = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK31)))
+    elif hash_fn == "md5":
+        base = F.transform(sh, lambda s: md5_hash64(s).bitwiseAND(F.lit(_MASK31)))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn}")
     # Let-bind the md5 array (1-element array + transform), then take each
     # minimum as its own cheap arithmetic pass over the bound value. This
     # allocates O(num_hashes) arrays per row; the previous shape (array[8]
@@ -144,6 +153,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs -> (id_a, id_b).
 
@@ -185,7 +195,7 @@ def minhash_lsh_pairs(
 
     band_structs = F.flatten(
         F.transform(
-            F.array(minhash_signature_array(F.col("_txt"), num_hashes, k)),
+            F.array(minhash_signature_array(F.col("_txt"), num_hashes, k, hash_fn)),
             band_keys,
         )
     )
