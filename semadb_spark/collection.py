@@ -259,6 +259,53 @@ class Collection:
             stats[p] = n
         return stats
 
+    # -- W7 analogue: persisted ANN (IVF) index -----------------------------
+    def _vindex_path(self, prop: str, version: int | None = None) -> str:
+        v = self._current_version() if version is None else version
+        return os.path.join(self.path, f"v{v}_idx", f"ivf_{prop.replace('.', '_')}")
+
+    def build_vector_index(self, prop: str, nlist: int = 64, seed: int = 42) -> int:
+        """Materialize an IVF index for a vectorVamana property: coarse
+        centroids + the assignment table written ``partitionBy(centroid_id)``
+        so a probe prunes file groups (the batch-built ANN artifact of
+        SURVEY.md §7 M7; serving analogue of the reference's graph,
+        shard/index/vamana/vamana.go:93-120). Returns nlist actually fit.
+
+        Version-pinned like the text index: a newer snapshot falls back to
+        exact search until rebuilt."""
+        from .operators.ann import ivf_build
+
+        if self.schema[prop].type != "vectorVamana":
+            raise ValueError(f"property {prop} is not a vectorVamana index")
+        index = ivf_build(self.df(), prop, id_col="_id", nlist=nlist, seed=seed)
+        path = self._vindex_path(prop)
+        (
+            index.assigned.select("_id", F.col(prop).alias("v"), "centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(path)
+        )
+        with open(os.path.join(path, "_centroids.json"), "w") as f:
+            json.dump(index.centroids.tolist(), f)
+        return len(index.centroids)
+
+    def _vector_indexes(self) -> dict[str, object]:
+        import numpy as np
+
+        from .operators.ann import IVFIndex
+
+        out: dict[str, object] = {}
+        for p, v in self.schema.items():
+            if v.type != "vectorVamana":
+                continue
+            path = self._vindex_path(p)
+            if os.path.exists(os.path.join(path, "_centroids.json")):
+                with open(os.path.join(path, "_centroids.json")) as f:
+                    cents = np.asarray(json.load(f), dtype=np.float64)
+                assigned = self.spark.read.parquet(path)
+                out[p] = IVFIndex(cents, assigned, "v", "_id")
+        return out
+
     def _text_indexes(self) -> tuple[dict[str, DataFrame], dict[str, int]]:
         idxs: dict[str, DataFrame] = {}
         stats: dict[str, int] = {}
@@ -283,7 +330,11 @@ class Collection:
         schema_dict = {p: {"type": v.type, v.type: v.params} for p, v in self.schema.items()}
         idxs, stats = self._text_indexes()
         return SearchEngine(
-            self.df(), schema_dict, text_indexes=idxs, text_index_stats=stats
+            self.df(),
+            schema_dict,
+            text_indexes=idxs,
+            text_index_stats=stats,
+            vector_indexes=self._vector_indexes(),
         ).search(request)
 
     # -- W1: insert ---------------------------------------------------------

@@ -77,6 +77,7 @@ class SearchEngine:
         id_col: str = "_id",
         text_indexes: dict[str, DataFrame] | None = None,
         text_index_stats: dict[str, int] | None = None,
+        vector_indexes: dict[str, object] | None = None,
     ) -> None:
         self.df = df
         self.schema = (
@@ -88,6 +89,10 @@ class SearchEngine:
         # property -> corpus document count (the reference's _numDocuments
         # counter, an index-time artifact; skips a per-query distinct)
         self.text_index_stats = dict(text_index_stats or {})
+        # property -> prebuilt ANN index (operators.ann.IVFIndex). Used for
+        # unfiltered vectorVamana queries — the property type that declares
+        # approximate-search intent in the reference (models/index.go:275).
+        self.vector_indexes = dict(vector_indexes or {})
 
     # -- public API ---------------------------------------------------------
 
@@ -226,10 +231,25 @@ class SearchEngine:
             raise ValueError(f"invalid operator {opts['operator']} for vector query")
         limit = int(opts.get("limit", 10))
         weight = float(opts.get("weight") or 1.0)
-        base = self._prefiltered_df(opts.get("filter"))
-        topk = knn_ops.knn_topk(
-            base, prop, vector, value.distance_metric, limit, id_col=self.id_col
-        )
+        ann_index = self.vector_indexes.get(prop)
+        if key == "vectorVamana" and ann_index is not None and opts.get("filter") is None:
+            # approximate serving over the persisted index — vectorVamana is
+            # the reference's ANN type (beam search, vamana/search.go:9-102);
+            # filtered ANN falls back to exact (our results can only be
+            # better than the reference's optimistic filtered beam,
+            # docs/content/docs/search/filtered.md:49-51)
+            from semadb_spark.operators.ann import ivf_search
+
+            search_size = int(opts.get("searchSize") or value.params.get("searchSize") or 75)
+            nprobe = max(1, min(len(ann_index.centroids), search_size // 8))
+            topk = ivf_search(
+                ann_index, [("q", vector)], value.distance_metric, limit, nprobe=nprobe
+            ).select(F.col(ann_index.id_col).alias(self.id_col), "_distance")
+        else:
+            base = self._prefiltered_df(opts.get("filter"))
+            topk = knn_ops.knn_topk(
+                base, prop, vector, value.distance_metric, limit, id_col=self.id_col
+            )
         ranked = (
             topk.select(self.id_col, "_distance")
             .withColumn("_score", F.lit(None).cast("double"))

@@ -200,3 +200,41 @@ def test_persisted_text_index(spark, tmp_path):
     assert idxs == {}
     post = coll.search(req).collect()
     assert "d99" in {r._id for r in post}
+
+
+def test_persisted_vector_index(spark, tmp_path):
+    """W7 analogue: build_vector_index persists an IVF artifact
+    (partitionBy centroid_id) and vectorVamana searches serve from it;
+    vectorFlat still serves exact."""
+    schema = {
+        "vec": {"type": "vectorVamana",
+                "vectorVamana": {"vectorSize": 2, "distanceMetric": "euclidean",
+                                  "searchSize": 75, "degreeBound": 64, "alpha": 1.2}},
+        "tag": {"type": "string", "string": {"caseSensitive": False}},
+    }
+    coll = Collection.create(spark, str(tmp_path / "vcoll"), schema)
+    rows = [Row(_id=f"p{i}", vec=[float(i % 20), float(i // 20)], tag=f"t{i%3}")
+            for i in range(200)]
+    coll.insert(spark.createDataFrame(rows))
+    req = {"query": {"property": "vec",
+                     "vectorVamana": {"vector": [3.0, 4.0], "operator": "near", "limit": 5}},
+           "limit": 5}
+    exact = [(r._id, r._distance) for r in coll.search(req).collect()]
+    nlist = coll.build_vector_index("vec", nlist=8)
+    assert nlist == 8
+    approx = [(r._id, r._distance) for r in coll.search(req).collect()]
+    assert approx[0] == exact[0]                       # true nearest found
+    assert len(set(a for a, _ in approx) & set(e for e, _ in exact)) >= 3
+    # filtered vectorVamana falls back to exact semantics
+    freq = {"query": {"property": "vec",
+                      "vectorVamana": {"vector": [3.0, 4.0], "operator": "near", "limit": 5,
+                                        "filter": {"property": "tag", "string":
+                                                   {"operator": "equals", "value": "t0"}}}},
+            "limit": 5}
+    filt = coll.search(freq).collect()
+    assert all(r.tag == "t0" for r in spark.createDataFrame([(r._id,) for r in filt], "_id string")
+               .join(coll.df(), "_id").collect())
+    # new snapshot invalidates the ANN artifact -> exact again, sees new point
+    coll.insert(spark.createDataFrame([Row(_id="new", vec=[3.0, 4.0], tag="t9")]))
+    post = coll.search(req).collect()
+    assert post[0]._id == "new" and post[0]._distance == 0.0
