@@ -119,3 +119,20 @@ def test_read_json_points(spark, tmp_path):
         f.write(json.dumps({"vec": [1, 2, 3]}) + "\n")
     with pytest.raises(PointValidationError, match="vector of size 2"):
         read_json_points(spark, bad, SCHEMA)
+
+
+def test_load_hdf5_import_gated(spark):
+    """S6: the HDF5 bench loader raises a clear error without h5py (the
+    optional dependency is absent in this environment by design)."""
+    import pytest as _pytest
+
+    from semadb_spark.sources.hdf5 import load_hdf5
+
+    try:
+        import h5py  # noqa: F401
+
+        _pytest.skip("h5py present; loader exercised in environments with it")
+    except ImportError:
+        pass
+    with _pytest.raises(ImportError, match="h5py"):
+        load_hdf5(spark, "/nonexistent.hdf5")
