@@ -145,3 +145,53 @@ def run_stream_to_completion(
         ).start()
     q.awaitTermination(timeout_s)
     return q
+
+
+def streaming_corpus_stats(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running per-group
+    corpus statistics — document count, token total, running mean doc length
+    — updated on every micro-batch. The streaming analogue of the text
+    index's persisted counters (_numDocuments + doc stats,
+    shard/index/text/text.go:16-20,260-285), kept as typed per-key state
+    instead of a table rewrite.
+
+    Output (update mode): one row per group per batch with cumulative
+    values. State is O(distinct groups) — bounded however long the stream
+    runs.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from semadb_spark.functions.analyzer import tokenize
+
+    tokenized = stream_df.filter(F.col(text_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), F.size(tokenize(text_col)).alias("n_tok")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n_docs, n_tokens = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_docs += len(pdf)
+            n_tokens += int(pdf["n_tok"].sum())
+        state.update((n_docs, n_tokens))
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]],
+                "n_docs": [n_docs],
+                "total_tokens": [n_tokens],
+                "mean_doc_len": [n_tokens / n_docs if n_docs else 0.0],
+            }
+        )
+
+    return tokenized.groupBy("grp").applyInPandasWithState(
+        update,
+        outputStructType="grp string, n_docs long, total_tokens long, mean_doc_len double",
+        stateStructType="n_docs long, n_tokens long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -107,3 +107,34 @@ def test_streaming_event_rollup_matches_batch(spark, sf_dir, tmp_path):
     assert all(r.window_start >= horizon for r in missing.collect())
     assert got.exceptAll(want).count() == 0
     assert got.count() > 0
+
+
+def test_streaming_corpus_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState keeps cumulative per-source counters across
+    micro-batches (state survives batch boundaries; final row per group is
+    the whole-corpus total)."""
+    src = str(tmp_path / "stat_drops")
+    spark.createDataFrame(
+        [("a", "s1", "one two three"), ("b", "s1", "four five"), ("c", "s2", "alpha")],
+        "id string, source string, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [("d", "s1", "six"), ("e", "s2", "beta gamma delta epsilon")],
+        "id string, source string, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = si.read_point_stream(
+        spark, src, "id string, source string, text string", max_files_per_trigger=1
+    )
+    stats = si.streaming_corpus_stats(stream, "text", "source")
+    q = si.run_stream_to_completion(
+        stats, str(tmp_path / "ckpt_stats"), memory_table="corpus_stats",
+        output_mode="update",
+    )
+    assert q.lastProgress is not None
+    rows = spark.sql(
+        "SELECT grp, max(n_docs) AS n_docs, max(total_tokens) AS total_tokens "
+        "FROM corpus_stats GROUP BY grp"
+    ).collect()
+    got = {r.grp: (r.n_docs, r.total_tokens) for r in rows}
+    assert got == {"s1": (3, 6), "s2": (2, 5)}
