@@ -197,6 +197,9 @@ def vamana_build(
     assigned = (
         base.withColumn("shards", top_shards(F.col("v")))
         .select("id", "v", F.explode("shards").alias("shard"))
+        # persisted: the skew-count pass below and the build pass would
+        # otherwise each run the assignment UDF over the full corpus
+        .persist()
     )
     # Skew guard (salting): k-means shards can be very uneven and the local
     # build is sequential, so the biggest shard sets the wall clock. Split
@@ -258,6 +261,7 @@ def vamana_build(
     # build — at full scale you would `.write.parquet()` it instead.
     edges = edges.persist()
     edges.count()
+    assigned.unpersist()
 
     # entry id: row nearest the global medoid vector
     entry_lit = F.array(*[F.lit(float(x)) for x in entry_vec])
