@@ -18,5 +18,24 @@ Design rules (see SURVEY.md §7):
 
 from semadb_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def __getattr__(name):
+    # Lazy top-level exports: keep `import semadb_spark` light (no compiler /
+    # collection imports unless used).
+    if name == "Collection":
+        from semadb_spark.collection import Collection
+
+        return Collection
+    if name == "SearchEngine":
+        from semadb_spark.plans.compiler import SearchEngine
+
+        return SearchEngine
+    if name == "IndexSchema":
+        from semadb_spark.schema import IndexSchema
+
+        return IndexSchema
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = ["get_spark", "Collection", "SearchEngine", "IndexSchema"]
 __version__ = "0.1.0"
