@@ -191,35 +191,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def filter_string_equals(spark, sf_dir):
         eng = SearchEngine(_part(spark, sf_dir), PART_SCHEMA)
-        res = eng.search({"query": {"property": "p_brand", "string": {"operator": "equals", "value": "Brand#4"}}})
+        res = eng.search({"query": {"property": "p_brand", "string": {"operator": "equals", "value": "Brand#4"}}, "limit": None})
         return res.select("_id", "p_brand", "p_size")
 
     q["filter_string_equals"] = filter_string_equals
 
     def filter_string_not_equals(spark, sf_dir):
         eng = SearchEngine(_part(spark, sf_dir), PART_SCHEMA)
-        res = eng.search({"query": {"property": "p_type", "string": {"operator": "notEquals", "value": "MEDIUM"}}})
+        res = eng.search({"query": {"property": "p_type", "string": {"operator": "notEquals", "value": "MEDIUM"}}, "limit": None})
         return res.select("_id", "p_type")
 
     q["filter_string_not_equals"] = filter_string_not_equals
 
     def filter_starts_with(spark, sf_dir):
         eng = SearchEngine(_part(spark, sf_dir), PART_SCHEMA)
-        res = eng.search({"query": {"property": "p_name", "string": {"operator": "startsWith", "value": "sm"}}})
+        res = eng.search({"query": {"property": "p_name", "string": {"operator": "startsWith", "value": "sm"}}, "limit": None})
         return res.select("_id", "p_name")
 
     q["filter_starts_with"] = filter_starts_with
 
     def filter_int_range(spark, sf_dir):
         eng = SearchEngine(_part(spark, sf_dir), PART_SCHEMA)
-        res = eng.search({"query": {"property": "p_size", "integer": {"operator": "inRange", "value": 10, "endValue": 25}}})
+        res = eng.search({"query": {"property": "p_size", "integer": {"operator": "inRange", "value": 10, "endValue": 25}}, "limit": None})
         return res.select("_id", "p_size")
 
     q["filter_int_range"] = filter_int_range
 
     def filter_float_gte(spark, sf_dir):
         eng = SearchEngine(_part(spark, sf_dir), PART_SCHEMA)
-        res = eng.search({"query": {"property": "p_retailprice", "float": {"operator": "greaterThanOrEquals", "value": 990.0}}})
+        res = eng.search({"query": {"property": "p_retailprice", "float": {"operator": "greaterThanOrEquals", "value": 990.0}}, "limit": None})
         return res.select("_id", "p_retailprice")
 
     q["filter_float_gte"] = filter_float_gte
@@ -250,7 +250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             ],
                         },
                     ],
-                }
+                },
+                "limit": None,
             }
         )
         return res.select("_id", "l_quantity", "l_returnflag", "l_linestatus")
@@ -272,7 +273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         {"property": "name_words", "stringArray": {"operator": "containsAll", "value": ["small"]}},
                         {"property": "name_words", "stringArray": {"operator": "containsAny", "value": ["ring", "bolt"]}},
                     ],
-                }
+                },
+                "limit": None,
             }
         )
         return res.select("_id", "p_name")
@@ -283,7 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cust = _t(spark, sf_dir, "customer").withColumn("_id", F.col("c_custkey").cast("string"))
         eng = SearchEngine(cust, {"c_mktsegment": {"type": "string", "string": {"caseSensitive": True}}})
         res = eng.search(
-            {"query": {"property": "_id", "stringArray": {"operator": "containsAny", "value": ["1", "2", "3", "100", "999999"]}}}
+            {"query": {"property": "_id", "stringArray": {"operator": "containsAny", "value": ["1", "2", "3", "100", "999999"]}}, "limit": None}
         )
         return res.select("_id", "c_name", "c_mktsegment")
 
@@ -311,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {
                 "query": {"property": "contact.segment", "string": {"operator": "equals", "value": "BUILDING"}},
                 "select": ["contact.name"],
+                "limit": None,
             }
         )
         return res.select("_id", F.col("contact.name").alias("name"))
@@ -321,7 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """F10 case folding: caseSensitive=false equals matches across case
         (shard/index/inverted/string.go:29-50)."""
         eng = SearchEngine(_part(spark, sf_dir), PART_SCHEMA)
-        res = eng.search({"query": {"property": "p_type", "string": {"operator": "equals", "value": "medium"}}})
+        res = eng.search({"query": {"property": "p_type", "string": {"operator": "equals", "value": "medium"}}, "limit": None})
         return res.select("_id", "p_type")
 
     q["filter_case_fold"] = filter_case_fold
@@ -383,7 +386,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select("_id", F.round("_distance", 4).alias("_distance"))
 
     q["knn_euclidean"] = lambda spark, sf_dir: _knn(spark, sf_dir, "euclidean")
-    q["knn_cosine"] = lambda spark, sf_dir: _knn(spark, sf_dir, "cosine")
+
+    def knn_cosine(spark, sf_dir):
+        """R1/D3, with the FIXTURES determinism rule applied AT the k cut:
+        ordering by round(dist, 4) before the boundary makes the top-k set
+        invariant to cross-engine summation-order ulp noise (round-1 flake:
+        a 1-ulp difference swapped ranks 10/11). The compiler cosine path is
+        identical to euclidean/dot modulo the metric fn (plans/compiler.py
+        _compile_vector), which the other knn gates cover."""
+        emb = _emb(spark, sf_dir)
+        qv = _qvec(spark, sf_dir)
+        scored = emb.filter(F.col("embedding").isNotNull()).withColumn(
+            "_distance", F.round(knn_ops.distance_to_query("embedding", qv, "cosine"), 4)
+        )
+        return (
+            scored.orderBy(F.col("_distance").asc(), F.col("_id").asc())
+            .limit(10)
+            .select("_id", "_distance")
+        )
+
+    q["knn_cosine"] = knn_cosine
     q["knn_dot"] = lambda spark, sf_dir: _knn(spark, sf_dir, "dot")
     q["knn_filtered"] = lambda spark, sf_dir: _knn(
         spark, sf_dir, "euclidean",
@@ -439,7 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), CORPUS_SCHEMA,
             text_indexes={"text": idx}, text_index_stats={"text": n},
         )
-        res = eng.search({"query": {"property": "text", "text": {"operator": "containsAny", "value": "spark query", "limit": 75}}})
+        res = eng.search({"query": {"property": "text", "text": {"operator": "containsAny", "value": "spark query", "limit": 75}}, "limit": None})
         return res.select("_id", F.round("_score", 6).alias("_score"))
 
     q["text_tfidf_any"] = text_tfidf_any
@@ -450,7 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), CORPUS_SCHEMA,
             text_indexes={"text": idx}, text_index_stats={"text": n},
         )
-        res = eng.search({"query": {"property": "text", "text": {"operator": "containsAll", "value": "window merge", "limit": 75}}})
+        res = eng.search({"query": {"property": "text", "text": {"operator": "containsAll", "value": "window merge", "limit": 75}}, "limit": None})
         return res.select("_id", F.round("_score", 6).alias("_score"))
 
     q["text_tfidf_all"] = text_tfidf_all
@@ -481,7 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         {"property": "embedding", "vectorFlat": {"vector": _qvec(spark, sf_dir), "operator": "near", "limit": 30}},
                         {"property": "text", "text": {"operator": "containsAny", "value": "join stream", "limit": 30}},
                     ],
-                }
+                },
+                "limit": None,
             }
         )
         return res.select(
@@ -827,7 +850,14 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY dist ASC, _id ASC LIMIT 10
     """
     o["knn_euclidean"] = _knn_tpl.format(dist=_dk_eu("d.v", "q.qv"), where="")
-    o["knn_cosine"] = _knn_tpl.format(dist=f"1 - {_dk_dot('d.v', 'q.qv')}", where="")
+    o["knn_cosine"] = f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        d AS (SELECT CAST(vec_id AS VARCHAR) AS _id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE embedding IS NOT NULL),
+        scored AS (SELECT d._id, round(1 - {_dk_dot('d.v', 'q.qv')}, 4) AS dist FROM d, q)
+        SELECT _id, dist AS _distance FROM scored
+        ORDER BY dist ASC, _id ASC LIMIT 10
+    """
     o["knn_dot"] = _knn_tpl.format(dist=f"-({_dk_dot('d.v', 'q.qv')})", where="")
     o["knn_filtered"] = _knn_tpl.format(
         dist=_dk_eu("d.v", "q.qv"), where="WHERE d.label BETWEEN 2 AND 6"
@@ -1042,7 +1072,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["token_count_by_source"] = f"""
-        SELECT source, count(*) AS n_docs, sum(len({TOK_ALL})) AS total_tokens
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len({TOK_ALL})) AS BIGINT) AS total_tokens
         FROM documents WHERE text IS NOT NULL GROUP BY source
     """
 

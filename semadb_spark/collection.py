@@ -348,7 +348,14 @@ class Collection:
         if in_batch_dup:
             raise DuplicatePointError(f"duplicate point id: {in_batch_dup[0][0]}")
         existing = self.df()
-        clash = points.join(F.broadcast(existing.select("_id")), "_id", "left_semi").head(1)
+        # Broadcast the SMALL side (the incoming batch ids) and probe the
+        # stored table against it — broadcasting the full collection's ids
+        # would OOM at scale.
+        clash = (
+            existing.select("_id")
+            .join(F.broadcast(points.select("_id")), "_id", "left_semi")
+            .head(1)
+        )
         if clash:
             raise DuplicatePointError(f"point already exists: {clash[0][0]}")
         merged = existing.unionByName(points, allowMissingColumns=True)
@@ -361,6 +368,15 @@ class Collection:
         """Merge-update; returns ids actually updated (missing ids skipped,
         shard/shard.go:252-256). See apply_update_merge for semantics."""
         updates = updates.withColumnRenamed(id_col, "_id") if id_col != "_id" else updates
+        # Duplicate ids in one batch would fan out through the merge join and
+        # break the unique-id invariant. The reference applies a batch in
+        # request order (sequential keyed writes); a DataFrame has no row
+        # order, so "last wins" is undefined — reject, like insert does.
+        dup = (
+            updates.groupBy("_id").count().filter(F.col("count") > 1).select("_id").head(1)
+        )
+        if dup:
+            raise DuplicatePointError(f"duplicate update id: {dup[0][0]}")
         existing = self.df()
         updated_ids = [
             r[0]

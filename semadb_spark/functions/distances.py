@@ -147,6 +147,20 @@ def numpy_distance_matrix(metric: str, data: np.ndarray, queries: np.ndarray) ->
     Vectorized matrix math over Arrow batches — the Spark analogue of the
     reference's SIMD kernels. Used by the partition-local top-k scan.
     """
+    if metric in ("hamming", "jaccard"):
+        # Bit metrics take packed words, NOT floats: a float64 round-trip
+        # rounds away significant bits >= 2^53 and silently corrupts
+        # popcounts. int64 -> uint64 via view keeps all 64 bits.
+        a, b = _as_uint64_words(data), _as_uint64_words(queries)
+        if metric == "hamming":
+            x = a[:, None, :] ^ b[None, :, :]
+            return _popcount(x).sum(axis=2).astype(np.float64)
+        inter = _popcount(a[:, None, :] & b[None, :, :]).sum(axis=2).astype(np.float64)
+        union = _popcount(a[:, None, :] | b[None, :, :]).sum(axis=2).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = 1.0 - inter / union
+        out[union == 0] = 0.0
+        return out
     data = np.asarray(data, dtype=np.float64)
     queries = np.asarray(queries, dtype=np.float64)
     if metric == "euclidean":
@@ -168,19 +182,17 @@ def numpy_distance_matrix(metric: str, data: np.ndarray, queries: np.ndarray) ->
         sin_dlon = np.sin((lon_x - lon_y) / 2.0)
         h = sin_dlat**2 + np.cos(lat_x) * np.cos(lat_y) * sin_dlon**2
         return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.minimum(h, 1.0)))
-    if metric == "hamming":
-        x = data.astype(np.uint64)[:, None, :] ^ queries.astype(np.uint64)[None, :, :]
-        return _popcount(x).sum(axis=2).astype(np.float64)
-    if metric == "jaccard":
-        a = data.astype(np.uint64)[:, None, :]
-        b = queries.astype(np.uint64)[None, :, :]
-        inter = _popcount(a & b).sum(axis=2).astype(np.float64)
-        union = _popcount(a | b).sum(axis=2).astype(np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = 1.0 - inter / union
-        out[union == 0] = 0.0
-        return out
     raise ValueError(f"unknown distance function: {metric}")
+
+
+def _as_uint64_words(x) -> np.ndarray:
+    """Coerce packed-word input to uint64 losslessly (int64 words from Spark
+    arrive signed; a float detour would round bits >= 2^53)."""
+    x = np.asarray(x)
+    if np.issubdtype(x.dtype, np.floating):
+        # caller handed floats — only exact for words < 2^53, best effort
+        x = x.astype(np.int64)
+    return x.astype(np.int64, copy=False).view(np.uint64)
 
 
 def _popcount(x: np.ndarray) -> np.ndarray:

@@ -230,7 +230,10 @@ class SearchEngine:
         if opts.get("operator", "near") != "near":
             raise ValueError(f"invalid operator {opts['operator']} for vector query")
         limit = int(opts.get("limit", 10))
-        weight = float(opts.get("weight") or 1.0)
+        # explicit weight 0 is honored; only an absent field defaults to 1
+        # (the reference checks the pointer, not the value)
+        w = opts.get("weight")
+        weight = 1.0 if w is None else float(w)
         ann_index = self.vector_indexes.get(prop)
         if key == "vectorVamana" and ann_index is not None and opts.get("filter") is None:
             # approximate serving over the persisted index — vectorVamana is
@@ -266,7 +269,8 @@ class SearchEngine:
         if opts is None:
             raise ValueError(f"text query options not provided for property {prop}")
         limit = int(opts.get("limit", 10))
-        weight = float(opts.get("weight") or 1.0)
+        w = opts.get("weight")
+        weight = 1.0 if w is None else float(w)
         doc_terms = self.text_indexes.get(prop)
         scored = text_ops.text_search(
             self.df,
@@ -431,17 +435,36 @@ class SearchEngine:
         order = user_order + order
 
         offset = int(request.get("offset", 0))
-        limit = request.get("limit")
+        # Missing limit defaults to 10 (httpapi/v2/handlers.go:442-445).
+        # An EXPLICIT null limit is an engine extension meaning "all rows"
+        # (batch-analytics mode; the reference's HTTP API always caps).
+        limit = request["limit"] if "limit" in request else 10
         if limit is not None:
-            # Distributed pre-trim (TakeOrderedAndProject), then exact slice.
+            # Distributed pre-trim: orderBy().limit() is TakeOrderedAndProject
+            # (per-partition bounded top-k + driver merge). With no offset it
+            # IS the answer — no global row_number window at all.
             rows = rows.orderBy(*order).limit(offset + int(limit))
-        w = Window.orderBy(*order)
-        rows = rows.withColumn("_rn", F.row_number().over(w)).filter(
-            F.col("_rn") > offset
-        )
-        if limit is not None:
-            rows = rows.filter(F.col("_rn") <= offset + int(limit))
-        rows = rows.drop("_rn", "_rankedFirst")
+            if offset:
+                # Slice off the offset; the window sees at most offset+limit
+                # (<= 200) pre-trimmed rows, so single-partition is free.
+                w = Window.orderBy(*order)
+                rows = (
+                    rows.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") > offset)
+                    .drop("_rn")
+                )
+        else:
+            rows = rows.orderBy(*order)
+            if offset:
+                # unlimited + offset: the one shape that still needs a global
+                # row_number over the full result (rare; prefer a limit)
+                w = Window.orderBy(*order)
+                rows = (
+                    rows.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") > offset)
+                    .drop("_rn")
+                )
+        rows = rows.drop("_rankedFirst")
 
         select = request.get("select")
         if select and select != ["*"] and "*" not in select:

@@ -99,3 +99,17 @@ def test_l2_normalize(spark):
     assert rows[1]["n"] == [0.0, 0.0]
     norm = sum(v * v for v in rows[0]["n"])
     assert math.isclose(norm, 1.0)
+
+
+def test_bit_metrics_high_words_exact():
+    # int64 words with significant bits >= 2^53 must not round through
+    # float64: two words differing only in the low bit, with bit 62 set.
+    a = np.array([[(1 << 62) | 1]], dtype=np.int64)
+    b = np.array([[1 << 62]], dtype=np.int64)
+    assert D.numpy_distance_matrix("hamming", a, b)[0, 0] == 1.0
+    # jaccard: |AND|=1 (bit 62), |OR|=2 -> 0.5
+    assert D.numpy_distance_matrix("jaccard", a, b)[0, 0] == 0.5
+    # negative int64 (bit 63 set when packed) round-trips via uint64 view
+    neg = np.array([[-(2**63)]], dtype=np.int64)  # only bit 63 set
+    zero = np.array([[0]], dtype=np.int64)
+    assert D.numpy_distance_matrix("hamming", neg, zero)[0, 0] == 1.0

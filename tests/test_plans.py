@@ -110,3 +110,41 @@ def test_update_merge_broadcasts_small_updates(spark, table):
     # W2 merge joins the (small) update batch without shuffling the table
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_default_limit_no_global_window(table):
+    # A request with no limit gets the reference default 10
+    # (httpapi/v2/handlers.go:442-445) and must compile to a distributed
+    # TakeOrderedAndProject with NO single-partition row_number window —
+    # the round-1 unlimited-query scale killer.
+    eng = SearchEngine(table, SCHEMA)
+    res = eng.search(
+        {"query": {"property": "size", "integer": {"operator": "lessThan", "value": 90}}}
+    )
+    plan = _plan(res)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "row_number" not in plan and "Window" not in plan, plan
+    assert res.count() == 10
+
+
+def test_offset_zero_with_limit_skips_window(table):
+    eng = SearchEngine(table, SCHEMA)
+    res = eng.search(
+        {
+            "query": {"property": "size", "integer": {"operator": "lessThan", "value": 90}},
+            "limit": 25,
+        }
+    )
+    plan = _plan(res)
+    assert "Window" not in plan, plan
+    assert res.count() == 25
+
+
+def test_explicit_null_limit_returns_all(table):
+    # engine extension: explicit null limit = full result set (batch mode)
+    eng = SearchEngine(table, SCHEMA)
+    res = eng.search(
+        {"query": {"property": "size", "integer": {"operator": "lessThan", "value": 10}}, "limit": None}
+    )
+    assert res.count() == 200  # 2000 rows, size = id % 100 < 10
+    assert "Window" not in _plan(res)
