@@ -427,6 +427,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_haversine"] = knn_haversine
 
+    def _knn_bits(spark, sf_dir, metric):
+        """D8: float vectors queried with a bit metric are binarized at the
+        fixed 0.5 threshold through the compiler (vectorstore.go:51-73).
+        The raw embeddings never exceed 0.5 (binarization would be vacuous),
+        so the gate shifts values by +0.5 — threshold 0.5 then splits on
+        sign, giving non-trivial bit patterns. Distances are exact small
+        ints / int ratios, so cross-engine hashing is stable."""
+        emb = _emb(spark, sf_dir).withColumn(
+            "embedding", F.transform("embedding", lambda x: x + F.lit(0.5))
+        )
+        schema = {
+            "embedding": {"type": "vectorFlat", "vectorFlat": {"vectorSize": 64, "distanceMetric": metric}},
+            "label": {"type": "integer"},
+        }
+        eng = SearchEngine(emb, schema)
+        qv = [x + 0.5 for x in _qvec(spark, sf_dir, vec_id=7)]
+        res = eng.search(
+            {"query": {"property": "embedding", "vectorFlat": {"vector": qv, "operator": "near", "limit": 10}}}
+        )
+        return res.select("_id", F.round("_distance", 6).alias("_distance"))
+
+    q["knn_hamming"] = lambda spark, sf_dir: _knn_bits(spark, sf_dir, "hamming")
+    q["knn_jaccard"] = lambda spark, sf_dir: _knn_bits(spark, sf_dir, "jaccard")
+
     def knn_batch(spark, sf_dir):
         emb = _emb(spark, sf_dir)
         queries_df = (
@@ -878,6 +902,40 @@ def oracle_sql() -> dict[str, str]:
                  )) AS dist
           FROM d, q)
         SELECT _id, round(dist, 4) AS _distance FROM scored
+        ORDER BY dist ASC, _id ASC LIMIT 10
+    """
+
+    # D8 bit-metric oracles: binarization at 0.5 is an encoding — hamming /
+    # jaccard over the packed words equal the same counts over per-dim bits.
+    o["knn_hamming"] = """
+        WITH q AS (SELECT list_transform(embedding::DOUBLE[], x -> x + 0.5) AS qv
+                   FROM embeddings WHERE vec_id = 7),
+        d AS (SELECT CAST(vec_id AS VARCHAR) AS _id,
+                     list_transform(embedding::DOUBLE[], x -> x + 0.5) AS v
+              FROM embeddings WHERE embedding IS NOT NULL),
+        scored AS (
+          SELECT d._id,
+                 CAST(len(list_filter(list_zip(d.v, q.qv), p -> (p[1] > 0.5) <> (p[2] > 0.5))) AS DOUBLE) AS dist
+          FROM d, q)
+        SELECT _id, round(dist, 6) AS _distance FROM scored
+        ORDER BY dist ASC, _id ASC LIMIT 10
+    """
+
+    o["knn_jaccard"] = """
+        WITH q AS (SELECT list_transform(embedding::DOUBLE[], x -> x + 0.5) AS qv
+                   FROM embeddings WHERE vec_id = 7),
+        d AS (SELECT CAST(vec_id AS VARCHAR) AS _id,
+                     list_transform(embedding::DOUBLE[], x -> x + 0.5) AS v
+              FROM embeddings WHERE embedding IS NOT NULL),
+        c AS (SELECT d._id,
+                     len(list_filter(list_zip(d.v, q.qv), p -> (p[1] > 0.5) AND (p[2] > 0.5))) AS i,
+                     len(list_filter(list_zip(d.v, q.qv), p -> (p[1] > 0.5) OR (p[2] > 0.5))) AS u
+              FROM d, q),
+        scored AS (
+          SELECT _id,
+                 CASE WHEN u = 0 THEN 0.0 ELSE 1.0 - i::DOUBLE / u::DOUBLE END AS dist
+          FROM c)
+        SELECT _id, round(dist, 6) AS _distance FROM scored
         ORDER BY dist ASC, _id ASC LIMIT 10
     """
 

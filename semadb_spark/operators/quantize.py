@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = [
     "bq_fit",
     "bq_encode",
+    "bq_encode_expr",
     "bq_distance_expr",
     "bq_topk",
     "PQCodebooks",
@@ -128,6 +129,45 @@ def bq_encode(
         return out
 
     return df.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def bq_encode_expr(
+    vec_col: Column | str, dim: int, thresholds: Sequence[float] | float = 0.5
+) -> Column:
+    """Pure-Column binarize + bit-pack: ``array<float>`` -> packed
+    ``array<long>``, bit i%64 of word i//64 set iff ``v[i] > threshold[i]``
+    (binary.go:113-128 layout, same as :func:`encode_bits_np`).
+
+    This is the query-time D8 path (float vectors searched with
+    hamming/jaccard are force-binarized at 0.5,
+    shard/vectorstore/vectorstore.go:51-73): staying JVM-side keeps the scan
+    in whole-stage codegen with no Arrow round-trip. The expression has one
+    term per dimension — fine through a few hundred dims; prefer the
+    pandas-UDF :func:`bq_encode` for building persisted code columns at
+    d >> 512.
+    """
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    thr = (
+        [float(thresholds)] * dim
+        if isinstance(thresholds, (int, float))
+        else [float(t) for t in thresholds]
+    )
+    words = []
+    for w in range((dim + 63) // 64):
+        bits = [
+            F.when(
+                F.element_at(c, w * 64 + i + 1) > F.lit(thr[w * 64 + i]),
+                # shiftleft(1L, 63) wraps to min-long in the JVM — a python
+                # literal 1 << 63 would overflow the long literal instead
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(min(64, dim - w * 64))
+        ]
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc.bitwiseOR(b)
+        words.append(acc)
+    return F.array(*words)
 
 
 def _code_lit(code: Sequence[int]) -> Column:

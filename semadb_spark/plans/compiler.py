@@ -235,7 +235,12 @@ class SearchEngine:
         w = opts.get("weight")
         weight = 1.0 if w is None else float(w)
         ann_index = self.vector_indexes.get(prop)
-        if key == "vectorVamana" and ann_index is not None and opts.get("filter") is None:
+        if (
+            key == "vectorVamana"
+            and ann_index is not None
+            and opts.get("filter") is None
+            and value.distance_metric not in ("hamming", "jaccard")
+        ):
             # approximate serving over the persisted index — vectorVamana is
             # the reference's ANN type (beam search, vamana/search.go:9-102);
             # filtered ANN falls back to exact (our results can only be
@@ -248,6 +253,35 @@ class SearchEngine:
             topk = ivf_search(
                 ann_index, [("q", vector)], value.distance_metric, limit, nprobe=nprobe
             ).select(F.col(ann_index.id_col).alias(self.id_col), "_distance")
+        elif value.distance_metric in ("hamming", "jaccard"):
+            # D8: float vectors queried with a bit metric are force-binarized
+            # at threshold 0.5 — the reference auto-wraps a binary quantizer
+            # around the vector store (shard/vectorstore/vectorstore.go:51-73).
+            # Encode stays JVM-side (bq_encode_expr), the query is packed
+            # driver-side with the same thresholds.
+            import numpy as np
+
+            from semadb_spark.operators.quantize import (
+                bq_distance_expr,
+                bq_encode_expr,
+                encode_bits_np,
+            )
+
+            base = self._prefiltered_df(opts.get("filter"))
+            qcode = encode_bits_np(
+                np.asarray(vector, dtype=np.float64)[None, :], np.asarray(0.5)
+            )[0]
+            scored = base.filter(F.col(prop).isNotNull()).withColumn(
+                "_distance",
+                bq_distance_expr(
+                    bq_encode_expr(F.col(prop), len(vector), 0.5),
+                    qcode.tolist(),
+                    value.distance_metric,
+                ),
+            )
+            topk = scored.orderBy(
+                F.col("_distance").asc(), F.col(self.id_col).asc()
+            ).limit(limit)
         else:
             base = self._prefiltered_df(opts.get("filter"))
             topk = knn_ops.knn_topk(

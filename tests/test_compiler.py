@@ -275,3 +275,38 @@ def test_select_star(engine, products):
 def test_schema_validation_unknown_property(engine):
     with pytest.raises(ValueError, match="not found in index schema"):
         engine.search({"query": {"property": "nope", "string": {"operator": "equals", "value": "x"}}})
+
+
+def test_knn_bit_metrics_on_float_vectors(products):
+    # D8: a vectorFlat property declared hamming/jaccard accepts float
+    # vectors and binarizes both sides at 0.5 (vectorstore.go:51-73).
+    # Fixture bits (v > 0.5): 00->(0,0) 01->(1,0) 02->(0,1) 03->(1,1)
+    # 04->(1,1) 05->(1,1); query [0.0, 0.6] -> (0,1).
+    schema = IndexSchema.from_json(
+        {"vector": {"type": "vectorFlat", "vectorFlat": {"vectorSize": 2, "distanceMetric": "hamming"}}}
+    )
+    eng = SearchEngine(products, schema)
+    rows = eng.search(
+        {"query": {"property": "vector", "vectorFlat": {"vector": [0.0, 0.6], "operator": "near", "limit": 6}}}
+    ).select("_id", "_distance").collect()
+    d = {r["_id"]: r["_distance"] for r in rows}
+    assert d["02"] == 0.0  # (0,1) exact bit match
+    assert d["00"] == 1.0 and d["03"] == 1.0
+    assert d["01"] == 2.0
+
+    schema_j = IndexSchema.from_json(
+        {"vector": {"type": "vectorFlat", "vectorFlat": {"vectorSize": 2, "distanceMetric": "jaccard"}}}
+    )
+    eng_j = SearchEngine(products, schema_j)
+    rows = eng_j.search(
+        {"query": {"property": "vector", "vectorFlat": {"vector": [0.0, 0.6], "operator": "near", "limit": 6}}}
+    ).select("_id", "_distance").collect()
+    dj = {r["_id"]: r["_distance"] for r in rows}
+    assert dj["02"] == 0.0          # identical bit sets
+    assert dj["03"] == pytest.approx(0.5)  # |AND|=1, |OR|=2
+    assert dj["01"] == pytest.approx(1.0)  # disjoint
+    # all-zero vs all-zero union empty -> distance 0 (distance.go:62-64)
+    zq = eng_j.search(
+        {"query": {"property": "vector", "vectorFlat": {"vector": [0.0, 0.0], "operator": "near", "limit": 1}}}
+    ).select("_id", "_distance").collect()
+    assert zq[0]["_id"] == "00" and zq[0]["_distance"] == 0.0
