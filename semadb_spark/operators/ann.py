@@ -191,6 +191,13 @@ def _bucket_ids(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return out
 
 
+def rplsh_planes(tables: int, bits: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic (tables, bits, dim) hyperplane tensor. Shared by the
+    index build and the oracle generator, so a hash gate can re-derive the
+    exact bucketing from (tables, bits, dim, seed) alone."""
+    return np.random.RandomState(seed).normal(size=(tables, bits, dim))
+
+
 def rplsh_build(
     df: DataFrame,
     vec_col: str,
@@ -202,8 +209,7 @@ def rplsh_build(
 ) -> RPLSHIndex:
     """Compute per-table bucket keys for every vector (one mapInPandas pass,
     no shuffle). At scale, write the bucket table bucketed by (table, bucket)."""
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(tables, bits, dim))
+    planes = rplsh_planes(tables, bits, dim, seed)
     out_schema = f"{id_col} string, table int, bucket long"
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
