@@ -235,19 +235,36 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity.
 
-    -> (id_a, id_b, jaccard). The shingle-set frame joins in twice; candidate
-    sets are small post-LSH, so both joins broadcast at typical dedup rates.
+    -> (id_a, id_b, jaccard). Candidate sets are tiny by construction
+    (post-LSH), so the corpus is semi-joined down to the candidate ids
+    BEFORE any shingling — at 100 TB the expensive tokenize/shingle pass
+    touches O(|candidates|) documents, never the corpus. The candidate id
+    set broadcasts (it's bounded by the dedup rate); the shingle frame is
+    computed once and broadcast into both sides of the pair join.
     """
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .unionByName(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
     sets = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        # corpus -> candidates first: the whole point of LSH pre-filtering
+        .join(F.broadcast(cand_ids), "id", "left_semi")
         # parallelize shingle compute on small inputs (explicit count: AQE
         # would coalesce the tiny-by-bytes, heavy-by-CPU shuffle to 1 task)
         .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col("id"))
         .select("id", shingles(F.col("_txt"), k).alias("sh"))
     )
     out = (
-        candidates.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        candidates.join(
+            F.broadcast(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -347,35 +364,107 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold -> (id_a, id_b, cos_sim).
 
-    With ``block_col`` (e.g. a cluster/LSH bucket id) the self-join is
-    per-block; without it this is a full O(n^2) cross join — only for small
-    frames or as the oracle for the blocked variant.
+    Within-block pair similarities are computed by a NumPy GEMM per block
+    (``applyInPandas``): one ``V @ V.T`` instead of an interpreted
+    higher-order-function dot per pair. ``block_col`` is any coarse grouping
+    (a label, an IVF centroid id); each block must fit one worker's memory.
+    Without ``block_col`` everything lands in ONE block — only for small
+    frames or as the oracle for the blocked variants. For the scale path
+    with no natural block column, use :func:`embedding_neardup_pairs_lsh`,
+    which blocks on random-projection buckets.
     """
+    import numpy as np
+    import pandas as pd
+
     base = df.select(
         F.col(id_col).alias("id"),
         l2_normalize(F.col(vec_col).cast("array<double>")).alias("v"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
     )
-    # Round-robin spread the probe side: single-file inputs arrive as one
-    # partition and the pair dot-products are CPU-bound. Catalyst broadcasts
-    # the build side when it fits (each task then handles a slice of `a`
-    # against all of `b` — parallelism bounded by cores, not distinct
-    # blocks); past the broadcast threshold it shuffles both sides by blk,
-    # which at scale has enough distinct buckets to parallelize naturally.
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
+        V = np.stack(pdf["v"].to_numpy())
+        ids = pdf["id"].astype(str).to_numpy()
+        S = V @ V.T  # one GEMM per block — the SIMD analogue
+        ia, ib = np.triu_indices(n, 1)
+        sims = S[ia, ib]
+        keep = sims >= threshold
+        out = pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos_sim": sims[keep]}
+        )
+        swap = out["id_a"] > out["id_b"]  # canonical id_a < id_b
+        out.loc[swap, ["id_a", "id_b"]] = out.loc[swap, ["id_b", "id_a"]].values
+        return out
+
+    # Explicit repartition: blocks are tiny in bytes but heavy in CPU; AQE
+    # would coalesce the shuffle to one task.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    a = base.repartition(n_parts).alias("a")
-    b = base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if block_col:
-        cond = (F.col("a.blk") == F.col("b.blk")) & cond
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     return (
-        a.join(b, cond)
-        .withColumn("cos_sim", dot)
-        .filter(F.col("cos_sim") >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
+        base.repartition(n_parts, "blk")
+        .groupBy("blk")
+        .applyInPandas(block_pairs, "id_a string, id_b string, cos_sim double")
     )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    dim: int,
+    tables: int = 4,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: near-dup pairs blocked on random-projection LSH buckets.
+
+    Candidate pairs are enumerated only within (table, bucket) groups —
+    O(sum of bucket^2) work instead of O(n^2); near-identical vectors share
+    all sign bits, so true near-dups land in the same bucket in (almost)
+    every table. Pick ``bits`` ~ log2(n/target_bucket_size) so buckets stay
+    worker-sized as n grows. A pair found in several tables is deduped by
+    (id_a, id_b); cosine values for the same pair are GEMM-batch equal up to
+    ulp, so first() is stable for any practical threshold.
+    """
+    from semadb_spark.operators.ann import rplsh_build
+
+    base = df.select(
+        F.col(id_col).cast("string").alias(id_col),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("__nv"),
+    )
+    idx = rplsh_build(base, "__nv", dim, id_col=id_col, tables=tables, bits=bits, seed=seed)
+    blocked = idx.buckets.join(base, id_col).select(
+        F.col(id_col).alias("id"),
+        F.col("__nv").alias("v"),
+        F.concat_ws("_", "table", "bucket").alias("blk"),
+    )
+    import numpy as np
+    import pandas as pd
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
+        V = np.stack(pdf["v"].to_numpy())
+        ids = pdf["id"].astype(str).to_numpy()
+        S = V @ V.T
+        ia, ib = np.triu_indices(n, 1)
+        sims = S[ia, ib]
+        keep = sims >= threshold
+        out = pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos_sim": sims[keep]}
+        )
+        swap = out["id_a"] > out["id_b"]
+        out.loc[swap, ["id_a", "id_b"]] = out.loc[swap, ["id_b", "id_a"]].values
+        return out
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        blocked.repartition(n_parts, "blk")
+        .groupBy("blk")
+        .applyInPandas(block_pairs, "id_a string, id_b string, cos_sim double")
+    )
+    return pairs.groupBy("id_a", "id_b").agg(F.first("cos_sim").alias("cos_sim"))

@@ -148,3 +148,45 @@ def test_knn_scan_matches_batch(spark):
     a = {(r["query_id"], r["_id"]) for r in knn_topk_batch(df, "v", qdf, "euclidean", 5).collect()}
     b = {(r["query_id"], r["_id"]) for r in knn_topk_scan(df, "v", qlist, "euclidean", 5).collect()}
     assert a == b
+
+
+def test_embedding_neardup_lsh_blocked(spark):
+    # Plant 20 near-dup pairs in 400 random vectors; the LSH-blocked variant
+    # must recover them while examining far fewer candidate pairs than the
+    # all-pairs O(n^2) — the property that lets it survive a 100x scale-up.
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    base = rng.normal(size=(400, 16))
+    rows = [(f"r{i:03d}", base[i].tolist()) for i in range(400)]
+    rows += [(f"d{i:03d}", (base[i] + rng.normal(scale=1e-3, size=16)).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "_id string, v array<double>")
+
+    from semadb_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    got = embedding_neardup_pairs_lsh(df, "v", "_id", 0.999, dim=16, tables=4, bits=6).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    planted = {(f"d{i:03d}", f"r{i:03d}") for i in range(20)}
+    assert planted <= found, planted - found
+    # candidate volume: sum of within-bucket pairs << all-pairs
+    from semadb_spark.operators.ann import rplsh_build
+    from semadb_spark.functions.distances import l2_normalize
+    from pyspark.sql import functions as F
+
+    nb = df.select("_id", l2_normalize(F.col("v")).alias("nv"))
+    idx = rplsh_build(nb, "nv", 16, id_col="_id", tables=4, bits=6)
+    sizes = idx.buckets.groupBy("table", "bucket").count().collect()
+    examined = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+    n = 420
+    assert examined < 0.25 * (n * (n - 1) // 2), examined
+
+    # blocked result is a subset of the exact all-pairs result with equal sims
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_neardup_pairs(df, "v", "_id", 0.999).collect()
+    }
+    for r in got:
+        assert (r["id_a"], r["id_b"]) in exact
