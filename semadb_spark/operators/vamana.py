@@ -26,13 +26,34 @@ the reference's shardpy bench shim (internal/shardpy/shardpy.go:20-80).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["VamanaIndex", "vamana_build", "vamana_delete", "beam_search", "bfs_reachable"]
+__all__ = [
+    "VamanaIndex",
+    "vamana_build",
+    "vamana_delete",
+    "vamana_update",
+    "beam_search",
+    "bfs_reachable",
+]
+
+# Metrics the graph kernels support (the reference builds/searches with the
+# collection's metric, vamana.go:101-109): euclidean, dot, and cosine —
+# cosine assumes pre-normalized inputs exactly like the reference
+# (distance/distance.go:23-25). Bit metrics go through the quantized store,
+# never the graph kernels.
+GRAPH_METRICS = ("euclidean", "cosine", "dot")
+
+
+def _dist_rows(metric: str, X: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Distances from each row of X to the single vector q -> (n,)."""
+    from semadb_spark.functions.distances import numpy_distance_matrix
+
+    return numpy_distance_matrix(metric, X, q[None, :])[:, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -40,11 +61,16 @@ __all__ = ["VamanaIndex", "vamana_build", "vamana_delete", "beam_search", "bfs_r
 
 
 def _greedy_search(
-    X: np.ndarray, adj: list[list[int]], start: int, q: np.ndarray, search_size: int
+    X: np.ndarray,
+    adj: list[list[int]],
+    start: int,
+    q: np.ndarray,
+    search_size: int,
+    metric: str = "euclidean",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Greedy beam search (search.go:9-102). Returns (ids, dists) of the
     visited set sorted by distance — the robustPrune candidate pool."""
-    dists: dict[int, float] = {start: float(((X[start] - q) ** 2).sum())}
+    dists: dict[int, float] = {start: float(_dist_rows(metric, X[start][None, :], q)[0])}
     beam: list[int] = [start]
     in_beam: set[int] = {start}
     visited: set[int] = set()
@@ -63,7 +89,7 @@ def _greedy_search(
         if nbrs:
             new = [i for i in nbrs if i not in dists]
             if new:
-                d = ((X[new] - q) ** 2).sum(axis=1)
+                d = _dist_rows(metric, X[new], q)
                 dists.update(zip(new, d.tolist()))
             beam.extend(nbrs)
             in_beam.update(nbrs)
@@ -78,10 +104,12 @@ def _robust_prune(
     cand_dists: np.ndarray,
     degree_bound: int,
     alpha: float,
+    metric: str = "euclidean",
 ) -> list[int]:
     """alpha-RNG pruning, exactly search.go:106-138: walk candidates by
     distance; keep c; drop any later candidate j with
-    alpha * d(c, j) < d(node, j)."""
+    alpha * d(c, j) < d(node, j) — d is the collection metric, as in the
+    reference (robustPrune uses the index distFn)."""
     keep: list[int] = []
     removed = np.zeros(len(cand_ids), dtype=bool)
     for i in range(len(cand_ids)):
@@ -94,25 +122,30 @@ def _robust_prune(
         rest = np.arange(i + 1, len(cand_ids))
         rest = rest[~removed[rest]]
         if len(rest):
-            d_c = ((X[cand_ids[rest]] - X[c]) ** 2).sum(axis=1)
+            d_c = _dist_rows(metric, X[cand_ids[rest]], X[c])
             removed[rest[alpha * d_c < cand_dists[rest]]] = True
     return keep
 
 
 def _local_build(
-    X: np.ndarray, degree_bound: int, alpha: float, search_size: int
+    X: np.ndarray,
+    degree_bound: int,
+    alpha: float,
+    search_size: int,
+    metric: str = "euclidean",
 ) -> tuple[list[list[int]], int]:
     """Sequential Vamana construction (insert.go:16-68) over one shard.
-    Start node = shard medoid (the reference keeps a synthetic start point
-    with the same navigational role, vamana.go:93-120)."""
+    Start node = shard medoid by euclidean proximity to the mean — a purely
+    navigational choice (the reference keeps a synthetic start point with
+    the same role, vamana.go:93-120); all graph distances use ``metric``."""
     n = len(X)
     start = int(((X - X.mean(axis=0)) ** 2).sum(axis=1).argmin())
     adj: list[list[int]] = [[] for _ in range(n)]
     for a in range(n):
         if a == start:
             continue
-        vis_ids, vis_dists = _greedy_search(X, adj, start, X[a], search_size)
-        adj[a] = _robust_prune(X, a, vis_ids, vis_dists, degree_bound, alpha)
+        vis_ids, vis_dists = _greedy_search(X, adj, start, X[a], search_size, metric)
+        adj[a] = _robust_prune(X, a, vis_ids, vis_dists, degree_bound, alpha, metric)
         # bi-directional edges with re-prune past the degree bound
         # (insert.go:34-66)
         for b in adj[a]:
@@ -120,10 +153,10 @@ def _local_build(
                 continue
             if len(adj[b]) + 1 > degree_bound:
                 cand = np.asarray(adj[b] + [a], dtype=np.int64)
-                d = ((X[cand] - X[b]) ** 2).sum(axis=1)
+                d = _dist_rows(metric, X[cand], X[b])
                 order = np.argsort(d, kind="stable")
                 adj[b] = _robust_prune(
-                    X, b, cand[order], d[order], degree_bound, alpha
+                    X, b, cand[order], d[order], degree_bound, alpha, metric
                 )
             else:
                 adj[b].append(a)
@@ -143,6 +176,7 @@ class VamanaIndex:
     degree_bound: int
     alpha: float
     search_size: int
+    metric: str = field(default="euclidean")
 
 
 def vamana_build(
@@ -155,6 +189,7 @@ def vamana_build(
     num_shards: int | None = None,
     replicas: int = 2,
     seed: int = 42,
+    metric: str = "euclidean",
 ) -> VamanaIndex:
     """DiskANN merged build: overlap-assign -> per-shard Vamana
     (applyInPandas) -> edge union -> per-node merge cap.
@@ -166,6 +201,11 @@ def vamana_build(
     """
     from semadb_spark.functions.kmeans import collect_vector_sample, kmeans_np
 
+    if metric not in GRAPH_METRICS:
+        raise ValueError(
+            f"vamana metric must be one of {GRAPH_METRICS}, got {metric} "
+            "(bit metrics serve from the quantized store, not the graph)"
+        )
     base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("string").alias("id"), F.col(vec_col).alias("v")
     )
@@ -224,11 +264,11 @@ def vamana_build(
             return pd.DataFrame(columns=["src", "dst", "dist"])
         X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         ids = pdf["id"].to_numpy()
-        adj, _ = _local_build(X, degree_bound, alpha, search_size)
+        adj, _ = _local_build(X, degree_bound, alpha, search_size, metric)
         rows = []
         for a, nbrs in enumerate(adj):
             if nbrs:
-                d = ((X[nbrs] - X[a]) ** 2).sum(axis=1)
+                d = _dist_rows(metric, X[nbrs], X[a])
                 for b, dd in zip(nbrs, d):
                     rows.append((ids[a], ids[b], float(dd)))
         return pd.DataFrame(rows, columns=["src", "dst", "dist"])
@@ -263,7 +303,9 @@ def vamana_build(
     edges.count()
     assigned.unpersist()
 
-    # entry id: row nearest the global medoid vector
+    # entry id: row nearest the global medoid vector (navigational choice,
+    # euclidean regardless of metric — same role as the reference's
+    # synthetic start point)
     entry_lit = F.array(*[F.lit(float(x)) for x in entry_vec])
     entry_id = (
         base.withColumn(
@@ -278,7 +320,7 @@ def vamana_build(
         .select("id")
         .head()[0]
     )
-    return VamanaIndex(edges, entry_id, degree_bound, alpha, search_size)
+    return VamanaIndex(edges, entry_id, degree_bound, alpha, search_size, metric)
 
 
 def vamana_delete(
@@ -321,6 +363,8 @@ def vamana_delete(
         .join(del_df, e.dst == F.col("del_id"), "left_anti")
         .select("src", "dst")
     )
+    from semadb_spark.functions.distances import distance_expr
+
     vecs = vectors.select(
         F.col(id_col).cast("string").alias("vid"), F.col(vec_col).alias("vv")
     )
@@ -331,14 +375,10 @@ def vamana_delete(
         .join(vecs.withColumnRenamed("vid", "dst").withColumnRenamed("vv", "_dv"), "dst")
         .withColumn(
             "dist",
-            F.aggregate(
-                F.zip_with(
-                    F.col("_sv").cast("array<double>"),
-                    F.col("_dv").cast("array<double>"),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            distance_expr(
+                index.metric,
+                F.col("_sv").cast("array<double>"),
+                F.col("_dv").cast("array<double>"),
             ),
         )
         .select("src", "dst", "dist")
@@ -361,14 +401,8 @@ def vamana_delete(
         .select(
             F.lit(index.entry_id).alias("src"),
             F.col("vid").alias("dst"),
-            F.aggregate(
-                F.zip_with(
-                    entry_lit,
-                    F.col("vv").cast("array<double>"),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            distance_expr(
+                index.metric, entry_lit, F.col("vv").cast("array<double>")
             ).alias("dist"),
         )
     )
@@ -378,6 +412,122 @@ def vamana_delete(
         index.degree_bound,
         index.alpha,
         index.search_size,
+        index.metric,
+    )
+
+
+def vamana_update(
+    index: VamanaIndex,
+    vectors: DataFrame,
+    updated_ids: list[str],
+    vec_col: str = "v",
+    id_col: str = "id",
+) -> VamanaIndex:
+    """W8: UpdatePoints re-inserts updated vectors (the reference routes an
+    update through delete-repair + re-insert, vamana.go:136-263 with
+    insert.go:16-68). ``vectors`` must already hold the NEW values for
+    ``updated_ids``; ids absent from ``vectors`` are no-ops (missing points
+    are silently skipped, shard/shard.go:252-256). Spark shape:
+
+    1. graph repair as if the updated nodes were deleted (:func:`vamana_delete`);
+    2. re-insert: each updated point's candidate pool is its exact top
+       ``search_size`` alive neighbours from one bounded distributed scan —
+       the distributed analogue (and a recall superset) of the reference's
+       greedy search — then robust-pruned per point driver-side (pools are
+       tiny: batch x searchSize);
+    3. bidirectional edges unioned in; every touched adjacency list re-capped
+       to degreeBound by distance (the merged-build cap).
+
+    Updating the entry node in place is refused (same policy as delete);
+    rebuild instead. For update fractions beyond a few percent, a rebuild is
+    both cheaper and better — the same tradeoff the reference's maintenance
+    path acknowledges.
+    """
+    from pyspark.sql import Window
+
+    from semadb_spark.operators.knn import knn_topk_scan
+
+    spark = index.edges.sparkSession
+    if index.entry_id in updated_ids:
+        raise ValueError("cannot update the entry node in place; rebuild instead")
+    vecs = vectors.select(
+        F.col(id_col).cast("string").alias("vid"), F.col(vec_col).alias("vv")
+    )
+    upd_df = spark.createDataFrame([(i,) for i in updated_ids], "vid string")
+    upd_rows = vecs.join(F.broadcast(upd_df), "vid", "left_semi").collect()
+    if not upd_rows:
+        return index
+    present_ids = [r["vid"] for r in upd_rows]
+    repaired = vamana_delete(index, vectors, present_ids, vec_col=vec_col, id_col=id_col)
+
+    qlist = [(r["vid"], [float(x) for x in r["vv"]]) for r in upd_rows]
+    alive = (
+        vecs.join(F.broadcast(upd_df), "vid", "left_anti")
+        .select(F.col("vid").alias("id"), F.col("vv").alias("v"))
+    )
+    cand = knn_topk_scan(alive, "v", qlist, index.metric, index.search_size, id_col="id")
+    cand_rows = (
+        cand.join(vecs.withColumnRenamed("vid", "id"), "id")
+        .select("query_id", "id", "_distance", "vv")
+        .collect()
+    )
+    by_q: dict[str, list] = {}
+    for r in cand_rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    new_edges: list[tuple[str, str, float]] = []
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: (r["_distance"], r["id"]))
+        Xl = np.stack([np.asarray(r["vv"], dtype=np.float64) for r in rows])
+        dists = np.asarray([r["_distance"] for r in rows], dtype=np.float64)
+        keep = _robust_prune(
+            Xl, -1, np.arange(len(rows)), dists,
+            index.degree_bound, index.alpha, index.metric,
+        )
+        for j in keep:
+            nid, dd = rows[j]["id"], float(rows[j]["_distance"])
+            new_edges.append((qid, nid, dd))
+            new_edges.append((nid, qid, dd))  # bidirectional (insert.go:34-66)
+    ne_df = spark.createDataFrame(new_edges, "src string, dst string, dist double")
+    merged = (
+        repaired.edges.unionByName(ne_df)
+        .groupBy("src", "dst")
+        .agg(F.min("dist").alias("dist"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
+    capped = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= index.degree_bound)
+        .drop("_rn")
+    )
+    # A point updated far from its old neighbourhood can lose every inbound
+    # edge to the degree cap; reconnect such orphans from the entry node —
+    # the same repair the reference applies to stranded nodes
+    # (prune.go:12-154). The entry list may transiently exceed the bound,
+    # exactly as with delete-repair; the next rebuild re-prunes it.
+    inbound = {
+        r["dst"]
+        for r in capped.filter(F.col("dst").isin(present_ids))
+        .select("dst").distinct().collect()
+    }
+    stranded = [i for i in present_ids if i not in inbound]
+    if stranded:
+        from semadb_spark.functions.distances import python_distance
+
+        entry_vec = np.asarray(
+            vecs.filter(F.col("vid") == index.entry_id).head()["vv"], dtype=np.float64
+        )
+        qvecs = {qid: np.asarray(v, dtype=np.float64) for qid, v in qlist}
+        rescue = spark.createDataFrame(
+            [
+                (index.entry_id, i, python_distance(index.metric, entry_vec, qvecs[i]))
+                for i in stranded
+            ],
+            "src string, dst string, dist double",
+        )
+        capped = capped.unionByName(rescue)
+    return VamanaIndex(
+        capped, index.entry_id, index.degree_bound, index.alpha,
+        index.search_size, index.metric,
     )
 
 
@@ -392,10 +542,16 @@ def beam_search(
     q: np.ndarray,
     k: int,
     search_size: int,
+    metric: str = "euclidean",
 ) -> list[tuple[str, float]]:
     """Greedy beam search over the exported graph — the serving path the
     edge table feeds (mirrors search.go:9-102 on the client side)."""
-    dists = {entry_id: float(((vectors[entry_id] - q) ** 2).sum())}
+    from semadb_spark.functions.distances import python_distance
+
+    def d(i: str) -> float:
+        return python_distance(metric, vectors[i], q)
+
+    dists = {entry_id: d(entry_id)}
     beam = [entry_id]
     visited: set[str] = set()
     while True:
@@ -407,7 +563,7 @@ def beam_search(
         visited.add(nxt)
         for n in adj.get(nxt, []):
             if n not in dists:
-                dists[n] = float(((vectors[n] - q) ** 2).sum())
+                dists[n] = d(n)
             if n not in visited and n not in beam:
                 beam.append(n)
     ranked = sorted(visited, key=lambda i: (dists[i], i))[:k]

@@ -90,3 +90,64 @@ def test_delete_repairs_graph(spark, index, emb):
 def test_delete_entry_rejected(index, emb):
     with pytest.raises(ValueError, match="entry node"):
         vm.vamana_delete(index, emb, [index.entry_id], vec_col="v", id_col="_id")
+
+
+def test_update_reinserts_vectors(spark, index, emb):
+    # W8: move 3 vectors far from their old position; after vamana_update the
+    # graph must stay fully connected (reference checkConnectivity,
+    # vamana_test.go:29-46), respect the degree bound, and beam search for an
+    # updated vector must find it at rank 1.
+    victims = [r._id for r in emb.orderBy("_id").limit(6).collect() if r._id != index.entry_id][:3]
+    shift = F.transform("v", lambda x: x * F.lit(0.2) + F.lit(1.5))
+    updated = emb.withColumn(
+        "v", F.when(F.col("_id").isin(victims), shift).otherwise(F.col("v"))
+    )
+    upd = vm.vamana_update(index, updated, victims, vec_col="v", id_col="_id")
+    # degree bound holds everywhere except the entry node, whose list may
+    # transiently overfill from stranded-orphan rescue (same as delete-repair)
+    deg = (
+        upd.edges.filter(F.col("src") != upd.entry_id)
+        .groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert deg <= 32
+    adj: dict[str, list[str]] = {}
+    for r in upd.edges.collect():
+        adj.setdefault(r.src, []).append(r.dst)
+    vectors = {r._id: np.asarray(r.v, dtype=np.float64) for r in updated.collect()}
+    reachable = vm.bfs_reachable(adj, upd.entry_id)
+    assert reachable == set(vectors)  # updated nodes re-woven in
+    for vid in victims:
+        got = [i for i, _ in vm.beam_search(adj, vectors, upd.entry_id, vectors[vid], 10, upd.search_size)]
+        assert got[0] == vid
+
+
+def test_update_missing_ids_are_noops(index, emb):
+    upd = vm.vamana_update(index, emb, ["no-such-id"], vec_col="v", id_col="_id")
+    assert upd.edges.count() == index.edges.count()
+
+
+def test_build_metric_dot(spark):
+    # ADVICE: graph kernels honor the collection metric. With dot distance,
+    # "nearest" = largest inner product; a self-query must return vectors
+    # with larger norm in the query direction, not the euclidean-nearest.
+    rng = np.random.RandomState(11)
+    X = rng.normal(size=(200, 8))
+    rows = [(str(i), X[i].tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "_id string, v array<double>")
+    idx = vm.vamana_build(df, "v", "_id", degree_bound=32, alpha=1.2,
+                          search_size=40, num_shards=2, seed=3, metric="dot")
+    assert idx.metric == "dot"
+    adj: dict[str, list[str]] = {}
+    for r in idx.edges.collect():
+        adj.setdefault(r.src, []).append(r.dst)
+    vectors = {str(i): X[i] for i in range(200)}
+    q = X[7]
+    got = [i for i, _ in vm.beam_search(adj, vectors, idx.entry_id, q, 10, 40, metric="dot")]
+    exact = sorted(range(200), key=lambda i: (-(X[i] @ q), str(i)))[:10]
+    assert len(set(got) & {str(i) for i in exact}) >= 5  # reference floor
+
+
+def test_build_rejects_bit_metrics(spark):
+    df = spark.createDataFrame([("0", [1.0, 2.0])], "_id string, v array<double>")
+    with pytest.raises(ValueError, match="metric"):
+        vm.vamana_build(df, "v", "_id", metric="hamming")
