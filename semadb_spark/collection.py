@@ -19,13 +19,23 @@ Storage model (Spark-first, not a bbolt translation):
   copy-on-write exactly like Delta/Iceberg, giving all-or-nothing semantics
   (the reference gets the same from one bbolt write transaction,
   shard/shard.go:148-150) plus readers-never-block-writers.
+- **Hash-bucketed layout + manifest**: rows land in
+  ``vN/_bucket=pmod(xxhash64(_id), num_buckets)`` dirs, and each snapshot's
+  ``_manifest.json`` maps bucket -> the snapshot dir that last rewrote it.
+  A DML batch touches only the buckets its ids hash to, so an update of k
+  points reads and rewrites O(k/num_buckets · table) — never the table
+  (round-1 finding: full-snapshot rewrite is a 100 TB killer for the
+  reference's own <=100-point batches). Unaffected buckets are carried
+  forward by manifest pointer, the same trick as Delta/Iceberg file
+  manifests. The bucket count is fixed at create (like the reference's
+  shard fill policy, cluster/placement.go:9-52); ``maxRecordsPerFile`` caps
+  file size within a bucket.
 - Rows: ``_id string`` + one typed column per indexed property (+ arbitrary
   payload columns; an optional ``payload map<string,string>`` gets key-wise
   merge like the reference's PointAsMap).
-- At cluster scale the rewrite is shuffle-free: both sides are bucketed by
-  ``_id`` (``maxRecordsPerFile`` caps file size ≙ the reference's 100k-point
-  shard fill, cluster/placement.go:9-52), and the update/delete joins are
-  broadcast joins when the change batch is small — the common case.
+- The duplicate-insert probe and the update/delete joins read only affected
+  buckets and broadcast the small change batch — the common case is a
+  broadcast join over a pruned fraction of the table.
 
 Column-vs-map note: the reference merges a msgpack map at depth 1
 (shard/shard.go:275-281). Here each top-level key is a column, so the merge
@@ -50,6 +60,9 @@ from .schema import IndexSchema
 DELETE_VALUE = "_delete"  # shard/shard.go:41
 _CURRENT = "_current"
 _SCHEMA_FILE = "_schema.json"
+_META_FILE = "_meta.json"
+_MANIFEST_FILE = "_manifest.json"
+DEFAULT_NUM_BUCKETS = 16
 
 
 class DuplicatePointError(ValueError):
@@ -159,11 +172,21 @@ class Collection:
         self.path = path
         with open(os.path.join(path, _SCHEMA_FILE)) as f:
             self.schema = IndexSchema.from_json(f.read())
+        meta_path = os.path.join(path, _META_FILE)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.num_buckets = int(json.load(f)["num_buckets"])
+        else:
+            self.num_buckets = DEFAULT_NUM_BUCKETS
 
     # -- lifecycle ----------------------------------------------------------
     @classmethod
     def create(
-        cls, spark: SparkSession, path: str, index_schema: dict | str | IndexSchema
+        cls,
+        spark: SparkSession,
+        path: str,
+        index_schema: dict | str | IndexSchema,
+        num_buckets: int = DEFAULT_NUM_BUCKETS,
     ) -> "Collection":
         schema = (
             index_schema
@@ -175,6 +198,8 @@ class Collection:
             raise ValueError(f"collection already exists at {path}")
         with open(os.path.join(path, _SCHEMA_FILE), "w") as f:
             f.write(schema.to_json())
+        with open(os.path.join(path, _META_FILE), "w") as f:
+            json.dump({"num_buckets": int(num_buckets)}, f)
         empty = spark.createDataFrame([], schema.struct_type())
         coll = cls(spark, path)
         coll._write_snapshot(empty)
@@ -198,16 +223,59 @@ class Collection:
         v = self._current_version() if version is None else version
         return os.path.join(self.path, f"v{v}")
 
-    def _write_snapshot(self, df: DataFrame) -> None:
-        nxt = self._current_version() + 1
+    def _bucket_expr(self, c: Column) -> Column:
+        return F.pmod(F.xxhash64(c), F.lit(self.num_buckets))
+
+    def _buckets_of(self, ids_df: DataFrame) -> list[int]:
+        """Distinct bucket ids a (small) id frame hashes to — one tiny job
+        over the change batch, never the table."""
+        rows = (
+            ids_df.select(self._bucket_expr(F.col("_id")).alias("b"))
+            .distinct()
+            .collect()
+        )
+        return sorted(int(r["b"]) for r in rows)
+
+    def _manifest(self, version: int | None = None) -> dict[str, str]:
+        v = self._current_version() if version is None else version
+        with open(os.path.join(self._data_path(v), _MANIFEST_FILE)) as f:
+            return json.load(f)["buckets"]
+
+    def _write_snapshot(
+        self, df: DataFrame, affected: list[int] | None = None
+    ) -> None:
+        """Commit a new snapshot. ``affected=None`` rewrites every bucket of
+        ``df``; otherwise ``df`` holds ONLY rows of the affected buckets and
+        all other buckets carry forward by manifest pointer (the O(k·bucket)
+        DML path)."""
+        cur = self._current_version()
+        nxt = cur + 1
+        path = self._data_path(nxt)
         # maxRecordsPerFile ≙ reference shard fill limit (100k points,
         # config/singleServer.yaml:41-42): bounds file size at scale.
-        df.write.option("maxRecordsPerFile", 100_000).parquet(
-            self._data_path(nxt), mode="overwrite"
+        (
+            df.withColumn("_bucket", self._bucket_expr(F.col("_id")))
+            .write.option("maxRecordsPerFile", 100_000)
+            .partitionBy("_bucket")
+            .parquet(path, mode="overwrite")
         )
+        written = {
+            int(d.split("=", 1)[1]): f"v{nxt}/{d}"
+            for d in os.listdir(path)
+            if d.startswith("_bucket=")
+        }
+        if affected is None:
+            buckets = written
+        else:
+            buckets = {int(k): v for k, v in self._manifest(cur).items()}
+            for b in affected:
+                buckets.pop(b, None)  # bucket may have emptied
+            buckets.update({b: p for b, p in written.items() if b in set(affected)})
+        with open(os.path.join(path, _MANIFEST_FILE), "w") as f:
+            json.dump({"buckets": {str(k): v for k, v in sorted(buckets.items())}}, f)
         # Pin the frame schema beside the snapshot: an all-empty write emits
         # no part files, so reads need an explicit schema.
-        with open(os.path.join(self._data_path(nxt), "_frame_schema.json"), "w") as f:
+        with open(os.path.join(path, "_frame_schema.json"), "w") as f:
             f.write(df.schema.json())
         tmp = os.path.join(self.path, f".{_CURRENT}.{_uuid.uuid4().hex}")
         with open(tmp, "w") as f:
@@ -215,8 +283,24 @@ class Collection:
         os.replace(tmp, os.path.join(self.path, _CURRENT))  # atomic swap
 
     # -- read side ----------------------------------------------------------
+    def _read_buckets(self, buckets: list[int] | None = None) -> DataFrame:
+        """Read the current snapshot, pruned to ``buckets`` when given —
+        bucket pruning is directory pruning, the point of the layout."""
+        manifest = self._manifest()
+        if buckets is not None:
+            wanted = set(buckets)
+            paths = [p for b, p in manifest.items() if int(b) in wanted]
+        else:
+            paths = list(manifest.values())
+        schema = self._df_schema()
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.path, p) for p in paths]
+        )
+
     def df(self) -> DataFrame:
-        return self.spark.read.schema(self._df_schema()).parquet(self._data_path())
+        return self._read_buckets()
 
     def _df_schema(self) -> T.StructType:
         with open(os.path.join(self._data_path(), "_frame_schema.json")) as f:
@@ -340,17 +424,19 @@ class Collection:
     # -- W1: insert ---------------------------------------------------------
     def insert(self, points: DataFrame, id_col: str = "_id") -> int:
         """All-or-nothing batch insert with duplicate rejection
-        (shard/shard.go:137-144 in-batch, :188-196 vs stored)."""
+        (shard/shard.go:137-144 in-batch, :188-196 vs stored).
+
+        Only the buckets the new ids hash to are probed and rewritten."""
         points = points.withColumnRenamed(id_col, "_id") if id_col != "_id" else points
         in_batch_dup = (
             points.groupBy("_id").count().filter(F.col("count") > 1).select("_id").head(1)
         )
         if in_batch_dup:
             raise DuplicatePointError(f"duplicate point id: {in_batch_dup[0][0]}")
-        existing = self.df()
-        # Broadcast the SMALL side (the incoming batch ids) and probe the
-        # stored table against it — broadcasting the full collection's ids
-        # would OOM at scale.
+        affected = self._buckets_of(points.select("_id"))
+        existing = self._read_buckets(affected)
+        # Broadcast the SMALL side (the incoming batch ids) and probe only
+        # the affected buckets — a clash can only live where its id hashes.
         clash = (
             existing.select("_id")
             .join(F.broadcast(points.select("_id")), "_id", "left_semi")
@@ -360,7 +446,7 @@ class Collection:
             raise DuplicatePointError(f"point already exists: {clash[0][0]}")
         merged = existing.unionByName(points, allowMissingColumns=True)
         n = points.count()
-        self._write_snapshot(merged)
+        self._write_snapshot(merged, affected=affected)
         return n
 
     # -- W2: update ---------------------------------------------------------
@@ -377,7 +463,8 @@ class Collection:
         )
         if dup:
             raise DuplicatePointError(f"duplicate update id: {dup[0][0]}")
-        existing = self.df()
+        affected = self._buckets_of(updates.select("_id"))
+        existing = self._read_buckets(affected)
         updated_ids = [
             r[0]
             for r in updates.select("_id")
@@ -386,7 +473,7 @@ class Collection:
         ]
         if not updated_ids:
             return []
-        self._write_snapshot(apply_update_merge(existing, updates))
+        self._write_snapshot(apply_update_merge(existing, updates), affected=affected)
         return updated_ids
 
     # -- W3: delete ---------------------------------------------------------
@@ -397,7 +484,8 @@ class Collection:
             id_df = ids.select(F.col(ids.columns[0]).alias("_id")).distinct()
         else:
             id_df = self.spark.createDataFrame([(i,) for i in ids], "_id string").distinct()
-        existing = self.df()
+        affected = self._buckets_of(id_df)
+        existing = self._read_buckets(affected)
         deleted = [
             r[0]
             for r in id_df.join(existing.select("_id"), "_id", "left_semi").collect()
@@ -405,5 +493,5 @@ class Collection:
         if not deleted:
             return []
         remaining = existing.join(F.broadcast(id_df), "_id", "left_anti")
-        self._write_snapshot(remaining)
+        self._write_snapshot(remaining, affected=affected)
         return deleted

@@ -238,3 +238,59 @@ def test_persisted_vector_index(spark, tmp_path):
     coll.insert(spark.createDataFrame([Row(_id="new", vec=[3.0, 4.0], tag="t9")]))
     post = coll.search(req).collect()
     assert post[0]._id == "new" and post[0]._distance == 0.0
+
+
+def test_update_rejects_duplicate_batch_ids(spark, coll):
+    coll.insert(spark.createDataFrame([Row(_id=f"q{i}", name=f"n{i}", price=1.0) for i in range(3)]))
+    dup = spark.createDataFrame([Row(_id="q1", price=2.0), Row(_id="q1", price=3.0)])
+    with pytest.raises(DuplicatePointError, match="duplicate update id"):
+        coll.update(dup)
+
+
+def test_bucketed_dml_rewrites_only_affected_buckets(spark, tmp_path):
+    # The O(k·bucket) invariant: an update of k points must write only the
+    # bucket dirs its ids hash to; every other bucket carries forward by
+    # manifest pointer to the PREVIOUS snapshot dir (round-1 finding: a full
+    # copy-on-write rewrite is a 100 TB killer).
+    import os
+
+    coll = Collection.create(spark, str(tmp_path / "bcoll"), SCHEMA, num_buckets=8)
+    pts = spark.createDataFrame(
+        [Row(_id=f"p{i:04d}", name=f"n{i}", price=float(i)) for i in range(400)]
+    )
+    coll.insert(pts)
+    v_before = coll._current_version()
+    manifest_before = coll._manifest()
+    assert len(manifest_before) == 8  # 400 ids cover all 8 buckets
+
+    upd = spark.createDataFrame([Row(_id="p0007", price=999.0)])
+    affected = coll._buckets_of(upd.select("_id"))
+    assert len(affected) == 1
+    assert coll.update(upd) == ["p0007"]
+
+    v_after = coll._current_version()
+    new_dir = coll._data_path(v_after)
+    written = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(new_dir) if d.startswith("_bucket=")
+    )
+    assert written == affected  # only the touched bucket was rewritten
+    manifest_after = coll._manifest()
+    for b, p in manifest_after.items():
+        if int(b) in affected:
+            assert p.startswith(f"v{v_after}/")
+        else:
+            assert p == manifest_before[b]  # untouched pointer carried over
+
+    # semantics intact: full read-back sees the merge, count unchanged
+    assert coll.count() == 400
+    row = coll.df().filter(F.col("_id") == "p0007").first()
+    assert row["price"] == 999.0 and row["name"] == "n7"
+
+    # delete prunes the same way
+    assert coll.delete(["p0007"]) == ["p0007"]
+    v_del = coll._current_version()
+    del_written = [
+        d for d in os.listdir(coll._data_path(v_del)) if d.startswith("_bucket=")
+    ]
+    assert len(del_written) == 1
+    assert coll.count() == 399
