@@ -842,6 +842,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_adc_recall"] = pq_adc_recall
 
+    # -- schema-declared quantized serving (vectorstore.go:75+) -------------
+
+    def quantized_bq_serving(spark, sf_dir):
+        """vectorFlat property with a declared binary quantizer serves every
+        query from the persisted codes. Explicit threshold 0.0 splits the
+        raw embeddings on sign (non-vacuous); hamming distances are exact
+        ints -> full value hash."""
+        from semadb_spark.operators.quantize import build_quantized_index
+
+        emb = _emb(spark, sf_dir)
+        quantizer = {"type": "binary", "binary": {"threshold": 0.0, "distanceMetric": "hamming"}}
+
+        def build():
+            qi = build_quantized_index(emb, "embedding", quantizer, id_col="_id")
+            qi.codes.persist().count()
+            return qi
+
+        qi = _cached_index("bq_serving", sf_dir, build)
+        schema = {
+            "embedding": {"type": "vectorFlat", "vectorFlat": {
+                "vectorSize": 64, "distanceMetric": "euclidean", "quantizer": quantizer}},
+            "label": {"type": "integer"},
+        }
+        eng = SearchEngine(emb, schema, quantized_indexes={"embedding": qi})
+        res = eng.search(
+            {"query": {"property": "embedding", "vectorFlat": {"vector": _qvec(spark, sf_dir), "operator": "near", "limit": 10}}}
+        )
+        return res.select("_id", "_distance")
+
+    q["quantized_bq_serving"] = quantized_bq_serving
+
+    def quantized_pq_serving(spark, sf_dir):
+        """Product-quantizer serving through the compiler route: recall vs
+        exact >= 0.1 per query (same bar as pq_adc_recall — ADC machinery,
+        now reached from the schema/quantized_indexes path)."""
+        from semadb_spark.operators.quantize import QuantizedIndex
+
+        emb = _emb(spark, sf_dir)
+
+        def build():
+            from semadb_spark.operators import quantize as Q
+
+            books = Q.pq_fit(emb, "embedding", num_subvectors=8, num_centroids=16, seed=1)
+            codes = Q.pq_encode(emb, "embedding", books)
+            codes.persist().count()
+            return books, codes
+
+        books, codes = _cached_index("pq", sf_dir, build)
+        qi = QuantizedIndex(
+            kind="product", codes=codes.select("_id", "pq_code"),
+            code_col="pq_code", id_col="_id", books=books,
+        )
+        quantizer = {"type": "product", "product": {
+            "numCentroids": 16, "numSubVectors": 8, "triggerThreshold": 10000}}
+        schema = {
+            "embedding": {"type": "vectorFlat", "vectorFlat": {
+                "vectorSize": 64, "distanceMetric": "euclidean", "quantizer": quantizer}},
+            "label": {"type": "integer"},
+        }
+        eng = SearchEngine(emb, schema, quantized_indexes={"embedding": qi})
+        exact = _exact_topk_sets(spark, sf_dir)
+        out = []
+        for q_id, qv in _qlist(spark, sf_dir):
+            got = {
+                r["_id"]
+                for r in eng.search(
+                    {"query": {"property": "embedding", "vectorFlat": {"vector": qv, "operator": "near", "limit": 10}}}
+                ).select("_id").collect()
+            }
+            out.append((q_id, len(got & exact[q_id]) / 10.0 >= 0.1))
+        return spark.createDataFrame(out, "query_id string, recall_ok boolean")
+
+    q["quantized_pq_serving"] = quantized_pq_serving
+
     # -- multimodal: binary columns + mapInPandas feature extraction --------
 
     def multimodal_image_meta(spark, sf_dir):
@@ -1274,6 +1348,20 @@ def oracle_sql() -> dict[str, str]:
     o["ann_ivf_recall"] = _recall_true
     o["ann_vamana_recall"] = _recall_true
     o["pq_adc_recall"] = _recall_true
+    o["quantized_pq_serving"] = _recall_true
+
+    # binary-quantized serving: threshold 0.0 -> per-dim sign-bit hamming
+    o["quantized_bq_serving"] = """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        d AS (SELECT CAST(vec_id AS VARCHAR) AS _id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE embedding IS NOT NULL),
+        scored AS (
+          SELECT d._id,
+                 CAST(len(list_filter(list_zip(d.v, q.qv), p -> (p[1] > 0.0) <> (p[2] > 0.0))) AS DOUBLE) AS dist
+          FROM d, q)
+        SELECT _id, dist AS _distance FROM scored
+        ORDER BY dist ASC, _id ASC LIMIT 10
+    """
 
     # ann_lsh_topk: hyperplanes are seed-deterministic and data-independent
     # (ann.rplsh_planes), so the oracle re-derives the exact bucketing:

@@ -390,6 +390,81 @@ class Collection:
                 out[p] = IVFIndex(cents, assigned, "v", "_id")
         return out
 
+    # -- W9 + vectorstore.go:75+: persisted quantized serving codes ----------
+    def _qindex_path(self, prop: str, version: int | None = None) -> str:
+        v = self._current_version() if version is None else version
+        return os.path.join(self.path, f"v{v}_idx", f"quant_{prop.replace('.', '_')}")
+
+    def build_quantized_index(self, prop: str, seed: int = 42) -> str:
+        """Fit + encode the schema-declared quantizer for a vector property
+        and persist the codes beside the current snapshot (the reference
+        fits once past triggerThreshold then serves every query through the
+        quantized store, shard/vectorstore/vectorstore.go:75+,
+        binary.go:145-178, product.go:175-236). Returns the quantizer kind.
+
+        Version-pinned like the other index artifacts: a newer snapshot
+        falls back to exact float serving until rebuilt."""
+        from .operators.quantize import build_quantized_index as _build
+
+        value = self.schema[prop]
+        if value.type not in ("vectorFlat", "vectorVamana"):
+            raise ValueError(f"property {prop} is not a vector index")
+        quantizer = value.quantizer
+        if quantizer is None:
+            raise ValueError(f"property {prop} declares no quantizer")
+        idx = _build(
+            self.df(), prop, quantizer,
+            id_col="_id", metric=value.distance_metric, seed=seed,
+        )
+        path = self._qindex_path(prop)
+        idx.codes.write.mode("overwrite").parquet(path)
+        meta: dict = {"kind": idx.kind, "code_col": idx.code_col, "metric": idx.metric}
+        if idx.kind == "binary":
+            meta["thresholds"] = (
+                idx.thresholds.tolist()
+                if getattr(idx.thresholds, "ndim", 0)
+                else float(idx.thresholds)
+            )
+        else:
+            meta["centroids"] = idx.books.centroids.tolist()
+            meta["pq_metric"] = idx.books.metric
+        with open(os.path.join(path, "_quantizer.json"), "w") as f:
+            json.dump(meta, f)
+        return idx.kind
+
+    def _quantized_indexes(self) -> dict[str, object]:
+        import numpy as np
+
+        from .operators.quantize import PQCodebooks, QuantizedIndex
+
+        out: dict[str, object] = {}
+        for p, v in self.schema.items():
+            if v.type not in ("vectorFlat", "vectorVamana") or v.quantizer is None:
+                continue
+            path = self._qindex_path(p)
+            meta_path = os.path.join(path, "_quantizer.json")
+            if not os.path.exists(meta_path):
+                continue
+            with open(meta_path) as f:
+                meta = json.load(f)
+            codes = self.spark.read.parquet(path)
+            if meta["kind"] == "binary":
+                out[p] = QuantizedIndex(
+                    kind="binary", codes=codes, code_col=meta["code_col"],
+                    id_col="_id", thresholds=np.asarray(meta["thresholds"]),
+                    metric=meta["metric"],
+                )
+            else:
+                out[p] = QuantizedIndex(
+                    kind="product", codes=codes, code_col=meta["code_col"],
+                    id_col="_id",
+                    books=PQCodebooks(
+                        centroids=np.asarray(meta["centroids"], dtype=np.float64),
+                        metric=meta["pq_metric"],
+                    ),
+                )
+        return out
+
     def _text_indexes(self) -> tuple[dict[str, DataFrame], dict[str, int]]:
         idxs: dict[str, DataFrame] = {}
         stats: dict[str, int] = {}
@@ -419,6 +494,7 @@ class Collection:
             text_indexes=idxs,
             text_index_stats=stats,
             vector_indexes=self._vector_indexes(),
+            quantized_indexes=self._quantized_indexes(),
         ).search(request)
 
     # -- W1: insert ---------------------------------------------------------

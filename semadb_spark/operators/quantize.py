@@ -49,6 +49,9 @@ __all__ = [
     "pq_adc_table",
     "pq_adc_distance_expr",
     "pq_adc_topk",
+    "QuantizedIndex",
+    "build_quantized_index",
+    "quantized_topk",
 ]
 
 
@@ -368,6 +371,102 @@ def pq_adc_topk(
         "_distance", pq_adc_distance_expr(code_col, table)
     )
     return scored.orderBy(F.col("_distance").asc(), F.col(id_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Schema-declared quantized serving (vectorstore.go:75+: any vector index
+# with a quantizer declaration serves transparently through its codes)
+
+
+@dataclass
+class QuantizedIndex:
+    """Built quantizer artifact a vector property serves from.
+
+    ``codes``: (id_col, code_col) frame — the ONLY thing the query-time scan
+    touches (the point of quantization: m bytes / d bits of memory traffic
+    per row instead of 4d). ``kind`` is "binary" (thresholds + bit metric)
+    or "product" (codebooks, ADC)."""
+
+    kind: str
+    codes: DataFrame
+    code_col: str
+    id_col: str = "_id"
+    thresholds: np.ndarray | None = None  # binary
+    metric: str = "hamming"  # binary quantizer distance (quantizer.go:38)
+    books: PQCodebooks | None = None  # product
+
+
+def build_quantized_index(
+    df: DataFrame,
+    vec_col: str,
+    quantizer: dict,
+    id_col: str = "_id",
+    metric: str = "euclidean",
+    seed: int = 42,
+) -> QuantizedIndex:
+    """Fit + encode per the reference's quantizer declaration
+    (models/quantizer.go):
+
+    - binary: threshold = declared scalar, else per-dim means fit on up to
+      ``triggerThreshold`` points (binary.go:145-178's trigger semantics —
+      the fit happens once a bounded sample is seen, then freezes);
+    - product: per-subvector k-means with ``numCentroids`` codebooks fit on
+      up to ``triggerThreshold`` sampled points (product.go:175-236).
+    """
+    qt = quantizer.get("type")
+    if qt == "binary":
+        b = quantizer["binary"]
+        if b.get("threshold") is not None:
+            thr = np.asarray(float(b["threshold"]))
+        else:
+            thr = bq_fit(df, vec_col)
+        codes = bq_encode(df.select(id_col, vec_col), vec_col, thr)
+        return QuantizedIndex(
+            kind="binary",
+            codes=codes.select(id_col, "bq_code"),
+            code_col="bq_code",
+            id_col=id_col,
+            thresholds=thr,
+            metric=b["distanceMetric"],
+        )
+    if qt == "product":
+        p = quantizer["product"]
+        books = pq_fit(
+            df,
+            vec_col,
+            num_subvectors=int(p["numSubVectors"]),
+            num_centroids=int(p["numCentroids"]),
+            metric=metric,
+            seed=seed,
+            sample_cap=int(p.get("triggerThreshold", 10_000)),
+        )
+        codes = pq_encode(df.select(id_col, vec_col), vec_col, books)
+        return QuantizedIndex(
+            kind="product",
+            codes=codes.select(id_col, "pq_code"),
+            code_col="pq_code",
+            id_col=id_col,
+            books=books,
+        )
+    raise ValueError(f"unknown quantizer type {qt}")
+
+
+def quantized_topk(
+    index: QuantizedIndex, query_vector: Sequence[float], k: int
+) -> DataFrame:
+    """Top-k over the code column only (the serving scan). The query rides
+    in as-is: binary encodes it with the stored thresholds
+    (DistanceFromFloat, binary.go:182-199); product builds the ADC table
+    (product.go:243-263)."""
+    if index.kind == "binary":
+        return bq_topk(
+            index.codes, index.code_col, query_vector, index.thresholds,
+            index.metric, k, id_col=index.id_col,
+        )
+    return pq_adc_topk(
+        index.codes, index.code_col, index.books, query_vector, k,
+        id_col=index.id_col,
+    )
 
 
 def pq_centroid_dists(books: PQCodebooks) -> np.ndarray:

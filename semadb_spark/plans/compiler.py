@@ -78,6 +78,7 @@ class SearchEngine:
         text_indexes: dict[str, DataFrame] | None = None,
         text_index_stats: dict[str, int] | None = None,
         vector_indexes: dict[str, object] | None = None,
+        quantized_indexes: dict[str, object] | None = None,
     ) -> None:
         self.df = df
         self.schema = (
@@ -93,6 +94,11 @@ class SearchEngine:
         # unfiltered vectorVamana queries — the property type that declares
         # approximate-search intent in the reference (models/index.go:275).
         self.vector_indexes = dict(vector_indexes or {})
+        # property -> operators.quantize.QuantizedIndex. A vector property
+        # with a schema-declared quantizer serves transparently from its
+        # codes — the reference wraps the whole vector store this way
+        # (shard/vectorstore/vectorstore.go:75+).
+        self.quantized_indexes = dict(quantized_indexes or {})
 
     # -- public API ---------------------------------------------------------
 
@@ -235,7 +241,25 @@ class SearchEngine:
         w = opts.get("weight")
         weight = 1.0 if w is None else float(w)
         ann_index = self.vector_indexes.get(prop)
-        if (
+        q_index = self.quantized_indexes.get(prop)
+        if q_index is not None and value.quantizer is not None:
+            # Schema-declared quantized serving: every query on this property
+            # ranks over the codes (vectorstore.go:75+ — the reference's
+            # store is wrapped the same way, filtered or not). A pre-filter
+            # restricts the code scan by id semi-join.
+            from semadb_spark.operators.quantize import quantized_topk
+
+            import dataclasses
+
+            codes = q_index.codes
+            if opts.get("filter") is not None:
+                base_ids = self._prefiltered_df(opts["filter"]).select(self.id_col)
+                codes = codes.join(base_ids, self.id_col, "left_semi")
+            scoped = dataclasses.replace(q_index, codes=codes)
+            topk = quantized_topk(scoped, vector, limit).select(
+                self.id_col, "_distance"
+            )
+        elif (
             key == "vectorVamana"
             and ann_index is not None
             and opts.get("filter") is None

@@ -30,6 +30,7 @@ INDEX_TYPES = (
 )
 DISTANCE_METRICS = ("euclidean", "cosine", "dot", "hamming", "jaccard", "haversine")
 MAX_VECTOR_SIZE = 4096  # models/index.go:249
+QUANTIZER_TYPES = ("none", "binary", "product")  # models/quantizer.go:5-9
 
 
 @dataclass
@@ -49,6 +50,16 @@ class IndexSchemaValue:
     @property
     def case_sensitive(self) -> bool:
         return bool(self.params.get("caseSensitive", False))
+
+    @property
+    def quantizer(self) -> dict[str, Any] | None:
+        """The reference's optional per-vector-index quantizer declaration
+        (models/index.go:251,281; struct models/quantizer.go). ``None`` or
+        type "none" means plain float serving."""
+        q = self.params.get("quantizer")
+        if q is None or q.get("type") == "none":
+            return None
+        return q
 
     def validate(self) -> None:
         if self.type not in INDEX_TYPES:
@@ -76,10 +87,51 @@ class IndexSchemaValue:
                     raise ValueError(f"degree bound must be between 32 and 64, got {db}")
                 if not (1.1 <= alpha <= 1.5):
                     raise ValueError(f"alpha must be between 1.1 and 1.5, got {alpha}")
+            self._validate_quantizer()
         elif self.type == "text":
             analyser = self.params.get("analyser", "standard")
             if analyser != "standard":
                 raise ValueError(f"unknown analyser {analyser}")
+
+    def _validate_quantizer(self) -> None:
+        """Mirror Quantizer.Validate (models/quantizer.go:11-28) and the
+        per-type parameter bindings (quantizer.go:30-77)."""
+        q = self.params.get("quantizer")
+        if q is None:
+            return
+        qt = q.get("type")
+        if qt not in QUANTIZER_TYPES:
+            raise ValueError(f"unknown quantizer type {qt}")
+        if qt == "binary":
+            b = q.get("binary")
+            if b is None:
+                raise ValueError("binary quantizer parameters not provided")
+            if b.get("distanceMetric") not in ("hamming", "jaccard"):
+                raise ValueError(
+                    "invalid distance metric for binary quantization, got "
+                    f"{b.get('distanceMetric')}"
+                )
+            if b.get("threshold") is None:
+                tt = int(b.get("triggerThreshold", 0))
+                if not (0 <= tt <= 50000):
+                    raise ValueError(
+                        f"triggerThreshold must be between 0 and 50000, got {tt}"
+                    )
+        elif qt == "product":
+            p = q.get("product")
+            if p is None:
+                raise ValueError("product quantizer parameters not provided")
+            nc = int(p.get("numCentroids", 0))
+            ns = int(p.get("numSubVectors", 0))
+            tt = int(p.get("triggerThreshold", 0))
+            if not (2 <= nc <= 256):
+                raise ValueError(f"numCentroids must be between 2 and 256, got {nc}")
+            if ns < 2:
+                raise ValueError(f"numSubVectors must be at least 2, got {ns}")
+            if not (1000 <= tt <= 10000):
+                raise ValueError(
+                    f"triggerThreshold must be between 1000 and 10000, got {tt}"
+                )
 
     def spark_type(self) -> T.DataType:
         if self.type in ("vectorFlat", "vectorVamana"):

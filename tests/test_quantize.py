@@ -153,3 +153,101 @@ def test_pq_rejects_bad_params(spark, emb):
         pq_fit(emb, "v", num_subvectors=7, num_centroids=4)
     with pytest.raises(ValueError, match="metric"):
         pq_fit(emb, "v", num_subvectors=8, num_centroids=4, metric="hamming")
+
+
+# -- schema-declared quantized serving (vectorstore.go:75+) -------------------
+
+
+def test_quantizer_schema_validation():
+    from semadb_spark.schema import IndexSchema
+
+    ok = {
+        "v": {"type": "vectorFlat", "vectorFlat": {
+            "vectorSize": 4, "distanceMetric": "euclidean",
+            "quantizer": {"type": "binary", "binary": {"threshold": 0.0, "distanceMetric": "hamming"}},
+        }}
+    }
+    assert IndexSchema.from_json(ok)["v"].quantizer["type"] == "binary"
+    bad_cases = [
+        {"type": "nope"},
+        {"type": "binary"},  # params missing (quantizer.go:16-18)
+        {"type": "binary", "binary": {"distanceMetric": "euclidean"}},
+        {"type": "product"},
+        {"type": "product", "product": {"numCentroids": 1, "numSubVectors": 4, "triggerThreshold": 2000}},
+        {"type": "product", "product": {"numCentroids": 16, "numSubVectors": 1, "triggerThreshold": 2000}},
+        {"type": "product", "product": {"numCentroids": 16, "numSubVectors": 4, "triggerThreshold": 10}},
+    ]
+    for q in bad_cases:
+        bad = {"v": {"type": "vectorFlat", "vectorFlat": {
+            "vectorSize": 4, "distanceMetric": "euclidean", "quantizer": q}}}
+        with pytest.raises(ValueError):
+            IndexSchema.from_json(bad)
+    # type "none" = plain serving
+    none = {"v": {"type": "vectorFlat", "vectorFlat": {
+        "vectorSize": 4, "distanceMetric": "euclidean", "quantizer": {"type": "none"}}}}
+    assert IndexSchema.from_json(none)["v"].quantizer is None
+
+
+def test_quantized_serving_via_collection(spark, tmp_path):
+    # End-to-end: schema declares a binary quantizer; after
+    # build_quantized_index, search serves from the persisted codes with
+    # quantized (hamming) distances — including the pre-filtered path.
+    from semadb_spark.collection import Collection
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(120, 8))
+    rows = [Row(_id=f"{i:03d}", v=[float(x) for x in X[i]], grp=int(i % 3)) for i in range(120)]
+    schema = {
+        "v": {"type": "vectorFlat", "vectorFlat": {
+            "vectorSize": 8, "distanceMetric": "euclidean",
+            "quantizer": {"type": "binary", "binary": {"threshold": 0.0, "distanceMetric": "hamming"}},
+        }},
+        "grp": {"type": "integer"},
+    }
+    coll = Collection.create(spark, str(tmp_path / "qcoll"), schema, num_buckets=4)
+    coll.insert(spark.createDataFrame(rows))
+    assert coll.build_quantized_index("v") == "binary"
+
+    req = {"query": {"property": "v", "vectorFlat": {"vector": [float(x) for x in X[5]], "operator": "near", "limit": 10}}}
+    got = coll.search(req).select("_id", "_distance").collect()
+    # quantized self-distance is 0 and distances are integer-valued hamming
+    assert got[0]["_id"] == "005" and got[0]["_distance"] == 0.0
+    assert all(float(r["_distance"]).is_integer() for r in got)
+    # oracle: brute-force hamming over sign bits
+    bits = X > 0.0
+    qb = bits[5]
+    hd = (bits != qb).sum(axis=1)
+    best = sorted(range(120), key=lambda i: (hd[i], f"{i:03d}"))[:10]
+    assert [r["_id"] for r in got] == [f"{i:03d}" for i in best]
+
+    # filtered quantized search: results restricted to grp == 1
+    freq = {"query": {"property": "v", "vectorFlat": {
+        "vector": [float(x) for x in X[5]], "operator": "near", "limit": 5,
+        "filter": {"property": "grp", "integer": {"operator": "equals", "value": 1}},
+    }}}
+    fgot = coll.search(freq).select("_id").collect()
+    assert all(int(r["_id"]) % 3 == 1 for r in fgot) and len(fgot) == 5
+
+
+def test_pq_serving_via_collection(spark, tmp_path):
+    from semadb_spark.collection import Collection
+    from semadb_spark.operators.knn import knn_topk
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(300, 16))
+    rows = [Row(_id=f"{i:03d}", v=[float(x) for x in X[i]]) for i in range(300)]
+    schema = {
+        "v": {"type": "vectorFlat", "vectorFlat": {
+            "vectorSize": 16, "distanceMetric": "euclidean",
+            "quantizer": {"type": "product", "product": {
+                "numCentroids": 32, "numSubVectors": 4, "triggerThreshold": 1000}},
+        }},
+    }
+    coll = Collection.create(spark, str(tmp_path / "pqcoll"), schema, num_buckets=4)
+    coll.insert(spark.createDataFrame(rows))
+    assert coll.build_quantized_index("v") == "product"
+    req = {"query": {"property": "v", "vectorFlat": {"vector": [float(x) for x in X[9]], "operator": "near", "limit": 10}}}
+    got = {r["_id"] for r in coll.search(req).select("_id").collect()}
+    exact = {r["_id"] for r in knn_topk(coll.df(), "v", [float(x) for x in X[9]], "euclidean", 10).collect()}
+    # ADC recall well above chance (10/300); codes-only serving works
+    assert len(got & exact) >= 3
