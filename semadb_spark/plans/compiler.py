@@ -235,7 +235,24 @@ class SearchEngine:
             )
         if opts.get("operator", "near") != "near":
             raise ValueError(f"invalid operator {opts['operator']} for vector query")
+        if not (1 <= len(vector) <= 4096):
+            raise ValueError(
+                f"query vector length must be between 1 and 4096, got {len(vector)}"
+            )
+        # per-search option ranges (models/search.go:267-306); a missing
+        # limit takes the lenient default 10 instead of the reference's
+        # required-field rejection — batch callers shouldn't have to care
         limit = int(opts.get("limit", 10))
+        if not (1 <= limit <= 75):
+            raise ValueError(f"invalid limit {limit} for vector query, expected 1-75")
+        if key == "vectorVamana" and opts.get("searchSize") is not None:
+            ss = int(opts["searchSize"])
+            if not (25 <= ss <= 75):
+                raise ValueError(
+                    f"invalid searchSize {ss} for vector query, expected 25-75"
+                )
+            if ss < limit:
+                raise ValueError("searchSize must be greater than or equal to limit")
         # explicit weight 0 is honored; only an absent field defaults to 1
         # (the reference checks the pointer, not the value)
         w = opts.get("weight")
@@ -326,7 +343,15 @@ class SearchEngine:
         opts = query.get("text")
         if opts is None:
             raise ValueError(f"text query options not provided for property {prop}")
+        if not opts.get("value"):
+            raise ValueError("text query value cannot be empty")
+        if opts.get("operator") not in ("containsAll", "containsAny"):
+            raise ValueError(
+                f"invalid operator {opts.get('operator')} for text query"
+            )
         limit = int(opts.get("limit", 10))
+        if not (1 <= limit <= 75):
+            raise ValueError(f"invalid limit {limit} for text query, expected 1-75")
         w = opts.get("weight")
         weight = 1.0 if w is None else float(w)
         doc_terms = self.text_indexes.get(prop)

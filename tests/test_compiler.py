@@ -310,3 +310,29 @@ def test_knn_bit_metrics_on_float_vectors(products):
         {"query": {"property": "vector", "vectorFlat": {"vector": [0.0, 0.0], "operator": "near", "limit": 1}}}
     ).select("_id", "_distance").collect()
     assert zq[0]["_id"] == "00" and zq[0]["_distance"] == 0.0
+
+
+def test_ranked_option_validation(engine):
+    # per-search option ranges (models/search.go:267-306)
+    with pytest.raises(ValueError, match="limit"):
+        engine.search({"query": {"property": "vector", "vectorFlat": {"vector": [0.0, 0.0], "operator": "near", "limit": 76}}})
+    with pytest.raises(ValueError, match="limit"):
+        engine.search({"query": {"property": "description", "text": {"operator": "containsAny", "value": "x", "limit": 0}}})
+    with pytest.raises(ValueError, match="value cannot be empty"):
+        engine.search({"query": {"property": "description", "text": {"operator": "containsAny", "value": "", "limit": 5}}})
+    with pytest.raises(ValueError, match="invalid operator"):
+        engine.search({"query": {"property": "description", "text": {"operator": "match", "value": "x", "limit": 5}}})
+
+
+def test_vamana_search_size_validation(spark):
+    schema = IndexSchema.from_json(
+        {"vector": {"type": "vectorVamana", "vectorVamana": {"vectorSize": 2, "distanceMetric": "euclidean"}}}
+    )
+    df = spark.createDataFrame([("0", [0.0, 0.0])], "_id string, vector array<float>")
+    eng = SearchEngine(df, schema)
+    node = {"vector": [0.0, 0.0], "operator": "near", "limit": 5, "searchSize": 10}
+    with pytest.raises(ValueError, match="searchSize"):
+        eng.search({"query": {"property": "vector", "vectorVamana": node}})
+    node = {"vector": [0.0, 0.0], "operator": "near", "limit": 50, "searchSize": 25}
+    with pytest.raises(ValueError, match="searchSize must be greater"):
+        eng.search({"query": {"property": "vector", "vectorVamana": node}})
