@@ -282,6 +282,41 @@ class Collection:
             f.write(str(nxt))
         os.replace(tmp, os.path.join(self.path, _CURRENT))  # atomic swap
 
+    def vacuum(self, keep_versions: int = 1) -> list[int]:
+        """S7 backup rotation: snapshot versions double as backups
+        (utils/backup.go keeps N timestamped copies; here, versions), and
+        vacuum is the rotation. Retains the last ``keep_versions`` manifests
+        plus every older version dir still referenced by a retained manifest
+        (bucket pointers carry forward across DML), deletes the rest —
+        including their version-pinned index artifacts.
+        Returns the removed version numbers."""
+        import re
+        import shutil
+
+        cur = self._current_version()
+        retained = set(range(max(0, cur - int(keep_versions) + 1), cur + 1))
+        referenced = set(retained)
+        for v in retained:
+            manifest_path = os.path.join(self._data_path(v), _MANIFEST_FILE)
+            if not os.path.exists(manifest_path):
+                continue
+            for p in self._manifest(v).values():
+                referenced.add(int(p.split("/", 1)[0][1:]))
+        removed: set[int] = set()
+        for entry in os.listdir(self.path):
+            m = re.fullmatch(r"v(\d+)(_idx)?", entry)
+            if not m:
+                continue
+            v = int(m.group(1))
+            if m.group(2):  # index artifacts only serve their own version
+                if v not in retained:
+                    shutil.rmtree(os.path.join(self.path, entry))
+                    removed.add(v)
+            elif v not in referenced:
+                shutil.rmtree(os.path.join(self.path, entry))
+                removed.add(v)
+        return sorted(removed)
+
     # -- read side ----------------------------------------------------------
     def _read_buckets(self, buckets: list[int] | None = None) -> DataFrame:
         """Read the current snapshot, pruned to ``buckets`` when given —
@@ -372,6 +407,73 @@ class Collection:
         with open(os.path.join(path, "_centroids.json"), "w") as f:
             json.dump(index.centroids.tolist(), f)
         return len(index.centroids)
+
+    def refresh_vector_index(self, prop: str) -> int:
+        """W4 incremental index maintenance for the vector index: roll the
+        latest IVF artifact forward to the current snapshot WITHOUT refitting.
+
+        Centroids stay frozen (the reference likewise freezes quantizer /
+        graph parameters once fit and applies per-point maintenance,
+        shard/index/dispatch.go:33-110). The bucket manifests tell us
+        exactly which data changed since the index's snapshot: only rows in
+        buckets whose pointer moved are re-assigned (one Arrow UDF pass over
+        the dirty buckets); clean rows keep their stored assignments.
+        Deletes fall out naturally — a dirty bucket's rows are replaced
+        wholesale by the current snapshot's content. Returns the number of
+        rows re-assigned. The artifact itself is rewritten (O(index) IO,
+        O(dirty) compute); per-centroid manifesting of the artifact is the
+        next step at 100 TB.
+        """
+        import re
+
+        import numpy as np
+
+        from .operators.ann import ivf_build  # noqa: F401  (doc anchor)
+        from .functions.kmeans import assign_centroids
+
+        cur = self._current_version()
+        indexed_v = None
+        for entry in os.listdir(self.path):
+            m = re.fullmatch(r"v(\d+)_idx", entry)
+            if m and os.path.exists(
+                os.path.join(self._vindex_path(prop, int(m.group(1))), "_centroids.json")
+            ):
+                v = int(m.group(1))
+                if v <= cur and (indexed_v is None or v > indexed_v):
+                    indexed_v = v
+        if indexed_v is None:
+            raise ValueError(f"no IVF index found for property {prop}; build first")
+        if indexed_v == cur:
+            return 0
+        old_path = self._vindex_path(prop, indexed_v)
+        with open(os.path.join(old_path, "_centroids.json")) as f:
+            cents = np.asarray(json.load(f), dtype=np.float64)
+        old_manifest = self._manifest(indexed_v)
+        cur_manifest = self._manifest(cur)
+        dirty = sorted(
+            int(b)
+            for b in set(old_manifest) | set(cur_manifest)
+            if old_manifest.get(b) != cur_manifest.get(b)
+        )
+        old_index = self.spark.read.parquet(old_path)
+        if dirty:
+            dirty_set = [int(b) for b in dirty]
+            clean_rows = old_index.filter(
+                ~self._bucket_expr(F.col("_id")).isin(dirty_set)
+            )
+            fresh = self._read_buckets(dirty_set).select(
+                "_id", F.col(prop).alias("v")
+            ).filter(F.col("v").isNotNull())
+            reassigned = assign_centroids(fresh, "v", cents)
+            n = reassigned.count()
+            merged = clean_rows.unionByName(reassigned)
+        else:
+            merged, n = old_index, 0
+        new_path = self._vindex_path(prop, cur)
+        merged.write.mode("overwrite").partitionBy("centroid_id").parquet(new_path)
+        with open(os.path.join(new_path, "_centroids.json"), "w") as f:
+            json.dump(cents.tolist(), f)
+        return n
 
     def _vector_indexes(self) -> dict[str, object]:
         import numpy as np

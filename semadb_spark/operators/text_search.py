@@ -32,7 +32,12 @@ from semadb_spark.functions.analyzer import analyze_query, tokenize
 
 
 def build_text_index(df: DataFrame, text_col: str, id_col: str = "_id") -> DataFrame:
-    """-> doc_terms(id, term, tf, doc_len). One shuffle (groupBy id, term).
+    """-> doc_terms(id, term, tf, doc_len, df).
+
+    ``df`` (corpus document frequency of the term) is denormalized onto
+    every posting row at build time — it is an index-time fact, exactly like
+    the reference's posting-set cardinality (text.go:368-371), so queries
+    never pay a per-term aggregation shuffle for it.
 
     Null/emptied docs are excluded entirely (missing properties are never
     indexed, models/index.go:125-131; empty token list removes the doc,
@@ -44,10 +49,15 @@ def build_text_index(df: DataFrame, text_col: str, id_col: str = "_id") -> DataF
         .withColumn("doc_len", F.size("tokens"))
         .filter(F.col("doc_len") > 0)
     )
-    return (
+    doc_terms = (
         toks.select("id", "doc_len", F.explode("tokens").alias("term"))
         .groupBy("id", "term")
         .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
+    )
+    from pyspark.sql import Window
+
+    return doc_terms.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
     )
 
 
@@ -124,16 +134,20 @@ def text_search(
                 doc_terms.select("id").distinct().agg(F.count("*").alias("num_docs"))
             )
         matches = doc_terms.filter(F.col("term").isin(terms))
-    # Corpus-wide document frequency per query term: doc_terms rows are
-    # unique per (id, term), so df_t = count per term over the matched rows
-    # alone — no full-corpus stats pass needed (text.go:368-371 reads the
-    # posting-set cardinality the same way). Computed as a window over the
-    # matched rows so the tokenize pipeline evaluates once, not per stat.
+    # Corpus-wide document frequency per query term: a materialized index
+    # carries it denormalized per posting row (index-time fact); the ad-hoc
+    # path computes it as a window over the matched rows alone — doc_terms
+    # rows are unique per (id, term), so df_t = count per term over the
+    # query-term postings, no full-corpus stats pass (text.go:368-371 reads
+    # the posting-set cardinality the same way).
     from pyspark.sql import Window
 
+    if "df" not in matches.columns:
+        matches = matches.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term"))
+        )
     scored_terms = (
-        matches.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-        .crossJoin(F.broadcast(num_docs))
+        matches.crossJoin(F.broadcast(num_docs))
         .withColumn(
             "term_score",
             (F.col("tf").cast("double") / F.col("doc_len").cast("double"))

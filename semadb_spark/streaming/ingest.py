@@ -47,7 +47,9 @@ def incremental_text_index(
     Append-only: each batch contributes its own docs' postings (the
     reference's per-doc term-freq upsert, text.go:151-258). The groupBy is
     per-(id, term) *within* new docs only, so state never grows with corpus
-    size — no watermark needed."""
+    size — no watermark needed. Unlike the batch build, no ``df`` column is
+    denormalized (a stream's corpus-wide document frequency keeps moving);
+    text_search computes it from the matched postings when absent."""
     toks = (
         stream_df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"), tokenize(text_col).alias("tokens"))

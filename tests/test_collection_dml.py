@@ -294,3 +294,63 @@ def test_bucketed_dml_rewrites_only_affected_buckets(spark, tmp_path):
     ]
     assert len(del_written) == 1
     assert coll.count() == 399
+
+
+def test_vacuum_keeps_referenced_versions(spark, tmp_path):
+    import os
+
+    coll = Collection.create(spark, str(tmp_path / "vac"), SCHEMA, num_buckets=4)
+    pts = spark.createDataFrame(
+        [Row(_id=f"x{i:03d}", name=f"n{i}", price=float(i)) for i in range(100)]
+    )
+    coll.insert(pts)  # v1 writes all 4 buckets
+    for i in range(3):  # v2..v4 each rewrite one bucket
+        coll.update(spark.createDataFrame([Row(_id=f"x{i:03d}", price=1000.0 + i)]))
+    cur = coll._current_version()
+    assert cur == 4
+    removed = coll.vacuum(keep_versions=1)
+    # v0 (empty create) is unreferenced; v1 must SURVIVE — the current
+    # manifest still points at its untouched buckets
+    assert 0 in removed and 1 not in removed
+    dirs = {d for d in os.listdir(str(tmp_path / "vac")) if d.startswith("v")}
+    assert "v1" in dirs and "v0" not in dirs
+    # reads stay intact after vacuum
+    assert coll.count() == 100
+    assert coll.df().filter(F.col("_id") == "x001").first()["price"] == 1001.0
+    # reopen works too
+    assert Collection.open(spark, str(tmp_path / "vac")).count() == 100
+
+
+def test_refresh_vector_index_incremental(spark, tmp_path):
+    # W4: after DML, refresh_vector_index rolls the IVF artifact forward
+    # with frozen centroids, re-assigning ONLY rows in dirty buckets.
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    schema = {
+        "v": {"type": "vectorVamana", "vectorVamana": {"vectorSize": 8, "distanceMetric": "euclidean"}},
+    }
+    coll = Collection.create(spark, str(tmp_path / "ivfc"), schema, num_buckets=8)
+    X = rng.normal(size=(200, 8))
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"a{i:03d}", v=[float(x) for x in X[i]]) for i in range(200)]
+    ))
+    coll.build_vector_index("v", nlist=4)
+    # DML: insert a distinctive new point far away + delete one old point
+    far = [9.0] * 8
+    coll.insert(spark.createDataFrame([Row(_id="new00", v=far)]))
+    coll.delete(["a005"])
+    n = coll.refresh_vector_index("v")
+    assert n > 0  # only dirty-bucket rows reassigned, but at least the new one
+    idx = spark.read.parquet(coll._vindex_path("v"))
+    assert idx.filter(F.col("_id") == "new00").count() == 1
+    assert idx.filter(F.col("_id") == "a005").count() == 0
+    assert idx.count() == 200  # 200 + 1 - 1
+    # search serves from the refreshed artifact and finds the new point
+    res = coll.search({"query": {"property": "v", "vectorVamana": {
+        "vector": far, "operator": "near", "limit": 3, "searchSize": 25}}})
+    assert res.first()["_id"] == "new00"
+    # clean rows kept their stored assignment (no refit drift): compare a
+    # clean bucket's assignments before/after
+    n2 = coll.refresh_vector_index("v")
+    assert n2 == 0  # already current -> no work
