@@ -61,6 +61,10 @@ class Compiled:
     pred: Column | None = None
     ids: DataFrame | None = None  # (id)
     ranked: DataFrame | None = None  # (id, _distance, _score, _hybridScore)
+    # True when ``ids`` is bounded by branch limits (ranked leaves and
+    # compositions dominated by them) — such frames are always safe to
+    # broadcast by hint, table size notwithstanding.
+    ids_bounded: bool = False
 
     @property
     def is_pure(self) -> bool:
@@ -337,7 +341,7 @@ class SearchEngine:
                 F.lit(-1.0 * weight) * F.col("_distance"),
             )
         )
-        return Compiled(ids=ranked.select(self.id_col), ranked=ranked)
+        return Compiled(ids=ranked.select(self.id_col), ranked=ranked, ids_bounded=True)
 
     def _compile_text(self, prop: str, query: dict, value) -> Compiled:
         opts = query.get("text")
@@ -398,7 +402,7 @@ class SearchEngine:
             .withColumn("_distance", F.lit(None).cast("double"))
             .select(self.id_col, "_distance", "_score", "_hybridScore")
         )
-        return Compiled(ids=ranked.select(self.id_col), ranked=ranked)
+        return Compiled(ids=ranked.select(self.id_col), ranked=ranked, ids_bounded=True)
 
     # -- boolean composition (B1-B3) ---------------------------------------
 
@@ -415,10 +419,29 @@ class SearchEngine:
             return Compiled(pred=reduce(combine, [c.pred for c in children]))
 
         # Mixed/ranked: materialize id sets (shard/index/search.go:248-252).
-        id_frames = [self._ids_of(c) for c in children]
         if conjunction:
-            final_set = reduce(lambda a, b: a.join(b, self.id_col, "left_semi"), id_frames)
+            # Ranked children's id sets are bounded by their branch limits;
+            # pure-filter sets can be table-sized. Intersect by streaming
+            # each unbounded set against a BROADCAST of the bounded
+            # accumulator — by hint, so a 100 TB filter never becomes the
+            # build side of a shuffle join.
+            bounded = [self._ids_of(c) for c in children if c.ids_bounded]
+            unbounded = [self._ids_of(c) for c in children if not c.ids_bounded]
+            if bounded:
+                acc = reduce(
+                    lambda a, b: a.join(F.broadcast(b), self.id_col, "left_semi"),
+                    bounded,
+                )
+                for f in unbounded:
+                    # rows stream from f; result stays bounded (<= |acc|)
+                    acc = f.join(F.broadcast(acc), self.id_col, "left_semi")
+                final_set = acc
+            else:
+                final_set = reduce(
+                    lambda a, b: a.join(b, self.id_col, "left_semi"), unbounded
+                )
         else:
+            id_frames = [self._ids_of(c) for c in children]
             final_set = reduce(DataFrame.unionByName, id_frames).distinct()
 
         ranked_frames = [
@@ -453,9 +476,21 @@ class SearchEngine:
                 "_hybridScore",
             )
             if conjunction:
-                # _and drops ranked rows outside the intersection (search.go:266-268)
-                merged = merged.join(final_set, self.id_col, "left_semi")
-        return Compiled(ids=final_set, ranked=merged)
+                # _and drops ranked rows outside the intersection
+                # (search.go:266-268). merged is bounded by the sum of the
+                # branch limits; final_set can be table-sized — so stream
+                # final_set against the BROADCAST merged frame instead of
+                # building a hash of the big side (ids are distinct on both
+                # sides, making the inner join a semi join).
+                merged = final_set.join(F.broadcast(merged), self.id_col).select(
+                    self.id_col, "_distance", "_score", "_hybridScore"
+                )
+        bounded_out = (
+            any(c.ids_bounded for c in children)
+            if conjunction
+            else all(c.ids_bounded for c in children)
+        )
+        return Compiled(ids=final_set, ranked=merged, ids_bounded=bounded_out)
 
     # -- result assembly + shaping (P1-P3, B4) ------------------------------
 
@@ -471,20 +506,28 @@ class SearchEngine:
                 .withColumn("_rankedFirst", F.lit(1))
             )
         ranked = compiled.ranked
+        ids = F.broadcast(compiled.ids) if compiled.ids_bounded else compiled.ids
         if ranked is None:
-            rows = self.df.join(compiled.ids, self.id_col, "left_semi")
+            rows = self.df.join(ids, self.id_col, "left_semi")
             return (
                 rows.withColumn("_distance", F.lit(None).cast("double"))
                 .withColumn("_score", F.lit(None).cast("double"))
                 .withColumn("_hybridScore", F.lit(0.0))
                 .withColumn("_rankedFirst", F.lit(1))
             )
-        ranked_rows = self.df.join(ranked, self.id_col).withColumn(
+        # ranked is bounded by the branch limits (<= 75 rows per ranked
+        # leaf) — broadcast explicitly so the backfill never shuffles the
+        # table, independent of AQE's runtime size estimate.
+        ranked_rows = self.df.join(F.broadcast(ranked), self.id_col).withColumn(
             "_rankedFirst", F.lit(0)
         )
+        # the anti build side (ranked ids) is always bounded; the leftover
+        # set inherits compiled.ids' boundedness
         leftover_ids = compiled.ids.join(
-            ranked.select(self.id_col), self.id_col, "left_anti"
+            F.broadcast(ranked.select(self.id_col)), self.id_col, "left_anti"
         )
+        if compiled.ids_bounded:
+            leftover_ids = F.broadcast(leftover_ids)
         leftover_rows = (
             self.df.join(leftover_ids, self.id_col, "left_semi")
             .withColumn("_distance", F.lit(None).cast("double"))

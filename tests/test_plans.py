@@ -148,3 +148,32 @@ def test_explicit_null_limit_returns_all(table):
     )
     assert res.count() == 200  # 2000 rows, size = id % 100 < 10
     assert "Window" not in _plan(res)
+
+
+def test_ranked_backfill_broadcasts_without_aqe_help(spark, table):
+    # The ranked frame is bounded by branch limits, so the backfill join
+    # must broadcast BY HINT — not by AQE's runtime size estimate (which a
+    # 100 TB scan can't rely on pre-shuffle).
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        eng = SearchEngine(table, SCHEMA)
+        res = eng.search(
+            {
+                "query": {
+                    "property": "_and",
+                    "_and": [
+                        {"property": "vec", "vectorFlat": {"vector": [1.0, 2.0], "operator": "near", "limit": 5}},
+                        {"property": "size", "integer": {"operator": "lessThan", "value": 50}},
+                    ],
+                },
+                "limit": 5,
+            }
+        )
+        plan = _plan(res)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        # the _and intersection may keep fewer than the 5 ranked rows
+        assert 1 <= res.count() <= 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
