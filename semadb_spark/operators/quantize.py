@@ -166,10 +166,14 @@ def bq_encode_expr(
             ).otherwise(F.lit(0).cast("long"))
             for i in range(min(64, dim - w * 64))
         ]
-        acc = bits[0]
-        for b in bits[1:]:
-            acc = acc.bitwiseOR(b)
-        words.append(acc)
+        # balanced OR tree: depth log2(64) instead of a 64-deep linear fold
+        # (deep expression chains fall out of codegen)
+        while len(bits) > 1:
+            bits = [
+                bits[i].bitwiseOR(bits[i + 1]) if i + 1 < len(bits) else bits[i]
+                for i in range(0, len(bits), 2)
+            ]
+        words.append(bits[0])
     return F.array(*words)
 
 

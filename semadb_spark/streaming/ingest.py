@@ -197,3 +197,25 @@ def streaming_corpus_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_assign_centroids(
+    stream_df: DataFrame, vec_col: str, centroids, id_col: str = "_id"
+) -> DataFrame:
+    """Streaming IVF index maintenance (W4 for the vector index): assign
+    arriving vectors to FROZEN coarse centroids — the same per-point index
+    upsert the reference's dispatch pipeline performs on insert
+    (shard/index/dispatch.go:33-110), with the fit already done batch-side
+    (functions/kmeans.py). Append the output to the index table partitioned
+    by centroid_id and the serving probe prunes new data immediately; no
+    state, no watermark — pure per-row enrichment, so the stream scales
+    with arrival rate only."""
+    from semadb_spark.functions.kmeans import assign_centroids
+
+    return assign_centroids(
+        stream_df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).cast("string").alias(id_col), F.col(vec_col).alias("v")
+        ),
+        "v",
+        centroids,
+    )

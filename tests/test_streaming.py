@@ -141,3 +141,43 @@ def test_streaming_corpus_stats_stateful(spark, tmp_path):
     ).collect()
     got = {r.grp: (r.n_docs, r.total_tokens) for r in rows}
     assert got == {"s1": (3, 6), "s2": (2, 5)}
+
+
+def test_streaming_assign_centroids_matches_batch(spark, tmp_path):
+    # streaming IVF maintenance assigns arriving vectors to the same frozen
+    # centroids as the batch path — byte-identical assignments
+    import numpy as np
+
+    from semadb_spark.functions.kmeans import assign_centroids, kmeans_np
+
+    rng = np.random.RandomState(6)
+    X = rng.normal(size=(120, 8))
+    cents = kmeans_np(X[:60], 4, seed=1)
+    src = str(tmp_path / "vec_stream")
+    rows = [(str(i), [float(x) for x in X[i]]) for i in range(120)]
+    spark.createDataFrame(rows[:60], "_id string, v array<float>").coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows[60:], "_id string, v array<float>").coalesce(1).write.mode("append").parquet(src)
+
+    stream = si.read_point_stream(spark, src, "_id string, v array<float>", max_files_per_trigger=1)
+    assigned = si.streaming_assign_centroids(stream, "v", cents)
+    out_dir = str(tmp_path / "ivf_rows")
+
+    q = (
+        assigned.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    batch = assign_centroids(
+        spark.createDataFrame(rows, "_id string, v array<float>").select("_id", F.col("v")),
+        "v",
+        cents,
+    ).select("_id", F.col("centroid_id"))
+    g = {r["_id"]: r["centroid_id"] for r in got.collect()}
+    b = {r["_id"]: r["centroid_id"] for r in batch.collect()}
+    assert g == b and len(g) == 120
