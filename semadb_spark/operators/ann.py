@@ -90,9 +90,18 @@ def ivf_search(
     metric: str,
     k: int,
     nprobe: int = 4,
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Batch ANN search: probe ``nprobe`` centroid partitions per query, exact
-    rerank within them. -> (query_id, id, _distance, _rank)."""
+    rerank within them. -> (query_id, id, _distance, _rank).
+
+    ``candidate_ids`` (one id column) restricts the rerank to a pre-filter
+    set — the reference's filtered-ANN mode, where only filtered ids enter
+    the result set and recall is optimistic
+    (docs/content/docs/search/filtered.md:49-51): a match outside the probed
+    cells is missed, exactly as a match outside the beam is missed there.
+    The probe still prunes partitions first, so the semi-join touches
+    ~nprobe/nlist of the index, never the table."""
     queries = list(queries)
     if not queries:
         raise ValueError("ivf_search requires at least one query")
@@ -120,6 +129,13 @@ def ivf_search(
     # the final merge sees O(batches x q x k) rows however big the table is.
     candidates = index.assigned.filter(F.col("centroid_id").isin(all_probed))
     id_col, vec_col = index.id_col, index.vec_col
+    if candidate_ids is not None:
+        flt = candidate_ids.select(
+            F.col(candidate_ids.columns[0]).cast("string").alias(id_col)
+        )
+        candidates = candidates.withColumn(
+            id_col, F.col(id_col).cast("string")
+        ).join(flt, id_col, "left_semi")
     out_schema = f"query_id string, {id_col} string, _distance double"
 
     def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -283,20 +283,28 @@ class SearchEngine:
         elif (
             key == "vectorVamana"
             and ann_index is not None
-            and opts.get("filter") is None
             and value.distance_metric not in ("hamming", "jaccard")
         ):
             # approximate serving over the persisted index — vectorVamana is
-            # the reference's ANN type (beam search, vamana/search.go:9-102);
-            # filtered ANN falls back to exact (our results can only be
-            # better than the reference's optimistic filtered beam,
-            # docs/content/docs/search/filtered.md:49-51)
+            # the reference's ANN type (beam search, vamana/search.go:9-102).
+            # Filtered queries probe the same index with the pre-filter id
+            # set restricting the rerank: the reference's filtered-ANN mode
+            # (optimistic recall, docs/content/docs/search/filtered.md:49-51)
+            # without ever scanning the full table.
             from semadb_spark.operators.ann import ivf_search
 
             search_size = int(opts.get("searchSize") or value.params.get("searchSize") or 75)
             nprobe = max(1, min(len(ann_index.centroids), search_size // 8))
+            flt_ids = None
+            if opts.get("filter") is not None:
+                flt_ids = self._prefiltered_df(opts["filter"]).select(self.id_col)
             topk = ivf_search(
-                ann_index, [("q", vector)], value.distance_metric, limit, nprobe=nprobe
+                ann_index,
+                [("q", vector)],
+                value.distance_metric,
+                limit,
+                nprobe=nprobe,
+                candidate_ids=flt_ids,
             ).select(F.col(ann_index.id_col).alias(self.id_col), "_distance")
         elif value.distance_metric in ("hamming", "jaccard"):
             # D8: float vectors queried with a bit metric are force-binarized

@@ -225,7 +225,9 @@ def test_persisted_vector_index(spark, tmp_path):
     approx = [(r._id, r._distance) for r in coll.search(req).collect()]
     assert approx[0] == exact[0]                       # true nearest found
     assert len(set(a for a, _ in approx) & set(e for e, _ in exact)) >= 3
-    # filtered vectorVamana falls back to exact semantics
+    # filtered vectorVamana probes the index with the pre-filter id set
+    # (the reference's optimistic filtered-ANN mode) — results must satisfy
+    # the filter
     freq = {"query": {"property": "vec",
                       "vectorVamana": {"vector": [3.0, 4.0], "operator": "near", "limit": 5,
                                         "filter": {"property": "tag", "string":

@@ -190,3 +190,27 @@ def test_embedding_neardup_lsh_blocked(spark):
     }
     for r in got:
         assert (r["id_a"], r["id_b"]) in exact
+
+
+def test_ivf_search_with_candidate_filter(spark):
+    import numpy as np
+
+    from semadb_spark.operators.ann import ivf_build, ivf_search
+
+    rng = np.random.RandomState(12)
+    X = rng.normal(size=(300, 8))
+    df = spark.createDataFrame(
+        [(str(i), [float(x) for x in X[i]], i % 2) for i in range(300)],
+        "_id string, v array<float>, par long",
+    )
+    idx = ivf_build(df, "v", "_id", nlist=4, seed=2)
+    even = df.filter(F.col("par") == 0).select("_id")
+    res = ivf_search(idx, [("q", X[8].tolist())], "euclidean", 10,
+                     nprobe=4, candidate_ids=even).collect()
+    ids = [int(r["_id"]) for r in res]
+    assert ids and all(i % 2 == 0 for i in ids)
+    # full probe + filter == exact filtered kNN
+    d = ((X[::2] - X[8]) ** 2).sum(axis=1)
+    evens = np.arange(0, 300, 2)
+    expected = [str(evens[j]) for j in np.lexsort((evens.astype(str), d))[:10]]
+    assert {r["_id"] for r in res} == set(expected)
