@@ -571,6 +571,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = dedup_simhash
 
+    def dedup_components(spark, sf_dir):
+        """Duplicate-group assignment: connected components over the LSH
+        candidate pairs -> (id, comp=min id of the group), the canonical
+        keeper a training pipeline retains."""
+        return dedup_ops.connected_components(_lsh_pairs(spark, sf_dir))
+
+    q["dedup_components"] = dedup_components
+
     def dedup_ngram_jaccard(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         pairs = dedup_ops.ngram_jaccard_pairs(
@@ -1216,6 +1224,22 @@ def oracle_sql() -> dict[str, str]:
         WITH {_shingle_cte},
         hashes AS (SELECT id, list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs FROM sh)
         SELECT id AS _id, CAST({_simhash_expr} AS BIGINT) AS simhash FROM hashes
+    """
+
+    o["dedup_components"] = f"""
+        WITH RECURSIVE {_shingle_cte}, {_sig_cte},
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        ),
+        sym AS (SELECT id_a AS a, id_b AS b FROM cand
+                UNION SELECT id_b, id_a FROM cand),
+        reach(a, r) AS (
+          SELECT DISTINCT a, a FROM sym
+          UNION
+          SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.a
+        )
+        SELECT a AS id, min(r) AS comp FROM reach GROUP BY a
     """
 
     o["dedup_ngram_jaccard"] = f"""

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_components",
     "embed_neardup",
     "lang_id_counts",
     "quality_scores",

@@ -468,3 +468,65 @@ def embedding_neardup_pairs_lsh(
         .applyInPandas(block_pairs, "id_a string, id_b string, cos_sim double")
     )
     return pairs.groupBy("id_a", "id_b").agg(F.first("cos_sim").alias("cos_sim"))
+
+
+# -- dedup groups (connected components) --------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Duplicate-group assignment: connected components over the candidate
+    pair graph -> (id, comp) where ``comp`` is the component's minimum id —
+    the canonical keeper a training pipeline retains.
+
+    Min-label propagation: each round every node takes the min of its own
+    and its neighbours' labels, converging in graph-diameter rounds.
+    Near-dup clusters are shallow (duplicates of one document all pair with
+    each other through LSH), so the diameter is tiny in practice; each
+    round is one join + one groupBy on the (small, pairs-sized) edge
+    frame — the corpus itself is never touched. Frames are persisted per
+    round and released as soon as superseded.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(
+                    labels.select(
+                        F.col("id").alias("b"), F.col("comp").alias("bcomp")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("bcomp").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(nbr_min.withColumnRenamed("a", "id"), "id", "left")
+                .select(
+                    "id",
+                    F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        sym.unpersist()

@@ -214,3 +214,14 @@ def test_ivf_search_with_candidate_filter(spark):
     evens = np.arange(0, 300, 2)
     expected = [str(evens[j]) for j in np.lexsort((evens.astype(str), d))[:10]]
     assert {r["_id"] for r in res} == set(expected)
+
+
+def test_connected_components_groups(spark):
+    from semadb_spark.operators.dedup import connected_components
+
+    # two chains and a singleton pair: {a,b,c,d} via a-b, b-c, c-d; {x,y}
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
