@@ -79,6 +79,7 @@ def text_search(
     id_col: str = "_id",
     doc_terms: DataFrame | None = None,
     num_docs: int | None = None,
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """-> (id, _score, _hybridScore) sorted by score desc, truncated to limit.
 
@@ -86,6 +87,11 @@ def text_search(
     and ``num_docs`` (corpus document count, the reference's persisted
     ``_numDocuments`` counter, text.go:16-20) to skip the per-query distinct
     over the posting table — at scale both are index-time artifacts.
+
+    ``candidate_ids`` (one id column) applies the R4 pre-filter the
+    reference way: the candidate set is intersected BEFORE scoring and
+    truncation (text.go:333-335, 387-393) — scoring work is
+    O(filtered postings), and df/IDF stay corpus-wide facts.
     """
     if operator not in ("containsAll", "containsAny"):
         raise ValueError(f"invalid operator {operator} for text query")
@@ -145,6 +151,13 @@ def text_search(
     if "df" not in matches.columns:
         matches = matches.withColumn(
             "df", F.count("*").over(Window.partitionBy("term"))
+        )
+    if candidate_ids is not None:
+        cand = candidate_ids.select(
+            F.col(candidate_ids.columns[0]).cast("string").alias("id")
+        )
+        matches = matches.withColumn("id", F.col("id").cast("string")).join(
+            cand, "id", "left_semi"
         )
     scored_terms = (
         matches.crossJoin(F.broadcast(num_docs))

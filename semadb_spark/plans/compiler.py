@@ -367,44 +367,29 @@ class SearchEngine:
         w = opts.get("weight")
         weight = 1.0 if w is None else float(w)
         doc_terms = self.text_indexes.get(prop)
-        scored = text_ops.text_search(
-            self.df,
-            prop,
-            opts["value"],
-            operator=opts["operator"],
-            # pre-filter intersects the candidate set BEFORE truncation
-            # (text.go:333-335, 387-393), so apply limit after the semi-join.
-            limit=limit,
-            weight=weight,
-            id_col=self.id_col,
-            doc_terms=doc_terms,
-            num_docs=self.text_index_stats.get(prop),
-        )
+        cand = None
         if opts.get("filter") is not None:
+            # R4 pre-filter: intersect the candidate set BEFORE scoring and
+            # truncation (text.go:333-335, 387-393); df/IDF remain
+            # corpus-wide facts regardless of the filter.
             sub = self.compile(opts["filter"])
             cand = (
                 self.df.filter(sub.pred).select(self.id_col)
                 if sub.is_pure
                 else sub.ids
             )
-            # Re-run scoring with the candidate restriction before limit:
-            # build from unlimited scores to keep truncation semantics right.
-            full = text_ops.text_search(
-                self.df,
-                prop,
-                opts["value"],
-                operator=opts["operator"],
-                limit=2**31 - 1,
-                weight=weight,
-                id_col=self.id_col,
-                doc_terms=doc_terms,
-                num_docs=self.text_index_stats.get(prop),
-            )
-            scored = (
-                full.join(cand.withColumnRenamed(self.id_col, "id"), "id", "left_semi")
-                .orderBy(F.col("_score").desc(), F.col("id").asc())
-                .limit(limit)
-            )
+        scored = text_ops.text_search(
+            self.df,
+            prop,
+            opts["value"],
+            operator=opts["operator"],
+            limit=limit,
+            weight=weight,
+            id_col=self.id_col,
+            doc_terms=doc_terms,
+            num_docs=self.text_index_stats.get(prop),
+            candidate_ids=cand,
+        )
         ranked = (
             scored.withColumnRenamed("id", self.id_col)
             .withColumn("_distance", F.lit(None).cast("double"))
