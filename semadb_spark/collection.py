@@ -255,6 +255,10 @@ class Collection:
         # config/singleServer.yaml:41-42): bounds file size at scale.
         (
             df.withColumn("_bucket", self._bucket_expr(F.col("_id")))
+            # id-sorted within each bucket file: parquet min/max row-group
+            # stats then prune id lookups inside a bucket, the analogue of
+            # the reference's B+tree key order (diskstore bucket scans)
+            .sortWithinPartitions("_bucket", "_id")
             .write.option("maxRecordsPerFile", 100_000)
             .partitionBy("_bucket")
             .parquet(path, mode="overwrite")
@@ -491,6 +495,48 @@ class Collection:
                 assigned = self.spark.read.parquet(path)
                 out[p] = IVFIndex(cents, assigned, "v", "_id")
         return out
+
+    # -- W7: persisted Vamana graph artifact ---------------------------------
+    def build_vamana_index(self, prop: str, num_shards: int | None = None,
+                           replicas: int = 2, seed: int = 42) -> str:
+        """Build the DiskANN-style graph for a vectorVamana property as a
+        distributed job (operators/vamana.py merged build) and persist the
+        edge table + entry metadata beside the snapshot. This is the EXPORT
+        artifact — serve it from your ANN server (or beam_search in tests);
+        in-Spark approximate serving uses the IVF artifact
+        (build_vector_index). Graph parameters come from the schema
+        (searchSize/degreeBound/alpha, models/index.go:275-313) and the
+        build honors the declared distance metric. Returns the artifact
+        path."""
+        from .operators.vamana import vamana_build
+
+        value = self.schema[prop]
+        if value.type != "vectorVamana":
+            raise ValueError(f"property {prop} is not a vectorVamana index")
+        index = vamana_build(
+            self.df(), prop, id_col="_id",
+            degree_bound=int(value.params.get("degreeBound", 64)),
+            alpha=float(value.params.get("alpha", 1.2)),
+            search_size=int(value.params.get("searchSize", 75)),
+            num_shards=num_shards, replicas=replicas, seed=seed,
+            metric=value.distance_metric,
+        )
+        v = self._current_version()
+        path = os.path.join(self.path, f"v{v}_idx", f"vamana_{prop.replace('.', '_')}")
+        index.edges.write.mode("overwrite").parquet(path)
+        with open(os.path.join(path, "_graph.json"), "w") as f:
+            json.dump(
+                {
+                    "entry_id": index.entry_id,
+                    "degree_bound": index.degree_bound,
+                    "alpha": index.alpha,
+                    "search_size": index.search_size,
+                    "metric": index.metric,
+                },
+                f,
+            )
+        index.edges.unpersist()
+        return path
 
     # -- W9 + vectorstore.go:75+: persisted quantized serving codes ----------
     def _qindex_path(self, prop: str, version: int | None = None) -> str:

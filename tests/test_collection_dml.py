@@ -356,3 +356,32 @@ def test_refresh_vector_index_incremental(spark, tmp_path):
     # clean bucket's assignments before/after
     n2 = coll.refresh_vector_index("v")
     assert n2 == 0  # already current -> no work
+
+
+def test_build_vamana_export_artifact(spark, tmp_path):
+    import json
+    import os
+
+    import numpy as np
+
+    from semadb_spark.operators import vamana as vm
+
+    rng = np.random.RandomState(8)
+    X = rng.normal(size=(150, 8))
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2}}}
+    coll = Collection.create(spark, str(tmp_path / "vamcoll"), schema, num_buckets=4)
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"{i:03d}", v=[float(x) for x in X[i]]) for i in range(150)]
+    ))
+    path = coll.build_vamana_index("v", num_shards=2, seed=5)
+    edges = spark.read.parquet(path)
+    with open(os.path.join(path, "_graph.json")) as f:
+        meta = json.load(f)
+    assert meta["degree_bound"] == 32 and meta["metric"] == "euclidean"
+    adj: dict = {}
+    for r in edges.collect():
+        adj.setdefault(r.src, []).append(r.dst)
+    reachable = vm.bfs_reachable(adj, meta["entry_id"])
+    assert len(reachable) == 150  # exported graph fully navigable
