@@ -489,44 +489,45 @@ def connected_components(
     round and released as soon as superseded.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # localCheckpoint (not persist): iterative algorithms grow the logical
+    # plan every round, and re-analyzing the nested plan quickly dominates
+    # the actual work — checkpointing truncates lineage to the materialized
+    # data (round-2 bench: 23s -> ~2s at sf0.1 for the same iterations).
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
-        sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
-    ).persist()
-    try:
-        for _ in range(max_iter):
-            nbr_min = (
-                sym.join(
-                    labels.select(
-                        F.col("id").alias("b"), F.col("comp").alias("bcomp")
-                    ),
-                    "b",
-                )
-                .groupBy("a")
-                .agg(F.min("bcomp").alias("nmin"))
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("id").alias("b"), F.col("comp").alias("bcomp")),
+                "b",
             )
-            new_labels = (
-                labels.join(nbr_min.withColumnRenamed("a", "id"), "id", "left")
-                .select(
-                    "id",
-                    F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
-                )
-                .persist()
+            .groupBy("a")
+            .agg(F.min("bcomp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min.withColumnRenamed("a", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels
-    finally:
-        sym.unpersist()
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
