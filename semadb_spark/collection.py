@@ -369,12 +369,26 @@ class Collection:
         props = (
             [prop] if prop else [p for p, v in self.schema.items() if v.type == "text"]
         )
+        from .functions.hashing import md5_hash64
+        from .operators.text_search import TERM_BUCKETS
+
         stats: dict[str, int] = {}
         for p in props:
             if self.schema[p].type != "text":
                 raise ValueError(f"property {p} is not a text index")
             path = self._index_path(p)
-            _build(self.df(), p).write.mode("overwrite").parquet(path)
+            # term-hash partitioned layout: a query's isin(term) filter
+            # prunes to <= |query terms| of the TERM_BUCKETS directories
+            (
+                _build(self.df(), p)
+                .withColumn(
+                    "term_bucket",
+                    F.pmod(md5_hash64(F.col("term")), F.lit(TERM_BUCKETS)),
+                )
+                .write.mode("overwrite")
+                .partitionBy("term_bucket")
+                .parquet(path)
+            )
             n = self.spark.read.parquet(path).select("id").distinct().count()
             # leading underscore: ignored by parquet directory listings
             with open(os.path.join(path, "_num_docs.json"), "w") as f:

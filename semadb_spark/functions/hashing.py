@@ -30,6 +30,17 @@ def md5_hash64(c: Column | str, seed: int | str | None = None) -> Column:
     return F.conv(F.substring(F.md5(c), 1, HASH_HEX_CHARS), 16, 10).cast("long")
 
 
+def md5_hash64_py(s: str, seed: int | str | None = None) -> int:
+    """Driver-side twin of :func:`md5_hash64` — same 60-bit value, so a
+    query can compute partition keys (e.g. term buckets) for literal
+    strings without a Spark job."""
+    import hashlib
+
+    if seed is not None:
+        s = f"{seed}:{s}"
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:HASH_HEX_CHARS], 16)
+
+
 def duckdb_md5_hash64_sql(col_sql: str, seed: int | str | None = None) -> str:
     """Matching DuckDB SQL expression for :func:`md5_hash64`."""
     if seed is not None:

@@ -30,6 +30,11 @@ from pyspark.sql import functions as F
 
 from semadb_spark.functions.analyzer import analyze_query, tokenize
 
+# Partition count for the persisted index's term-hash layout: queries prune
+# to <= |query terms| directories out of TERM_BUCKETS (Collection
+# persists the index partitionBy("term_bucket")).
+TERM_BUCKETS = 64
+
 
 def build_text_index(df: DataFrame, text_col: str, id_col: str = "_id") -> DataFrame:
     """-> doc_terms(id, term, tf, doc_len, df).
@@ -139,6 +144,13 @@ def text_search(
             num_docs = (
                 doc_terms.select("id").distinct().agg(F.count("*").alias("num_docs"))
             )
+        if "term_bucket" in doc_terms.columns:
+            # partitioned index layout: the term filter prunes to at most
+            # |query terms| directories before any row is read
+            from semadb_spark.functions.hashing import md5_hash64_py
+
+            buckets = sorted({md5_hash64_py(t) % TERM_BUCKETS for t in terms})
+            doc_terms = doc_terms.filter(F.col("term_bucket").isin(buckets))
         matches = doc_terms.filter(F.col("term").isin(terms))
     # Corpus-wide document frequency per query term: a materialized index
     # carries it denormalized per posting row (index-time fact); the ad-hoc

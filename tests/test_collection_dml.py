@@ -191,8 +191,13 @@ def test_persisted_text_index(spark, tmp_path):
     assert stats == {"text": 20}
     import os
     assert os.path.exists(os.path.join(coll._index_path("text"), "_SUCCESS"))
-    indexed = [(r._id, round(r._score, 9)) for r in coll.search(req).collect()]
+    res = coll.search(req)
+    indexed = [(r._id, round(r._score, 9)) for r in res.collect()]
     assert indexed == adhoc
+    # the term-bucket layout prunes partitions before reading any rows
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    sections = plan.split("PartitionFilters: [")[1:]
+    assert any("term_bucket" in s.split("]")[0] for s in sections), plan
     # new snapshot -> version-pinned index is stale and must not be used
     coll.insert(spark.createDataFrame(
         [Row(_id="d99", vec=[9.0, 9.0], tag="t", size=99, text="query query query")]))
