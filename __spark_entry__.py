@@ -6,9 +6,11 @@ training-pipeline additions) as (spark, sf_dir) -> DataFrame callables;
 against at sf0.01. Column names/aliases match pairwise by construction.
 
 Determinism rules (FIXTURES.md): ties broken by ``_id`` ascending everywhere;
-float outputs rounded (distances 4dp, scores 6dp) so engine-vs-oracle ulp
-noise can't flip a hash; text queries use <=2 query terms so per-doc score
-sums are bitwise order-independent.
+hashed float metrics are integer-quantized (``floor(x*scale + 1e-9)`` as
+BIGINT, see ``_qd``) so engine-vs-oracle ulp noise can't flip a hash; top-k
+cuts still order by ``round(dist, 4)`` with id tiebreak for stable
+membership; text queries use <=2 query terms so per-doc score sums are
+bitwise order-independent.
 """
 
 from __future__ import annotations
@@ -47,6 +49,27 @@ def _cached_index(kind: str, sf_dir: str, build: Callable[[], object]) -> object
 
 TOK = duckdb_tokenize_sql("text")  # standard analyser (stopwords removed)
 TOK_ALL = duckdb_tokenize_sql("text", remove_stopwords=False)
+
+
+def _qd(col, scale: int = 1000):
+    """Integer-quantize a float metric for cross-engine value hashing.
+
+    Hashing engine-rounded floats flakes when the unrounded value sits
+    within 1 ulp of a rounding boundary (round-2 ``knn_cosine``: Spark and
+    DuckDB rounded to different 4-decimal values). ``floor(x*scale + 1e-9)``
+    keeps boundaries a whole digit above the summation-order noise floor and
+    the epsilon absorbs values that are *exactly* on a boundary in real
+    arithmetic (so a 1-ulp undershoot in either engine lands on the same
+    side). Ordering/cut logic is unaffected — this only changes the emitted
+    hash column."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.floor(col * F.lit(float(scale)) + F.lit(1e-9)).cast("long")
+
+
+def _qd_sql(expr: str, scale: int = 1000) -> str:
+    """DuckDB twin of :func:`_qd` — must stay formula-identical."""
+    return f"CAST(floor(({expr}) * {float(scale)} + 1e-9) AS BIGINT)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -383,26 +406,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if flt is not None:
             node["filter"] = flt
         res = eng.search({"query": {"property": "embedding", "vectorFlat": node}})
-        return res.select("_id", F.round("_distance", 4).alias("_distance"))
+        return res.select("_id", _qd("_distance").alias("_distance"))
 
     q["knn_euclidean"] = lambda spark, sf_dir: _knn(spark, sf_dir, "euclidean")
 
     def knn_cosine(spark, sf_dir):
-        """R1/D3, with the FIXTURES determinism rule applied AT the k cut:
-        ordering by round(dist, 4) before the boundary makes the top-k set
-        invariant to cross-engine summation-order ulp noise (round-1 flake:
-        a 1-ulp difference swapped ranks 10/11). The compiler cosine path is
-        identical to euclidean/dot modulo the metric fn (plans/compiler.py
-        _compile_vector), which the other knn gates cover."""
+        """R1/D3. Membership determinism: the k cut orders by round(dist, 4)
+        with id tiebreak (round-1 flake: a 1-ulp difference swapped ranks
+        10/11). Value determinism: the emitted column is the integer
+        quantization of the RAW distance (round-2 flake: round(dist, 4)
+        itself rounded differently across engines at a 0.00005 boundary).
+        The compiler cosine path is identical to euclidean/dot modulo the
+        metric fn (plans/compiler.py _compile_vector), which the other knn
+        gates cover."""
         emb = _emb(spark, sf_dir)
         qv = _qvec(spark, sf_dir)
         scored = emb.filter(F.col("embedding").isNotNull()).withColumn(
-            "_distance", F.round(knn_ops.distance_to_query("embedding", qv, "cosine"), 4)
+            "_raw", knn_ops.distance_to_query("embedding", qv, "cosine")
         )
         return (
-            scored.orderBy(F.col("_distance").asc(), F.col("_id").asc())
+            scored.orderBy(F.round("_raw", 4).asc(), F.col("_id").asc())
             .limit(10)
-            .select("_id", "_distance")
+            .select("_id", _qd("_raw").alias("_distance"))
         )
 
     q["knn_cosine"] = knn_cosine
@@ -423,7 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qgeo = [qv[0] * 90.0, qv[1] * 180.0]
         eng = SearchEngine(geo, {"geo": {"type": "vectorFlat", "vectorFlat": {"vectorSize": 2, "distanceMetric": "haversine"}}})
         res = eng.search({"query": {"property": "geo", "vectorFlat": {"vector": qgeo, "operator": "near", "limit": 10}}})
-        return res.select("_id", F.round("_distance", 4).alias("_distance"))
+        return res.select("_id", _qd("_distance").alias("_distance"))
 
     q["knn_haversine"] = knn_haversine
 
@@ -458,7 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("_id").alias("query_id"), F.col("embedding").alias("query_vec"))
         )
         res = knn_ops.knn_topk_batch(emb, "embedding", queries_df, "euclidean", 5)
-        return res.select("query_id", "_id", F.round("_distance", 4).alias("_distance"))
+        return res.select("query_id", "_id", _qd("_distance").alias("_distance"))
 
     q["knn_batch"] = knn_batch
 
@@ -533,9 +558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return res.select(
             "_id",
-            F.round("_distance", 4).alias("_distance"),
-            F.round("_score", 6).alias("_score"),
-            F.round(F.col("_hybridScore") + F.lit(0.0), 4).alias("_hybridScore"),
+            _qd("_distance").alias("_distance"),
+            _qd("_score", 1000000).alias("_score"),
+            _qd("_hybridScore").alias("_hybridScore"),
         )
 
     q["hybrid_and"] = lambda spark, sf_dir: _hybrid(spark, sf_dir, True)
@@ -663,7 +688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _recut(raw, k):
         """Deterministic boundary: overfetch slightly, re-rank on the rounded
-        distance with id tiebreak, cut at k."""
+        distance with id tiebreak, cut at k; emit the integer-quantized raw
+        distance (see _qd) as the hashed value."""
         from pyspark.sql import Window
 
         w = Window.partitionBy("query_id").orderBy(
@@ -671,10 +697,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return (
             raw.drop("_rank")
-            .withColumn("_distance", F.round("_distance", 4))
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
-            .select("query_id", "_id", "_distance")
+            .select("query_id", "_id", _qd("_distance").alias("_distance"))
         )
 
     def _ivf_index(spark, sf_dir):
@@ -1054,24 +1079,29 @@ def oracle_sql() -> dict[str, str]:
         d AS (SELECT CAST(vec_id AS VARCHAR) AS _id, embedding::DOUBLE[] AS v, label
               FROM embeddings WHERE embedding IS NOT NULL),
         scored AS (SELECT d._id, {dist} AS dist FROM d, q {where})
-        SELECT _id, round(dist, 4) AS _distance FROM scored
+        SELECT _id, {qdist} AS _distance FROM scored
         ORDER BY dist ASC, _id ASC LIMIT 10
     """
-    o["knn_euclidean"] = _knn_tpl.format(dist=_dk_eu("d.v", "q.qv"), where="")
+    o["knn_euclidean"] = _knn_tpl.format(
+        dist=_dk_eu("d.v", "q.qv"), where="", qdist=_qd_sql("dist")
+    )
     o["knn_cosine"] = f"""
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         d AS (SELECT CAST(vec_id AS VARCHAR) AS _id, embedding::DOUBLE[] AS v
               FROM embeddings WHERE embedding IS NOT NULL),
-        scored AS (SELECT d._id, round(1 - {_dk_dot('d.v', 'q.qv')}, 4) AS dist FROM d, q)
-        SELECT _id, dist AS _distance FROM scored
-        ORDER BY dist ASC, _id ASC LIMIT 10
+        scored AS (SELECT d._id, 1 - {_dk_dot('d.v', 'q.qv')} AS dist FROM d, q)
+        SELECT _id, {_qd_sql('dist')} AS _distance FROM scored
+        ORDER BY round(dist, 4) ASC, _id ASC LIMIT 10
     """
-    o["knn_dot"] = _knn_tpl.format(dist=f"-({_dk_dot('d.v', 'q.qv')})", where="")
+    o["knn_dot"] = _knn_tpl.format(
+        dist=f"-({_dk_dot('d.v', 'q.qv')})", where="", qdist=_qd_sql("dist")
+    )
     o["knn_filtered"] = _knn_tpl.format(
-        dist=_dk_eu("d.v", "q.qv"), where="WHERE d.label BETWEEN 2 AND 6"
+        dist=_dk_eu("d.v", "q.qv"), where="WHERE d.label BETWEEN 2 AND 6",
+        qdist=_qd_sql("dist"),
     )
 
-    o["knn_haversine"] = """
+    o["knn_haversine"] = f"""
         WITH q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         q AS (SELECT qv[1] * 90.0 AS qlat, qv[2] * 180.0 AS qlon FROM q0),
         d0 AS (SELECT CAST(vec_id AS VARCHAR) AS _id, embedding::DOUBLE[] AS v
@@ -1085,7 +1115,7 @@ def oracle_sql() -> dict[str, str]:
                      * sin((radians(d.lon) - radians(q.qlon)) / 2) * sin((radians(d.lon) - radians(q.qlon)) / 2)
                  )) AS dist
           FROM d, q)
-        SELECT _id, round(dist, 4) AS _distance FROM scored
+        SELECT _id, {_qd_sql("dist")} AS _distance FROM scored
         ORDER BY dist ASC, _id ASC LIMIT 10
     """
 
@@ -1132,7 +1162,7 @@ def oracle_sql() -> dict[str, str]:
         ranked AS (SELECT query_id, _id, dist,
                           row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, _id ASC) AS rn
                    FROM scored)
-        SELECT query_id, _id, round(dist, 4) AS _distance FROM ranked WHERE rn <= 5
+        SELECT query_id, _id, {_qd_sql("dist")} AS _distance FROM ranked WHERE rn <= 5
     """
 
     o["text_tfidf_any"] = f"""
@@ -1163,8 +1193,8 @@ def oracle_sql() -> dict[str, str]:
                  coalesce(-k.dist, 0) + coalesce(t.s, 0) AS hybrid
           FROM knn k FULL OUTER JOIN txt t ON k._id = t._id
         )
-        SELECT _id, round(dist, 4) AS _distance, round(s, 6) AS _score,
-               round(hybrid + 0.0, 4) AS _hybridScore
+        SELECT _id, {_qd_sql("dist")} AS _distance, {_qd_sql("s", 1000000)} AS _score,
+               {_qd_sql("hybrid")} AS _hybridScore
         FROM merged {{where}}
     """
     o["hybrid_and"] = _hybrid_tpl.format(where="WHERE dist IS NOT NULL AND s IS NOT NULL")
@@ -1356,7 +1386,7 @@ def oracle_sql() -> dict[str, str]:
         d AS (SELECT CAST(vec_id AS VARCHAR) AS _id, embedding::DOUBLE[] AS v
               FROM embeddings WHERE embedding IS NOT NULL),
         scored AS (SELECT q.query_id, d._id, {_dk_eu("d.v", "q.qv")} AS dist FROM d CROSS JOIN q),
-        ranked AS (SELECT query_id, _id, round(dist, 4) AS _distance,
+        ranked AS (SELECT query_id, _id, {_qd_sql("dist")} AS _distance,
                           row_number() OVER (PARTITION BY query_id
                                              ORDER BY round(dist, 4) ASC, _id ASC) AS rn
                    FROM scored)
@@ -1424,7 +1454,7 @@ def oracle_sql() -> dict[str, str]:
         scored AS (
           SELECT c.query_id, c._id, {_dk_eu("d.v", "q.qv")} AS dist
           FROM cand c JOIN d ON c._id = d._id JOIN q ON c.query_id = q.query_id),
-        ranked AS (SELECT query_id, _id, round(dist, 4) AS _distance,
+        ranked AS (SELECT query_id, _id, {_qd_sql("dist")} AS _distance,
                           row_number() OVER (PARTITION BY query_id
                                              ORDER BY round(dist, 4) ASC, _id ASC) AS rn
                    FROM scored)
