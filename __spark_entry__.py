@@ -526,6 +526,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_tfidf_all"] = text_tfidf_all
 
+    def _udocs(spark, sf_dir):
+        """Deterministic non-ASCII corpus derived from documents: vowels →
+        accented vowels (whole accented words must survive tokenization),
+        zh-labelled rows get a Han suffix (must tokenize per-character,
+        UAX#29 / bleve standard analyser semantics)."""
+        accented = F.translate("text", "aeiou", "àéîöü")
+        return _docs(spark, sf_dir).withColumn(
+            "text",
+            F.when(F.col("lang") == "zh", F.concat(accented, F.lit(" 数据查询")))
+            .otherwise(accented),
+        )
+
+    def text_tfidf_unicode(spark, sf_dir):
+        """R3 over a unicode corpus: exercises the unicode analyser
+        (functions/analyzer.py) end-to-end — accented term + single-Han
+        term, index build + query analysis + TF-IDF scoring. Reference
+        analyser: bleve standard (models/index.go:315-324)."""
+        from semadb_spark.operators.text_search import build_text_index
+
+        docs = _udocs(spark, sf_dir)
+
+        def build():
+            idx = build_text_index(docs, "text")
+            idx.persist()
+            return idx, idx.select("id").distinct().count()
+
+        idx, n = _cached_index("text_docs_unicode", sf_dir, build)
+        eng = SearchEngine(
+            docs, CORPUS_SCHEMA,
+            text_indexes={"text": idx}, text_index_stats={"text": n},
+        )
+        res = eng.search({"query": {"property": "text", "text": {"operator": "containsAny", "value": "spàrk 查", "limit": 75}}, "limit": None})
+        return res.select("_id", _qd("_score", 1000000).alias("_score"))
+
+    q["text_tfidf_unicode"] = text_tfidf_unicode
+
     # -- B1-B5: hybrid composition ------------------------------------------
 
     def _hybrid(spark, sf_dir, conj):
@@ -1177,6 +1213,19 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY s DESC, _id ASC LIMIT 75
     """
 
+    _udocs_cte = """
+        SELECT CAST(doc_id AS VARCHAR) AS _id,
+               CASE WHEN lang = 'zh'
+                    THEN translate(text, 'aeiou', 'àéîöü') || ' 数据查询'
+                    ELSE translate(text, 'aeiou', 'àéîöü') END AS text
+        FROM documents
+    """
+    o["text_tfidf_unicode"] = f"""
+        WITH {_dk_tfidf(["spàrk", "查"], source_cte=_udocs_cte)}
+        SELECT _id, {_qd_sql("s", 1000000)} AS _score FROM scored
+        ORDER BY s DESC, _id ASC LIMIT 75
+    """
+
     _corpus_cte = """
         SELECT CAST(d.doc_id AS VARCHAR) AS _id, d.text, e.embedding::DOUBLE[] AS v
         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
@@ -1195,10 +1244,11 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT _id, {_qd_sql("dist")} AS _distance, {_qd_sql("s", 1000000)} AS _score,
                {_qd_sql("hybrid")} AS _hybridScore
-        FROM merged {{where}}
+        FROM merged __WHERE__
     """
-    o["hybrid_and"] = _hybrid_tpl.format(where="WHERE dist IS NOT NULL AND s IS NOT NULL")
-    o["hybrid_or"] = _hybrid_tpl.format(where="")
+    # .replace, not .format: the tokenizer SQL contains regex braces
+    o["hybrid_and"] = _hybrid_tpl.replace("__WHERE__", "WHERE dist IS NOT NULL AND s IS NOT NULL")
+    o["hybrid_or"] = _hybrid_tpl.replace("__WHERE__", "")
 
     o["dedup_exact"] = """
         SELECT md5(coalesce(text, '')) AS content_hash,
