@@ -857,6 +857,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_vamana_recall"] = ann_vamana_recall
 
+    def ann_vamana_served(spark, sf_dir):
+        """W7/R2 distributed serving: the per-shard subgraphs are PERSISTED
+        to parquet (the Collection.build_vamana_index artifact layout), read
+        back fresh, and served by partition-local beam search + global merge
+        (operators/vamana.py vamana_serve — the reference's shard fan-out,
+        cluster/actions.go). No edges or vectors ever reach the driver; the
+        gate is the reference's recall bar (>= limit/2,
+        vamana_test.go:230-253) vs the exact scan."""
+        import tempfile
+
+        from semadb_spark.operators import vamana as vm
+
+        def build():
+            emb = _emb(spark, sf_dir).select("_id", F.col("embedding").alias("v"))
+            index = vm.vamana_build(
+                emb, "v", "_id", degree_bound=32, alpha=1.2, search_size=40,
+                seed=7, keep_sharded=True,
+            )
+            d = tempfile.mkdtemp(prefix="vamana_serve_")
+            index.shard_nodes.write.mode("overwrite").partitionBy("shard").parquet(
+                os.path.join(d, "nodes")
+            )
+            index.shard_edges.write.mode("overwrite").partitionBy("shard").parquet(
+                os.path.join(d, "edges")
+            )
+            cents = index.centroids
+            index.edges.unpersist()
+            index.shard_edges.unpersist()
+            index.shard_nodes.unpersist()
+            return d, cents
+
+        d, cents = _cached_index("vamana_served", sf_dir, build)
+        qs = _qlist(spark, sf_dir)
+        res = vm.vamana_serve(
+            spark.read.parquet(os.path.join(d, "nodes")),
+            spark.read.parquet(os.path.join(d, "edges")),
+            qs, 10, metric="euclidean", search_size=40, centroids=cents,
+        )
+        exact = _exact_topk_sets(spark, sf_dir)
+        got: dict[str, set] = {}
+        for r in res.select("query_id", "_id").collect():
+            got.setdefault(r["query_id"], set()).add(r["_id"])
+        rows = [
+            (qid, len(got.get(qid, set()) & exact[qid]) / 10.0 >= 0.5)
+            for qid, _ in qs
+        ]
+        return spark.createDataFrame(rows, "query_id string, recall_ok boolean")
+
+    q["ann_vamana_served"] = ann_vamana_served
+
     # -- W9/D5: quantizers --------------------------------------------------
 
     def bq_hamming_topk(spark, sf_dir):
@@ -1451,6 +1501,7 @@ def oracle_sql() -> dict[str, str]:
     """
     o["ann_ivf_recall"] = _recall_true
     o["ann_vamana_recall"] = _recall_true
+    o["ann_vamana_served"] = _recall_true
     o["pq_adc_recall"] = _recall_true
     o["quantized_pq_serving"] = _recall_true
 

@@ -533,11 +533,19 @@ class Collection:
             alpha=float(value.params.get("alpha", 1.2)),
             search_size=int(value.params.get("searchSize", 75)),
             num_shards=num_shards, replicas=replicas, seed=seed,
-            metric=value.distance_metric,
+            metric=value.distance_metric, keep_sharded=True,
         )
         v = self._current_version()
         path = os.path.join(self.path, f"v{v}_idx", f"vamana_{prop.replace('.', '_')}")
-        index.edges.write.mode("overwrite").parquet(path)
+        index.edges.write.mode("overwrite").parquet(os.path.join(path, "edges"))
+        # per-shard serving subgraphs, shard-partitioned so query routing
+        # prunes whole partitions (vamana_serve)
+        index.shard_nodes.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(path, "shard_nodes")
+        )
+        index.shard_edges.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(path, "shard_edges")
+        )
         with open(os.path.join(path, "_graph.json"), "w") as f:
             json.dump(
                 {
@@ -546,11 +554,49 @@ class Collection:
                     "alpha": index.alpha,
                     "search_size": index.search_size,
                     "metric": index.metric,
+                    "centroids": index.centroids.tolist(),
                 },
                 f,
             )
         index.edges.unpersist()
+        index.shard_edges.unpersist()
+        index.shard_nodes.unpersist()
         return path
+
+    def vamana_search(
+        self, prop: str, queries: list[tuple[str, list[float]]], k: int,
+        nprobe: int | None = None,
+    ):
+        """Serve ANN queries from the PERSISTED Vamana artifact: distributed
+        partition-local beam search + global merge (operators/vamana.py
+        vamana_serve — the reference's shard fan-out + merge,
+        cluster/actions.go). No graph state touches the driver; the artifact
+        is read straight from parquet, so a fresh session serves a
+        previously built index."""
+        import numpy as np
+
+        from .operators.vamana import vamana_serve
+
+        path = os.path.join(
+            self.path, f"v{self._current_version()}_idx",
+            f"vamana_{prop.replace('.', '_')}",
+        )
+        meta_file = os.path.join(path, "_graph.json")
+        if not os.path.exists(meta_file):
+            raise ValueError(
+                f"no persisted vamana index for {prop}; run build_vamana_index"
+            )
+        with open(meta_file) as f:
+            meta = json.load(f)
+        return vamana_serve(
+            self.spark.read.parquet(os.path.join(path, "shard_nodes")),
+            self.spark.read.parquet(os.path.join(path, "shard_edges")),
+            queries, k,
+            metric=meta["metric"],
+            search_size=int(meta["search_size"]),
+            centroids=np.asarray(meta["centroids"], dtype=np.float64),
+            nprobe=nprobe,
+        )
 
     # -- W9 + vectorstore.go:75+: persisted quantized serving codes ----------
     def _qindex_path(self, prop: str, version: int | None = None) -> str:

@@ -37,6 +37,7 @@ __all__ = [
     "vamana_build",
     "vamana_delete",
     "vamana_update",
+    "vamana_serve",
     "beam_search",
     "bfs_reachable",
 ]
@@ -169,7 +170,14 @@ def _local_build(
 
 @dataclass
 class VamanaIndex:
-    """edges: (src string, dst string, dist double); entry_id: global start."""
+    """edges: (src string, dst string, dist double); entry_id: global start.
+
+    When built with ``keep_sharded=True`` the pre-merge per-shard subgraphs
+    are retained for distributed serving (:func:`vamana_serve`):
+    ``shard_nodes`` (shard, id, v) — the overlap assignment, and
+    ``shard_edges`` (shard, src, dst) — each shard's local adjacency.
+    ``centroids`` are the build's coarse k-means centers, used to route
+    queries to their nearest shards at serve time."""
 
     edges: DataFrame
     entry_id: str
@@ -177,6 +185,9 @@ class VamanaIndex:
     alpha: float
     search_size: int
     metric: str = field(default="euclidean")
+    shard_nodes: DataFrame | None = field(default=None)
+    shard_edges: DataFrame | None = field(default=None)
+    centroids: np.ndarray | None = field(default=None)
 
 
 def vamana_build(
@@ -190,6 +201,7 @@ def vamana_build(
     replicas: int = 2,
     seed: int = 42,
     metric: str = "euclidean",
+    keep_sharded: bool = False,
 ) -> VamanaIndex:
     """DiskANN merged build: overlap-assign -> per-shard Vamana
     (applyInPandas) -> edge union -> per-node merge cap.
@@ -261,7 +273,8 @@ def vamana_build(
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
-            return pd.DataFrame(columns=["src", "dst", "dist"])
+            return pd.DataFrame(columns=["shard", "src", "dst", "dist"])
+        shard = pdf["shard"].iloc[0]
         X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         ids = pdf["id"].to_numpy()
         adj, _ = _local_build(X, degree_bound, alpha, search_size, metric)
@@ -270,8 +283,8 @@ def vamana_build(
             if nbrs:
                 d = _dist_rows(metric, X[nbrs], X[a])
                 for b, dd in zip(nbrs, d):
-                    rows.append((ids[a], ids[b], float(dd)))
-        return pd.DataFrame(rows, columns=["src", "dst", "dist"])
+                    rows.append((shard, ids[a], ids[b], float(dd)))
+        return pd.DataFrame(rows, columns=["shard", "src", "dst", "dist"])
 
     # Explicit repartition by shard BEFORE the grouped build: the group
     # shuffle is tiny in bytes but huge in CPU, and AQE would coalesce it to
@@ -282,8 +295,12 @@ def vamana_build(
     raw_edges = (
         assigned.repartition(n_parts, "shard")
         .groupBy("shard")
-        .applyInPandas(build_shard, "src string, dst string, dist double")
+        .applyInPandas(build_shard, "shard string, src string, dst string, dist double")
     )
+    if keep_sharded:
+        # Retain the per-shard subgraphs for distributed serving
+        # (vamana_serve): one local-build pass feeds both artifacts.
+        raw_edges = raw_edges.persist()
     # Merge overlapping shards' lists: distinct edge set, then keep each
     # node's closest ``degree_bound`` (the cheap merge cap from the DiskANN
     # merged-build recipe; in-shard diversity came from robustPrune).
@@ -301,7 +318,8 @@ def vamana_build(
     # build — at full scale you would `.write.parquet()` it instead.
     edges = edges.persist()
     edges.count()
-    assigned.unpersist()
+    if not keep_sharded:
+        assigned.unpersist()
 
     # entry id: row nearest the global medoid vector (navigational choice,
     # euclidean regardless of metric — same role as the reference's
@@ -320,7 +338,12 @@ def vamana_build(
         .select("id")
         .head()[0]
     )
-    return VamanaIndex(edges, entry_id, degree_bound, alpha, search_size, metric)
+    return VamanaIndex(
+        edges, entry_id, degree_bound, alpha, search_size, metric,
+        shard_nodes=assigned if keep_sharded else None,
+        shard_edges=raw_edges.select("shard", "src", "dst") if keep_sharded else None,
+        centroids=cents if keep_sharded else None,
+    )
 
 
 def vamana_delete(
@@ -528,6 +551,109 @@ def vamana_update(
     return VamanaIndex(
         capped, index.entry_id, index.degree_bound, index.alpha,
         index.search_size, index.metric,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed serving over the persisted per-shard subgraphs
+
+
+def vamana_serve(
+    shard_nodes: DataFrame,
+    shard_edges: DataFrame,
+    queries: list[tuple[str, list[float]]],
+    k: int,
+    metric: str = "euclidean",
+    search_size: int = 75,
+    centroids: np.ndarray | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Distributed Vamana serving: partition-local beam search over the
+    persisted per-shard subgraphs, merged to a global top-k.
+
+    This is the Spark-native analogue of the reference's own serving model —
+    the cluster fans a search out to every shard's local Vamana graph and
+    merges the per-shard results (cluster/actions.go SearchPoints;
+    shard-local search shard/shard.go:331-395). Here a shard is a cogrouped
+    partition: ``shard_nodes`` (shard, id, v) carries the overlap
+    assignment, ``shard_edges`` (shard, src, dst) the local adjacency. Each
+    task rebuilds its shard's in-memory graph and runs the reference greedy
+    beam search (search.go:9-102) for its routed queries; nothing — neither
+    edges nor vectors — is ever collected to the driver, and the final
+    global cut is a groupBy/window over q×k×shards rows.
+
+    ``nprobe`` + ``centroids`` route each query to its nearest build
+    centroids only (DiskANN memory-index routing); shard partition values
+    are ``<centroid>_<salt>``, so routing prunes whole partitions of the
+    parquet artifact. Default: search every shard (exhaustive over the
+    overlap cover).
+    """
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    qvecs = [(str(qid), np.asarray(v, dtype=np.float64)) for qid, v in queries]
+
+    routed: dict[int, list[int]] | None = None
+    if nprobe is not None and centroids is not None and nprobe < len(centroids):
+        Q = np.stack([v for _, v in qvecs])
+        d = (Q**2).sum(axis=1)[:, None] - 2.0 * (Q @ centroids.T) + (centroids**2).sum(axis=1)[None, :]
+        near = np.argsort(d, axis=1)[:, :nprobe]
+        routed = {}
+        for qi, cents_for_q in enumerate(near):
+            for c in cents_for_q:
+                routed.setdefault(int(c), []).append(qi)
+        allowed = sorted(routed)
+        # deterministic predicate on the partition column -> partition pruning
+        pref = F.split(F.col("shard"), "_").getItem(0).cast("int")
+        shard_nodes = shard_nodes.filter(pref.isin(allowed))
+        shard_edges = shard_edges.filter(pref.isin(allowed))
+
+    def serve(key, nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(columns=["query_id", "_id", "_distance"])
+        if len(nodes_pdf) < 1:
+            return empty
+        shard = str(key[0])
+        if routed is None:
+            q_idx = range(len(qvecs))
+        else:
+            q_idx = routed.get(int(shard.split("_")[0]), [])
+            if not q_idx:
+                return empty
+        ids = nodes_pdf["id"].to_numpy()
+        loc = {i: j for j, i in enumerate(ids)}
+        X = np.stack(nodes_pdf["v"].to_numpy()).astype(np.float64)
+        adj: list[list[int]] = [[] for _ in range(len(ids))]
+        for s, t in zip(edges_pdf["src"].to_numpy(), edges_pdf["dst"].to_numpy()):
+            js, jt = loc.get(s), loc.get(t)
+            if js is not None and jt is not None:
+                adj[js].append(jt)
+        # shard entry: medoid, the same navigational choice _local_build made
+        start = int(((X - X.mean(axis=0)) ** 2).sum(axis=1).argmin())
+        rows = []
+        for qi in q_idx:
+            qid, qv = qvecs[qi]
+            vis_ids, vis_dists = _greedy_search(X, adj, start, qv, search_size, metric)
+            for j, dd in zip(vis_ids[:k], vis_dists[:k]):
+                rows.append((qid, ids[int(j)], float(dd)))
+        return pd.DataFrame(rows, columns=["query_id", "_id", "_distance"])
+
+    per_shard = (
+        shard_nodes.groupBy("shard")
+        .cogroup(shard_edges.groupBy("shard"))
+        .applyInPandas(serve, "query_id string, _id string, _distance double")
+    )
+    # overlap replicas surface the same id from several shards: dedup, then
+    # the global cut (rounded-distance order with id tiebreak, FIXTURES rule)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("_distance", 4).asc(), F.col("_id").asc()
+    )
+    return (
+        per_shard.groupBy("query_id", "_id")
+        .agg(F.min("_distance").alias("_distance"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )
 
 

@@ -381,7 +381,7 @@ def test_build_vamana_export_artifact(spark, tmp_path):
         [Row(_id=f"{i:03d}", v=[float(x) for x in X[i]]) for i in range(150)]
     ))
     path = coll.build_vamana_index("v", num_shards=2, seed=5)
-    edges = spark.read.parquet(path)
+    edges = spark.read.parquet(os.path.join(path, "edges"))
     with open(os.path.join(path, "_graph.json")) as f:
         meta = json.load(f)
     assert meta["degree_bound"] == 32 and meta["metric"] == "euclidean"
@@ -390,3 +390,27 @@ def test_build_vamana_export_artifact(spark, tmp_path):
         adj.setdefault(r.src, []).append(r.dst)
     reachable = vm.bfs_reachable(adj, meta["entry_id"])
     assert len(reachable) == 150  # exported graph fully navigable
+
+    # distributed serving from the persisted artifact: a FRESH collection
+    # handle (no in-memory state) serves queries via partition-local beam
+    # search; recall vs exact >= limit/2 (vamana_test.go:230-253)
+    coll2 = Collection.open(spark, str(tmp_path / "vamcoll"))
+    queries = [(f"q{i}", [float(x) for x in X[i]]) for i in range(5)]
+    got = coll2.vamana_search("v", queries, k=10)
+    rows = got.collect()  # k x q result rows only — never edges/vectors
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r._id)
+    d2 = ((X[None, :, :] - X[:5, None, :]) ** 2).sum(axis=2)
+    for i in range(5):
+        exact = {f"{j:03d}" for j in np.argsort(d2[i], kind="stable")[:10]}
+        assert len(by_q[f"q{i}"] & exact) >= 5, f"recall below 0.5 for q{i}"
+
+    # routed serving (nprobe=1 of 2 centroids) still finds the query's own
+    # neighbourhood — the query point itself must be in the probed shard
+    routed = coll2.vamana_search("v", queries, k=10, nprobe=1)
+    by_qr: dict = {}
+    for r in routed.collect():
+        by_qr.setdefault(r.query_id, set()).add(r._id)
+    for i in range(5):
+        assert f"{i:03d}" in by_qr[f"q{i}"]
