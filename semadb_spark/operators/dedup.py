@@ -473,61 +473,91 @@ def embedding_neardup_pairs_lsh(
 # -- dedup groups (connected components) --------------------------------------
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., SoCC'14): every node connects its
+    strictly-larger neighbours to the minimum of its closed neighbourhood."""
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large→small; every node connects its
+    smaller-or-equal neighbours (and itself) to the neighbourhood minimum."""
+    oriented = (
+        edges.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+    relinked = (
+        oriented.join(mins, "a")
+        .filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    self_links = mins.select(F.col("a"), F.col("m").alias("b"))
+    return relinked.unionByName(self_links).distinct()
+
+
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 60
 ) -> DataFrame:
     """Duplicate-group assignment: connected components over the candidate
     pair graph -> (id, comp) where ``comp`` is the component's minimum id —
     the canonical keeper a training pipeline retains.
 
-    Min-label propagation: each round every node takes the min of its own
-    and its neighbours' labels, converging in graph-diameter rounds.
-    Near-dup clusters are shallow (duplicates of one document all pair with
-    each other through LSH), so the diameter is tiny in practice; each
-    round is one join + one groupBy on the (small, pairs-sized) edge
-    frame — the corpus itself is never touched. Frames are persisted per
-    round and released as soon as superseded.
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): converges in O(log n)
+    rounds regardless of component diameter — the planet-scale standard,
+    replacing min-label propagation whose round count grows with graph
+    diameter (a >max_iter duplicate chain silently returned split labels).
+    Each round is two groupBy/join passes over the (pairs-sized) edge
+    frame; the corpus itself is never touched. At the fixpoint every
+    component is a star centred on its minimum id. Raises RuntimeError if
+    ``max_iter`` rounds pass without a fixpoint (with the default 60 that
+    would take a graph beyond ~2^60 nodes — i.e. it only fires on a bug).
+
+    localCheckpoint (not persist) per round: iterative algorithms grow the
+    logical plan every round, and re-analyzing the nested plan quickly
+    dominates the actual work (round-2 bench: 23s -> ~2s at sf0.1).
     """
-    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    # localCheckpoint (not persist): iterative algorithms grow the logical
-    # plan every round, and re-analyzing the nested plan quickly dominates
-    # the actual work — checkpointing truncates lineage to the materialized
-    # data (round-2 bench: 23s -> ~2s at sf0.1 for the same iterations).
-    sym = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    nodes = (
+        e.select("a")
+        .unionByName(e.select(F.col("b").alias("a")))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-        .localCheckpoint()
-    )
+    edges = e.distinct().localCheckpoint()
+    prev_cnt = edges.count()
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(
-                labels.select(F.col("id").alias("b"), F.col("comp").alias("bcomp")),
-                "b",
-            )
-            .groupBy("a")
-            .agg(F.min("bcomp").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(nbr_min.withColumnRenamed("a", "id"), "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        edges_new = _small_star(_large_star(edges)).localCheckpoint()
+        cnt = edges_new.count()
+        if cnt == prev_cnt and edges_new.exceptAll(edges).isEmpty():
+            edges = edges_new
             break
-    return labels
+        edges, prev_cnt = edges_new, cnt
+    else:
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint in {max_iter} "
+            "star rounds — this indicates a bug, not a deep graph"
+        )
+    # fixpoint edges are (member -> component min) stars; roots and any
+    # nodes whose component collapsed early label themselves
+    labels = edges.select(F.col("a").alias("id"), F.col("b").alias("comp"))
+    roots = nodes.join(
+        labels.select(F.col("id").alias("a")), "a", "left_anti"
+    ).select(F.col("a").alias("id"), F.col("a").alias("comp"))
+    return labels.unionByName(roots)

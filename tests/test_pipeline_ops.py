@@ -225,3 +225,33 @@ def test_connected_components_groups(spark):
     )
     got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_deep_chain(spark):
+    """A transitive duplicate chain far deeper than any fixed label-prop
+    round budget (the round-2 silent-split failure mode): the alternating
+    large-star/small-star rounds converge in O(log n), so a 200-hop path
+    must come back as ONE component with the lexicographic-min label."""
+    from semadb_spark.operators.dedup import connected_components
+
+    n = 200
+    ids = [f"n{i:04d}" for i in range(n)]
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "id_a string, id_b string"
+    )
+    labels = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert len(labels) == n
+    assert set(labels.values()) == {ids[0]}
+
+
+def test_connected_components_raises_without_fixpoint(spark):
+    from semadb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")],
+        "id_a string, id_b string",
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        # max_iter=0 can never reach the fixpoint check -> loud error,
+        # never silently-wrong labels
+        connected_components(pairs, max_iter=0)
