@@ -61,6 +61,31 @@ BENCH_QUERIES = [
 VECTOR_QPS_BATCH = 512  # queries in the throughput batch (batch-first regime)
 
 
+def best_of(n, make):
+    """Best-of-n persisted runs of ``make() -> DataFrame``.
+
+    The first pass measures JIT warm-up, not throughput, and the host is
+    shared, so min-of-N is the stable steady-state estimator. Superseded
+    frames are unpersisted immediately (both the slower candidate and any
+    previously-kept best), so only one frame stays cached.
+    """
+    import time as _time
+
+    best_frame, best_dt = None, None
+    for _ in range(n):
+        t0 = _time.time()
+        cand = make()
+        cand.persist().count()
+        dt = _time.time() - t0
+        if best_dt is None or dt < best_dt:
+            if best_frame is not None:
+                best_frame.unpersist()
+            best_frame, best_dt = cand, dt
+        else:
+            cand.unpersist()
+    return best_frame, best_dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -140,20 +165,7 @@ def main() -> None:
 
     qrows_1m = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(1024).collect()
     qlist_1m = [(str(i), [float(x) for x in r["embedding"]]) for i, r in enumerate(qrows_1m)]
-    # Best-of-3 full-batch passes: the first pass measures JIT warm-up, not
-    # throughput (580 -> 800 QPS across identical back-to-back runs), and
-    # the host is shared, so min-of-N is the stable steady-state estimator.
-    ivf_dt = None
-    approx = None
-    for _ in range(3):
-        t0 = time.time()
-        approx = ivf_search(index, qlist_1m, "euclidean", 10, nprobe=8)
-        approx.persist().count()
-        dt = time.time() - t0
-        if ivf_dt is None or dt < ivf_dt:
-            ivf_dt = dt
-        else:
-            approx.unpersist()
+    approx, ivf_dt = best_of(3, lambda: ivf_search(index, qlist_1m, "euclidean", 10, nprobe=8))
 
     from semadb_spark.operators.knn import knn_topk_scan as _scan
 
@@ -172,8 +184,60 @@ def main() -> None:
         "exact_scan_qps": round(64 / exact_dt, 1),
     }
     print(f"# vector_1m: {vector_1m}", file=sys.stderr)
+
+    # v2-BQ-comparable block (reference mnist-784 v2-BQ: 0.667 recall /
+    # 2369.7 QPS single-thread, BASELINE.md): binary-quantize the same 1M
+    # corpus with per-dim mean thresholds (binary.go:152-175 semantics),
+    # then serve hamming top-k over the packed codes ONLY — the scan touches
+    # d bits per row instead of 4d bytes — and score recall@10 against the
+    # exact euclidean ground truth on the float vectors.
+    from semadb_spark.operators.quantize import (
+        bq_fit,
+        bq_encode,
+        bq_topk_batch,
+        encode_bits_np,
+    )
+    import numpy as np
+
+    t0 = time.time()
+    bq_thr = bq_fit(big, "embedding")
+    codes = bq_encode(big.select("_id", "embedding"), "embedding", bq_thr).select(
+        "_id", "bq_code"
+    )
+    codes.persist().count()
+    bq_build = round(time.time() - t0, 3)
+    # raw-hamming scan (what the reference's graph search scores with):
+    qmat_f = np.asarray([q[1] for q in qlist_1m], dtype=np.float64)
+    qcodes = encode_bits_np(qmat_f, bq_thr)
+    code_queries = [(qlist_1m[i][0], qcodes[i].tolist()) for i in range(len(qlist_1m))]
+    raw_approx, raw_dt = best_of(
+        3, lambda: _scan(codes, "bq_code", code_queries, "hamming", 10)
+    )
+    raw_recall = recall_at_k(raw_approx.filter(F.col("query_id").isin(qids64)), exact)
+    # served path: hamming oversample + exact rerank (bq_topk_batch)
+    bq_approx, bq_dt = best_of(
+        3,
+        lambda: bq_topk_batch(
+            codes, "bq_code", big, "embedding", qlist_1m, bq_thr, 10, oversample=30
+        ),
+    )
+    bq_recall = recall_at_k(bq_approx.filter(F.col("query_id").isin(qids64)), exact)
+    vector_1m_bq = {
+        "rows": big_n,
+        "dim": len(qlist_1m[0][1]),
+        "bits": len(qlist_1m[0][1]),
+        "bq_build_sec": bq_build,
+        "bq_qps": round(len(qlist_1m) / bq_dt, 1),
+        "bq_recall_at10": round(bq_recall, 4),
+        "raw_hamming_qps": round(len(code_queries) / raw_dt, 1),
+        "raw_hamming_recall_at10": round(raw_recall, 4),
+    }
+    print(f"# vector_1m_bq: {vector_1m_bq}", file=sys.stderr)
     # release the block's persisted frames so the angular block measures
     # itself, not this block's storage pressure
+    raw_approx.unpersist()
+    bq_approx.unpersist()
+    codes.unpersist()
     approx.unpersist()
     exact.unpersist()
     index.assigned.unpersist()
@@ -224,17 +288,7 @@ def main() -> None:
         v = np.asarray(r["embedding"], dtype=np.float64) + rngq.normal(scale=0.05, size=100)
         v /= np.linalg.norm(v)
         aq.append((str(i), v.tolist()))
-    ang_dt = None
-    ang_approx = None
-    for _ in range(3):  # best-of-3, same policy as vector_1m
-        t0 = time.time()
-        ang_approx = ivf_search(ang_index, aq, "cosine", 10, nprobe=8)
-        ang_approx.persist().count()
-        dt = time.time() - t0
-        if ang_dt is None or dt < ang_dt:
-            ang_dt = dt
-        else:
-            ang_approx.unpersist()
+    ang_approx, ang_dt = best_of(3, lambda: ivf_search(ang_index, aq, "cosine", 10, nprobe=8))
     t0 = time.time()
     ang_exact = _scan(ang, "embedding", aq[:64], "cosine", 10)
     ang_exact.persist().count()
@@ -265,23 +319,57 @@ def main() -> None:
     vector_qps = round(len(qlist) / dt, 1)
     total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "cold_queries": cold,
-                "timing": "warm steady-state (cold incl. codegen+index-build in cold_queries)",
-                "sf": sf,
-                "vector_qps": vector_qps,
-                "vector_1m": vector_1m,
-                "vector_1m_angular": vector_1m_angular,
-                "cpus": cpus,
-            }
-        )
-    )
+    # Full detail (cold timings, all vector-block fields) goes to a file +
+    # stderr; the FINAL stdout line is a compact summary kept well under the
+    # driver's 2000-char tail window (round 2's full line overflowed it and
+    # the driver recorded "parsed": null).
+    detail = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "cold_queries": cold,
+        "timing": "warm steady-state (cold incl. codegen+index-build in cold_queries)",
+        "sf": sf,
+        "vector_qps": vector_qps,
+        "vector_1m": vector_1m,
+        "vector_1m_bq": vector_1m_bq,
+        "vector_1m_angular": vector_1m_angular,
+        "cpus": cpus,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail, separators=(",", ":")), file=sys.stderr)
+    print(f"# full detail: {detail_path}", file=sys.stderr)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "vector_qps": vector_qps,
+        "vector_1m": {
+            "qps": vector_1m["ivf_qps"],
+            "recall": vector_1m["ivf_recall_at10"],
+            "build_sec": vector_1m["ivf_build_sec"],
+        },
+        "vector_1m_bq": {
+            "qps": vector_1m_bq["bq_qps"],
+            "recall": vector_1m_bq["bq_recall_at10"],
+            "build_sec": vector_1m_bq["bq_build_sec"],
+        },
+        "vector_1m_angular": {
+            "qps": vector_1m_angular["ivf_qps"],
+            "recall": vector_1m_angular["ivf_recall_at10"],
+            "build_sec": vector_1m_angular["ivf_build_sec"],
+        },
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1800, f"final bench line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -119,7 +119,10 @@ def knn_topk_scan(
     """
     qlist = list(queries)
     qids = [q[0] for q in qlist]
-    qmat = np.asarray([q[1] for q in qlist], dtype=np.float64)
+    # Bit metrics take packed int64 words; a float64 round-trip corrupts
+    # words >= 2^53 (see numpy_distance_matrix).
+    qdtype = np.int64 if metric in ("hamming", "jaccard") else np.float64
+    qmat = np.asarray([q[1] for q in qlist], dtype=qdtype)
     id_field = df.schema[id_col]
     out_schema = (
         f"query_id string, {id_col} {id_field.dataType.simpleString()}, _distance double"

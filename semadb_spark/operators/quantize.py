@@ -35,7 +35,7 @@ from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "bq_fit",
@@ -43,6 +43,7 @@ __all__ = [
     "bq_encode_expr",
     "bq_distance_expr",
     "bq_topk",
+    "bq_topk_batch",
     "PQCodebooks",
     "pq_fit",
     "pq_encode",
@@ -224,6 +225,77 @@ def bq_topk(
         "_distance", bq_distance_expr(code_col, qcode.tolist(), metric)
     )
     return scored.orderBy(F.col("_distance").asc(), F.col(id_col).asc()).limit(k)
+
+
+def bq_topk_batch(
+    codes_df: DataFrame,
+    code_col: str,
+    floats_df: DataFrame,
+    vec_col: str,
+    queries: Sequence[tuple],
+    thresholds: np.ndarray | Sequence[float] | float,
+    k: int,
+    oversample: int = 10,
+    rerank_metric: str = "euclidean",
+    id_col: str = "_id",
+) -> DataFrame:
+    """Batched BQ serving: oversample + exact rerank.
+
+    The standard recipe for low-bit binary codes — a hamming scan over the
+    packed codes (d bits of memory traffic per row) collects a
+    ``k * oversample`` candidate pool per query; the pool (bounded:
+    queries x k x oversample rows, broadcast-joined) is reranked with the
+    exact ``rerank_metric`` on the float vectors. Recovers most of the
+    recall the 1-bit codes lose while still scanning codes, not floats.
+    The reference serves BQ distances raw inside the graph search
+    (shard/vectorstore/binary.go:182-199) — with 784-bit mnist codes that
+    is enough resolution; at 64-128 dims it is not, hence the rerank.
+
+    ``queries`` is a driver-side list of ``(query_id, float_vector)``.
+    Returns (query_id, id_col, _distance) rows, top-k per query by the
+    rerank metric.
+    """
+    from .knn import knn_topk_scan
+
+    qlist = list(queries)
+    thr = np.asarray(thresholds, dtype=np.float64)
+    qmat = np.stack([np.asarray(q[1], dtype=np.float64) for q in qlist])
+    qcodes = encode_bits_np(qmat, thr)
+    code_queries = [(str(qlist[i][0]), qcodes[i].tolist()) for i in range(len(qlist))]
+    pool = knn_topk_scan(
+        codes_df, code_col, code_queries, "hamming", k * oversample, id_col=id_col
+    ).select("query_id", id_col)
+    cands = floats_df.select(id_col, vec_col).join(F.broadcast(pool), id_col)
+
+    qidx = {str(q[0]): i for i, q in enumerate(qlist)}
+    id_type = floats_df.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id string, {id_col} {id_type}, _distance double"
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = qmat[pdf["query_id"].map(qidx).to_numpy()]
+            if rerank_metric == "euclidean":
+                d = ((vecs - q) ** 2).sum(axis=1)
+            elif rerank_metric == "dot":
+                d = -(vecs * q).sum(axis=1)
+            elif rerank_metric == "cosine":
+                d = 1.0 - (vecs * q).sum(axis=1)
+            else:
+                raise ValueError(f"bq_topk_batch: unsupported rerank metric {rerank_metric}")
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], id_col: pdf[id_col], "_distance": d}
+            )
+
+    scored = cands.mapInPandas(rerank, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_distance").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("_rank", F.row_number().over(w)).filter(
+        F.col("_rank") <= k
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -13,6 +13,7 @@ from semadb_spark.operators.quantize import (
     bq_encode,
     bq_fit,
     bq_topk,
+    bq_topk_batch,
     encode_bits_np,
     pq_adc_table,
     pq_adc_topk,
@@ -65,6 +66,46 @@ def test_bq_hamming_topk_matches_bruteforce(spark):
     order = sorted(range(60), key=lambda i: (dists[i], f"{i:03d}"))[:10]
     assert [r._id for r in got] == [f"{i:03d}" for i in order]
     assert [int(r._distance) for r in got] == [int(dists[i]) for i in order]
+
+
+def test_bq_topk_batch_full_oversample_is_exact(spark):
+    # with the candidate pool covering the whole table, oversample+rerank
+    # degenerates to the exact scan — results must match knn_topk exactly
+    rng = np.random.default_rng(11)
+    vecs = rng.random((50, 16))
+    df = spark.createDataFrame(
+        [Row(_id=f"{i:03d}", v=[float(x) for x in vecs[i]]) for i in range(50)]
+    )
+    thr = bq_fit(df, "v")
+    codes = bq_encode(df, "v", thr).select("_id", "bq_code")
+    queries = [("q0", [float(x) for x in vecs[3]]), ("q1", [float(x) for x in vecs[17]])]
+    got = (
+        bq_topk_batch(codes, "bq_code", df, "v", queries, thr, 5, oversample=10)
+        .orderBy("query_id", "_rank")
+        .collect()
+    )
+    for qid, qv in queries:
+        exact = knn_topk(df, "v", qv, "euclidean", 5).select("_id", "_distance").collect()
+        mine = [r for r in got if r.query_id == qid]
+        assert [r._id for r in mine] == [r._id for r in exact]
+        assert np.allclose([r._distance for r in mine], [r._distance for r in exact])
+
+
+def test_bq_topk_batch_partial_oversample_recall(spark):
+    # modest oversample on clustered data should beat raw-hamming recall
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(4, 24))
+    vecs = centers[np.arange(200) % 4] + rng.normal(scale=0.3, size=(200, 24))
+    df = spark.createDataFrame(
+        [Row(_id=f"{i:03d}", v=[float(x) for x in vecs[i]]) for i in range(200)]
+    )
+    thr = bq_fit(df, "v")
+    codes = bq_encode(df, "v", thr).select("_id", "bq_code")
+    q = [float(x) for x in (centers[1] + rng.normal(scale=0.3, size=24))]
+    got = bq_topk_batch(codes, "bq_code", df, "v", [("q", q)], thr, 10, oversample=8)
+    exact_ids = {r._id for r in knn_topk(df, "v", q, "euclidean", 10).collect()}
+    got_ids = {r._id for r in got.collect()}
+    assert len(got_ids & exact_ids) >= 7  # >=0.7 recall with 8x oversample
 
 
 def test_bq_jaccard_known_values(spark):
