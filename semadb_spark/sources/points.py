@@ -145,6 +145,30 @@ def points_to_df(
     return spark.createDataFrame(rows, full)
 
 
+def points_from_msgpack(
+    spark: SparkSession, data: bytes, schema: IndexSchema
+) -> DataFrame:
+    """application/msgpack request-body variant of S1.
+
+    The reference decodes JSON or msgpack bodies into the same request
+    struct (httpapi/utils/encdec.go:30-60, msgpack decoder pointed at the
+    json struct tags) — so here the msgpack bytes decode to the same point
+    dicts and flow through the identical coercion path as JSON
+    (`points_to_df`). Accepts either the InsertPointsRequest shape
+    ``{"points": [...]}`` (httpapi/v2/handlers.go:228-252) or a bare list.
+    """
+    from semadb_spark.sources import msgpack_codec
+
+    obj = msgpack_codec.unpackb(data)
+    if isinstance(obj, dict):
+        if "points" not in obj:
+            raise PointValidationError("msgpack body missing 'points' field")
+        obj = obj["points"]
+    if not isinstance(obj, list) or any(not isinstance(p, dict) for p in obj):
+        raise PointValidationError("msgpack body must be a list of point maps")
+    return points_to_df(spark, obj, schema)
+
+
 def read_json_points(
     spark: SparkSession, path: str, schema: IndexSchema
 ) -> DataFrame:

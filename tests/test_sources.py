@@ -121,6 +121,109 @@ def test_read_json_points(spark, tmp_path):
         read_json_points(spark, bad, SCHEMA)
 
 
+def test_msgpack_codec_roundtrip_all_families():
+    from semadb_spark.sources import msgpack_codec as mp
+
+    cases = [
+        None,
+        True,
+        False,
+        0,
+        1,
+        127,
+        128,
+        255,
+        256,
+        65535,
+        65536,
+        2**32,
+        2**64 - 1,
+        -1,
+        -32,
+        -33,
+        -128,
+        -129,
+        -32768,
+        -32769,
+        -(2**31) - 1,
+        -(2**63),
+        3.14159,
+        -0.0,
+        "",
+        "a" * 31,
+        "a" * 32,
+        "a" * 256,
+        "ünïcôde 中文",
+        b"",
+        b"\x00\xff" * 200,
+        [],
+        [1, "two", [3.0, None]],
+        list(range(20)),  # > fixarray
+        {},
+        {"k": "v", "n": {"deep": [1, 2]}},
+        {f"k{i}": i for i in range(20)},  # > fixmap
+    ]
+    for c in cases:
+        assert mp.unpackb(mp.packb(c)) == c, c
+    # known-value spot checks against the public spec examples
+    assert mp.packb(None) == b"\xc0"
+    assert mp.packb(7) == b"\x07"
+    assert mp.packb(-3) == b"\xfd"
+    assert mp.packb("abc") == b"\xa3abc"
+    assert mp.packb([1, 2]) == b"\x92\x01\x02"
+    assert mp.unpackb(b"\xca\x3f\x80\x00\x00") == 1.0  # float32
+    assert mp.unpackb(b"\xd4\x05\x2a") == mp.ExtType(5, b"\x2a")  # fixext1
+    with pytest.raises(mp.MsgpackError):
+        mp.unpackb(b"\x92\x01")  # truncated array
+    with pytest.raises(mp.MsgpackError):
+        mp.unpackb(b"\x01\x02")  # trailing bytes
+
+
+def test_points_from_msgpack_parity_with_json(spark):
+    """The msgpack body flows through the identical coercion path as JSON —
+    round-trip every coercion case (httpapi/utils/encdec.go parity)."""
+    from semadb_spark.sources import msgpack_codec as mp
+    from semadb_spark.sources.points import points_from_msgpack
+
+    good = [
+        {"vec": [1, 2.5], "size": 42.0, "price": 3, "tags": ["a", "b"], "extra": "kept"},
+        {"_id": "b0d8c9e0-6f0a-4f9b-a0c6-2f3d4e5a6b7c", "category": "x"},
+        {"nested": {"score": 9.0, "other": "x"}},
+    ]
+    df = points_from_msgpack(spark, mp.packb({"points": good}), SCHEMA)
+    ref = points_to_df(spark, [dict(p) for p in good], SCHEMA)
+    assert df.schema == ref.schema
+    got = {r.category: r for r in df.collect()}
+    assert got["x"]._id == "b0d8c9e0-6f0a-4f9b-a0c6-2f3d4e5a6b7c"
+    assert df.count() == 3
+
+    # bare-list body also accepted
+    assert points_from_msgpack(spark, mp.packb(good), SCHEMA).count() == 3
+
+    # every JSON reject case rejects identically via msgpack
+    rejects = [
+        {"vec": [1.0]},
+        {"vec": "memes"},
+        {"vec": [1.0, "x"]},
+        {"desc": 7},
+        {"category": True},
+        {"size": "big"},
+        {"size": True},
+        {"price": "cheap"},
+        {"tags": ["a", 1]},
+        {"nested": {"score": "high"}},
+        {"nested": "flat"},
+    ]
+    for bad in rejects:
+        with pytest.raises(PointValidationError):
+            points_from_msgpack(spark, mp.packb({"points": [bad]}), SCHEMA)
+
+    with pytest.raises(PointValidationError, match="points"):
+        points_from_msgpack(spark, mp.packb({"other": 1}), SCHEMA)
+    with pytest.raises(PointValidationError, match="list of point maps"):
+        points_from_msgpack(spark, mp.packb("nope"), SCHEMA)
+
+
 def test_load_hdf5_import_gated(spark):
     """S6: the HDF5 bench loader raises a clear error without h5py (the
     optional dependency is absent in this environment by design)."""
