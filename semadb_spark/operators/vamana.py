@@ -48,6 +48,7 @@ __all__ = [
 # (distance/distance.go:23-25). Bit metrics go through the quantized store,
 # never the graph kernels.
 GRAPH_METRICS = ("euclidean", "cosine", "dot")
+MAX_UPDATE_BATCH = 100  # httpapi/v2/handlers.go:314 (UpdatePointsRequest)
 
 
 def _dist_rows(metric: str, X: np.ndarray, q: np.ndarray) -> np.ndarray:
@@ -471,6 +472,14 @@ def vamana_update(
     from semadb_spark.operators.knn import knn_topk_scan
 
     spark = index.edges.sparkSession
+    if len(updated_ids) > MAX_UPDATE_BATCH:
+        # the driver-side prune pools scale with the batch; the reference
+        # bounds update requests at 100 points (httpapi/v2/handlers.go:314)
+        # and beyond a few percent of the corpus a rebuild wins anyway
+        raise ValueError(
+            f"vamana_update batch too large: {len(updated_ids)} ids, max "
+            f"{MAX_UPDATE_BATCH} (rebuild the index for bulk updates)"
+        )
     if index.entry_id in updated_ids:
         raise ValueError("cannot update the entry node in place; rebuild instead")
     vecs = vectors.select(

@@ -48,6 +48,11 @@ from semadb_spark.schema import IndexSchema
 
 RANKED_COLS = ("_distance", "_score", "_hybridScore")
 
+# Filtered ANN: candidate sets at or below this size are exact-scanned
+# instead of IVF-probed — full recall where it's cheap, optimistic probing
+# where exactness would cost a table scan.
+FILTERED_EXACT_FALLBACK_ROWS = 10_000
+
 
 @dataclass
 class Compiled:
@@ -296,16 +301,34 @@ class SearchEngine:
             search_size = int(opts.get("searchSize") or value.params.get("searchSize") or 75)
             nprobe = max(1, min(len(ann_index.centroids), search_size // 8))
             flt_ids = None
+            exact_fallback = False
             if opts.get("filter") is not None:
                 flt_ids = self._prefiltered_df(opts["filter"]).select(self.id_col)
-            topk = ivf_search(
-                ann_index,
-                [("q", vector)],
-                value.distance_metric,
-                limit,
-                nprobe=nprobe,
-                candidate_ids=flt_ids,
-            ).select(F.col(ann_index.id_col).alias(self.id_col), "_distance")
+                # Optimistic probing (the reference's filtered-ANN mode,
+                # docs/content/docs/search/filtered.md:49-51) can miss
+                # matches whose cells aren't probed — a recall cliff when
+                # the filter is highly selective. Bounded early-stop count:
+                # a small candidate set is exact-scanned instead (cheap AND
+                # full recall); the limit makes the probe cheap for
+                # non-selective filters (the scan stops once the threshold
+                # is exceeded).
+                n = flt_ids.limit(FILTERED_EXACT_FALLBACK_ROWS + 1).count()
+                exact_fallback = n <= FILTERED_EXACT_FALLBACK_ROWS
+            if exact_fallback:
+                base = self._prefiltered_df(opts["filter"])
+                topk = knn_ops.knn_topk(
+                    base, prop, vector, value.distance_metric, limit,
+                    id_col=self.id_col,
+                )
+            else:
+                topk = ivf_search(
+                    ann_index,
+                    [("q", vector)],
+                    value.distance_metric,
+                    limit,
+                    nprobe=nprobe,
+                    candidate_ids=flt_ids,
+                ).select(F.col(ann_index.id_col).alias(self.id_col), "_distance")
         elif value.distance_metric in ("hamming", "jaccard"):
             # D8: float vectors queried with a bit metric are force-binarized
             # at threshold 0.5 — the reference auto-wraps a binary quantizer

@@ -324,6 +324,72 @@ def test_ranked_option_validation(engine):
         engine.search({"query": {"property": "description", "text": {"operator": "match", "value": "x", "limit": 5}}})
 
 
+def test_filtered_ann_exact_fallback_small_candidate_set(spark):
+    """A highly selective filter must not lose matches to unprobed IVF
+    cells: small candidate sets are exact-scanned (full recall), instead of
+    the optimistic filtered-probe mode that serves large candidate sets."""
+    import numpy as np
+
+    from semadb_spark.operators.ann import ivf_build
+
+    rng = np.random.RandomState(5)
+    # two well-separated clusters; "rare" tag only on the far cluster
+    near = rng.normal(loc=0.0, scale=0.2, size=(80, 4))
+    far = rng.normal(loc=50.0, scale=0.2, size=(5, 4))
+    rows = [("n%03d" % i, [float(x) for x in near[i]], "common") for i in range(80)]
+    rows += [("f%03d" % i, [float(x) for x in far[i]], "rare") for i in range(5)]
+    df = spark.createDataFrame(rows, "_id string, vector array<float>, tag string")
+    schema = IndexSchema.from_json({
+        "vector": {"type": "vectorVamana", "vectorVamana": {"vectorSize": 4, "distanceMetric": "euclidean"}},
+        "tag": {"type": "string", "string": {}},
+    })
+    index = ivf_build(df, "vector", "_id", nlist=2, seed=1)
+    eng = SearchEngine(df, schema, vector_indexes={"vector": index})
+    # query sits in the near cluster; with nprobe=1 the far cell would not
+    # be probed — the exact fallback must still return all 5 rare matches
+    res = eng.search({"query": {"property": "vector", "vectorVamana": {
+        "vector": [0.0, 0.0, 0.0, 0.0], "operator": "near", "limit": 5,
+        "searchSize": 25,
+        "filter": {"property": "tag", "string": {"operator": "equals", "value": "rare"}},
+    }}, "limit": 5})
+    got = {r._id for r in res.collect()}
+    assert got == {f"f{i:03d}" for i in range(5)}
+
+
+def test_vamana_update_batch_bound(spark):
+    from semadb_spark.operators import vamana as vm
+
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    X = rng.normal(size=(60, 4))
+    df = spark.createDataFrame(
+        [(f"{i:03d}", [float(x) for x in X[i]]) for i in range(60)],
+        "id string, v array<float>",
+    )
+    index = vm.vamana_build(df, "v", id_col="id", degree_bound=32, seed=3)
+    ids_101 = [f"{i:03d}" for i in range(50)] * 2 + ["051"]
+    with pytest.raises(ValueError, match="batch too large"):
+        vm.vamana_update(index, df, ids_101, vec_col="v", id_col="id")
+    # exactly at the bound passes the guard (update itself succeeds)
+    upd = vm.vamana_update(index, df, [f"{i:03d}" for i in range(1, 11)], vec_col="v", id_col="id")
+    assert upd.edges.count() > 0
+
+
+def test_d8_query_dim_validated_before_encode(spark):
+    # a short query vector must error, not silently score a bit prefix
+    schema = IndexSchema.from_json(
+        {"vector": {"type": "vectorFlat", "vectorFlat": {"vectorSize": 8, "distanceMetric": "hamming"}}}
+    )
+    df = spark.createDataFrame(
+        [("0", [1.0] * 8)], "_id string, vector array<float>"
+    )
+    eng = SearchEngine(df, schema)
+    with pytest.raises(ValueError, match="length mismatch"):
+        eng.search({"query": {"property": "vector", "vectorFlat": {
+            "vector": [1.0] * 4, "operator": "near", "limit": 5}}})
+
+
 def test_vamana_search_size_validation(spark):
     schema = IndexSchema.from_json(
         {"vector": {"type": "vectorVamana", "vectorVamana": {"vectorSize": 2, "distanceMetric": "euclidean"}}}
