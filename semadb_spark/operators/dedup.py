@@ -68,6 +68,11 @@ def _seeded_hash(seed: int):
 
 _MAX_LONG = (1 << 62) - 1
 
+# Unblocked embedding_neardup_pairs ceiling: one task holds n vectors plus
+# the n^2 GEMM output (20k x 20k doubles ~ 3.2 GB) — beyond this, the
+# RP-LSH-blocked variant is the right tool.
+SINGLE_BLOCK_MAX_ROWS = 20_000
+
 
 _MERSENNE31 = (1 << 31) - 1
 _MASK31 = (1 << 31) - 1
@@ -371,10 +376,24 @@ def embedding_neardup_pairs(
     Without ``block_col`` everything lands in ONE block — only for small
     frames or as the oracle for the blocked variants. For the scale path
     with no natural block column, use :func:`embedding_neardup_pairs_lsh`,
-    which blocks on random-projection buckets.
+    which blocks on random-projection buckets. To keep the single-block
+    path from silently routing an arbitrarily large frame onto one worker
+    (an O(n^2) matrix in one task's memory), it refuses above
+    ``SINGLE_BLOCK_MAX_ROWS`` rows — the check is a bounded early-stop
+    count, not a full scan.
     """
     import numpy as np
     import pandas as pd
+
+    if block_col is None:
+        n = df.limit(SINGLE_BLOCK_MAX_ROWS + 1).count()
+        if n > SINGLE_BLOCK_MAX_ROWS:
+            raise ValueError(
+                f"embedding_neardup_pairs without block_col routes the whole "
+                f"frame into one worker's memory; > {SINGLE_BLOCK_MAX_ROWS} "
+                f"rows — use embedding_neardup_pairs_lsh (RP-LSH blocked) or "
+                f"pass block_col"
+            )
 
     base = df.select(
         F.col(id_col).alias("id"),

@@ -78,6 +78,18 @@ def test_embedding_neardup(spark):
     assert not any("3" in p for p in pairs)
 
 
+def test_embedding_neardup_unblocked_refuses_large_frame(spark, monkeypatch):
+    # without block_col the whole frame lands in one task — refuse beyond
+    # the single-block ceiling instead of a silent memory cliff
+    monkeypatch.setattr(D, "SINGLE_BLOCK_MAX_ROWS", 10)
+    rows = [(str(i), [float(i), 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "_id string, v array<float>")
+    with pytest.raises(ValueError, match="block_col"):
+        D.embedding_neardup_pairs(df, "v", "_id", 0.9)
+    # at or under the ceiling the unblocked oracle path still works
+    assert D.embedding_neardup_pairs(df.limit(10), "v", "_id", 0.0).count() > 0
+
+
 def test_detect_language(spark):
     rows = [
         ("en", "the cat and the dog is that for with"),
