@@ -34,8 +34,12 @@ def __getattr__(name):
         from semadb_spark.schema import IndexSchema
 
         return IndexSchema
+    if name in ("Workspace", "UserPlan"):
+        from semadb_spark import tenancy
+
+        return getattr(tenancy, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
-__all__ = ["get_spark", "Collection", "SearchEngine", "IndexSchema"]
+__all__ = ["get_spark", "Collection", "SearchEngine", "IndexSchema", "Workspace", "UserPlan"]
 __version__ = "0.1.0"

@@ -54,6 +54,40 @@ RANKED_COLS = ("_distance", "_score", "_hybridScore")
 FILTERED_EXACT_FALLBACK_ROWS = 10_000
 
 
+def _cross_type_sort_order(v, descending: bool) -> list:
+    """Cross-type ordering for schemaless payload values.
+
+    Mirrors the reference's CompareAny (utils/compare.go:13-35): mixed types
+    group by type kind in Go reflect.Kind order as a decoded request body
+    produces them — bool(1) < int(6) < float(14) < map(21) < slice(23) <
+    string(24); within a kind, natural order; map/slice are "unknown kinds"
+    and compare equal. Missing keys always sort last regardless of direction
+    (SortSearchResults, utils/compare.go:62-74).
+
+    Payload values are stored JSON-encoded, so kind detection reads the JSON
+    text; nested paths come through ``get_json_object`` unquoted, where a
+    string that looks like a number/bool groups under that kind — a
+    documented approximation for the nested-schemaless case only.
+    """
+    is_missing = v.isNull() | (v == F.lit("null"))
+    rank = (
+        F.when(v.rlike(r"^(true|false)$"), F.lit(1))
+        .when(v.rlike(r"^-?\d+$"), F.lit(6))
+        .when(v.rlike(r"^-?\d"), F.lit(14))  # remaining numerics: floats
+        .when(v.startswith("{"), F.lit(21))
+        .when(v.startswith("["), F.lit(23))
+        .otherwise(F.lit(24))
+    )
+    key_bool = F.when(rank == 1, (v == F.lit("true")).cast("int"))
+    key_num = F.when(rank.isin(6, 14), v.cast("double"))
+    key_str = F.when(rank == 24, F.get_json_object(v, "$"))
+    keys = [rank, key_bool, key_num, key_str]
+    ordered = [
+        (k.desc_nulls_last() if descending else k.asc_nulls_last()) for k in keys
+    ]
+    return [is_missing.asc()] + ordered
+
+
 @dataclass
 class Compiled:
     """Result of compiling one query node.
@@ -566,14 +600,26 @@ class SearchEngine:
         sort_opts = request.get("sort") or []
         if len(sort_opts) > 10:
             raise ValueError("sort options exceed maximum of 10")
-        user_order = [
-            (
-                F.col(s["property"]).desc_nulls_last()
-                if s.get("descending")
-                else F.col(s["property"]).asc_nulls_last()
-            )
-            for s in sort_opts
-        ]
+        user_order: list = []
+        for s in sort_opts:
+            prop = s["property"]
+            desc = bool(s.get("descending"))
+            root = prop.split(".", 1)[0]
+            if root in rows.columns:
+                user_order.append(
+                    F.col(prop).desc_nulls_last()
+                    if desc
+                    else F.col(prop).asc_nulls_last()
+                )
+            elif "payload" in rows.columns:
+                # Schemaless sort key: the field lives in the payload map
+                # (JSON-encoded). Cross-type grouping per CompareAny.
+                v = F.element_at(F.col("payload"), F.lit(root))
+                if "." in prop:
+                    v = F.get_json_object(v, "$." + prop.split(".", 1)[1])
+                user_order.extend(_cross_type_sort_order(v, desc))
+            else:
+                raise ValueError(f"unknown sort property {prop}")
         order = user_order + order
 
         offset = int(request.get("offset", 0))

@@ -324,6 +324,53 @@ def test_ranked_option_validation(engine):
         engine.search({"query": {"property": "description", "text": {"operator": "match", "value": "x", "limit": 5}}})
 
 
+def test_cross_type_payload_sort_groups_by_kind(spark):
+    """Sorting on a schemaless payload field groups mixed types by kind
+    (CompareAny, utils/compare.go:13-35): bool < int < float < map < slice
+    < string; natural order within a kind; missing keys last."""
+    schema = IndexSchema.from_json({"tag": {"type": "string", "string": {}}})
+    rows = [
+        ("s2", {"k": '"zebra"'}),
+        ("b1", {"k": "true"}),
+        ("f1", {"k": "2.5"}),
+        ("i1", {"k": "7"}),
+        ("m1", {"k": '{"a": 1}'}),
+        ("a1", {"k": "[1,2]"}),
+        ("s1", {"k": '"apple"'}),
+        ("b0", {"k": "false"}),
+        ("i0", {"k": "-3"}),
+        ("x0", {}),  # missing key -> last
+        ("f0", {"k": "0.5"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "_id string, payload map<string,string>"
+    ).withColumn("tag", F.lit("t"))
+    eng = SearchEngine(df, schema)
+    res = eng.search({
+        "query": {"property": "tag", "string": {"operator": "equals", "value": "t"}},
+        "sort": [{"property": "k"}],
+        "limit": None,
+    })
+    got = [r._id for r in res.collect()]
+    assert got == ["b0", "b1", "i0", "i1", "f0", "f1", "m1", "a1", "s1", "s2", "x0"]
+    # descending reverses the kind grouping too (CompareAny(bv, av)), with
+    # missing still last
+    res_d = eng.search({
+        "query": {"property": "tag", "string": {"operator": "equals", "value": "t"}},
+        "sort": [{"property": "k", "descending": True}],
+        "limit": None,
+    })
+    got_d = [r._id for r in res_d.collect()]
+    assert got_d[:2] == ["s2", "s1"] and got_d[-1] == "x0"
+    # unknown property with no payload column raises
+    eng2 = SearchEngine(df.drop("payload"), schema)
+    with pytest.raises(ValueError, match="unknown sort property"):
+        eng2.search({
+            "query": {"property": "tag", "string": {"operator": "equals", "value": "t"}},
+            "sort": [{"property": "k"}], "limit": None,
+        })
+
+
 def test_filtered_ann_exact_fallback_small_candidate_set(spark):
     """A highly selective filter must not lose matches to unprobed IVF
     cells: small candidate sets are exact-scanned (full recall), instead of
