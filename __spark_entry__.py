@@ -929,6 +929,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bq_hamming_topk"] = bq_hamming_topk
 
+    def bq_rerank_recall(spark, sf_dir):
+        """BQ batched serving: hamming oversample + exact rerank
+        (operators/quantize.py bq_topk_batch — the standard recipe for
+        low-bit codes; the reference serves raw BQ distances, binary.go:
+        182-199, which 64-bit codes can't afford). Per-query recall vs the
+        exact scan asserted >= 0.5 (measured 1.0 at sf0.01 with 20x
+        oversample)."""
+        from semadb_spark.operators.quantize import bq_encode, bq_fit, bq_topk_batch
+
+        emb = _emb(spark, sf_dir)
+
+        # same artifact key as bq_hamming_topk: fit+encode runs once per sf
+        def build():
+            t = bq_fit(emb, "embedding")
+            c = bq_encode(emb, "embedding", t)
+            c.persist().count()
+            return t, c
+
+        thr, codes = _cached_index("bq", sf_dir, build)
+        qs = _qlist(spark, sf_dir)
+        approx = bq_topk_batch(
+            codes.select("_id", "bq_code"), "bq_code", emb, "embedding",
+            qs, thr, 10, oversample=20,
+        )
+        truth = _exact_topk_sets(spark, sf_dir, k=10)
+        rows = approx.select("query_id", "_id").collect()
+        got: dict[str, set] = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["_id"])
+        data = [
+            (qid, len(got.get(qid, set()) & ids) / len(ids) >= 0.5)
+            for qid, ids in sorted(truth.items())
+        ]
+        return spark.createDataFrame(data, "query_id string, recall_ok boolean")
+
+    q["bq_rerank_recall"] = bq_rerank_recall
+
     def pq_adc_recall(spark, sf_dir):
         """Product quantization (per-subvector k-means, product.go:175-236)
         + asymmetric-distance-table top-k scan (product.go:238-276). KMeans
@@ -1500,6 +1537,7 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings WHERE vec_id < 5
     """
     o["ann_ivf_recall"] = _recall_true
+    o["bq_rerank_recall"] = _recall_true
     o["ann_vamana_recall"] = _recall_true
     o["ann_vamana_served"] = _recall_true
     o["pq_adc_recall"] = _recall_true

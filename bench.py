@@ -35,12 +35,15 @@ BENCH_QUERIES = [
     "ann_ivf_recall",
     "ann_lsh_topk",
     "ann_vamana_recall",
+    "ann_vamana_served",
     "bq_hamming_topk",
+    "bq_rerank_recall",
     "pq_adc_recall",
     "quantized_bq_serving",
     # text search + hybrid
     "text_tfidf_any",
     "text_tfidf_all",
+    "text_tfidf_unicode",
     "hybrid_or",
     # pipeline operators
     "dedup_exact",
