@@ -308,6 +308,38 @@ def main() -> None:
     }
     print(f"# vector_1m_angular: {vector_1m_angular}", file=sys.stderr)
 
+    # v2-PQ-comparable block (reference glove-100 v2-PQ: 0.526 recall /
+    # 628.6 QPS single-thread, BASELINE.md): 10x256 codebooks fit on a 10k
+    # sample, batched ADC serving over the codes only (pq_adc_topk_batch —
+    # m gathers per Arrow batch, no Python per row-pair loop).
+    from semadb_spark.operators.quantize import pq_adc_topk_batch, pq_encode, pq_fit
+
+    t0 = time.time()
+    books = pq_fit(
+        ang, "embedding", num_subvectors=10, num_centroids=256,
+        metric="cosine", seed=42, sample_cap=10_000,
+    )
+    pq_codes = pq_encode(ang.select("_id", "embedding"), "embedding", books).select(
+        "_id", "pq_code"
+    )
+    pq_codes.persist().count()
+    pq_build = round(time.time() - t0, 3)
+    pq_approx, pq_dt = best_of(
+        3, lambda: pq_adc_topk_batch(pq_codes, "pq_code", books, aq, 10)
+    )
+    pq_recall = recall_at_k(pq_approx.filter(F.col("query_id").isin(aq64)), ang_exact)
+    vector_1m_pq = {
+        "rows": ang_n,
+        "dim": 100,
+        "m": 10,
+        "pq_build_sec": pq_build,
+        "pq_qps": round(len(aq) / pq_dt, 1),
+        "pq_recall_at10": round(pq_recall, 4),
+    }
+    print(f"# vector_1m_pq: {vector_1m_pq}", file=sys.stderr)
+    pq_approx.unpersist()
+    pq_codes.unpersist()
+
     # vector throughput: batch of exact top-10 over the embeddings table via
     # the partition-local scan (the serving-shaped workload)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).withColumn(
@@ -338,6 +370,7 @@ def main() -> None:
         "vector_1m": vector_1m,
         "vector_1m_bq": vector_1m_bq,
         "vector_1m_angular": vector_1m_angular,
+        "vector_1m_pq": vector_1m_pq,
         "cpus": cpus,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -367,6 +400,11 @@ def main() -> None:
             "qps": vector_1m_angular["ivf_qps"],
             "recall": vector_1m_angular["ivf_recall_at10"],
             "build_sec": vector_1m_angular["ivf_build_sec"],
+        },
+        "vector_1m_pq": {
+            "qps": vector_1m_pq["pq_qps"],
+            "recall": vector_1m_pq["pq_recall_at10"],
+            "build_sec": vector_1m_pq["pq_build_sec"],
         },
         "detail": "BENCH_DETAIL.json",
     }

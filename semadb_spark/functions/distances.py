@@ -35,6 +35,12 @@ from pyspark.sql import functions as F
 
 EARTH_RADIUS_M = 6371000.0  # distance/distance.go:31
 
+# Bit-metric batch kernels process queries in chunks of this size: with a
+# 10k-row Arrow batch and 16 code words, one chunk's XOR intermediate is
+# 10k x 256 x 16 x 8 B = 320 MB worst case — bounded regardless of how
+# large the serving batch grows.
+_BIT_QUERY_CHUNK = 256
+
 # Column-expression tier ------------------------------------------------------
 
 
@@ -151,15 +157,25 @@ def numpy_distance_matrix(metric: str, data: np.ndarray, queries: np.ndarray) ->
         # Bit metrics take packed words, NOT floats: a float64 round-trip
         # rounds away significant bits >= 2^53 and silently corrupts
         # popcounts. int64 -> uint64 via view keeps all 64 bits.
+        # The (n, chunk, words) XOR/AND intermediates are materialized per
+        # query chunk so peak memory stays bounded for large serving
+        # batches (1024 queries x 10k-row Arrow batch x many words).
         a, b = _as_uint64_words(data), _as_uint64_words(queries)
-        if metric == "hamming":
-            x = a[:, None, :] ^ b[None, :, :]
-            return _popcount(x).sum(axis=2).astype(np.float64)
-        inter = _popcount(a[:, None, :] & b[None, :, :]).sum(axis=2).astype(np.float64)
-        union = _popcount(a[:, None, :] | b[None, :, :]).sum(axis=2).astype(np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = 1.0 - inter / union
-        out[union == 0] = 0.0
+        out = np.empty((a.shape[0], b.shape[0]), dtype=np.float64)
+        for lo in range(0, b.shape[0], _BIT_QUERY_CHUNK):
+            bc = b[lo : lo + _BIT_QUERY_CHUNK]
+            if metric == "hamming":
+                x = a[:, None, :] ^ bc[None, :, :]
+                out[:, lo : lo + _BIT_QUERY_CHUNK] = (
+                    _popcount(x).sum(axis=2).astype(np.float64)
+                )
+                continue
+            inter = _popcount(a[:, None, :] & bc[None, :, :]).sum(axis=2).astype(np.float64)
+            union = _popcount(a[:, None, :] | bc[None, :, :]).sum(axis=2).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                o = 1.0 - inter / union
+            o[union == 0] = 0.0
+            out[:, lo : lo + _BIT_QUERY_CHUNK] = o
         return out
     data = np.asarray(data, dtype=np.float64)
     queries = np.asarray(queries, dtype=np.float64)

@@ -50,6 +50,7 @@ __all__ = [
     "pq_adc_table",
     "pq_adc_distance_expr",
     "pq_adc_topk",
+    "pq_adc_topk_batch",
     "QuantizedIndex",
     "build_quantized_index",
     "quantized_topk",
@@ -447,6 +448,72 @@ def pq_adc_topk(
         "_distance", pq_adc_distance_expr(code_col, table)
     )
     return scored.orderBy(F.col("_distance").asc(), F.col(id_col).asc()).limit(k)
+
+
+def pq_adc_topk_batch(
+    codes_df: DataFrame,
+    code_col: str,
+    books: PQCodebooks,
+    queries: Sequence[tuple],
+    k: int,
+    id_col: str = "_id",
+) -> DataFrame:
+    """Batched ADC serving: top-k per query over the code column only.
+
+    The per-query (m, k) ADC tables are stacked into one (q, m, k) array
+    that rides into each task inside the Arrow UDF closure
+    (broadcast-equivalent; q x m x k doubles — 1024 queries x 8 x 256 is
+    16 MB). Each Arrow batch scores rows against every query with m
+    NumPy gathers (``tables[:, i, codes[:, i]]`` — the batch analogue of
+    product.go:265-276's per-row table walk) and emits only its local
+    top-k per query, so the global merge sees O(batches x q x k) rows at
+    any corpus size.
+    """
+    from pyspark.sql import Window
+
+    qlist = list(queries)
+    qids = [str(q[0]) for q in qlist]
+    tables = np.stack([pq_adc_table(books, q[1]) for q in qlist])  # (q, m, k)
+    m = books.num_subvectors
+    id_type = codes_df.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id string, {id_col} {id_type}, _distance double"
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack(pdf[code_col].to_numpy()).astype(np.int64)  # (n, m)
+            n = codes.shape[0]
+            dists = np.zeros((n, len(qids)))
+            for i in range(m):
+                # (q, n) gather of subquantizer i's distances by code
+                dists += tables[:, i, codes[:, i]].T
+            take = min(k, n)
+            idx = np.argpartition(dists, take - 1, axis=0)[:take]
+            frames = []
+            ids = pdf[id_col].to_numpy()
+            for j, qid in enumerate(qids):
+                rows = idx[:, j]
+                order = np.argsort(dists[rows, j], kind="stable")
+                rows = rows[order]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, id_col: ids[rows], "_distance": dists[rows, j]}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    candidates = (
+        codes_df.filter(F.col(code_col).isNotNull())
+        .select(id_col, code_col)
+        .mapInPandas(local_topk, schema=out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_distance").asc(), F.col(id_col).asc()
+    )
+    return candidates.withColumn("_rank", F.row_number().over(w)).filter(
+        F.col("_rank") <= k
+    )
 
 
 # ---------------------------------------------------------------------------

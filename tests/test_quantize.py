@@ -168,6 +168,29 @@ def test_pq_adc_recall_vs_exact(spark, emb):
     codes.unpersist()
 
 
+def test_pq_adc_topk_batch_matches_single_query(spark, emb):
+    from semadb_spark.operators.quantize import pq_adc_topk_batch
+
+    books = pq_fit(emb, "v", num_subvectors=8, num_centroids=16, seed=1)
+    codes = pq_encode(emb, "v", books).cache()
+    queries = []
+    for qid in ("3", "7", "11"):
+        queries.append((f"q{qid}", [float(x) for x in emb.filter(F.col("_id") == qid).head()[1]]))
+    batch = pq_adc_topk_batch(codes, "pq_code", books, queries, 5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r._id, r._distance))
+    for qid, qv in queries:
+        single = [
+            (r._id, r._distance)
+            for r in pq_adc_topk(codes, "pq_code", books, qv, 5).collect()
+        ]
+        mine = sorted(got[qid], key=lambda t: (t[1], t[0]))
+        assert [t[0] for t in mine] == [t[0] for t in single]
+        assert np.allclose([t[1] for t in mine], [t[1] for t in single])
+    codes.unpersist()
+
+
 def test_pq_adc_self_distance_smallest(spark, emb):
     books = pq_fit(emb, "v", num_subvectors=8, num_centroids=16, seed=1)
     codes = pq_encode(emb, "v", books)
