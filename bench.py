@@ -409,7 +409,11 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) < 1800, f"final bench line too long ({len(line)} chars)"
+    if len(line) >= 1800:
+        # stay under the driver's tail window rather than overflow it: drop
+        # the per-query dict (still in BENCH_DETAIL.json) before the totals
+        compact["queries"] = {"dropped_for_length_see": "BENCH_DETAIL.json"}
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

@@ -177,3 +177,22 @@ def test_ranked_backfill_broadcasts_without_aqe_help(spark, table):
         assert 1 <= res.count() <= 5
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bq_rerank_pool_broadcasts(spark, table):
+    # bq_topk_batch's candidate pool (queries x k x oversample rows) must
+    # broadcast into the float-vector join — a shuffle of the full table to
+    # meet a bounded pool would be the 100TB scale killer
+    import numpy as np
+
+    from semadb_spark.operators.quantize import bq_fit, bq_encode, bq_topk_batch
+
+    vecs = table.select("_id", F.col("vec").cast("array<float>").alias("v"))
+    thr = bq_fit(vecs, "v")
+    codes = bq_encode(vecs, "v", thr).select("_id", "bq_code")
+    out = bq_topk_batch(
+        codes, "bq_code", vecs, "v", [("q0", [1.0, 2.0])], thr, 5, oversample=4
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
