@@ -695,6 +695,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fingerprint_docs"] = fingerprint_docs
 
+    def repetition_signals(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        rep = ts_ops.repetition_signals(docs, "text")
+        # integer-quantized fractions for the driver hash: both engines do
+        # the same exact-int division, so floor(x*1e6) is bit-stable
+        return rep.select(
+            "_id",
+            "n_tokens",
+            F.floor(F.col("dup_token_frac") * 1e6).cast("long").alias("dup_token_q6"),
+            F.floor(F.col("top_token_frac") * 1e6).cast("long").alias("top_token_q6"),
+            F.floor(F.col("top_bigram_frac") * 1e6).cast("long").alias("top_bigram_q6"),
+        )
+
+    q["repetition_signals"] = repetition_signals
+
+    def pii_scrub(spark, sf_dir):
+        # the synthetic corpus has no PII, so the gate plants deterministic
+        # email/phone/URL spans from doc fields — both engines build the
+        # identical input, then redact; the hash verifies the regex pass
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        synth = docs.select(
+            "_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("_id"),
+                F.lit("@mail.example.co.uk or +1 (555) 010-"), F.col("_id"),
+                F.lit(" via https://ex.example.com/d/"), F.col("_id"),
+                F.lit("?q=1 end"),
+            ).alias("t"),
+        )
+        return synth.select("_id", ts_ops.pii_scrub("t").alias("cleaned"))
+
+    q["pii_scrub"] = pii_scrub
+
     # -- aggregation internals (SURVEY §2.8) --------------------------------
 
     def agg_events_rollup(spark, sf_dir):
@@ -1506,6 +1540,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(doc_id AS VARCHAR) AS _id,
                md5(array_to_string(list_sort(list_distinct({TOK_ALL})), ' ')) AS fp
         FROM documents WHERE text IS NOT NULL
+    """
+
+    o["repetition_signals"] = f"""
+        WITH base AS (
+          SELECT CAST(doc_id AS VARCHAR) AS _id, {TOK_ALL} AS toks
+          FROM documents WHERE text IS NOT NULL AND len({TOK_ALL}) > 0
+        ),
+        uni AS (
+          SELECT _id, g, count(*) AS c
+          FROM (SELECT _id, unnest(toks) AS g FROM base) GROUP BY _id, g
+        ),
+        us AS (
+          SELECT _id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 count(*) AS n_distinct, max(c) AS top_c
+          FROM uni GROUP BY _id
+        ),
+        bg AS (
+          SELECT _id, g, count(*) AS c FROM (
+            SELECT _id, unnest(list_transform(generate_series(1, len(toks)-1),
+                               i -> toks[i] || ' ' || toks[i+1])) AS g
+            FROM base WHERE len(toks) >= 2
+          ) GROUP BY _id, g
+        ),
+        bs AS (SELECT _id, sum(c) AS nb, max(c) AS top_b FROM bg GROUP BY _id)
+        SELECT us._id AS _id, n_tokens,
+          CAST(floor((n_tokens - n_distinct)::DOUBLE / n_tokens::DOUBLE * 1e6) AS BIGINT) AS dup_token_q6,
+          CAST(floor(top_c::DOUBLE / n_tokens::DOUBLE * 1e6) AS BIGINT) AS top_token_q6,
+          CAST(floor(coalesce(top_b::DOUBLE / nb::DOUBLE, 0.0) * 1e6) AS BIGINT) AS top_bigram_q6
+        FROM us LEFT JOIN bs ON us._id = bs._id
+    """
+
+    _pii = "t"
+    for _pat, _repl in ts_ops.PII_PATTERNS:
+        _pii = f"regexp_replace({_pii}, '{_pat}', '{_repl}', 'g')"
+    o["pii_scrub"] = f"""
+        WITH s AS (
+          SELECT CAST(doc_id AS VARCHAR) AS _id,
+                 text || ' contact user' || doc_id
+                      || '@mail.example.co.uk or +1 (555) 010-' || doc_id
+                      || ' via https://ex.example.com/d/' || doc_id
+                      || '?q=1 end' AS t
+          FROM documents WHERE text IS NOT NULL)
+        SELECT _id, {_pii} AS cleaned FROM s
     """
 
     o["agg_events_rollup"] = """

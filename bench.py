@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "quality_scores",
     "token_count_by_source",
     "fingerprint_docs",
+    "repetition_signals",
+    "pii_scrub",
     # write path
     "dml_update_merge",
     # multimodal

@@ -94,3 +94,105 @@ def fingerprint(c: Column | str) -> Column:
     token set (classic key-collision / clustering fingerprint)."""
     toks = F.array_sort(F.array_distinct(tokenize(c, remove_stopwords=False)))
     return F.md5(F.concat_ws(" ", toks))
+
+
+def _bigrams(toks: Column) -> Column:
+    """ARRAY<STRING> tokens -> ARRAY<STRING> of space-joined word bigrams.
+
+    Guarded for <2 tokens: Spark's ``sequence(0, -1)`` counts *down*, so the
+    naive form would fabricate bigrams for single-token docs.
+    """
+    mk = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return F.when(F.size(toks) >= 2, mk).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_signals(df, text_col: str, id_col: str = "_id"):
+    """Gopher-style repetition quality signals, one row per document:
+
+    - ``n_tokens``
+    - ``dup_token_frac``  — 1 - distinct/total tokens (vocabulary collapse)
+    - ``top_token_frac``  — occurrences of the most frequent token / total
+    - ``top_bigram_frac`` — occurrences of the most frequent word bigram /
+      total bigrams (0.0 when the doc has < 2 tokens)
+
+    Repetition filters in the Gopher/MassiveText data-prep recipe (Rae et
+    al. 2021, table A1) — the standard pre-training cut for boilerplate and
+    degenerate generations.
+
+    Scale shape: grams are exploded and counted with groupBy(id, gram) —
+    linear work with map-side partial aggregation, every shuffle keyed by
+    document id so a 100 TB corpus spreads evenly (no per-row O(n^2) HOF
+    counting, which degenerates on long documents). Stopwords kept:
+    repetition of function words is exactly what these signals measure.
+    """
+    toks = tokenize(text_col, remove_stopwords=False)
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_rid"), toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    uni = (
+        base.select("_rid", F.explode("toks").alias("g"))
+        .groupBy("_rid", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("_rid")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    big = (
+        base.select("_rid", F.explode(_bigrams(F.col("toks"))).alias("g"))
+        .groupBy("_rid", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("_rid")
+        .agg(F.sum("c").alias("nb"), F.max("c").alias("top_b"))
+    )
+    n = F.col("n_tokens").cast("double")
+    return (
+        uni.join(big, "_rid", "left")
+        .select(
+            F.col("_rid").alias(id_col),
+            F.col("n_tokens"),
+            ((n - F.col("n_distinct")) / n).alias("dup_token_frac"),
+            (F.col("top_c") / n).alias("top_token_frac"),
+            F.coalesce(
+                F.col("top_b").cast("double") / F.col("nb").cast("double"),
+                F.lit(0.0),
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+# PII redaction patterns. Conservative regex subset (char classes,
+# bounded repeats, alternation — no backrefs/lookaround) so Java regex
+# (Spark), RE2 (DuckDB), and Python `re` all match byte-for-byte.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # URLs first: an email-shaped userinfo inside a URL belongs to the URL
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # phone-ish: optional +country, then >= 7 digits among separators
+    (r"\+?[0-9][0-9().\-\s]{5,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(c: Column | str) -> Column:
+    """Redact emails, URLs, and phone-like digit runs with typed
+    placeholders — the standard pre-training PII scrub pass (C4-style).
+
+    Pure Column expressions (sequential JVM ``regexp_replace``), so the
+    scrub runs inside whole-stage codegen with zero shuffles at any corpus
+    size.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

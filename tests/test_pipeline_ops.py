@@ -112,6 +112,47 @@ def test_token_count_and_quality(spark):
     assert 0.0 <= rows["a"]["q"] <= 1.0
 
 
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [
+            ("uniq", "alpha beta gamma delta"),          # all distinct
+            ("loop", "spam spam spam spam"),             # one token repeated
+            ("bigr", "one two one two one two"),         # dominant bigram
+            ("solo", "word"),                            # <2 tokens: no bigrams
+            ("none", None),                              # dropped
+        ],
+        "_id string, text string",
+    )
+    rows = {r["_id"]: r for r in TS.repetition_signals(df, "text").collect()}
+    assert set(rows) == {"uniq", "loop", "bigr", "solo"}
+    assert rows["uniq"]["dup_token_frac"] == 0.0
+    assert rows["uniq"]["top_token_frac"] == 0.25
+    assert rows["loop"]["dup_token_frac"] == 0.75
+    assert rows["loop"]["top_token_frac"] == 1.0
+    assert rows["loop"]["top_bigram_frac"] == 1.0  # "spam spam" x3
+    # "one two" occurs 3 of 5 bigrams
+    assert abs(rows["bigr"]["top_bigram_frac"] - 0.6) < 1e-12
+    assert rows["solo"]["top_bigram_frac"] == 0.0
+    assert rows["solo"]["n_tokens"] == 1
+
+
+def test_pii_scrub(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "mail me at jane.doe+x@corp.example.com today"),
+            ("b", "call +44 (0)20 7946-0958 now"),
+            ("c", "see https://a.example.org/p?x=1&y=2 for details"),
+            ("d", "clean text with number 42"),
+        ],
+        "_id string, text string",
+    )
+    rows = {r["_id"]: r["c"] for r in df.select("_id", TS.pii_scrub("text").alias("c")).collect()}
+    assert rows["a"] == "mail me at <EMAIL> today"
+    assert rows["b"] == "call <PHONE> now"
+    assert rows["c"] == "see <URL> for details"
+    assert rows["d"] == "clean text with number 42"  # short digits untouched
+
+
 def test_fingerprint_order_insensitive(spark):
     df = spark.createDataFrame(
         [("a", "alpha beta gamma"), ("b", "gamma beta alpha beta")], "_id string, text string"
