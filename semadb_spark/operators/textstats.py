@@ -138,37 +138,45 @@ def repetition_signals(df, text_col: str, id_col: str = "_id"):
         .select(F.col(id_col).alias("_rid"), toks.alias("toks"))
         .filter(F.size("toks") > 0)
     )
-    uni = (
-        base.select("_rid", F.explode("toks").alias("g"))
-        .groupBy("_rid", "g")
+    # single scan + single explode: unigrams and bigrams ride the same
+    # exploded stream tagged by gram order, so the corpus is tokenized once
+    tagged = base.select(
+        "_rid",
+        F.explode(
+            F.concat(
+                F.transform(
+                    "toks",
+                    lambda t: F.struct(F.lit(1).alias("n"), t.alias("g")),
+                ),
+                F.transform(
+                    _bigrams(F.col("toks")),
+                    lambda b: F.struct(F.lit(2).alias("n"), b.alias("g")),
+                ),
+            )
+        ).alias("gram"),
+    )
+    stats = (
+        tagged.groupBy("_rid", F.col("gram.n").alias("n"), F.col("gram.g").alias("g"))
         .agg(F.count("*").alias("c"))
         .groupBy("_rid")
         .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count("*").alias("n_distinct"),
-            F.max("c").alias("top_c"),
+            F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("n_tokens"),
+            F.count(F.when(F.col("n") == 1, True)).alias("n_distinct"),
+            F.max(F.when(F.col("n") == 1, F.col("c"))).alias("top_c"),
+            F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("nb"),
+            F.max(F.when(F.col("n") == 2, F.col("c"))).alias("top_b"),
         )
-    )
-    big = (
-        base.select("_rid", F.explode(_bigrams(F.col("toks"))).alias("g"))
-        .groupBy("_rid", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("_rid")
-        .agg(F.sum("c").alias("nb"), F.max("c").alias("top_b"))
     )
     n = F.col("n_tokens").cast("double")
-    return (
-        uni.join(big, "_rid", "left")
-        .select(
-            F.col("_rid").alias(id_col),
-            F.col("n_tokens"),
-            ((n - F.col("n_distinct")) / n).alias("dup_token_frac"),
-            (F.col("top_c") / n).alias("top_token_frac"),
-            F.coalesce(
-                F.col("top_b").cast("double") / F.col("nb").cast("double"),
-                F.lit(0.0),
-            ).alias("top_bigram_frac"),
-        )
+    return stats.select(
+        F.col("_rid").alias(id_col),
+        F.col("n_tokens"),
+        ((n - F.col("n_distinct")) / n).alias("dup_token_frac"),
+        (F.col("top_c") / n).alias("top_token_frac"),
+        F.coalesce(
+            F.col("top_b").cast("double") / F.col("nb").cast("double"),
+            F.lit(0.0),
+        ).alias("top_bigram_frac"),
     )
 
 
