@@ -729,6 +729,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_scrub"] = pii_scrub
 
+    def pack_sequences(spark, sf_dir):
+        from semadb_spark.operators import packing as pk_ops
+
+        docs = _docs(spark, sf_dir).withColumn("ord", F.col("doc_id"))
+        return pk_ops.pack_sequences(docs, "text", "_id", max_tokens=256, order_col="ord")
+
+    q["pack_sequences"] = pack_sequences
+
+    def mixture_sample(spark, sf_dir):
+        from semadb_spark.operators import packing as pk_ops
+
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        samp = pk_ops.mixture_sample(
+            docs, "source", {"src1": 0.5, "src2": 0.3, "src3": 0.2}, "_id"
+        )
+        return samp.select("_id", "source")
+
+    q["mixture_sample"] = mixture_sample
+
     # -- aggregation internals (SURVEY §2.8) --------------------------------
 
     def agg_events_rollup(spark, sf_dir):
@@ -1583,6 +1602,46 @@ def oracle_sql() -> dict[str, str]:
                       || '?q=1 end' AS t
           FROM documents WHERE text IS NOT NULL)
         SELECT _id, {_pii} AS cleaned FROM s
+    """
+
+    o["pack_sequences"] = f"""
+        WITH c AS (
+          SELECT CAST(doc_id AS VARCHAR) AS _id, doc_id AS ord,
+                 len({TOK_ALL}) AS n
+          FROM documents WHERE text IS NOT NULL AND len({TOK_ALL}) > 0
+        ),
+        p AS (
+          SELECT _id, n,
+                 CAST(coalesce(sum(n) OVER (ORDER BY ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+          FROM c
+        ),
+        e AS (
+          SELECT _id, n, s,
+                 unnest(generate_series(s // 256, (s + n - 1) // 256)) AS seq_id
+          FROM p
+        )
+        SELECT _id, seq_id,
+               greatest(s, seq_id*256) - s AS doc_tok_start,
+               greatest(s, seq_id*256) - seq_id*256 AS seq_offset,
+               least(s+n, (seq_id+1)*256) - greatest(s, seq_id*256) AS n_toks
+        FROM e
+    """
+
+    o["mixture_sample"] = """
+        WITH w(source, wt) AS (VALUES ('src1', 0.5::DOUBLE), ('src2', 0.3::DOUBLE), ('src3', 0.2::DOUBLE)),
+        wn AS (SELECT source, wt / (SELECT sum(wt) FROM w) AS _w FROM w),
+        d0 AS (SELECT CAST(doc_id AS VARCHAR) AS _id, source FROM documents WHERE text IS NOT NULL),
+        c AS (SELECT d.source, _w, count(*) AS _c FROM d0 d JOIN wn ON d.source = wn.source GROUP BY d.source, _w),
+        t AS (SELECT min(_c / _w) AS _T FROM c),
+        r AS (SELECT source, least(_T * _w / _c, 1.0) AS _keep FROM c CROSS JOIN t),
+        r2 AS (SELECT source,
+                 CASE WHEN _keep >= 1.0 THEN 'g'
+                      ELSE lpad(lower(to_hex(CAST(floor(_keep * 4294967296.0) AS BIGINT))), 8, '0')
+                 END AS _thresh FROM r)
+        SELECT d._id AS _id, d.source AS source
+        FROM d0 d JOIN r2 ON d.source = r2.source
+        WHERE substring(md5(d._id), 1, 8) < _thresh
     """
 
     o["agg_events_rollup"] = """

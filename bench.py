@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "fingerprint_docs",
     "repetition_signals",
     "pii_scrub",
+    "pack_sequences",
+    "mixture_sample",
     # write path
     "dml_update_merge",
     # multimodal

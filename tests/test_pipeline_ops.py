@@ -308,3 +308,52 @@ def test_connected_components_raises_without_fixpoint(spark):
         # max_iter=0 can never reach the fixpoint check -> loud error,
         # never silently-wrong labels
         connected_components(pairs, max_iter=0)
+
+
+def test_pack_sequences_chunks_and_spans(spark):
+    from semadb_spark.operators.packing import pack_sequences
+
+    # 5 docs x 4 tokens, max_tokens=6: stream of 20 tokens -> seqs of 6,6,6,2
+    rows = [(f"d{i}", i, "tok " * 4) for i in range(5)]
+    df = spark.createDataFrame(rows, "_id string, ord long, text string")
+    out = pack_sequences(df, "text", "_id", max_tokens=6, order_col="ord")
+    got = {(r["_id"], r["seq_id"]): (r["doc_tok_start"], r["seq_offset"], r["n_toks"]) for r in out.collect()}
+    # d1 (tokens 4..7) spans seq 0 (tokens 4,5) and seq 1 (tokens 6,7)
+    assert got[("d1", 0)] == (0, 4, 2)
+    assert got[("d1", 1)] == (2, 0, 2)
+    # every sequence except the last is exactly full
+    per_seq = out.groupBy("seq_id").agg(F.sum("n_toks").alias("t")).collect()
+    sizes = {r["seq_id"]: r["t"] for r in per_seq}
+    assert sizes == {0: 6, 1: 6, 2: 6, 3: 2}
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    from semadb_spark.operators.packing import pack_sequences
+
+    rows = [(f"d{i:03d}", i, "w " * (1 + i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "_id string, ord long, text string")
+    a = pack_sequences(df.coalesce(1), "text", "_id", 16, "ord").collect()
+    b = pack_sequences(df.repartition(13), "text", "_id", 16, "ord").collect()
+    key = lambda r: (r["_id"], r["seq_id"])
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # global stream property: sum of n_toks == total tokens
+    assert sum(r["n_toks"] for r in a) == sum(1 + i % 7 for i in range(100))
+
+
+def test_mixture_sample_deterministic_and_weighted(spark):
+    from semadb_spark.operators.packing import mixture_sample
+
+    rows = [(f"id{i}", "a" if i < 800 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, "_id string, source string")
+    # target 50/50 but b has only 200 rows -> T = 400, keep all 200 b + ~200 a
+    s1 = mixture_sample(df, "source", {"a": 0.5, "b": 0.5}, "_id")
+    counts = {r["source"]: r["n"] for r in s1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["b"] == 200  # binding source fully kept
+    assert 140 <= counts["a"] <= 260  # hash-threshold approximates 200
+    # deterministic: same input -> identical id set, any partitioning
+    ids1 = sorted(r["_id"] for r in s1.select("_id").collect())
+    ids2 = sorted(r["_id"] for r in mixture_sample(df.repartition(7), "source", {"a": 0.5, "b": 0.5}, "_id").select("_id").collect())
+    assert ids1 == ids2
+    # unknown sources are dropped
+    s3 = mixture_sample(df, "source", {"a": 1.0}, "_id")
+    assert s3.filter(F.col("source") == "b").count() == 0
