@@ -1051,6 +1051,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_adc_recall"] = pq_adc_recall
 
+    def pq_rerank_recall(spark, sf_dir):
+        """PQ batched serving: ADC oversample + exact rerank
+        (operators/quantize.py pq_topk_batch — same bounded-refinement
+        recipe as bq_rerank_recall; the codes-only scan orders candidates,
+        the float vectors rerank a broadcast pool). Per-query recall vs the
+        exact scan asserted >= 0.5 (measured ~1.0 at sf0.01 with 20x
+        oversample)."""
+        from semadb_spark.operators import quantize as Q
+
+        emb = _emb(spark, sf_dir)
+
+        def build():
+            books = Q.pq_fit(emb, "embedding", num_subvectors=8, num_centroids=16, seed=1)
+            codes = Q.pq_encode(emb, "embedding", books)
+            codes.persist().count()
+            return books, codes
+
+        books, codes = _cached_index("pq", sf_dir, build)
+        qs = _qlist(spark, sf_dir)
+        approx = Q.pq_topk_batch(
+            codes.select("_id", "pq_code"), "pq_code", emb, "embedding",
+            books, qs, 10, oversample=20,
+        )
+        truth = _exact_topk_sets(spark, sf_dir, k=10)
+        rows = approx.select("query_id", "_id").collect()
+        got: dict[str, set] = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["_id"])
+        data = [
+            (qid, len(got.get(qid, set()) & ids) / len(ids) >= 0.5)
+            for qid, ids in sorted(truth.items())
+        ]
+        return spark.createDataFrame(data, "query_id string, recall_ok boolean")
+
+    q["pq_rerank_recall"] = pq_rerank_recall
+
     # -- schema-declared quantized serving (vectorstore.go:75+) -------------
 
     def quantized_bq_serving(spark, sf_dir):
@@ -1677,6 +1713,7 @@ def oracle_sql() -> dict[str, str]:
     o["ann_vamana_recall"] = _recall_true
     o["ann_vamana_served"] = _recall_true
     o["pq_adc_recall"] = _recall_true
+    o["pq_rerank_recall"] = _recall_true
     o["quantized_pq_serving"] = _recall_true
 
     # binary-quantized serving: threshold 0.0 -> per-dim sign-bit hamming

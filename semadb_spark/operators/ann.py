@@ -184,6 +184,193 @@ def ivf_search(
     )
 
 
+# -- IVF-PQ -------------------------------------------------------------------
+
+
+class IVFPQIndex:
+    """Coarse IVF centroids + PQ codes per row: the serving scan reads
+    ``m`` bytes per row inside only the probed centroid partitions."""
+
+    def __init__(self, centroids: np.ndarray, books, coded: DataFrame, floats: DataFrame, vec_col: str, id_col: str):
+        self.centroids = centroids
+        self.books = books  # PQCodebooks
+        self.coded = coded  # (centroid_id, id_col, pq_code)
+        self.floats = floats  # original frame (id_col, vec_col) for rerank
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+
+def ivfpq_build(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "_id",
+    nlist: int = 128,
+    num_subvectors: int = 8,
+    num_centroids: int = 256,
+    metric: str = "euclidean",
+    seed: int = 42,
+    sample_cap: int | None = None,
+) -> IVFPQIndex:
+    """Coarse quantizer (IVF) + product codes in one pass: one bounded
+    sample feeds both k-means fits; assignment and encoding run distributed
+    over a single scan. At scale persist ``index.coded`` with
+    ``partitionBy("centroid_id")`` — a probe then prunes file groups AND
+    each pruned row costs ``m`` bytes, not ``4 * dim`` (the Faiss IVFPQ
+    layout, re-expressed as partitioned parquet)."""
+    from semadb_spark.functions.kmeans import (
+        DEFAULT_SAMPLE_CAP,
+        assign_centroids,
+        collect_vector_sample,
+        kmeans_np,
+    )
+    from semadb_spark.operators.quantize import pq_encode, pq_fit
+
+    sample = collect_vector_sample(
+        df, vec_col, cap=sample_cap or DEFAULT_SAMPLE_CAP, seed=seed
+    )
+    centroids = kmeans_np(sample, nlist, seed=seed)
+    books = pq_fit(
+        df,
+        vec_col,
+        num_subvectors=num_subvectors,
+        num_centroids=num_centroids,
+        metric=metric,
+        seed=seed,
+        sample_cap=sample_cap,
+    )
+    base = df.filter(F.col(vec_col).isNotNull())
+    coded = pq_encode(assign_centroids(base, vec_col, centroids), vec_col, books)
+    coded = coded.select("centroid_id", id_col, "pq_code").sortWithinPartitions(
+        "centroid_id"
+    )
+    return IVFPQIndex(centroids, books, coded, base, vec_col, id_col)
+
+
+def ivfpq_search(
+    index: IVFPQIndex,
+    queries: Sequence[tuple],
+    metric: str,
+    k: int,
+    nprobe: int = 8,
+    oversample: int = 10,
+) -> DataFrame:
+    """Batch IVF-PQ serving: probe ``nprobe`` cells per query, ADC-score
+    only those cells' codes, exact-rerank a bounded candidate pool.
+
+    The scan cost per query is ``nprobe/nlist`` of the corpus at ``m``
+    bytes per row; the rerank join is bounded at queries x k x oversample
+    rows (broadcast). ``oversample=0`` serves raw ADC distances with no
+    float traffic at all."""
+    from semadb_spark.operators.quantize import pq_adc_table
+
+    queries = list(queries)
+    if not queries:
+        raise ValueError("ivfpq_search requires at least one query")
+    qids = [str(q[0]) for q in queries]
+    qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
+    cdist = numpy_distance_matrix(metric, index.centroids, qmat)  # (nlist, q)
+    probe_sets = [
+        frozenset(int(c) for c in np.argsort(cdist[:, j])[:nprobe])
+        for j in range(len(qids))
+    ]
+    all_probed = sorted(set().union(*probe_sets))
+    probing_queries: dict[int, np.ndarray] = {
+        c: np.asarray([j for j, ps in enumerate(probe_sets) if c in ps], dtype=np.int64)
+        for c in all_probed
+    }
+    books = index.books
+    tables = np.stack([pq_adc_table(books, q[1]) for q in queries]).astype(
+        np.float32
+    )  # (q, m, kc)
+    m = books.num_subvectors
+    take_n = max(k * oversample, k)
+    id_col = index.id_col
+    qid_arr = np.asarray(qids, dtype=object)
+    out_schema = f"query_id string, {id_col} string, _distance double"
+
+    def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            frames = []
+            for cid, grp in pdf.groupby("centroid_id", sort=False):
+                qidx = probing_queries.get(int(cid))
+                if qidx is None or not len(qidx):
+                    continue
+                codes = np.stack(grp["pq_code"].to_numpy()).astype(np.int64)
+                n = codes.shape[0]
+                sub = tables[qidx]  # (q_c, m, kc)
+                dists = np.zeros((len(qidx), n), dtype=np.float32)
+                for i in range(m):
+                    dists += sub[:, i, codes[:, i]]
+                take = min(take_n, n)
+                idx = np.argpartition(dists, take - 1, axis=1)[:, :take]
+                ids = grp[id_col].astype(str).to_numpy()
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(qid_arr[qidx], take),
+                            id_col: ids[idx.ravel()],
+                            "_distance": np.take_along_axis(dists, idx, axis=1)
+                            .ravel()
+                            .astype(np.float64),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    candidates = (
+        index.coded.filter(F.col("centroid_id").isin(all_probed))
+        .select("centroid_id", id_col, "pq_code")
+        .mapInPandas(adc_scan, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_distance").asc(), F.col(id_col).asc()
+    )
+    if not oversample:
+        return candidates.withColumn("_rank", F.row_number().over(w)).filter(
+            F.col("_rank") <= k
+        )
+    pool = (
+        candidates.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= take_n)
+        .select("query_id", id_col)
+    )
+    qidx_map = {qids[i]: i for i in range(len(qids))}
+    vec_col = index.vec_col
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qsel = qmat[pdf["query_id"].map(qidx_map).to_numpy()]
+            d = _pairwise_metric(metric, vecs, qsel)
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], id_col: pdf[id_col], "_distance": d}
+            )
+
+    floats = index.floats.select(
+        F.col(index.id_col).cast("string").alias(id_col), vec_col
+    )
+    scored = floats.join(F.broadcast(pool), id_col).mapInPandas(rerank, out_schema)
+    return scored.withColumn("_rank", F.row_number().over(w)).filter(
+        F.col("_rank") <= k
+    )
+
+
+def _pairwise_metric(metric: str, vecs: np.ndarray, qsel: np.ndarray) -> np.ndarray:
+    """Row-wise distance between aligned (n, d) matrices."""
+    if metric == "euclidean":
+        return ((vecs - qsel) ** 2).sum(axis=1)
+    if metric == "dot":
+        return -(vecs * qsel).sum(axis=1)
+    if metric == "cosine":
+        return 1.0 - (vecs * qsel).sum(axis=1)
+    raise ValueError(f"ivfpq rerank: unsupported metric {metric}")
+
+
 # -- Random-projection LSH ----------------------------------------------------
 
 

@@ -472,8 +472,13 @@ def pq_adc_topk_batch(
     from pyspark.sql import Window
 
     qlist = list(queries)
-    qids = [str(q[0]) for q in qlist]
-    tables = np.stack([pq_adc_table(books, q[1]) for q in qlist])  # (q, m, k)
+    qids = np.array([str(q[0]) for q in qlist])
+    # float32 LUTs: ADC is memory-bandwidth bound — halving the gathered
+    # bytes nearly halves the scan time, and 7 significant digits is far
+    # beyond quantization noise (recall gates are threshold booleans)
+    tables = np.stack([pq_adc_table(books, q[1]) for q in qlist]).astype(
+        np.float32
+    )  # (q, m, k)
     m = books.num_subvectors
     id_type = codes_df.schema[id_col].dataType.simpleString()
     out_schema = f"query_id string, {id_col} {id_type}, _distance double"
@@ -484,24 +489,25 @@ def pq_adc_topk_batch(
                 continue
             codes = np.stack(pdf[code_col].to_numpy()).astype(np.int64)  # (n, m)
             n = codes.shape[0]
-            dists = np.zeros((n, len(qids)))
+            # accumulate (q, n): the gather tables[:, i, codes[:, i]] is
+            # already (q, n), so no per-subquantizer transpose copies
+            dists = np.zeros((len(qids), n), dtype=np.float32)
             for i in range(m):
-                # (q, n) gather of subquantizer i's distances by code
-                dists += tables[:, i, codes[:, i]].T
+                dists += tables[:, i, codes[:, i]]
             take = min(k, n)
-            idx = np.argpartition(dists, take - 1, axis=0)[:take]
-            frames = []
+            idx = np.argpartition(dists, take - 1, axis=1)[:, :take]  # (q, take)
             ids = pdf[id_col].to_numpy()
-            for j, qid in enumerate(qids):
-                rows = idx[:, j]
-                order = np.argsort(dists[rows, j], kind="stable")
-                rows = rows[order]
-                frames.append(
-                    pd.DataFrame(
-                        {"query_id": qid, id_col: ids[rows], "_distance": dists[rows, j]}
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
+            # one flat frame per batch — a per-query Python loop here would
+            # dominate the scan (q x batches tiny DataFrames)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, take),
+                    id_col: ids[idx.ravel()],
+                    "_distance": np.take_along_axis(dists, idx, axis=1)
+                    .ravel()
+                    .astype(np.float64),
+                }
+            )
 
     candidates = (
         codes_df.filter(F.col(code_col).isNotNull())
@@ -512,6 +518,70 @@ def pq_adc_topk_batch(
         F.col("_distance").asc(), F.col(id_col).asc()
     )
     return candidates.withColumn("_rank", F.row_number().over(w)).filter(
+        F.col("_rank") <= k
+    )
+
+
+def pq_topk_batch(
+    codes_df: DataFrame,
+    code_col: str,
+    floats_df: DataFrame,
+    vec_col: str,
+    books: PQCodebooks,
+    queries: Sequence[tuple],
+    k: int,
+    oversample: int = 10,
+    rerank_metric: str = "euclidean",
+    id_col: str = "_id",
+) -> DataFrame:
+    """Batched PQ serving: ADC oversample + exact rerank.
+
+    Same recipe as :func:`bq_topk_batch`: the ADC scan over the codes
+    (m bytes of traffic per row) collects ``k * oversample`` candidates
+    per query; the bounded pool (queries x k x oversample rows,
+    broadcast-joined against the float table) is reranked with the exact
+    metric. With 8 bits per subvector the raw ADC ordering is noisy on
+    high-entropy corpora — reranking through the float vectors recovers
+    the recall the codes lose while the corpus-sized scan still never
+    touches a float vector (vectorstore.go:75+ serves codes-only the same
+    way; the rerank pool is the Spark-native bounded refinement).
+    """
+    pool = pq_adc_topk_batch(
+        codes_df, code_col, books, queries, k * oversample, id_col=id_col
+    ).select("query_id", id_col)
+
+    qlist = list(queries)
+    qmat = np.stack([np.asarray(q[1], dtype=np.float64) for q in qlist])
+    qidx = {str(q[0]): i for i, q in enumerate(qlist)}
+    id_type = floats_df.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id string, {id_col} {id_type}, _distance double"
+    cands = floats_df.select(id_col, vec_col).join(F.broadcast(pool), id_col)
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = qmat[pdf["query_id"].map(qidx).to_numpy()]
+            if rerank_metric == "euclidean":
+                d = ((vecs - q) ** 2).sum(axis=1)
+            elif rerank_metric == "dot":
+                d = -(vecs * q).sum(axis=1)
+            elif rerank_metric == "cosine":
+                d = 1.0 - (vecs * q).sum(axis=1)
+            else:
+                raise ValueError(
+                    f"pq_topk_batch: unsupported rerank metric {rerank_metric}"
+                )
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], id_col: pdf[id_col], "_distance": d}
+            )
+
+    scored = cands.mapInPandas(rerank, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_distance").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("_rank", F.row_number().over(w)).filter(
         F.col("_rank") <= k
     )
 

@@ -357,3 +357,30 @@ def test_mixture_sample_deterministic_and_weighted(spark):
     # unknown sources are dropped
     s3 = mixture_sample(df, "source", {"a": 1.0}, "_id")
     assert s3.filter(F.col("source") == "b").count() == 0
+
+
+def test_ivfpq_recall(spark):
+    import numpy as np
+
+    from semadb_spark.operators.ann import ivfpq_build, ivfpq_search, recall_at_k
+    from semadb_spark.operators.knn import knn_topk_batch
+
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(8, 16)) * 3
+    vecs = np.concatenate([c + rng.normal(size=(40, 16)) for c in centers])
+    df = spark.createDataFrame(
+        [(str(i), [float(x) for x in v]) for i, v in enumerate(vecs)], "_id string, v array<float>"
+    )
+    idx = ivfpq_build(df, "v", nlist=8, num_subvectors=4, num_centroids=16, seed=5)
+    queries = [(f"q{i}", [float(x) for x in vecs[i * 40]]) for i in range(5)]
+    qdf = spark.createDataFrame(queries, "query_id string, query_vec array<float>")
+    exact = knn_topk_batch(df, "v", qdf, "euclidean", 5).select("query_id", "_id")
+    # full probe + rerank: candidate pool contains the true top-k
+    approx = ivfpq_search(idx, queries, "euclidean", 5, nprobe=8, oversample=10)
+    assert recall_at_k(approx, exact) >= 0.9
+    # pruned probe still decent on clustered data
+    approx2 = ivfpq_search(idx, queries, "euclidean", 5, nprobe=2, oversample=10)
+    assert recall_at_k(approx2, exact) >= 0.5
+    # oversample=0 -> raw ADC, no float traffic
+    raw = ivfpq_search(idx, queries, "euclidean", 5, nprobe=8, oversample=0)
+    assert raw.count() == 25

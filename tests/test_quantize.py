@@ -315,3 +315,24 @@ def test_pq_serving_via_collection(spark, tmp_path):
     exact = {r["_id"] for r in knn_topk(coll.df(), "v", [float(x) for x in X[9]], "euclidean", 10).collect()}
     # ADC recall well above chance (10/300); codes-only serving works
     assert len(got & exact) >= 3
+
+
+def test_pq_topk_batch_rerank_matches_exact(spark, emb):
+    # with enough oversample the reranked result IS the exact top-k: the
+    # pool contains the true neighbours and the rerank orders them exactly
+    from semadb_spark.operators.quantize import pq_topk_batch
+
+    books = pq_fit(emb, "v", num_subvectors=8, num_centroids=16, seed=1)
+    codes = pq_encode(emb, "v", books).cache()
+    queries = []
+    for qid in ("3", "11"):
+        queries.append((f"q{qid}", [float(x) for x in emb.filter(F.col("_id") == qid).head()[1]]))
+    out = pq_topk_batch(codes.select("_id", "pq_code"), "pq_code", emb, "v", books, queries, 5, oversample=20)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r._distance, r._id))
+    for qid, qv in queries:
+        exact = [r._id for r in knn_topk(emb, "v", qv, "euclidean", 5).collect()]
+        mine = [i for _, i in sorted(got[qid])]
+        assert len(set(mine) & set(exact)) >= 4, (qid, mine, exact)
+    codes.unpersist()
