@@ -751,11 +751,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- aggregation internals (SURVEY §2.8) --------------------------------
 
     def agg_events_rollup(spark, sf_dir):
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-        # read it as raw nanos and convert (integer div — no double rounding).
+        # events.ts layout varies by driver round: TIMESTAMP(NANOS) (which
+        # Spark reads as BIGINT nanos under nanosAsLong) or plain micros
+        # timestamp. Branch on the read dtype — no double rounding either way.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = _t(spark, sf_dir, "events")
-        day = F.date_format(F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd")
+        ts = (
+            F.timestamp_micros(F.expr("ts DIV 1000"))
+            if dict(ev.dtypes)["ts"] == "bigint"
+            else F.col("ts")
+        )
+        day = F.date_format(ts, "yyyy-MM-dd")
         return (
             ev.groupBy("event_type", day.alias("day"))
             .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))

@@ -70,12 +70,13 @@ def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
 
 def test_streaming_event_rollup_matches_batch(spark, sf_dir, tmp_path):
     src = str(tmp_path / "events")
-    # the driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
-    # reader rejects; rebuild a clean micros-timestamp copy for the stream
+    # events.ts layout varies by driver round: TIMESTAMP(NANOS) (read as
+    # BIGINT nanos under nanosAsLong) or plain micros timestamp; normalize
+    # to a micros-timestamp copy for the stream either way.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(events.dtypes)["ts"] == "bigint":
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     for i in range(2):
         events.filter(F.col("event_id") % 2 == i).coalesce(1).write.mode(
             "append"
