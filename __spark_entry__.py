@@ -753,12 +753,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def agg_events_rollup(spark, sf_dir):
         # events.ts layout varies by driver round: TIMESTAMP(NANOS) (which
         # Spark reads as BIGINT nanos under nanosAsLong) or plain micros
-        # timestamp. Branch on the read dtype — no double rounding either way.
+        # timestamp. Branch on the read dtype — no double rounding either
+        # way. The conf is also a session-factory default (semadb_spark
+        # get_spark) — it must stay set through EXECUTION (the parquet
+        # reader consults it when the action runs, not at read.parquet
+        # time), so it is deliberately not restored here; it only affects
+        # TIMESTAMP(NANOS) columns, which are unreadable without it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = _t(spark, sf_dir, "events")
+        ev_ts_type = dict(ev.dtypes)["ts"]
+        # any other layout (string, int32, ...) must fail loudly, not emit
+        # nulls from date_format
+        assert ev_ts_type in ("bigint", "timestamp", "timestamp_ntz"), (
+            f"events.ts unexpected dtype {ev_ts_type}"
+        )
         ts = (
             F.timestamp_micros(F.expr("ts DIV 1000"))
-            if dict(ev.dtypes)["ts"] == "bigint"
+            if ev_ts_type == "bigint"
             else F.col("ts")
         )
         day = F.date_format(ts, "yyyy-MM-dd")

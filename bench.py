@@ -70,28 +70,33 @@ VECTOR_QPS_BATCH = 512  # queries in the throughput batch (batch-first regime)
 
 
 def best_of(n, make):
-    """Best-of-n persisted runs of ``make() -> DataFrame``.
+    """Best-of-n runs of ``make() -> DataFrame``; returns (frame, best_sec).
 
     The first pass measures JIT warm-up, not throughput, and the host is
-    shared, so min-of-N is the stable steady-state estimator. Superseded
-    frames are unpersisted immediately (both the slower candidate and any
-    previously-kept best), so only one frame stays cached.
+    shared, so min-of-N is the stable steady-state estimator.
+
+    CRITICAL measurement honesty: each timed pass must unpersist before the
+    next starts. Spark's CacheManager matches cache entries by analyzed
+    PLAN, so persisting an identical plan while a prior pass's cache entry
+    is still live makes every later pass a cache READ, not a recompute —
+    exactly the artifact that inflated the round-2 1M-vector QPS rows
+    (r2 angular "1254 QPS" vs ~385 honest; see VERDICT round 3 item 2).
+    The returned frame is materialized once more after timing, untimed.
     """
     import time as _time
 
-    best_frame, best_dt = None, None
+    best_dt = None
     for _ in range(n):
-        t0 = _time.time()
         cand = make()
+        t0 = _time.time()
         cand.persist().count()
         dt = _time.time() - t0
+        cand.unpersist(blocking=True)
         if best_dt is None or dt < best_dt:
-            if best_frame is not None:
-                best_frame.unpersist()
-            best_frame, best_dt = cand, dt
-        else:
-            cand.unpersist()
-    return best_frame, best_dt
+            best_dt = dt
+    frame = make()
+    frame.persist().count()
+    return frame, best_dt
 
 
 def main() -> None:
@@ -173,14 +178,18 @@ def main() -> None:
 
     qrows_1m = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(1024).collect()
     qlist_1m = [(str(i), [float(x) for x in r["embedding"]]) for i, r in enumerate(qrows_1m)]
-    approx, ivf_dt = best_of(3, lambda: ivf_search(index, qlist_1m, "euclidean", 10, nprobe=8))
+    approx, ivf_dt = best_of(
+        3,
+        lambda: ivf_search(
+            index, qlist_1m, "euclidean", 10, nprobe=8, compute_dtype="float32"
+        ),
+    )
 
     from semadb_spark.operators.knn import knn_topk_scan as _scan
 
-    t0 = time.time()
-    exact = _scan(big, "embedding", qlist_1m[:64], "euclidean", 10)
-    exact.persist().count()
-    exact_dt = time.time() - t0
+    exact, exact_dt = best_of(
+        3, lambda: _scan(big, "embedding", qlist_1m[:64], "euclidean", 10)
+    )
     qids64 = {q[0] for q in qlist_1m[:64]}
     recall = recall_at_k(approx.filter(F.col("query_id").isin(qids64)), exact)
     vector_1m = {
@@ -296,11 +305,15 @@ def main() -> None:
         v = np.asarray(r["embedding"], dtype=np.float64) + rngq.normal(scale=0.05, size=100)
         v /= np.linalg.norm(v)
         aq.append((str(i), v.tolist()))
-    ang_approx, ang_dt = best_of(3, lambda: ivf_search(ang_index, aq, "cosine", 10, nprobe=8))
-    t0 = time.time()
-    ang_exact = _scan(ang, "embedding", aq[:64], "cosine", 10)
-    ang_exact.persist().count()
-    ang_exact_dt = time.time() - t0
+    ang_approx, ang_dt = best_of(
+        3,
+        lambda: ivf_search(
+            ang_index, aq, "cosine", 10, nprobe=8, compute_dtype="float32"
+        ),
+    )
+    ang_exact, ang_exact_dt = best_of(
+        3, lambda: _scan(ang, "embedding", aq[:64], "cosine", 10)
+    )
     aq64 = {q[0] for q in aq[:64]}
     ang_recall = recall_at_k(ang_approx.filter(F.col("query_id").isin(aq64)), ang_exact)
     vector_1m_angular = {
@@ -373,9 +386,10 @@ def main() -> None:
     )
     qrows = emb.limit(VECTOR_QPS_BATCH).select("_id", "embedding").collect()
     qlist = [(r["_id"], [float(x) for x in r["embedding"]]) for r in qrows]
-    t0 = time.time()
-    knn_topk_scan(emb, "embedding", qlist, "euclidean", 10).count()
-    dt = time.time() - t0
+    scan_frame, dt = best_of(
+        3, lambda: knn_topk_scan(emb, "embedding", qlist, "euclidean", 10)
+    )
+    scan_frame.unpersist()
     timings["vector_batch_scan"] = round(dt, 3)
     vector_qps = round(len(qlist) / dt, 1)
     total += dt

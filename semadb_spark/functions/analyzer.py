@@ -12,14 +12,22 @@ it token-for-token:
   (bleve's unicode tokenizer implements UAX#29, under which each Han
   character is its own word segment);
 - remaining tokens are maximal runs of unicode letters/digits
-  (``[\\p{L}\\p{N}]+``) — accented words stay whole;
+  (``[\\p{L}\\p{N}]+``) — accented words stay whole — EXTENDED with the
+  UAX#29 mid-token rules (WB6/WB7, WB11/WB12): an apostrophe/period/colon
+  followed by a letter continues a word ("don't", "o'clock", "e.g"), and a
+  period/comma/apostrophe followed by a digit continues a number ("3.14",
+  "1,000", "127.0.0.1") — matching bleve's unicode tokenizer on
+  contractions and decimals;
 - drop empty tokens and the classic Lucene English stopword set (the set
   bleve's ``stop_en`` filter uses).
 
-Approximation vs full UAX#29 (documented): mid-token punctuation that
-UAX#29 keeps inside a word ("don't", "3.14") splits here. On pure-ASCII
-text this analyser is bit-identical to runs of ``[a-z0-9]+``, which is what
-the round-1/2 gates pinned.
+Approximation vs full UAX#29 (documented): the join check classes only the
+character AFTER the mid punctuation (RE2 — the DuckDB oracle engine — has
+no lookbehind, so the character before it is only required to be part of a
+token). Consequence: "3:a" or "a,1" stay whole here where UAX#29 breaks
+them (mixed-class neighbors); rare mid characters (U+00B7, U+0387, U+066C,
+fullwidth forms) are not in the mid set. Both divergences are
+cross-implementation consistent.
 
 The three implementations below (Spark Column, DuckDB SQL, driver-side
 Python) must stay token-for-token identical; tests/test_pipeline_ops.py
@@ -41,8 +49,20 @@ ENGLISH_STOPWORDS: tuple[str, ...] = (
     "will", "with",
 )
 
-# Maximal runs of unicode letters/digits form a token.
-TOKEN_SPLIT_REGEX = r"[^\p{L}\p{N}]+"
+# UAX#29 mid-token characters (subset; see module docstring). A mid char
+# continues the current token when the NEXT character is of the right class:
+# MidLetter/MidNumLet before a letter, MidNum/MidNumLet before a digit.
+LETTER_MIDS = "'’.:"  # WB6/WB7: ALetter (MidLetter|MidNumLet) ALetter
+DIGIT_MIDS = ".,'’"  # WB11/WB12: Numeric (MidNum|MidNumLet) Numeric
+
+# Token = letter/digit run, optionally extended by mid-joined runs. One
+# extraction regex (no lookaround — RE2-compatible for the DuckDB oracle);
+# shared verbatim by the Spark (Java regex) and DuckDB (RE2) tiers.
+TOKEN_EXTRACT_REGEX = (
+    r"[\p{L}\p{N}]+"
+    r"(?:['’.:]\p{L}[\p{L}\p{N}]*"
+    r"|[.,'’]\p{N}[\p{L}\p{N}]*)*"
+)
 
 # Single-character CJK segmentation (UAX#29 word-breaks between ideographs).
 # Java (Spark) spells scripts \p{IsHan}; RE2 (DuckDB) spells them \p{Han}.
@@ -89,7 +109,7 @@ def tokenize(c: Column | str, remove_stopwords: bool = True) -> Column:
     """STRING column -> ARRAY<STRING> of analysed tokens (keeps duplicates —
     term frequency matters for TF-IDF)."""
     c = F.col(c) if isinstance(c, str) else c
-    toks = F.split(_prep(c), TOKEN_SPLIT_REGEX)
+    toks = F.regexp_extract_all(_prep(c), F.lit(TOKEN_EXTRACT_REGEX), F.lit(0))
     toks = F.filter(toks, lambda t: t != "")
     if remove_stopwords:
         stop = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
@@ -99,7 +119,8 @@ def tokenize(c: Column | str, remove_stopwords: bool = True) -> Column:
 
 def tokenize_py(text: str, remove_stopwords: bool = True) -> list[str]:
     """Pure-Python replica of :func:`tokenize` (driver-side query analysis,
-    token-parity tests). Letters/digits = unicode categories L*/N*."""
+    token-parity tests). Letters/digits = unicode categories L*/N*; the
+    mid-join lookahead mirrors TOKEN_EXTRACT_REGEX exactly."""
     out: list[str] = []
     cur: list[str] = []
 
@@ -110,12 +131,21 @@ def tokenize_py(text: str, remove_stopwords: bool = True) -> list[str]:
                 out.append(tok)
             cur.clear()
 
-    for ch in text.lower().replace("ς", "σ"):
+    def cat(ch: str) -> str:
+        return unicodedata.category(ch)[0]
+
+    s = text.lower().replace("ς", "σ")
+    for i, ch in enumerate(s):
         if _is_cjk(ch):
             flush()
             if not (remove_stopwords and ch in ENGLISH_STOPWORDS):
                 out.append(ch)
-        elif unicodedata.category(ch)[0] in ("L", "N"):
+        elif cat(ch) in ("L", "N"):
+            cur.append(ch)
+        elif cur and i + 1 < len(s) and not _is_cjk(s[i + 1]) and (
+            (ch in LETTER_MIDS and cat(s[i + 1]) == "L")
+            or (ch in DIGIT_MIDS and cat(s[i + 1]) == "N")
+        ):
             cur.append(ch)
         else:
             flush()
@@ -140,10 +170,8 @@ def duckdb_tokenize_sql(col_sql: str, remove_stopwords: bool = True) -> str:
         f"regexp_replace(replace(lower({col_sql}), 'ς', 'σ'),"
         f" '{CJK_EXPLODE_REGEX_RE2}', ' \\1 ', 'g')"
     )
-    base = (
-        f"list_filter(string_split_regex({prepped}, '{TOKEN_SPLIT_REGEX}'),"
-        " t -> t <> '')"
-    )
+    pattern = TOKEN_EXTRACT_REGEX.replace("'", "''")
+    base = f"regexp_extract_all({prepped}, '{pattern}')"
     if remove_stopwords:
         stop = ", ".join(f"'{s}'" for s in ENGLISH_STOPWORDS)
         base = f"list_filter({base}, t -> NOT list_contains([{stop}], t))"

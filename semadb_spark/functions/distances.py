@@ -223,6 +223,46 @@ def _popcount(x: np.ndarray) -> np.ndarray:
     return out
 
 
+def arrow_list_matrix(col, dtype=None) -> np.ndarray:
+    """Arrow ``ListArray`` of uniform-length numeric lists -> ``(n, d)``
+    ndarray without per-row Python objects.
+
+    ``col.flatten()`` honors slice offsets and yields the contiguous child
+    values — one zero-copy buffer view instead of the ``np.stack`` over n
+    object arrays that dominates kernel time on 1M-row batches. Falls back
+    to the object path for ragged lists or nulls (never expected from the
+    isNotNull-filtered scans that feed the kernels, but correct if hit).
+    """
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype or np.float64)
+    if col.null_count == 0:
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        if (widths == widths[0]).all() and widths[0] > 0:
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(n, int(widths[0]))
+            return mat.astype(dtype, copy=False) if dtype is not None else mat
+    mat = np.stack(
+        [np.asarray(v, dtype=dtype) for v in col.to_pylist()]
+    )
+    return mat
+
+
+def topk_per_group(
+    group_keys: np.ndarray, primary: np.ndarray, tiebreak: np.ndarray, k: int
+) -> np.ndarray:
+    """Indices of the first-k rows per group under (primary asc, tiebreak
+    asc) — the vectorized per-task trim used before a global top-k merge.
+    Returns positions into the input arrays, grouped by key, sorted."""
+    order = np.lexsort((tiebreak, primary, group_keys))
+    gk = group_keys[order]
+    starts = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
+    counts = np.diff(np.r_[starts, len(gk)])
+    pos_in_group = np.arange(len(gk)) - np.repeat(starts, counts)
+    return order[pos_in_group < k]
+
+
 def python_distance(metric: str, x, y) -> float:
     """Scalar reference implementation for tests (mirrors puredist.go)."""
     return float(numpy_distance_matrix(metric, np.array([x]), np.array([y]))[0, 0])

@@ -91,6 +91,7 @@ def ivf_search(
     k: int,
     nprobe: int = 4,
     candidate_ids: DataFrame | None = None,
+    compute_dtype: str = "float64",
 ) -> DataFrame:
     """Batch ANN search: probe ``nprobe`` centroid partitions per query, exact
     rerank within them. -> (query_id, id, _distance, _rank).
@@ -101,7 +102,17 @@ def ivf_search(
     (docs/content/docs/search/filtered.md:49-51): a match outside the probed
     cells is missed, exactly as a match outside the beam is missed there.
     The probe still prunes partitions first, so the semi-join touches
-    ~nprobe/nlist of the index, never the table."""
+    ~nprobe/nlist of the index, never the table.
+
+    Kernel shape (the serving hot path): ``mapInArrow`` reshapes each Arrow
+    batch's list column into one contiguous ``(n, d)`` matrix (zero-copy —
+    no per-row objects), runs one GEMM per (centroid, probing-queries)
+    group, and accumulates candidates across the whole task so only the
+    per-TASK top-k per query reaches the global merge —
+    ``O(tasks x q x k)`` shuffle rows however large the index is.
+    ``compute_dtype="float32"`` halves kernel memory traffic (serving mode;
+    recall is measured at the served precision). Oracle-gated paths keep the
+    float64 default so distances are bit-identical to the SQL oracle."""
     queries = list(queries)
     if not queries:
         raise ValueError("ivf_search requires at least one query")
@@ -137,47 +148,79 @@ def ivf_search(
             id_col, F.col(id_col).cast("string")
         ).join(flt, id_col, "left_semi")
     out_schema = f"query_id string, {id_col} string, _distance double"
+    dtype = np.float32 if compute_dtype == "float32" else np.float64
+    qmat_t = qmat.astype(dtype)
+    q_sq = (qmat_t * qmat_t).sum(axis=1)
+    qid_arr = np.asarray(qids, dtype=object)
 
-    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def rerank(batches):
+        import pyarrow as pa
+
+        from semadb_spark.functions.distances import arrow_list_matrix, topk_per_group
+
+        acc_q: list[np.ndarray] = []
+        acc_id: list[np.ndarray] = []
+        acc_d: list[np.ndarray] = []
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            frames = []
+            cids = batch.column(0).to_numpy(zero_copy_only=False)
+            ids = batch.column(1).to_numpy(zero_copy_only=False)
+            vecs = arrow_list_matrix(batch.column(2), dtype=dtype)
+            if metric == "euclidean":
+                x_sq = (vecs * vecs).sum(axis=1)
             # per-centroid dense compute: rows of centroid c meet only the
-            # queries probing c (local top-k per (centroid, query) is a
-            # superset of the per-batch top-k, so the final global merge is
-            # unchanged)
-            for cid, grp in pdf.groupby("centroid_id", sort=False):
-                qidx = probing_queries.get(int(cid))
+            # queries probing c (computing rows x ALL queries and masking
+            # would waste a (1 - nprobe/nlist) fraction of the FLOPs)
+            order = np.argsort(cids, kind="stable")
+            cs = cids[order]
+            starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+            bounds = np.r_[starts, n]
+            for gi in range(len(starts)):
+                rows = order[bounds[gi] : bounds[gi + 1]]
+                qidx = probing_queries.get(int(cs[bounds[gi]]))
                 if qidx is None or not len(qidx):
                     continue
-                vecs = np.stack(grp[vec_col].to_numpy())
-                ids = grp[id_col].astype(str).to_numpy()
-                dists = numpy_distance_matrix(metric, vecs, qmat[qidx])  # (n_c, q_c)
-                take = min(k, len(vecs))
-                part = np.argpartition(dists, take - 1, axis=0)[:take]
-                d_sel = np.take_along_axis(dists, part, axis=0)  # (take, q_c)
-                order = np.argsort(d_sel, axis=0, kind="stable")
-                rows_sorted = np.take_along_axis(part, order, axis=0)
-                d_sorted = np.take_along_axis(d_sel, order, axis=0)
-                # column-major flatten -> one frame per centroid group
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.repeat(
-                                np.asarray([qids[qp] for qp in qidx], dtype=object), take
-                            ),
-                            id_col: ids[rows_sorted.ravel(order="F")],
-                            "_distance": d_sorted.ravel(order="F"),
-                        }
-                    )
+                v = vecs[rows]
+                prod = v @ qmat_t[qidx].T  # (n_c, q_c) — the one GEMM
+                if metric == "euclidean":
+                    dists = x_sq[rows][:, None] - 2.0 * prod + q_sq[qidx][None, :]
+                elif metric == "dot":
+                    dists = -prod
+                elif metric == "cosine":
+                    dists = 1.0 - prod
+                else:  # rare metrics: shared float64 kernel
+                    dists = numpy_distance_matrix(metric, v, qmat[qidx])
+                take = min(k, len(rows))
+                part = np.argpartition(dists, take - 1, axis=0)[:take]  # (take, q_c)
+                acc_q.append(np.repeat(qidx, take))
+                acc_id.append(ids[rows[part.ravel(order="F")]])
+                acc_d.append(
+                    np.take_along_axis(dists, part, axis=0)
+                    .ravel(order="F")
+                    .astype(np.float64)
                 )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+        if not acc_q:
+            return
+        # per-task trim: only this task's top-k per query survives to the
+        # global merge (P5 per-shard trim)
+        qi = np.concatenate(acc_q)
+        idv = np.concatenate(acc_id).astype(object)
+        dv = np.concatenate(acc_d)
+        keep = topk_per_group(qi, dv, idv, k)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(qid_arr[qi[keep]], type=pa.string()),
+                pa.array(idv[keep], type=pa.string()),
+                pa.array(dv[keep], type=pa.float64()),
+            ],
+            names=["query_id", id_col, "_distance"],
+        )
 
-    cand_local_topk = candidates.select("centroid_id", id_col, vec_col).mapInPandas(
-        rerank, out_schema
-    )
+    cand_local_topk = candidates.select(
+        "centroid_id", F.col(id_col).cast("string").alias(id_col), vec_col
+    ).mapInArrow(rerank, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("_distance").asc(), F.col(id_col).asc())
     return cand_local_topk.withColumn("_rank", F.row_number().over(w)).filter(
         F.col("_rank") <= k

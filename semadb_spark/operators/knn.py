@@ -118,46 +118,63 @@ def knn_topk_scan(
     ``O(num_batches * q * k)`` rows regardless of table size.
     """
     qlist = list(queries)
-    qids = [q[0] for q in qlist]
+    qids = [str(q[0]) for q in qlist]
     # Bit metrics take packed int64 words; a float64 round-trip corrupts
     # words >= 2^53 (see numpy_distance_matrix).
     qdtype = np.int64 if metric in ("hamming", "jaccard") else np.float64
     qmat = np.asarray([q[1] for q in qlist], dtype=qdtype)
+    qid_arr = np.asarray(qids, dtype=object)
+    q_range = np.arange(len(qids))
     id_field = df.schema[id_col]
-    out_schema = (
-        f"query_id string, {id_col} {id_field.dataType.simpleString()}, _distance double"
-    )
+    id_type = id_field.dataType.simpleString()
+    out_schema = f"query_id string, {id_col} {id_type}, _distance double"
 
-    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def local_topk(batches):
+        import pyarrow as pa
+
+        from semadb_spark.functions.distances import arrow_list_matrix, topk_per_group
+
+        id_pa_type = None
+        acc_q: list[np.ndarray] = []
+        acc_id: list[np.ndarray] = []
+        acc_d: list[np.ndarray] = []
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            vecs = np.stack(pdf[vec_col].to_numpy())
+            if id_pa_type is None:
+                id_pa_type = batch.column(0).type
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            vecs = arrow_list_matrix(
+                batch.column(1), dtype=np.int64 if qdtype is np.int64 else None
+            )
             dists = numpy_distance_matrix(metric, vecs, qmat)  # (n, q)
-            n = dists.shape[0]
             take = min(k, n)
-            # argpartition per query column, then exact sort of the slice
+            # argpartition per query column keeps only each batch's local
+            # top-k; the per-task trim below reduces further before shuffle
             idx = np.argpartition(dists, take - 1, axis=0)[:take]  # (take, q)
-            out_frames = []
-            for j, qid in enumerate(qids):
-                rows = idx[:, j]
-                order = np.argsort(dists[rows, j], kind="stable")
-                rows = rows[order]
-                out_frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": str(qid),
-                            id_col: pdf[id_col].to_numpy()[rows],
-                            "_distance": dists[rows, j],
-                        }
-                    )
-                )
-            yield pd.concat(out_frames, ignore_index=True)
+            acc_q.append(np.repeat(q_range, take))
+            acc_id.append(ids[idx.ravel(order="F")])
+            acc_d.append(np.take_along_axis(dists, idx, axis=0).ravel(order="F"))
+        if not acc_q:
+            return
+        qi = np.concatenate(acc_q)
+        idv = np.concatenate(acc_id)
+        dv = np.concatenate(acc_d)
+        keep = topk_per_group(qi, dv, idv.astype(object), k)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(qid_arr[qi[keep]], type=pa.string()),
+                pa.array(idv[keep], type=id_pa_type),
+                pa.array(dv[keep], type=pa.float64()),
+            ],
+            names=["query_id", id_col, "_distance"],
+        )
 
     candidates = (
         df.filter(F.col(vec_col).isNotNull())
         .select(id_col, vec_col)
-        .mapInPandas(local_topk, schema=out_schema)
+        .mapInArrow(local_topk, schema=out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_distance").asc(), F.col(id_col).asc()

@@ -107,7 +107,13 @@ def streaming_event_rollup(
     """Watermarked windowed aggregation over an event stream: the canonical
     late-data-tolerant rollup (count + value sum per event_type per window).
     Late events beyond the watermark are dropped; within it, windows update
-    in place."""
+    in place.
+
+    The event-time column is cast to TIMESTAMP first: watermarks are only
+    legal on TIMESTAMP, and parquet sources frequently deliver
+    TIMESTAMP_NTZ (or epoch numerics), which Spark rejects with
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_duration), F.col("event_type"))

@@ -37,8 +37,17 @@ GOLDEN = [
     # does not; the analyser folds both to σ (unicode full case folding).
     ("ΚΌΣΜΟΣ Русский ТЕКСТ", ["κόσμοσ", "русский", "текст"]),
     ("Straße ß", ["straße", "ß"]),
-    # UAX#29 approximation, documented: mid-token punctuation splits.
-    ("don't 3.14 foo_bar", ["don", "t", "3", "14", "foo", "bar"]),
+    # UAX#29 WB6/WB7 + WB11/WB12 mid-token joins (bleve standard keeps
+    # contractions and decimals whole; models/index.go:315-324).
+    ("don't 3.14 foo_bar", ["don't", "3.14", "foo", "bar"]),
+    ("o'clock isn’t e.g. 1,000 127.0.0.1", ["o'clock", "isn’t", "e.g", "1,000", "127.0.0.1"]),
+    # ':' is MidLetter (letters only): joins a:b, breaks 3:14.
+    ("a:b 3:14", ["a:b", "3", "14"]),
+    # mids at token edges never join (need a token char on the left and the
+    # right class immediately after).
+    ("rock 'n' roll don't.", ["rock", "n", "roll", "don't"]),
+    # ',' is MidNum (digits only): a,b splits.
+    ("a,b 1,2", ["b", "1,2"]),  # "a" is a stopword
     ("the and of to", []),  # all stopwords
 ]
 
