@@ -624,7 +624,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _cached_index("minhash_pairs", sf_dir, build)
 
-    q["dedup_minhash_lsh"] = _lsh_pairs
+    # NOTE: no separate dedup_minhash_lsh gate — dedup_ngram_jaccard runs at
+    # threshold 0.0, so its hashed output is exactly the LSH candidate pair
+    # set PLUS the exact jaccard per pair: a strict superset check of the
+    # MinHash+LSH path (the driver checks at most 50 gates).
 
     def dedup_simhash(spark, sf_dir):
         docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -885,13 +888,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_topk"] = ann_lsh_topk
 
     def ann_vamana_recall(spark, sf_dir):
-        """W7: Vamana graph built as a distributed Spark job (DiskANN
-        merged-build, operators/vamana.py), served by beam search over the
-        exported edge table. The graph build is not SQL-expressible, so the
-        driver-visible gate is the reference's own bar: beam-search recall
-        vs the exact scan >= 0.5 per query (vamana Test_Search requires
-        limit/2, vamana_test.go:230-253; measured 1.0 at sf0.01).
-        Connectivity + recall invariants also live in tests/test_vamana.py."""
+        """W7/R2: Vamana graph built as a distributed Spark job (DiskANN
+        merged-build, operators/vamana.py), checked through BOTH serving
+        routes in one gate (they share the build artifact and ground truth;
+        the driver checks at most 50 gates):
+
+        - ``build_ok``: driver-side beam search over the exported edge
+          table — recall vs exact >= 0.5 per query, the reference's own bar
+          (vamana Test_Search requires limit/2, vamana_test.go:230-253;
+          measured 1.0 at sf0.01). Connectivity + recall invariants also
+          live in tests/test_vamana.py.
+        - ``served_ok``: distributed serving — per-shard subgraphs PERSISTED
+          to parquet (the Collection.build_vamana_index artifact layout),
+          read back fresh, partition-local beam search + global merge
+          (vamana_serve — the reference's shard fan-out,
+          cluster/actions.go). No edges or vectors reach the driver; same
+          recall bar."""
+        import tempfile
+
         import numpy as np
 
         from semadb_spark.operators import vamana as vm
@@ -900,15 +914,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         def build():
             index = vm.vamana_build(
-                emb, "v", "_id", degree_bound=32, alpha=1.2, search_size=40, seed=7
+                emb, "v", "_id", degree_bound=32, alpha=1.2, search_size=40,
+                seed=7, keep_sharded=True,
             )
             adj: dict = {}
             for r in index.edges.collect():
                 adj.setdefault(r.src, []).append(r.dst)
             vectors = {r._id: np.asarray(r.v, dtype=np.float64) for r in emb.collect()}
-            return index, adj, vectors
+            d = tempfile.mkdtemp(prefix="vamana_serve_")
+            index.shard_nodes.write.mode("overwrite").partitionBy("shard").parquet(
+                os.path.join(d, "nodes")
+            )
+            index.shard_edges.write.mode("overwrite").partitionBy("shard").parquet(
+                os.path.join(d, "edges")
+            )
+            cents = index.centroids
+            index.shard_edges.unpersist()
+            index.shard_nodes.unpersist()
+            return index, adj, vectors, d, cents
 
-        index, adj, vectors = _cached_index("vamana", sf_dir, build)
+        index, adj, vectors, d, cents = _cached_index("vamana", sf_dir, build)
+
+        # distributed serving route
+        qs = _qlist(spark, sf_dir)
+        res = vm.vamana_serve(
+            spark.read.parquet(os.path.join(d, "nodes")),
+            spark.read.parquet(os.path.join(d, "edges")),
+            qs, 10, metric="euclidean", search_size=40, centroids=cents,
+        )
+        served_got: dict[str, set] = {}
+        for r in res.select("query_id", "_id").collect():
+            served_got.setdefault(r["query_id"], set()).add(r["_id"])
+
         ids = sorted(vectors, key=int)
         X = np.stack([vectors[i] for i in ids])
         int_ids = np.asarray([int(i) for i in ids])
@@ -920,62 +957,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     adj, vectors, index.entry_id, vectors[qid], 10, index.search_size
                 )
             }
-            d = ((X - vectors[qid]) ** 2).sum(axis=1)
-            exact = {ids[j] for j in np.lexsort((int_ids, d))[:10]}
-            rows.append((qid, len(got & exact) / 10.0 >= 0.5))
-        return spark.createDataFrame(rows, "query_id string, recall_ok boolean")
+            d2 = ((X - vectors[qid]) ** 2).sum(axis=1)
+            exact = {ids[j] for j in np.lexsort((int_ids, d2))[:10]}
+            rows.append((
+                qid,
+                len(got & exact) / 10.0 >= 0.5,
+                len(served_got.get(qid, set()) & exact) / 10.0 >= 0.5,
+            ))
+        return spark.createDataFrame(
+            rows, "query_id string, build_ok boolean, served_ok boolean"
+        )
 
     q["ann_vamana_recall"] = ann_vamana_recall
-
-    def ann_vamana_served(spark, sf_dir):
-        """W7/R2 distributed serving: the per-shard subgraphs are PERSISTED
-        to parquet (the Collection.build_vamana_index artifact layout), read
-        back fresh, and served by partition-local beam search + global merge
-        (operators/vamana.py vamana_serve — the reference's shard fan-out,
-        cluster/actions.go). No edges or vectors ever reach the driver; the
-        gate is the reference's recall bar (>= limit/2,
-        vamana_test.go:230-253) vs the exact scan."""
-        import tempfile
-
-        from semadb_spark.operators import vamana as vm
-
-        def build():
-            emb = _emb(spark, sf_dir).select("_id", F.col("embedding").alias("v"))
-            index = vm.vamana_build(
-                emb, "v", "_id", degree_bound=32, alpha=1.2, search_size=40,
-                seed=7, keep_sharded=True,
-            )
-            d = tempfile.mkdtemp(prefix="vamana_serve_")
-            index.shard_nodes.write.mode("overwrite").partitionBy("shard").parquet(
-                os.path.join(d, "nodes")
-            )
-            index.shard_edges.write.mode("overwrite").partitionBy("shard").parquet(
-                os.path.join(d, "edges")
-            )
-            cents = index.centroids
-            index.edges.unpersist()
-            index.shard_edges.unpersist()
-            index.shard_nodes.unpersist()
-            return d, cents
-
-        d, cents = _cached_index("vamana_served", sf_dir, build)
-        qs = _qlist(spark, sf_dir)
-        res = vm.vamana_serve(
-            spark.read.parquet(os.path.join(d, "nodes")),
-            spark.read.parquet(os.path.join(d, "edges")),
-            qs, 10, metric="euclidean", search_size=40, centroids=cents,
-        )
-        exact = _exact_topk_sets(spark, sf_dir)
-        got: dict[str, set] = {}
-        for r in res.select("query_id", "_id").collect():
-            got.setdefault(r["query_id"], set()).add(r["_id"])
-        rows = [
-            (qid, len(got.get(qid, set()) & exact[qid]) / 10.0 >= 0.5)
-            for qid, _ in qs
-        ]
-        return spark.createDataFrame(rows, "query_id string, recall_ok boolean")
-
-    q["ann_vamana_served"] = ann_vamana_served
 
     # -- W9/D5: quantizers --------------------------------------------------
 
@@ -1036,14 +1029,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bq_rerank_recall"] = bq_rerank_recall
 
-    def pq_adc_recall(spark, sf_dir):
-        """Product quantization (per-subvector k-means, product.go:175-236)
-        + asymmetric-distance-table top-k scan (product.go:238-276). KMeans
-        is not SQL-expressible, so the driver gate is recall-vs-exact per
-        query >= 0.1 (distinguishes a working ADC, measured 0.2-0.4 at
-        sf0.01, from a broken lookup at ~k/n = 0.02); exact ADC *values*
-        are asserted in tests/test_quantize.py."""
+    def pq_recall(spark, sf_dir):
+        """Product quantization, all three serving routes in one gate (the
+        driver checks at most 50 gates; these share one PQ artifact and one
+        ground truth, so they merge losslessly into three hashed booleans
+        per query):
+
+        - ``adc_ok``: raw asymmetric-distance-table top-k scan
+          (per-subvector k-means product.go:175-236, ADC product.go:238-276)
+          recall vs exact >= 0.1 (a working ADC measures 0.2-0.4 at sf0.01;
+          a broken lookup lands at ~k/n = 0.02). Exact ADC *values* are
+          asserted in tests/test_quantize.py.
+        - ``rerank_ok``: ADC oversample + exact rerank (pq_topk_batch, the
+          same bounded-refinement recipe as bq_rerank_recall) recall >= 0.5
+          (measured ~1.0 at sf0.01 with 20x oversample).
+        - ``compiler_ok``: the schema/quantized_indexes route — a vectorFlat
+          property with a declared product quantizer served through
+          SearchEngine (vectorstore.go:75+) — recall >= 0.1, same bar as
+          the raw ADC it routes to."""
         from semadb_spark.operators import quantize as Q
+        from semadb_spark.operators.quantize import QuantizedIndex
 
         emb = _emb(spark, sf_dir)
 
@@ -1055,54 +1060,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         books, codes = _cached_index("pq", sf_dir, build)
         exact = _exact_topk_sets(spark, sf_dir)
-        out = []
-        for q_id, qv in _qlist(spark, sf_dir):
-            got = {
-                r["_id"]
-                for r in Q.pq_adc_topk(codes, "pq_code", books, qv, 10)
-                .select("_id")
-                .collect()
-            }
-            out.append((q_id, len(got & exact[q_id]) / 10.0 >= 0.1))
-        return spark.createDataFrame(out, "query_id string, recall_ok boolean")
-
-    q["pq_adc_recall"] = pq_adc_recall
-
-    def pq_rerank_recall(spark, sf_dir):
-        """PQ batched serving: ADC oversample + exact rerank
-        (operators/quantize.py pq_topk_batch — same bounded-refinement
-        recipe as bq_rerank_recall; the codes-only scan orders candidates,
-        the float vectors rerank a broadcast pool). Per-query recall vs the
-        exact scan asserted >= 0.5 (measured ~1.0 at sf0.01 with 20x
-        oversample)."""
-        from semadb_spark.operators import quantize as Q
-
-        emb = _emb(spark, sf_dir)
-
-        def build():
-            books = Q.pq_fit(emb, "embedding", num_subvectors=8, num_centroids=16, seed=1)
-            codes = Q.pq_encode(emb, "embedding", books)
-            codes.persist().count()
-            return books, codes
-
-        books, codes = _cached_index("pq", sf_dir, build)
         qs = _qlist(spark, sf_dir)
+
+        # rerank route (batch)
         approx = Q.pq_topk_batch(
             codes.select("_id", "pq_code"), "pq_code", emb, "embedding",
             books, qs, 10, oversample=20,
         )
-        truth = _exact_topk_sets(spark, sf_dir, k=10)
-        rows = approx.select("query_id", "_id").collect()
-        got: dict[str, set] = {}
-        for r in rows:
-            got.setdefault(r["query_id"], set()).add(r["_id"])
-        data = [
-            (qid, len(got.get(qid, set()) & ids) / len(ids) >= 0.5)
-            for qid, ids in sorted(truth.items())
-        ]
-        return spark.createDataFrame(data, "query_id string, recall_ok boolean")
+        rr_got: dict[str, set] = {}
+        for r in approx.select("query_id", "_id").collect():
+            rr_got.setdefault(r["query_id"], set()).add(r["_id"])
 
-    q["pq_rerank_recall"] = pq_rerank_recall
+        # compiler route (schema-declared quantizer)
+        qi = QuantizedIndex(
+            kind="product", codes=codes.select("_id", "pq_code"),
+            code_col="pq_code", id_col="_id", books=books,
+        )
+        quantizer = {"type": "product", "product": {
+            "numCentroids": 16, "numSubVectors": 8, "triggerThreshold": 10000}}
+        schema = {
+            "embedding": {"type": "vectorFlat", "vectorFlat": {
+                "vectorSize": 64, "distanceMetric": "euclidean", "quantizer": quantizer}},
+            "label": {"type": "integer"},
+        }
+        eng = SearchEngine(emb, schema, quantized_indexes={"embedding": qi})
+
+        out = []
+        for q_id, qv in qs:
+            adc_got = {
+                r["_id"]
+                for r in Q.pq_adc_topk(codes, "pq_code", books, qv, 10)
+                .select("_id").collect()
+            }
+            comp_got = {
+                r["_id"]
+                for r in eng.search(
+                    {"query": {"property": "embedding", "vectorFlat": {"vector": qv, "operator": "near", "limit": 10}}}
+                ).select("_id").collect()
+            }
+            out.append((
+                q_id,
+                len(adc_got & exact[q_id]) / 10.0 >= 0.1,
+                len(rr_got.get(q_id, set()) & exact[q_id]) / 10.0 >= 0.5,
+                len(comp_got & exact[q_id]) / 10.0 >= 0.1,
+            ))
+        return spark.createDataFrame(
+            out, "query_id string, adc_ok boolean, rerank_ok boolean, compiler_ok boolean"
+        )
+
+    q["pq_recall"] = pq_recall
 
     # -- schema-declared quantized serving (vectorstore.go:75+) -------------
 
@@ -1134,49 +1140,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select("_id", "_distance")
 
     q["quantized_bq_serving"] = quantized_bq_serving
-
-    def quantized_pq_serving(spark, sf_dir):
-        """Product-quantizer serving through the compiler route: recall vs
-        exact >= 0.1 per query (same bar as pq_adc_recall — ADC machinery,
-        now reached from the schema/quantized_indexes path)."""
-        from semadb_spark.operators.quantize import QuantizedIndex
-
-        emb = _emb(spark, sf_dir)
-
-        def build():
-            from semadb_spark.operators import quantize as Q
-
-            books = Q.pq_fit(emb, "embedding", num_subvectors=8, num_centroids=16, seed=1)
-            codes = Q.pq_encode(emb, "embedding", books)
-            codes.persist().count()
-            return books, codes
-
-        books, codes = _cached_index("pq", sf_dir, build)
-        qi = QuantizedIndex(
-            kind="product", codes=codes.select("_id", "pq_code"),
-            code_col="pq_code", id_col="_id", books=books,
-        )
-        quantizer = {"type": "product", "product": {
-            "numCentroids": 16, "numSubVectors": 8, "triggerThreshold": 10000}}
-        schema = {
-            "embedding": {"type": "vectorFlat", "vectorFlat": {
-                "vectorSize": 64, "distanceMetric": "euclidean", "quantizer": quantizer}},
-            "label": {"type": "integer"},
-        }
-        eng = SearchEngine(emb, schema, quantized_indexes={"embedding": qi})
-        exact = _exact_topk_sets(spark, sf_dir)
-        out = []
-        for q_id, qv in _qlist(spark, sf_dir):
-            got = {
-                r["_id"]
-                for r in eng.search(
-                    {"query": {"property": "embedding", "vectorFlat": {"vector": qv, "operator": "near", "limit": 10}}}
-                ).select("_id").collect()
-            }
-            out.append((q_id, len(got & exact[q_id]) / 10.0 >= 0.1))
-        return spark.createDataFrame(out, "query_id string, recall_ok boolean")
-
-    q["quantized_pq_serving"] = quantized_pq_serving
 
     # -- multimodal: binary columns + mapInPandas feature extraction --------
 
@@ -1217,6 +1180,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return apply_update_merge(cust, upd).select("_id", "c_mktsegment", "c_acctbal")
 
     q["dml_update_merge"] = dml_update_merge
+
+    # -- W9 auto-fit trigger through the write path -------------------------
+
+    def quantized_autofit_serving(spark, sf_dir):
+        """Insert-path quantizer auto-trigger (binary.go:145+: the fit fires
+        transparently once triggerThreshold points arrive, then freezes —
+        no explicit build call). Two inserts: the first stays below the
+        threshold (collection serves exact floats), the second crosses it
+        (collection builds + persists the codes itself). The search result
+        is then served from the auto-built quantized store; with the
+        explicit 0.0 threshold the hamming distances are exact ints, so the
+        whole route is value-hashed against the sign-split SQL oracle.
+        Freeze-on-refit semantics are pinned in
+        tests/test_collection_dml.py::test_quantizer_autofit_trigger."""
+        import tempfile
+
+        from semadb_spark.collection import Collection
+
+        emb = _emb(spark, sf_dir)
+        n = emb.count()
+        quantizer = {"type": "binary", "binary": {
+            "threshold": 0.0, "distanceMetric": "hamming",
+            "triggerThreshold": n}}
+        schema = {"embedding": {"type": "vectorFlat", "vectorFlat": {
+            "vectorSize": 64, "distanceMetric": "euclidean",
+            "quantizer": quantizer}}}
+
+        def build():
+            d = tempfile.mkdtemp(prefix="autofit_")
+            coll = Collection.create(spark, os.path.join(d, "coll"), schema, num_buckets=8)
+            below = emb.filter(F.col("vec_id") < n // 2).select("_id", "embedding", "label")
+            coll.insert(below)
+            assert coll._quantized_indexes() == {}, "fit fired below trigger"
+            coll.insert(
+                emb.filter(F.col("vec_id") >= n // 2).select("_id", "embedding", "label")
+            )
+            assert set(coll._quantized_indexes()) == {"embedding"}, (
+                "crossing the trigger must auto-build the quantized index"
+            )
+            return coll
+
+        coll = _cached_index("autofit", sf_dir, build)
+        res = coll.search(
+            {"query": {"property": "embedding", "vectorFlat": {"vector": _qvec(spark, sf_dir), "operator": "near", "limit": 10}}}
+        )
+        return res.select("_id", "_distance")
+
+    q["quantized_autofit_serving"] = quantized_autofit_serving
 
     return q
 
@@ -1482,12 +1493,6 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
-    o["dedup_minhash_lsh"] = f"""
-        WITH {_shingle_cte}, {_sig_cte}
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
-    """
-
     _simhash_bit = "((h >> {i}) & 1) * 2 - 1"
     _simhash_expr = " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, h -> {_simhash_bit.format(i=i)})) > 0 THEN {1 << i} ELSE 0 END)"
@@ -1727,11 +1732,16 @@ def oracle_sql() -> dict[str, str]:
     """
     o["ann_ivf_recall"] = _recall_true
     o["bq_rerank_recall"] = _recall_true
-    o["ann_vamana_recall"] = _recall_true
-    o["ann_vamana_served"] = _recall_true
-    o["pq_adc_recall"] = _recall_true
-    o["pq_rerank_recall"] = _recall_true
-    o["quantized_pq_serving"] = _recall_true
+    o["ann_vamana_recall"] = """
+        SELECT CAST(vec_id AS VARCHAR) AS query_id,
+               TRUE AS build_ok, TRUE AS served_ok
+        FROM embeddings WHERE vec_id < 5
+    """
+    o["pq_recall"] = """
+        SELECT CAST(vec_id AS VARCHAR) AS query_id,
+               TRUE AS adc_ok, TRUE AS rerank_ok, TRUE AS compiler_ok
+        FROM embeddings WHERE vec_id < 5
+    """
 
     # binary-quantized serving: threshold 0.0 -> per-dim sign-bit hamming
     o["quantized_bq_serving"] = """
@@ -1803,6 +1813,21 @@ def oracle_sql() -> dict[str, str]:
           FROM u JOIN m USING (ord) JOIN q ON q.ord = u.ord
           GROUP BY u._id)
         SELECT _id, _distance FROM scored ORDER BY _distance ASC, _id ASC LIMIT 10
+    """
+
+    # identical serving contract to quantized_bq_serving — the corpus the
+    # collection ends up holding after both inserts IS the embeddings table,
+    # and the declared 0.0 threshold makes the codes data-independent
+    o["quantized_autofit_serving"] = """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        d AS (SELECT CAST(vec_id AS VARCHAR) AS _id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE embedding IS NOT NULL),
+        scored AS (
+          SELECT d._id,
+                 CAST(len(list_filter(list_zip(d.v, q.qv), p -> (p[1] > 0.0) <> (p[2] > 0.0))) AS DOUBLE) AS dist
+          FROM d, q)
+        SELECT _id, dist AS _distance FROM scored
+        ORDER BY dist ASC, _id ASC LIMIT 10
     """
 
     o["multimodal_image_meta"] = """

@@ -35,12 +35,11 @@ BENCH_QUERIES = [
     "ann_ivf_recall",
     "ann_lsh_topk",
     "ann_vamana_recall",
-    "ann_vamana_served",
     "bq_hamming_topk",
     "bq_rerank_recall",
-    "pq_adc_recall",
-    "pq_rerank_recall",
+    "pq_recall",
     "quantized_bq_serving",
+    "quantized_autofit_serving",
     # text search + hybrid
     "text_tfidf_any",
     "text_tfidf_all",
@@ -48,7 +47,6 @@ BENCH_QUERIES = [
     "hybrid_or",
     # pipeline operators
     "dedup_exact",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_components",
     "embed_neardup",

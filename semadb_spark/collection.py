@@ -640,6 +640,78 @@ class Collection:
             json.dump(meta, f)
         return idx.kind
 
+    def _frozen_quantizer_meta(self, prop: str) -> dict | None:
+        """Latest persisted quantizer meta for ``prop`` across ALL snapshot
+        versions. The fit FREEZES once made (binary.go:145+ fits a single
+        time past the trigger; product.go:230-236 likewise) — later
+        snapshots re-encode with these frozen parameters, never refit."""
+        import glob
+        import re
+
+        pat = os.path.join(
+            self.path, "v*_idx", f"quant_{prop.replace('.', '_')}", "_quantizer.json"
+        )
+        best, best_v = None, -1
+        for m in glob.glob(pat):
+            ver = int(re.search(r"v(\d+)_idx", m).group(1))
+            if ver > best_v:
+                best_v, best = ver, m
+        if best is None:
+            return None
+        with open(best) as f:
+            return json.load(f)
+
+    def _reencode_frozen(self, prop: str, meta: dict) -> None:
+        """Encode the current snapshot with a FROZEN fit (no refit) and
+        persist the codes for this version — the maintain-on-write half of
+        vectorstore.go:75+ (Set encodes each point with the already-fitted
+        quantizer)."""
+        import numpy as np
+
+        from .operators.quantize import PQCodebooks, bq_encode, pq_encode
+
+        base = self.df().filter(F.col(prop).isNotNull()).select("_id", prop)
+        if meta["kind"] == "binary":
+            codes = bq_encode(base, prop, np.asarray(meta["thresholds"])).select(
+                "_id", "bq_code"
+            )
+        else:
+            books = PQCodebooks(
+                centroids=np.asarray(meta["centroids"], dtype=np.float64),
+                metric=meta["pq_metric"],
+            )
+            codes = pq_encode(base, prop, books).select("_id", "pq_code")
+        path = self._qindex_path(prop)
+        codes.write.mode("overwrite").parquet(path)
+        with open(os.path.join(path, "_quantizer.json"), "w") as f:
+            json.dump(meta, f)
+
+    def _autofit_quantizers(self) -> None:
+        """Insert-path auto-trigger parity (binary.go:145+, product.go:
+        175-236): a schema-declared quantizer with ``triggerThreshold`` fits
+        itself once the stored point count crosses the threshold — no
+        explicit build_quantized_index() call — then freezes; subsequent
+        writes re-encode the new snapshot with the frozen fit. Below the
+        threshold the property keeps serving exact floats."""
+        for p, v in self.schema.items():
+            if v.type not in ("vectorFlat", "vectorVamana") or v.quantizer is None:
+                continue
+            qz = v.quantizer
+            params = qz.get(qz.get("type")) or {}
+            trigger = params.get("triggerThreshold")
+            if not trigger:
+                continue
+            cur_meta = os.path.join(self._qindex_path(p), "_quantizer.json")
+            if os.path.exists(cur_meta):
+                continue  # codes already current for this snapshot
+            frozen = self._frozen_quantizer_meta(p)
+            if frozen is not None:
+                self._reencode_frozen(p, frozen)
+            elif (
+                self.df().filter(F.col(p).isNotNull()).count() >= int(trigger)
+            ):
+                self.build_quantized_index(p)
+
     def _quantized_indexes(self) -> dict[str, object]:
         import numpy as np
 
@@ -731,6 +803,7 @@ class Collection:
         merged = existing.unionByName(points, allowMissingColumns=True)
         n = points.count()
         self._write_snapshot(merged, affected=affected)
+        self._autofit_quantizers()
         return n
 
     # -- W2: update ---------------------------------------------------------

@@ -142,6 +142,10 @@ class SearchEngine:
         # codes — the reference wraps the whole vector store this way
         # (shard/vectorstore/vectorstore.go:75+).
         self.quantized_indexes = dict(quantized_indexes or {})
+        # property -> packed 0.5-threshold codes for D8 bit-metric queries,
+        # built on first use and reused across searches on this engine (the
+        # reference's auto-wrapped binary store, vectorstore.go:51-73)
+        self._d8_codes: dict[tuple, DataFrame] = {}
 
     # -- public API ---------------------------------------------------------
 
@@ -366,32 +370,42 @@ class SearchEngine:
         elif value.distance_metric in ("hamming", "jaccard"):
             # D8: float vectors queried with a bit metric are force-binarized
             # at threshold 0.5 — the reference auto-wraps a binary quantizer
-            # around the vector store (shard/vectorstore/vectorstore.go:51-73).
-            # Encode stays JVM-side (bq_encode_expr), the query is packed
-            # driver-side with the same thresholds.
+            # around the vector store and serves from the WRAPPED codes, it
+            # never re-binarizes floats per query
+            # (shard/vectorstore/vectorstore.go:51-73). Same here: the packed
+            # code frame is built once per engine (Arrow-batched bq_encode),
+            # cached across searches on this instance, and ranked by the
+            # bit-metric scan kernel (per-task top-k trim — the scan touches
+            # d bits per row, and only k rows per task reach the merge).
             import numpy as np
 
-            from semadb_spark.operators.quantize import (
-                bq_distance_expr,
-                bq_encode_expr,
-                encode_bits_np,
-            )
+            from semadb_spark.operators.quantize import bq_encode, encode_bits_np
 
             base = self._prefiltered_df(opts.get("filter"))
+            cache_key = (prop, opts.get("filter") is None)
+            codes = self._d8_codes.get(cache_key) if cache_key[1] else None
+            if codes is None:
+                codes = bq_encode(
+                    base.filter(F.col(prop).isNotNull()).select(self.id_col, prop),
+                    prop,
+                    0.5,
+                ).select(self.id_col, "bq_code")
+                if cache_key[1]:
+                    self._d8_codes[cache_key] = codes
             qcode = encode_bits_np(
                 np.asarray(vector, dtype=np.float64)[None, :], np.asarray(0.5)
             )[0]
-            scored = base.filter(F.col(prop).isNotNull()).withColumn(
-                "_distance",
-                bq_distance_expr(
-                    bq_encode_expr(F.col(prop), len(vector), 0.5),
-                    qcode.tolist(),
+            topk = (
+                knn_ops.knn_topk_scan(
+                    codes,
+                    "bq_code",
+                    [("q", qcode.tolist())],
                     value.distance_metric,
-                ),
+                    limit,
+                    id_col=self.id_col,
+                )
+                .select(self.id_col, "_distance")
             )
-            topk = scored.orderBy(
-                F.col("_distance").asc(), F.col(self.id_col).asc()
-            ).limit(limit)
         else:
             base = self._prefiltered_df(opts.get("filter"))
             topk = knn_ops.knn_topk(

@@ -414,3 +414,51 @@ def test_build_vamana_export_artifact(spark, tmp_path):
         by_qr.setdefault(r.query_id, set()).add(r._id)
     for i in range(5):
         assert f"{i:03d}" in by_qr[f"q{i}"]
+
+
+def test_quantizer_autofit_trigger(spark, tmp_path):
+    """Insert-path auto-fit parity (binary.go:145+, product.go:175-236):
+    a schema-declared quantizer with triggerThreshold fits itself when the
+    stored point count crosses the threshold — no explicit
+    build_quantized_index call — then FREEZES: later inserts re-encode the
+    new snapshot with the identical fit parameters."""
+    import json
+    import os
+
+    import numpy as np
+
+    schema = {"v": {"type": "vectorFlat", "vectorFlat": {
+        "vectorSize": 4, "distanceMetric": "euclidean",
+        "quantizer": {"type": "binary", "binary": {
+            "distanceMetric": "hamming", "triggerThreshold": 20}}}}}
+    coll = Collection.create(spark, str(tmp_path / "afcoll"), schema, num_buckets=4)
+    rng = np.random.RandomState(3)
+    X = rng.normal(size=(40, 4))
+
+    def pts(lo, hi):
+        return spark.createDataFrame(
+            [Row(_id=f"p{i}", v=[float(x) for x in X[i]]) for i in range(lo, hi)]
+        )
+
+    # below threshold: no quantized artifact, exact serving
+    coll.insert(pts(0, 10))
+    assert coll._quantized_indexes() == {}
+
+    # crossing builds codes once (fit on the 25 stored points)
+    coll.insert(pts(10, 25))
+    qi = coll._quantized_indexes()
+    assert set(qi) == {"v"} and qi["v"].codes.count() == 25
+    meta0 = json.load(open(os.path.join(coll._qindex_path("v"), "_quantizer.json")))
+
+    # a further insert re-encodes the NEW snapshot with the FROZEN fit:
+    # codes cover all rows, thresholds identical to the first fit
+    coll.insert(pts(25, 40))
+    qi = coll._quantized_indexes()
+    assert qi["v"].codes.count() == 40
+    meta1 = json.load(open(os.path.join(coll._qindex_path("v"), "_quantizer.json")))
+    assert meta1["thresholds"] == meta0["thresholds"]
+
+    # and a search on the property serves from the quantized store
+    res = coll.search({"query": {"property": "v", "vectorFlat": {
+        "vector": [float(x) for x in X[0]], "operator": "near", "limit": 5}}})
+    assert res.count() == 5
