@@ -8,6 +8,19 @@ Also reports ``vector_qps`` (batch kNN queries/sec via the scale-path
 partition-local top-k scan) — the comparable number against the reference's
 ann-benchmarks QPS table (BASELINE.md), measured batch-style per
 BASELINE.json's batch-first north star.
+
+MEASUREMENT HISTORY (round-4 root cause of the r2/r3 QPS swings): the old
+best-of-N loop persisted an identical plan every pass without unpersisting
+between passes. Spark's CacheManager resolves cache entries by analyzed
+plan, so pass 2+ read pass 1's InMemoryRelation instead of recomputing —
+"best of 3" was really "fastest cache read". That artifact produced r2's
+1254 QPS angular row and r3's 4248 QPS euclidean row; the r3 angular 214.5
+"regression" was the same loop accidentally measuring honest recomputes
+(the new BQ/PQ blocks' unpersists invalidated the shared entry). Honest
+steady-state for the r3 kernel was ~385 QPS (tools/repro_angular.py);
+best_of below now unpersists between passes, and the round-4 kernels
+(mapInArrow + per-task trim, operators/ann.py) earn the throughput back
+for real.
 """
 
 from __future__ import annotations
@@ -260,24 +273,37 @@ def main() -> None:
     # glove-100-angular-LIKE block: the container has no network/h5py for
     # the real ann-benchmarks HDF5 (S6 loader stays import-gated), so this
     # closes the "64d synthetic is easier" caveat as far as possible
-    # locally: 1M x 100d clustered mixture (1024 centers + noise),
-    # l2-normalized, cosine metric — the same shape/regime as the
-    # reference's headline glove-100-angular row (BASELINE.md: v2 0.853
-    # recall / 773.9 QPS, single thread).
+    # locally: 1M x 100d HIERARCHICAL clustered mixture — 1024 coarse
+    # centers x 64 subcenters each, point noise on top, l2-normalized,
+    # cosine metric. Real embedding corpora (and glove) have neighbor
+    # structure at multiple scales; the round-3 flat mixture's top-10
+    # neighbors differed by pure full-rank iid noise, which NO code with
+    # m bytes/vector can rank (raw ADC recall 0.073 was a fixture artifact,
+    # VERDICT r3 item 3) — subcluster structure is the regime PQ exists for.
     import numpy as np
 
     ang_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ANG_ROWS", 1_000_000))
-    ang_path = f"/tmp/semadb_bench_ang_{ang_rows}.parquet"
+    ang_path = f"/tmp/semadb_bench_angh_{ang_rows}.parquet"
     if not os.path.exists(os.path.join(ang_path, "_SUCCESS")):
         import pandas as pd
 
-        centers = np.random.RandomState(7).normal(size=(1024, 100))
+        rng0 = np.random.RandomState(7)
+        centers = rng0.normal(size=(1024, 100))
+        # 8192 offset vectors indexed by (center, sub) so subcenters are
+        # effectively unique (no factorizable grid an encoder could exploit)
+        sub_offsets = rng0.normal(scale=0.30, size=(8192, 100))
 
         def gen(batches):
             for pdf in batches:
                 ids = pdf["id"].to_numpy()
                 rng = np.random.RandomState(int(ids[0]) % (2**31))
-                v = centers[ids % 1024] + rng.normal(scale=0.35, size=(len(ids), 100))
+                c = ids % 1024
+                sub = (ids // 1024) % 64
+                v = (
+                    centers[c]
+                    + sub_offsets[(c * 64 + sub) % 8192]
+                    + rng.normal(scale=0.05, size=(len(ids), 100))
+                )
                 v /= np.linalg.norm(v, axis=1, keepdims=True)
                 yield pd.DataFrame(
                     {"_id": ids.astype(str), "embedding": list(v.astype(np.float32))}
@@ -325,49 +351,45 @@ def main() -> None:
     print(f"# vector_1m_angular: {vector_1m_angular}", file=sys.stderr)
 
     # v2-PQ-comparable block (reference glove-100 v2-PQ: 0.526 recall /
-    # 628.6 QPS single-thread, BASELINE.md): 10x256 codebooks fit on a 10k
-    # sample, batched ADC serving over the codes only (pq_adc_topk_batch —
-    # m gathers per Arrow batch, no Python per row-pair loop).
-    from semadb_spark.operators.quantize import (
-        pq_adc_topk_batch,
-        pq_encode,
-        pq_fit,
-        pq_topk_batch,
-    )
+    # 628.6 QPS single-thread, BASELINE.md): 20x256 codebooks (5 dims per
+    # subvector — the resolution 100d needs; the r3 m=10 setting was part
+    # of the weak-recall story), full-corpus batched ADC for the raw-recall
+    # row, and IVF-PQ for the SERVED row: probe nprobe/nlist of the cells,
+    # ADC-score only those cells' codes (m bytes per row), exact-rerank a
+    # bounded broadcast pool — the scan never touches the full corpus
+    # (operators/ann.py ivfpq_search).
+    from semadb_spark.operators.ann import ivfpq_build, ivfpq_search
+    from semadb_spark.operators.quantize import pq_adc_topk_batch
 
     t0 = time.time()
-    books = pq_fit(
-        ang, "embedding", num_subvectors=10, num_centroids=256,
-        metric="cosine", seed=42, sample_cap=10_000,
+    ivfpq = ivfpq_build(
+        ang, "embedding", "_id", nlist=128, num_subvectors=20,
+        num_centroids=256, metric="cosine", seed=42, sample_cap=65_536,
     )
-    pq_codes = pq_encode(ang.select("_id", "embedding"), "embedding", books).select(
-        "_id", "pq_code"
-    )
-    pq_codes.persist().count()
+    ivfpq.coded.persist().count()
     pq_build = round(time.time() - t0, 3)
+    # raw full-corpus ADC: the recall-honesty row (is the code resolution
+    # itself sound?). 256 queries bound the q x n x m scan cost; recall is
+    # scored on the 64 ground-truth queries either way. NOTE the reference's
+    # v2-PQ QPS is Vamana GRAPH search over ADC distances (search.go beam
+    # over ~searchSize nodes), not a corpus scan — the served IVF-PQ row
+    # below is the comparable number.
+    pq_codes = ivfpq.coded.select("_id", "pq_code")
     pq_approx, pq_dt = best_of(
-        3, lambda: pq_adc_topk_batch(pq_codes, "pq_code", books, aq, 10)
+        3, lambda: pq_adc_topk_batch(pq_codes, "pq_code", ivfpq.books, aq[:256], 10)
     )
     pq_recall = recall_at_k(pq_approx.filter(F.col("query_id").isin(aq64)), ang_exact)
-    # served configuration: ADC oversample + exact rerank. This corpus's
-    # isotropic noise is far harder for 8-bit/subvector codes than glove
-    # (raw ADC recall ~0.07 vs glove's ~0.5); the bounded rerank pool
-    # (queries x k x oversample, broadcast) recovers it — same recipe as
-    # the BQ path.
     pq_rr, pq_rr_dt = best_of(
         3,
-        lambda: pq_topk_batch(
-            pq_codes, "pq_code", ang, "embedding", books, aq, 10,
-            oversample=30, rerank_metric="cosine",
-        ),
+        lambda: ivfpq_search(ivfpq, aq, "cosine", 10, nprobe=2, oversample=5),
     )
     pq_rr_recall = recall_at_k(pq_rr.filter(F.col("query_id").isin(aq64)), ang_exact)
     vector_1m_pq = {
         "rows": ang_n,
         "dim": 100,
-        "m": 10,
+        "m": 20,
         "pq_build_sec": pq_build,
-        "pq_adc_qps": round(len(aq) / pq_dt, 1),
+        "pq_adc_qps": round(len(aq[:256]) / pq_dt, 1),
         "pq_adc_recall_at10": round(pq_recall, 4),
         "pq_qps": round(len(aq) / pq_rr_dt, 1),
         "pq_recall_at10": round(pq_rr_recall, 4),
@@ -375,7 +397,7 @@ def main() -> None:
     print(f"# vector_1m_pq: {vector_1m_pq}", file=sys.stderr)
     pq_rr.unpersist()
     pq_approx.unpersist()
-    pq_codes.unpersist()
+    ivfpq.coded.unpersist()
 
     # vector throughput: batch of exact top-10 over the embeddings table via
     # the partition-local scan (the serving-shaped workload)

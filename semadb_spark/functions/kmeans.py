@@ -18,7 +18,6 @@ Spark-scale shape of the same idea:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 DEFAULT_SAMPLE_CAP = 131_072
@@ -81,18 +80,51 @@ def collect_vector_sample(
 def assign_centroids(
     df: DataFrame, vec_col: str, centroids: np.ndarray, out_col: str = "centroid_id"
 ) -> DataFrame:
-    """Nearest-centroid id per row (Arrow-batched GEMM; null vectors -> null)."""
+    """Nearest-centroid id per row; null vectors -> null id.
+
+    ``mapInArrow`` pass-through kernel: the list column reshapes to one
+    contiguous ``(n, d)`` matrix (no per-row objects — the np.stack over a
+    million small arrays dominated the round-3 index-build time), one GEMM
+    per batch, and the input batch is forwarded untouched with the id
+    column appended."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     cents = np.asarray(centroids, dtype=np.float64)
     c_sq = (cents**2).sum(axis=1)
+    vec_idx = df.columns.index(vec_col)
+    out_schema = StructType(df.schema.fields + [StructField(out_col, IntegerType())])
 
-    @F.pandas_udf("int")
-    def assign(col: pd.Series) -> pd.Series:
-        mask = col.notna()
-        out = pd.Series([None] * len(col), dtype="Int32")
-        if mask.any():
-            X = np.stack(col[mask].to_numpy()).astype(np.float64)
-            dists = (X**2).sum(axis=1)[:, None] - 2.0 * (X @ cents.T) + c_sq[None, :]
-            out[np.flatnonzero(mask.to_numpy())] = dists.argmin(axis=1).astype(np.int32)
-        return out
+    def assign(batches):
+        import pyarrow as pa
 
-    return df.withColumn(out_col, assign(F.col(vec_col)))
+        from semadb_spark.functions.distances import arrow_list_matrix
+
+        names = None
+        for batch in batches:
+            if names is None:
+                names = batch.schema.names + [out_col]
+            n = batch.num_rows
+            col = batch.column(vec_idx)
+            if n == 0:
+                ids = pa.array([], type=pa.int32())
+            elif col.null_count == 0:
+                X = arrow_list_matrix(col, dtype=np.float64)
+                d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ cents.T) + c_sq[None, :]
+                ids = pa.array(d.argmin(axis=1).astype(np.int32))
+            else:
+                vals = col.to_pylist()
+                mask = np.asarray([v is not None for v in vals])
+                out = np.full(n, -1, dtype=np.int32)
+                if mask.any():
+                    X = np.asarray(
+                        [v for v in vals if v is not None], dtype=np.float64
+                    )
+                    d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ cents.T) + c_sq[None, :]
+                    out[mask] = d.argmin(axis=1).astype(np.int32)
+                ids = pa.array(
+                    [int(v) if m else None for v, m in zip(out, mask)],
+                    type=pa.int32(),
+                )
+            yield pa.RecordBatch.from_arrays(list(batch.columns) + [ids], names=names)
+
+    return df.mapInArrow(assign, out_schema)

@@ -193,14 +193,13 @@ def ivf_search(
                 else:  # rare metrics: shared float64 kernel
                     dists = numpy_distance_matrix(metric, v, qmat[qidx])
                 take = min(k, len(rows))
-                part = np.argpartition(dists, take - 1, axis=0)[:take]  # (take, q_c)
-                acc_q.append(np.repeat(qidx, take))
-                acc_id.append(ids[rows[part.ravel(order="F")]])
-                acc_d.append(
-                    np.take_along_axis(dists, part, axis=0)
-                    .ravel(order="F")
-                    .astype(np.float64)
-                )
+                # keep the whole boundary tie class (see knn_topk_scan) so
+                # the downstream (distance, id) tiebreak is exact
+                kth = np.partition(dists, take - 1, axis=0)[take - 1]  # (q_c,)
+                sel_rows, sel_cols = np.nonzero(dists <= kth[None, :])
+                acc_q.append(qidx[sel_cols])
+                acc_id.append(ids[rows[sel_rows]])
+                acc_d.append(dists[sel_rows, sel_cols].astype(np.float64))
         if not acc_q:
             return
         # per-task trim: only this task's top-k per query survives to the
@@ -331,42 +330,62 @@ def ivfpq_search(
     qid_arr = np.asarray(qids, dtype=object)
     out_schema = f"query_id string, {id_col} string, _distance double"
 
-    def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def adc_scan(batches):
+        import pyarrow as pa
+
+        from semadb_spark.functions.distances import arrow_list_matrix, topk_per_group
+
+        acc_q: list[np.ndarray] = []
+        acc_id: list[np.ndarray] = []
+        acc_d: list[np.ndarray] = []
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            frames = []
-            for cid, grp in pdf.groupby("centroid_id", sort=False):
-                qidx = probing_queries.get(int(cid))
+            cids = batch.column(0).to_numpy(zero_copy_only=False)
+            ids = batch.column(1).to_numpy(zero_copy_only=False)
+            codes = arrow_list_matrix(batch.column(2)).astype(np.int64, copy=False)
+            order = np.argsort(cids, kind="stable")
+            cs = cids[order]
+            starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+            bounds = np.r_[starts, n]
+            for gi in range(len(starts)):
+                rows = order[bounds[gi] : bounds[gi + 1]]
+                qidx = probing_queries.get(int(cs[bounds[gi]]))
                 if qidx is None or not len(qidx):
                     continue
-                codes = np.stack(grp["pq_code"].to_numpy()).astype(np.int64)
-                n = codes.shape[0]
                 sub = tables[qidx]  # (q_c, m, kc)
-                dists = np.zeros((len(qidx), n), dtype=np.float32)
+                grp_codes = codes[rows]
+                dists = np.zeros((len(qidx), len(rows)), dtype=np.float32)
                 for i in range(m):
-                    dists += sub[:, i, codes[:, i]]
-                take = min(take_n, n)
-                idx = np.argpartition(dists, take - 1, axis=1)[:, :take]
-                ids = grp[id_col].astype(str).to_numpy()
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.repeat(qid_arr[qidx], take),
-                            id_col: ids[idx.ravel()],
-                            "_distance": np.take_along_axis(dists, idx, axis=1)
-                            .ravel()
-                            .astype(np.float64),
-                        }
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                    dists += sub[:, i, grp_codes[:, i]]
+                take = min(take_n, len(rows))
+                # boundary-tie-inclusive cut (see knn_topk_scan)
+                kth = np.partition(dists, take - 1, axis=1)[:, take - 1]  # (q_c,)
+                sel_q, sel_cols = np.nonzero(dists <= kth[:, None])
+                acc_q.append(qidx[sel_q])
+                acc_id.append(ids[rows[sel_cols]])
+                acc_d.append(dists[sel_q, sel_cols].astype(np.float64))
+        if not acc_q:
+            return
+        # per-task trim to the oversampled take_n per query before shuffle
+        qi = np.concatenate(acc_q)
+        idv = np.concatenate(acc_id).astype(object)
+        dv = np.concatenate(acc_d)
+        keep = topk_per_group(qi, dv, idv, take_n)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(qid_arr[qi[keep]], type=pa.string()),
+                pa.array(idv[keep], type=pa.string()),
+                pa.array(dv[keep], type=pa.float64()),
+            ],
+            names=["query_id", id_col, "_distance"],
+        )
 
     candidates = (
         index.coded.filter(F.col("centroid_id").isin(all_probed))
-        .select("centroid_id", id_col, "pq_code")
-        .mapInPandas(adc_scan, out_schema)
+        .select("centroid_id", F.col(id_col).cast("string").alias(id_col), "pq_code")
+        .mapInArrow(adc_scan, out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_distance").asc(), F.col(id_col).asc()

@@ -150,12 +150,17 @@ def knn_topk_scan(
             )
             dists = numpy_distance_matrix(metric, vecs, qmat)  # (n, q)
             take = min(k, n)
-            # argpartition per query column keeps only each batch's local
-            # top-k; the per-task trim below reduces further before shuffle
-            idx = np.argpartition(dists, take - 1, axis=0)[:take]  # (take, q)
-            acc_q.append(np.repeat(q_range, take))
-            acc_id.append(ids[idx.ravel(order="F")])
-            acc_d.append(np.take_along_axis(dists, idx, axis=0).ravel(order="F"))
+            # batch-local top-k INCLUDING all rows tied with the kth
+            # distance: a bare argpartition keeps an arbitrary member of a
+            # boundary tie class, which breaks the (distance, id) tiebreak
+            # downstream (bit metrics tie constantly; replicated corpora
+            # tie even under float metrics). The per-task trim below
+            # resolves ties by id exactly.
+            kth = np.partition(dists, take - 1, axis=0)[take - 1]  # (q,)
+            sel_rows, sel_cols = np.nonzero(dists <= kth[None, :])
+            acc_q.append(sel_cols)
+            acc_id.append(ids[sel_rows])
+            acc_d.append(dists[sel_rows, sel_cols])
         if not acc_q:
             return
         qi = np.concatenate(acc_q)

@@ -69,22 +69,31 @@ def bq_fit(df: DataFrame, vec_col: str) -> np.ndarray:
     the vectors themselves — scales to arbitrarily many rows.
     """
 
-    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def partial(batches):
+        import pyarrow as pa
+
+        from semadb_spark.functions.distances import arrow_list_matrix
+
         acc = None
         n = 0
-        for pdf in batches:
-            vals = pdf.dropna()
-            if vals.empty:
+        for batch in batches:
+            col = batch.column(0)
+            if col.null_count:
+                col = col.drop_null()
+            if len(col) == 0:
                 continue
-            m = np.stack(vals.iloc[:, 0].to_numpy()).astype(np.float64)
+            m = arrow_list_matrix(col, dtype=np.float64)
             acc = m.sum(axis=0) if acc is None else acc + m.sum(axis=0)
             n += m.shape[0]
         if acc is not None:
-            yield pd.DataFrame({"s": [acc.tolist()], "n": [n]})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([acc.tolist()]), pa.array([n], type=pa.int64())],
+                names=["s", "n"],
+            )
 
     parts = (
         df.select(vec_col)
-        .mapInPandas(partial, "s array<double>, n long")
+        .mapInArrow(partial, "s array<double>, n long")
         .collect()
     )
     if not parts:
@@ -111,6 +120,57 @@ def encode_bits_np(vecs: np.ndarray, thresholds: np.ndarray) -> np.ndarray:
     return _pack_bits(vecs > thresholds)
 
 
+def _append_encoded(df: DataFrame, vec_col: str, out_col: str, value_dtype, fn) -> DataFrame:
+    """Pass-through Arrow kernel appending ``fn((n, d) float64) -> (n, w)``
+    codes as a list column. One contiguous reshape + one vectorized encode
+    per batch — no per-row Python objects (the np.stack over millions of
+    small arrays dominated round-3 build times). Null vectors -> null code
+    (slow correct fallback; builders filter nulls upstream)."""
+    from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+
+    spark_value = LongType() if value_dtype == np.int64 else IntegerType()
+    vec_idx = df.columns.index(vec_col)
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(spark_value))]
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from semadb_spark.functions.distances import arrow_list_matrix
+
+        pa_value = pa.int64() if value_dtype == np.int64 else pa.int32()
+        names = None
+        for batch in batches:
+            if names is None:
+                names = batch.schema.names + [out_col]
+            n = batch.num_rows
+            col = batch.column(vec_idx)
+            if n == 0:
+                codes_arr = pa.array([], type=pa.list_(pa_value))
+            elif col.null_count == 0:
+                codes = fn(arrow_list_matrix(col, dtype=np.float64))
+                w = codes.shape[1]
+                codes_arr = pa.ListArray.from_arrays(
+                    pa.array(np.arange(n + 1, dtype=np.int32) * w),
+                    pa.array(codes.ravel().astype(value_dtype, copy=False), type=pa_value),
+                )
+            else:
+                vals = col.to_pylist()
+                codes_arr = pa.array(
+                    [
+                        None
+                        if v is None
+                        else fn(np.asarray(v, dtype=np.float64)[None, :])[0].tolist()
+                        for v in vals
+                    ],
+                    type=pa.list_(pa_value),
+                )
+            yield pa.RecordBatch.from_arrays(list(batch.columns) + [codes_arr], names=names)
+
+    return df.mapInArrow(kernel, out_schema)
+
+
 def bq_encode(
     df: DataFrame,
     vec_col: str,
@@ -121,19 +181,9 @@ def bq_encode(
     forced 0.5 binarization for hamming/jaccard inputs
     (vectorstore.go:51-73)."""
     thr = np.asarray(thresholds, dtype=np.float64)
-
-    @F.pandas_udf("array<long>")
-    def encode(col: pd.Series) -> pd.Series:
-        mask = col.notna()
-        out = pd.Series([None] * len(col), dtype=object)
-        if mask.any():
-            vecs = np.stack(col[mask].to_numpy()).astype(np.float64)
-            out[np.flatnonzero(mask.to_numpy())] = list(
-                encode_bits_np(vecs, thr).tolist()
-            )
-        return out
-
-    return df.withColumn(out_col, encode(F.col(vec_col)))
+    return _append_encoded(
+        df, vec_col, out_col, np.int64, lambda X: encode_bits_np(X, thr)
+    )
 
 
 def bq_encode_expr(
@@ -389,24 +439,19 @@ def pq_encode(
     df: DataFrame, vec_col: str, books: PQCodebooks, out_col: str = "pq_code"
 ) -> DataFrame:
     """Add ``array<int>`` centroid-id codes (product.go:136-160). Arrow
-    pandas UDF, argmin over the codebook per subvector — batch matrix ops."""
+    pass-through kernel, argmin over the codebook per subvector — batch
+    matrix ops."""
     cents = books.centroids
     m, _, sublen = cents.shape
 
-    @F.pandas_udf("array<int>")
-    def encode(col: pd.Series) -> pd.Series:
-        mask = col.notna()
-        out = pd.Series([None] * len(col), dtype=object)
-        if mask.any():
-            vecs = np.stack(col[mask].to_numpy()).astype(np.float64)
-            codes = np.empty((vecs.shape[0], m), dtype=np.int32)
-            for i in range(m):
-                sub = vecs[:, i * sublen : (i + 1) * sublen]
-                codes[:, i] = _sub_distances(books, sub, i).argmin(axis=1)
-            out[np.flatnonzero(mask.to_numpy())] = list(codes.tolist())
-        return out
+    def encode(vecs: np.ndarray) -> np.ndarray:
+        codes = np.empty((vecs.shape[0], m), dtype=np.int32)
+        for i in range(m):
+            sub = vecs[:, i * sublen : (i + 1) * sublen]
+            codes[:, i] = _sub_distances(books, sub, i).argmin(axis=1)
+        return codes
 
-    return df.withColumn(out_col, encode(F.col(vec_col)))
+    return _append_encoded(df, vec_col, out_col, np.int32, encode)
 
 
 def pq_adc_table(books: PQCodebooks, query_vector: Sequence[float]) -> np.ndarray:
@@ -472,7 +517,8 @@ def pq_adc_topk_batch(
     from pyspark.sql import Window
 
     qlist = list(queries)
-    qids = np.array([str(q[0]) for q in qlist])
+    qids = np.array([str(q[0]) for q in qlist], dtype=object)
+    q_range = np.arange(len(qlist))
     # float32 LUTs: ADC is memory-bandwidth bound — halving the gathered
     # bytes nearly halves the scan time, and 7 significant digits is far
     # beyond quantization noise (recall gates are threshold booleans)
@@ -483,36 +529,64 @@ def pq_adc_topk_batch(
     id_type = codes_df.schema[id_col].dataType.simpleString()
     out_schema = f"query_id string, {id_col} {id_type}, _distance double"
 
-    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def local_topk(batches):
+        import pyarrow as pa
+
+        from semadb_spark.functions.distances import arrow_list_matrix, topk_per_group
+
+        id_pa_type = None
+        acc_q: list[np.ndarray] = []
+        acc_id: list[np.ndarray] = []
+        acc_d: list[np.ndarray] = []
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            codes = np.stack(pdf[code_col].to_numpy()).astype(np.int64)  # (n, m)
-            n = codes.shape[0]
-            # accumulate (q, n): the gather tables[:, i, codes[:, i]] is
-            # already (q, n), so no per-subquantizer transpose copies
-            dists = np.zeros((len(qids), n), dtype=np.float32)
-            for i in range(m):
-                dists += tables[:, i, codes[:, i]]
+            if id_pa_type is None:
+                id_pa_type = batch.column(0).type
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            codes = arrow_list_matrix(batch.column(1)).astype(np.int64, copy=False)
             take = min(k, n)
-            idx = np.argpartition(dists, take - 1, axis=1)[:, :take]  # (q, take)
-            ids = pdf[id_col].to_numpy()
-            # one flat frame per batch — a per-query Python loop here would
-            # dominate the scan (q x batches tiny DataFrames)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids, take),
-                    id_col: ids[idx.ravel()],
-                    "_distance": np.take_along_axis(dists, idx, axis=1)
-                    .ravel()
-                    .astype(np.float64),
-                }
-            )
+            # query-chunked accumulation: the (chunk, n) slab and its gather
+            # temp stay cache-resident (a full (q, n) slab at 1024 queries x
+            # 10k rows is 40 MB x m rewrites — allocation churn dominated
+            # the scan); the gather tables[:, i, codes[:, i]] is already
+            # (chunk, n), so no per-subquantizer transpose copies
+            CH = 128
+            for qlo in range(0, len(qids), CH):
+                sub = tables[qlo : qlo + CH]
+                dists = np.zeros((sub.shape[0], n), dtype=np.float32)
+                for i in range(m):
+                    dists += sub[:, i, codes[:, i]]
+                # boundary-tie-inclusive cut (ADC distances collide often:
+                # identical codes give identical sums) so the downstream
+                # (distance, id) tiebreak is exact
+                kth = np.partition(dists, take - 1, axis=1)[:, take - 1]
+                sel_q, sel_cols = np.nonzero(dists <= kth[:, None])
+                acc_q.append(q_range[qlo : qlo + CH][sel_q])
+                acc_id.append(ids[sel_cols])
+                acc_d.append(dists[sel_q, sel_cols].astype(np.float64))
+        if not acc_q:
+            return
+        # per-task trim: only this task's top-k per query survives to the
+        # global merge
+        qi = np.concatenate(acc_q)
+        idv = np.concatenate(acc_id)
+        dv = np.concatenate(acc_d)
+        keep = topk_per_group(qi, dv, idv.astype(object), k)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(qids[qi[keep]], type=pa.string()),
+                pa.array(idv[keep], type=id_pa_type),
+                pa.array(dv[keep], type=pa.float64()),
+            ],
+            names=["query_id", id_col, "_distance"],
+        )
 
     candidates = (
         codes_df.filter(F.col(code_col).isNotNull())
         .select(id_col, code_col)
-        .mapInPandas(local_topk, schema=out_schema)
+        .mapInArrow(local_topk, schema=out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_distance").asc(), F.col(id_col).asc()

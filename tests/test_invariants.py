@@ -156,3 +156,23 @@ def test_update_merge_idempotent(spark, seed):
     once = apply_update_merge(docs, upd)
     twice = apply_update_merge(once, upd)
     assert once.exceptAll(twice).count() == 0 and twice.exceptAll(once).count() == 0
+
+
+def test_topk_scan_boundary_ties_resolve_by_id(spark):
+    """The k-boundary tie class must resolve by id ascending EXACTLY — a
+    batch-local cut that keeps an arbitrary tied member (bare argpartition)
+    silently swaps ids at the boundary (round-4 knn_jaccard oracle flake).
+    Corpus: many identical vectors spread across partitions, so every
+    distance ties and only the id tiebreak orders them."""
+    from semadb_spark.operators.knn import knn_topk_scan
+
+    rows = [Row(_id=f"{i:04d}", v=[1.0, 0.0]) for i in range(200)]
+    df = spark.createDataFrame(rows).repartition(8)
+    for metric, q in [("euclidean", [0.0, 0.0]), ("hamming", [3]), ("jaccard", [3])]:
+        got = [
+            r["_id"]
+            for r in knn_topk_scan(df, "v", [("q", q)], metric, 10)
+            .orderBy("_rank")
+            .collect()
+        ]
+        assert got == [f"{i:04d}" for i in range(10)], (metric, got)
