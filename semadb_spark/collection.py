@@ -565,7 +565,7 @@ class Collection:
 
     def vamana_search(
         self, prop: str, queries: list[tuple[str, list[float]]], k: int,
-        nprobe: int | None = None,
+        nprobe: int | None = None, candidate_ids=None,
     ):
         """Serve ANN queries from the PERSISTED Vamana artifact: distributed
         partition-local beam search + global merge (operators/vamana.py
@@ -596,6 +596,7 @@ class Collection:
             search_size=int(meta["search_size"]),
             centroids=np.asarray(meta["centroids"], dtype=np.float64),
             nprobe=nprobe,
+            candidate_ids=candidate_ids,
         )
 
     # -- W9 + vectorstore.go:75+: persisted quantized serving codes ----------

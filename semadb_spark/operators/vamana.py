@@ -69,12 +69,22 @@ def _greedy_search(
     q: np.ndarray,
     search_size: int,
     metric: str = "euclidean",
+    seeds: list[int] | None = None,
+    result_filter: "set[int] | None" = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Greedy beam search (search.go:9-102). Returns (ids, dists) of the
-    visited set sorted by distance — the robustPrune candidate pool."""
-    dists: dict[int, float] = {start: float(_dist_rows(metric, X[start][None, :], q)[0])}
-    beam: list[int] = [start]
-    in_beam: set[int] = {start}
+    visited set sorted by distance — the robustPrune candidate pool.
+
+    Filtered mode (search.go:28-51, 95-97): ``seeds`` (filtered points, up
+    to searchSize) are added to the initial beam alongside the entry, and
+    the returned set is ``seeds ∪ (visited ∩ result_filter)`` — the
+    reference's optimistic filtered search, where only filtered points can
+    enter the result but the walk itself explores the full graph."""
+    init = [start] + [s for s in (seeds or []) if s != start]
+    d0 = _dist_rows(metric, X[init], q)
+    dists: dict[int, float] = dict(zip(init, d0.tolist()))
+    beam: list[int] = list(init)
+    in_beam: set[int] = set(init)
     visited: set[int] = set()
     while True:
         # closest unvisited beam member (searchSet scan, search.go:66-72)
@@ -95,7 +105,11 @@ def _greedy_search(
                 dists.update(zip(new, d.tolist()))
             beam.extend(nbrs)
             in_beam.update(nbrs)
-    vis = sorted(visited, key=dists.__getitem__)
+    if result_filter is None:
+        vis = sorted(visited, key=dists.__getitem__)
+    else:
+        res = set(seeds or []) | (visited & result_filter)
+        vis = sorted(res, key=dists.__getitem__)
     return np.asarray(vis, dtype=np.int64), np.asarray([dists[i] for i in vis])
 
 
@@ -576,6 +590,7 @@ def vamana_serve(
     search_size: int = 75,
     centroids: np.ndarray | None = None,
     nprobe: int | None = None,
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed Vamana serving: partition-local beam search over the
     persisted per-shard subgraphs, merged to a global top-k.
@@ -596,12 +611,32 @@ def vamana_serve(
     are ``<centroid>_<salt>``, so routing prunes whole partitions of the
     parquet artifact. Default: search every shard (exhaustive over the
     overlap cover).
+
+    ``candidate_ids`` (one id column) enables the reference's filtered
+    seeded-beam mode (search.go:28-51): each shard seeds its beam with up
+    to ``search_size`` of its filtered points (id ascending — the roaring
+    iterator order) plus the shard entry, walks the FULL graph, and only
+    filtered points enter the result set. Recall is optimistic exactly as
+    documented (docs/content/docs/search/filtered.md:49-51). The flag joins
+    into the node table before the cogroup, so the filter never needs to be
+    collected or broadcast whole.
     """
     from pyspark.sql import Window
 
     if not queries:
         raise ValueError("queries must be non-empty")
     qvecs = [(str(qid), np.asarray(v, dtype=np.float64)) for qid, v in queries]
+
+    filtered_mode = candidate_ids is not None
+    if filtered_mode:
+        flt = candidate_ids.select(
+            F.col(candidate_ids.columns[0]).cast("string").alias("id")
+        ).distinct().withColumn("_flt", F.lit(True))
+        shard_nodes = (
+            shard_nodes.withColumn("id", F.col("id").cast("string"))
+            .join(flt, "id", "left")
+            .withColumn("_flt", F.coalesce(F.col("_flt"), F.lit(False)))
+        )
 
     routed: dict[int, list[int]] | None = None
     if nprobe is not None and centroids is not None and nprobe < len(centroids):
@@ -639,10 +674,24 @@ def vamana_serve(
                 adj[js].append(jt)
         # shard entry: medoid, the same navigational choice _local_build made
         start = int(((X - X.mean(axis=0)) ** 2).sum(axis=1).argmin())
+        seeds: list[int] | None = None
+        result_filter: set[int] | None = None
+        if filtered_mode:
+            flt_pos = np.flatnonzero(nodes_pdf["_flt"].to_numpy())
+            if not len(flt_pos):
+                return empty  # no filtered point lives in this shard
+            result_filter = set(int(j) for j in flt_pos)
+            # seed order: filtered ids ascending, capped at search_size
+            # (the reference's roaring-iterator seeding, search.go:40-44)
+            order = np.argsort(ids[flt_pos].astype(str), kind="stable")
+            seeds = [int(j) for j in flt_pos[order][:search_size]]
         rows = []
         for qi in q_idx:
             qid, qv = qvecs[qi]
-            vis_ids, vis_dists = _greedy_search(X, adj, start, qv, search_size, metric)
+            vis_ids, vis_dists = _greedy_search(
+                X, adj, start, qv, search_size, metric,
+                seeds=seeds, result_filter=result_filter,
+            )
             for j, dd in zip(vis_ids[:k], vis_dists[:k]):
                 rows.append((qid, ids[int(j)], float(dd)))
         return pd.DataFrame(rows, columns=["query_id", "_id", "_distance"])

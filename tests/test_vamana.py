@@ -151,3 +151,52 @@ def test_build_rejects_bit_metrics(spark):
     df = spark.createDataFrame([("0", [1.0, 2.0])], "_id string, v array<double>")
     with pytest.raises(ValueError, match="metric"):
         vm.vamana_build(df, "v", "_id", metric="hamming")
+
+
+def test_filtered_serve_seeded_beam(spark, emb):
+    """Filtered vectorVamana parity (search.go:28-51): the beam is SEEDED
+    with up to searchSize filtered points, the walk explores the full
+    graph, and ONLY filtered points enter the result. Every returned id
+    must satisfy the filter, and recall vs the exact filtered scan must
+    clear the reference's limit/2 bar (optimistic-recall caveat,
+    docs/content/docs/search/filtered.md:49-51)."""
+    import os
+    import tempfile
+
+    index = vm.vamana_build(
+        emb, "v", "_id", degree_bound=32, alpha=1.2, search_size=40,
+        num_shards=2, seed=7, keep_sharded=True,
+    )
+    d = tempfile.mkdtemp(prefix="vamana_flt_")
+    index.shard_nodes.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(d, "nodes")
+    )
+    index.shard_edges.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(d, "edges")
+    )
+
+    # filter: every third id (selective but well-populated)
+    flt = emb.filter(F.col("_id").cast("int") % 3 == 0).select("_id")
+    flt_ids = {r["_id"] for r in flt.collect()}
+    rows = emb.collect()
+    queries = [(f"q{i}", [float(x) for x in rows[i]["v"]]) for i in range(4)]
+
+    res = vm.vamana_serve(
+        spark.read.parquet(os.path.join(d, "nodes")),
+        spark.read.parquet(os.path.join(d, "edges")),
+        queries, 10, metric="euclidean", search_size=40,
+        centroids=index.centroids, candidate_ids=flt,
+    )
+    got: dict[str, set] = {}
+    for r in res.collect():
+        assert r["_id"] in flt_ids, "unfiltered id leaked into filtered result"
+        got.setdefault(r["query_id"], set()).add(r["_id"])
+
+    # exact filtered ground truth
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    ids = [r["_id"] for r in rows]
+    for i in range(4):
+        dist = ((X - X[i]) ** 2).sum(axis=1)
+        order = np.argsort(dist, kind="stable")
+        exact = [ids[j] for j in order if ids[j] in flt_ids][:10]
+        assert len(got[f"q{i}"] & set(exact)) >= 5, f"filtered recall < 0.5 for q{i}"
