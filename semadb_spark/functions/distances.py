@@ -272,6 +272,22 @@ def topk_per_group(
     return order[pos_in_group < k]
 
 
+def id_order_ranks(ids: np.ndarray) -> np.ndarray:
+    """Dense rank of each id under its natural sort order (lexical for
+    strings, numeric for ints) — a NUMERIC tiebreak proxy valid within one
+    batch. Composite (distance, rank) selection is then an all-numeric
+    lexsort: exact-k per batch even when distances tie in the thousands
+    (hamming has 65 distinct values; PQ codes duplicate across a clustered
+    corpus), where tie-INCLUSIVE cuts ballooned and object-id lexsorts
+    dominated the scan."""
+    if ids.dtype == object:
+        ids = ids.astype(str)
+    order = np.argsort(ids, kind="stable")
+    ranks = np.empty(len(ids), dtype=np.int64)
+    ranks[order] = np.arange(len(ids), dtype=np.int64)
+    return ranks
+
+
 def python_distance(metric: str, x, y) -> float:
     """Scalar reference implementation for tests (mirrors puredist.go)."""
     return float(numpy_distance_matrix(metric, np.array([x]), np.array([y]))[0, 0])

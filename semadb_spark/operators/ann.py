@@ -156,7 +156,11 @@ def ivf_search(
     def rerank(batches):
         import pyarrow as pa
 
-        from semadb_spark.functions.distances import arrow_list_matrix, topk_per_group
+        from semadb_spark.functions.distances import (
+            arrow_list_matrix,
+            id_order_ranks,
+            topk_per_group,
+        )
 
         acc_q: list[np.ndarray] = []
         acc_id: list[np.ndarray] = []
@@ -167,6 +171,7 @@ def ivf_search(
                 continue
             cids = batch.column(0).to_numpy(zero_copy_only=False)
             ids = batch.column(1).to_numpy(zero_copy_only=False)
+            ranks = id_order_ranks(ids)
             vecs = arrow_list_matrix(batch.column(2), dtype=dtype)
             if metric == "euclidean":
                 x_sq = (vecs * vecs).sum(axis=1)
@@ -193,10 +198,18 @@ def ivf_search(
                 else:  # rare metrics: shared float64 kernel
                     dists = numpy_distance_matrix(metric, v, qmat[qidx])
                 take = min(k, len(rows))
-                # keep the whole boundary tie class (see knn_topk_scan) so
-                # the downstream (distance, id) tiebreak is exact
+                # exact (distance, id) top-k per group: gather the kth-
+                # distance tie class, resolve it numerically (see
+                # knn_topk_scan)
                 kth = np.partition(dists, take - 1, axis=0)[take - 1]  # (q_c,)
                 sel_rows, sel_cols = np.nonzero(dists <= kth[None, :])
+                keep = topk_per_group(
+                    sel_cols,
+                    dists[sel_rows, sel_cols],
+                    ranks[rows[sel_rows]],
+                    take,
+                )
+                sel_rows, sel_cols = sel_rows[keep], sel_cols[keep]
                 acc_q.append(qidx[sel_cols])
                 acc_id.append(ids[rows[sel_rows]])
                 acc_d.append(dists[sel_rows, sel_cols].astype(np.float64))
@@ -333,7 +346,11 @@ def ivfpq_search(
     def adc_scan(batches):
         import pyarrow as pa
 
-        from semadb_spark.functions.distances import arrow_list_matrix, topk_per_group
+        from semadb_spark.functions.distances import (
+            arrow_list_matrix,
+            id_order_ranks,
+            topk_per_group,
+        )
 
         acc_q: list[np.ndarray] = []
         acc_id: list[np.ndarray] = []
@@ -344,6 +361,7 @@ def ivfpq_search(
                 continue
             cids = batch.column(0).to_numpy(zero_copy_only=False)
             ids = batch.column(1).to_numpy(zero_copy_only=False)
+            ranks = id_order_ranks(ids)
             codes = arrow_list_matrix(batch.column(2)).astype(np.int64, copy=False)
             order = np.argsort(cids, kind="stable")
             cs = cids[order]
@@ -360,9 +378,17 @@ def ivfpq_search(
                 for i in range(m):
                     dists += sub[:, i, grp_codes[:, i]]
                 take = min(take_n, len(rows))
-                # boundary-tie-inclusive cut (see knn_topk_scan)
+                # exact (distance, id) cut of the kth-distance tie class
+                # (see knn_topk_scan)
                 kth = np.partition(dists, take - 1, axis=1)[:, take - 1]  # (q_c,)
                 sel_q, sel_cols = np.nonzero(dists <= kth[:, None])
+                keep = topk_per_group(
+                    sel_q,
+                    dists[sel_q, sel_cols],
+                    ranks[rows[sel_cols]],
+                    take,
+                )
+                sel_q, sel_cols = sel_q[keep], sel_cols[keep]
                 acc_q.append(qidx[sel_q])
                 acc_id.append(ids[rows[sel_cols]])
                 acc_d.append(dists[sel_q, sel_cols].astype(np.float64))

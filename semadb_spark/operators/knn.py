@@ -132,7 +132,11 @@ def knn_topk_scan(
     def local_topk(batches):
         import pyarrow as pa
 
-        from semadb_spark.functions.distances import arrow_list_matrix, topk_per_group
+        from semadb_spark.functions.distances import (
+            arrow_list_matrix,
+            id_order_ranks,
+            topk_per_group,
+        )
 
         id_pa_type = None
         acc_q: list[np.ndarray] = []
@@ -150,14 +154,19 @@ def knn_topk_scan(
             )
             dists = numpy_distance_matrix(metric, vecs, qmat)  # (n, q)
             take = min(k, n)
-            # batch-local top-k INCLUDING all rows tied with the kth
-            # distance: a bare argpartition keeps an arbitrary member of a
-            # boundary tie class, which breaks the (distance, id) tiebreak
-            # downstream (bit metrics tie constantly; replicated corpora
-            # tie even under float metrics). The per-task trim below
-            # resolves ties by id exactly.
+            # batch-local EXACT top-k under (distance, id): a bare
+            # argpartition keeps an arbitrary member of a boundary tie
+            # class (bit metrics tie constantly; replicated corpora tie
+            # even under float metrics). The kth-distance cut gathers the
+            # tie class, then an all-numeric lexsort (id_order_ranks)
+            # resolves it to exactly k rows per query.
             kth = np.partition(dists, take - 1, axis=0)[take - 1]  # (q,)
             sel_rows, sel_cols = np.nonzero(dists <= kth[None, :])
+            ranks = id_order_ranks(ids)
+            keep = topk_per_group(
+                sel_cols, dists[sel_rows, sel_cols], ranks[sel_rows], take
+            )
+            sel_rows, sel_cols = sel_rows[keep], sel_cols[keep]
             acc_q.append(sel_cols)
             acc_id.append(ids[sel_rows])
             acc_d.append(dists[sel_rows, sel_cols])

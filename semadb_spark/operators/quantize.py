@@ -532,7 +532,11 @@ def pq_adc_topk_batch(
     def local_topk(batches):
         import pyarrow as pa
 
-        from semadb_spark.functions.distances import arrow_list_matrix, topk_per_group
+        from semadb_spark.functions.distances import (
+            arrow_list_matrix,
+            id_order_ranks,
+            topk_per_group,
+        )
 
         id_pa_type = None
         acc_q: list[np.ndarray] = []
@@ -545,6 +549,7 @@ def pq_adc_topk_batch(
             if id_pa_type is None:
                 id_pa_type = batch.column(0).type
             ids = batch.column(0).to_numpy(zero_copy_only=False)
+            ranks = id_order_ranks(ids)
             codes = arrow_list_matrix(batch.column(1)).astype(np.int64, copy=False)
             take = min(k, n)
             # query-chunked accumulation: the (chunk, n) slab and its gather
@@ -558,11 +563,15 @@ def pq_adc_topk_batch(
                 dists = np.zeros((sub.shape[0], n), dtype=np.float32)
                 for i in range(m):
                     dists += sub[:, i, codes[:, i]]
-                # boundary-tie-inclusive cut (ADC distances collide often:
-                # identical codes give identical sums) so the downstream
-                # (distance, id) tiebreak is exact
+                # exact (distance, id) cut: gather the kth-distance tie
+                # class (ADC distances collide often — identical codes give
+                # identical sums), resolve numerically to exactly k
                 kth = np.partition(dists, take - 1, axis=1)[:, take - 1]
                 sel_q, sel_cols = np.nonzero(dists <= kth[:, None])
+                keep = topk_per_group(
+                    sel_q, dists[sel_q, sel_cols], ranks[sel_cols], take
+                )
+                sel_q, sel_cols = sel_q[keep], sel_cols[keep]
                 acc_q.append(q_range[qlo : qlo + CH][sel_q])
                 acc_id.append(ids[sel_cols])
                 acc_d.append(dists[sel_q, sel_cols].astype(np.float64))
