@@ -157,25 +157,57 @@ def numpy_distance_matrix(metric: str, data: np.ndarray, queries: np.ndarray) ->
         # Bit metrics take packed words, NOT floats: a float64 round-trip
         # rounds away significant bits >= 2^53 and silently corrupts
         # popcounts. int64 -> uint64 via view keeps all 64 bits.
-        # The (n, chunk, words) XOR/AND intermediates are materialized per
-        # query chunk so peak memory stays bounded for large serving
-        # batches (1024 queries x 10k-row Arrow batch x many words).
+        # Query-chunked, word-at-a-time, with PREALLOCATED buffers and
+        # in-place SWAR: the kernel is memory-bandwidth bound, and the
+        # naive (n, chunk, words) tensor + fresh temporaries per op ran 5x
+        # slower at 32-way worker parallelism.
         a, b = _as_uint64_words(data), _as_uint64_words(queries)
-        out = np.empty((a.shape[0], b.shape[0]), dtype=np.float64)
-        for lo in range(0, b.shape[0], _BIT_QUERY_CHUNK):
-            bc = b[lo : lo + _BIT_QUERY_CHUNK]
+        n, w = a.shape
+        qn = b.shape[0]
+        if b.shape[1] != w:
+            raise ValueError(
+                f"bit-metric word-count mismatch: data has {w} packed words, "
+                f"queries have {b.shape[1]}"
+            )
+        # contiguous per-word columns: strided broadcast operands defeat
+        # SIMD in every elementwise pass below
+        a_cols = [np.ascontiguousarray(a[:, wi]) for wi in range(w)]
+        b_cols = [np.ascontiguousarray(b[:, wi]) for wi in range(w)]
+        out = np.empty((n, qn), dtype=np.float64)
+        ch = min(_BIT_QUERY_CHUNK, qn) or 1
+        x = np.empty((n, ch), dtype=np.uint64)
+        t = np.empty((n, ch), dtype=np.uint64)
+        acc = np.empty((n, ch), dtype=np.uint64)
+        acc2 = np.empty((n, ch), dtype=np.uint64) if metric == "jaccard" else None
+        for lo in range(0, qn, ch):
+            width = min(ch, qn - lo)
+            xv, tv = x[:, :width], t[:, :width]
+            accv = acc[:, :width]
+            accv[:] = 0
             if metric == "hamming":
-                x = a[:, None, :] ^ bc[None, :, :]
-                out[:, lo : lo + _BIT_QUERY_CHUNK] = (
-                    _popcount(x).sum(axis=2).astype(np.float64)
-                )
+                for wi in range(w):
+                    np.bitwise_xor(
+                        a_cols[wi][:, None], b_cols[wi][lo : lo + width][None, :], out=xv
+                    )
+                    _popcount_inplace(xv, tv)
+                    accv += xv
+                out[:, lo : lo + width] = accv
                 continue
-            inter = _popcount(a[:, None, :] & bc[None, :, :]).sum(axis=2).astype(np.float64)
-            union = _popcount(a[:, None, :] | bc[None, :, :]).sum(axis=2).astype(np.float64)
+            unionv = acc2[:, :width]
+            unionv[:] = 0
+            for wi in range(w):
+                aw = a_cols[wi][:, None]
+                bw = b_cols[wi][lo : lo + width][None, :]
+                np.bitwise_and(aw, bw, out=xv)
+                _popcount_inplace(xv, tv)
+                accv += xv
+                np.bitwise_or(aw, bw, out=xv)
+                _popcount_inplace(xv, tv)
+                unionv += xv
             with np.errstate(divide="ignore", invalid="ignore"):
-                o = 1.0 - inter / union
-            o[union == 0] = 0.0
-            out[:, lo : lo + _BIT_QUERY_CHUNK] = o
+                o = 1.0 - accv / unionv
+            o[unionv == 0] = 0.0
+            out[:, lo : lo + width] = o
         return out
     data = np.asarray(data, dtype=np.float64)
     queries = np.asarray(queries, dtype=np.float64)
@@ -217,19 +249,33 @@ _M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
 _H01 = np.uint64(0x0101010101010101)
 
 
+def _popcount_inplace(x: np.ndarray, t: np.ndarray) -> None:
+    """SWAR 64-bit popcount of uint64 ``x`` IN PLACE (``t`` is a same-shape
+    scratch buffer): ~7 elementwise ops per word with zero allocations —
+    numpy < 2.0 has no np.bitwise_count, and both a shift-loop fallback
+    (64 passes) and a fresh-temporary SWAR are bandwidth-bound disasters
+    under 32-way worker parallelism."""
+    np.right_shift(x, np.uint64(1), out=t)
+    t &= _M1
+    x -= t
+    np.right_shift(x, np.uint64(2), out=t)
+    t &= _M2
+    x &= _M2
+    x += t
+    np.right_shift(x, np.uint64(4), out=t)
+    x += t
+    x &= _M4
+    x *= _H01
+    np.right_shift(x, np.uint64(56), out=x)
+
+
 def _popcount(x: np.ndarray) -> np.ndarray:
-    """Vectorized 64-bit popcount. numpy < 2.0 has no np.bitwise_count; the
-    SWAR reduction is ~7 elementwise ops per word (the classic
-    Hamming-weight bit trick) — the previous shift-loop fallback was 64
-    vectorized passes and made 1M-row hamming scans ~70x slower than the
-    arithmetic kernels."""
+    """Allocating popcount wrapper (tests / small inputs)."""
     if hasattr(np, "bitwise_count"):
         return np.bitwise_count(x)
-    x = x.astype(np.uint64, copy=True)
-    x -= (x >> np.uint64(1)) & _M1
-    x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
-    x = (x + (x >> np.uint64(4))) & _M4
-    return (x * _H01) >> np.uint64(56)
+    x = np.ascontiguousarray(x).astype(np.uint64, copy=True)
+    _popcount_inplace(x, np.empty_like(x))
+    return x
 
 
 def arrow_list_matrix(col, dtype=None) -> np.ndarray:

@@ -168,7 +168,7 @@ def test_topk_scan_boundary_ties_resolve_by_id(spark):
 
     rows = [Row(_id=f"{i:04d}", v=[1.0, 0.0]) for i in range(200)]
     df = spark.createDataFrame(rows).repartition(8)
-    for metric, q in [("euclidean", [0.0, 0.0]), ("hamming", [3]), ("jaccard", [3])]:
+    for metric, q in [("euclidean", [0.0, 0.0]), ("hamming", [3, 0]), ("jaccard", [3, 0])]:
         got = [
             r["_id"]
             for r in knn_topk_scan(df, "v", [("q", q)], metric, 10)
