@@ -53,10 +53,16 @@ def kmeans_np(
         dists = x_sq - 2.0 * (X @ centers.T) + (centers**2).sum(axis=1)[None, :]
         labels = dists.argmin(axis=1)
         inertia = dists[np.arange(n), labels].sum()
-        for j in range(k):
-            members = X[labels == j]
-            if len(members):
-                centers[j] = members.mean(axis=0)
+        # scatter-add mean update via per-dimension bincount: d passes over
+        # X instead of k boolean-mask scans (the per-cluster loop dominated
+        # codebook fits — 20 subquantizers x 256 centroids x 25 iterations;
+        # np.add.at is an order of magnitude slower than bincount here)
+        sums = np.empty((k, d))
+        for di in range(d):
+            sums[:, di] = np.bincount(labels, weights=X[:, di], minlength=k)
+        counts = np.bincount(labels, minlength=k).astype(np.float64)
+        nonempty = counts > 0
+        centers[nonempty] = sums[nonempty] / counts[nonempty, None]
         if prev_inertia - inertia <= tol * max(abs(prev_inertia), 1.0):
             break
         prev_inertia = inertia
