@@ -459,6 +459,193 @@ def _pairwise_metric(metric: str, vecs: np.ndarray, qsel: np.ndarray) -> np.ndar
     raise ValueError(f"ivfpq rerank: unsupported metric {metric}")
 
 
+# -- IVF-BQ -------------------------------------------------------------------
+
+
+class IVFBQIndex:
+    """Coarse IVF centroids + packed binary codes per row: the serving scan
+    reads d bits per row inside only the probed centroid partitions — the
+    coarse quantizer does the navigation a graph gives the reference, the
+    binary codes keep the in-cell ranking cheap (binary.go semantics for
+    the codes; the layout is Faiss-IVF-style partitioned parquet)."""
+
+    def __init__(self, centroids, thresholds, coded, floats, vec_col, id_col):
+        self.centroids = centroids  # (nlist, dim)
+        self.thresholds = thresholds  # per-dim or scalar
+        self.coded = coded  # (centroid_id, id_col, bq_code)
+        self.floats = floats  # original (id_col, vec_col) for rerank
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+
+def ivfbq_build(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "_id",
+    nlist: int = 128,
+    thresholds=None,
+    seed: int = 42,
+    sample_cap: int | None = None,
+) -> IVFBQIndex:
+    """Coarse k-means (bounded sample) + per-dim mean-threshold binary
+    codes (binary.go:152-175), assigned and encoded in one distributed
+    pass. At scale persist ``index.coded`` with
+    ``partitionBy("centroid_id")`` so a probe prunes file groups."""
+    from semadb_spark.functions.kmeans import (
+        DEFAULT_SAMPLE_CAP,
+        assign_centroids,
+        collect_vector_sample,
+        kmeans_np,
+    )
+    from semadb_spark.operators.quantize import bq_encode, bq_fit
+
+    sample = collect_vector_sample(
+        df, vec_col, cap=sample_cap or DEFAULT_SAMPLE_CAP, seed=seed
+    )
+    centroids = kmeans_np(sample, nlist, seed=seed)
+    thr = np.asarray(thresholds) if thresholds is not None else bq_fit(df, vec_col)
+    base = df.filter(F.col(vec_col).isNotNull())
+    coded = bq_encode(assign_centroids(base, vec_col, centroids), vec_col, thr)
+    coded = coded.select("centroid_id", id_col, "bq_code").sortWithinPartitions(
+        "centroid_id"
+    )
+    return IVFBQIndex(centroids, thr, coded, base, vec_col, id_col)
+
+
+def ivfbq_search(
+    index: IVFBQIndex,
+    queries: Sequence[tuple],
+    k: int,
+    nprobe: int = 8,
+    oversample: int = 10,
+    rerank_metric: str = "euclidean",
+) -> DataFrame:
+    """Batch IVF-BQ serving: probe ``nprobe`` cells per FLOAT query,
+    hamming-score only those cells' packed codes against the bit-encoded
+    query, exact-rerank a bounded broadcast pool with ``rerank_metric``.
+
+    Scan cost per query is ``nprobe/nlist`` of the corpus at d BITS per
+    row; the rerank join is bounded at queries x k x oversample rows.
+    ``oversample=0`` serves raw hamming distances."""
+    from semadb_spark.operators.quantize import encode_bits_np
+
+    queries = list(queries)
+    if not queries:
+        raise ValueError("ivfbq_search requires at least one query")
+    qids = [str(q[0]) for q in queries]
+    qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
+    cdist = numpy_distance_matrix("euclidean", index.centroids, qmat)  # (nlist, q)
+    probe_sets = [
+        frozenset(int(c) for c in np.argsort(cdist[:, j])[:nprobe])
+        for j in range(len(qids))
+    ]
+    all_probed = sorted(set().union(*probe_sets))
+    probing_queries: dict[int, np.ndarray] = {
+        c: np.asarray([j for j, ps in enumerate(probe_sets) if c in ps], dtype=np.int64)
+        for c in all_probed
+    }
+    qcodes = encode_bits_np(qmat, np.asarray(index.thresholds))  # (q, words)
+    take_n = max(k * oversample, k)
+    id_col = index.id_col
+    qid_arr = np.asarray(qids, dtype=object)
+    out_schema = f"query_id string, {id_col} string, _distance double"
+
+    def ham_scan(batches):
+        import pyarrow as pa
+
+        from semadb_spark.functions.distances import (
+            arrow_list_matrix,
+            id_order_ranks,
+            topk_per_group,
+        )
+
+        acc_q: list[np.ndarray] = []
+        acc_id: list[np.ndarray] = []
+        acc_d: list[np.ndarray] = []
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cids = batch.column(0).to_numpy(zero_copy_only=False)
+            ids = batch.column(1).to_numpy(zero_copy_only=False)
+            ranks = id_order_ranks(ids)
+            codes = arrow_list_matrix(batch.column(2), dtype=np.int64)
+            order = np.argsort(cids, kind="stable")
+            cs = cids[order]
+            starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+            bounds = np.r_[starts, n]
+            for gi in range(len(starts)):
+                rows = order[bounds[gi] : bounds[gi + 1]]
+                qidx = probing_queries.get(int(cs[bounds[gi]]))
+                if qidx is None or not len(qidx):
+                    continue
+                # (q_c, n_c) uint16 — contiguous per-query partition axis
+                dists = numpy_distance_matrix("hamming", qcodes[qidx], codes[rows])
+                take = min(take_n, len(rows))
+                kth = np.partition(dists, take - 1, axis=1)[:, take - 1]
+                sel_q, sel_cols = np.nonzero(dists <= kth[:, None])
+                keep = topk_per_group(
+                    sel_q, dists[sel_q, sel_cols], ranks[rows[sel_cols]], take
+                )
+                sel_q, sel_cols = sel_q[keep], sel_cols[keep]
+                acc_q.append(qidx[sel_q])
+                acc_id.append(ids[rows[sel_cols]])
+                acc_d.append(dists[sel_q, sel_cols].astype(np.float64))
+        if not acc_q:
+            return
+        qi = np.concatenate(acc_q)
+        idv = np.concatenate(acc_id).astype(object)
+        dv = np.concatenate(acc_d)
+        keep = topk_per_group(qi, dv, idv, take_n)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(qid_arr[qi[keep]], type=pa.string()),
+                pa.array(idv[keep], type=pa.string()),
+                pa.array(dv[keep], type=pa.float64()),
+            ],
+            names=["query_id", id_col, "_distance"],
+        )
+
+    candidates = (
+        index.coded.filter(F.col("centroid_id").isin(all_probed))
+        .select("centroid_id", F.col(id_col).cast("string").alias(id_col), "bq_code")
+        .mapInArrow(ham_scan, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_distance").asc(), F.col(id_col).asc()
+    )
+    if not oversample:
+        return candidates.withColumn("_rank", F.row_number().over(w)).filter(
+            F.col("_rank") <= k
+        )
+    pool = (
+        candidates.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= take_n)
+        .select("query_id", id_col)
+    )
+    qidx_map = {qids[i]: i for i in range(len(qids))}
+    vec_col = index.vec_col
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qsel = qmat[pdf["query_id"].map(qidx_map).to_numpy()]
+            d = _pairwise_metric(rerank_metric, vecs, qsel)
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], id_col: pdf[id_col], "_distance": d}
+            )
+
+    floats = index.floats.select(
+        F.col(index.id_col).cast("string").alias(id_col), vec_col
+    )
+    scored = floats.join(F.broadcast(pool), id_col).mapInPandas(rerank, out_schema)
+    return scored.withColumn("_rank", F.row_number().over(w)).filter(
+        F.col("_rank") <= k
+    )
+
+
 # -- Random-projection LSH ----------------------------------------------------
 
 

@@ -152,7 +152,10 @@ def knn_topk_scan(
             vecs = arrow_list_matrix(
                 batch.column(1), dtype=np.int64 if qdtype is np.int64 else None
             )
-            dists = numpy_distance_matrix(metric, vecs, qmat)  # (n, q)
+            # (q, n) orientation: the per-query kth-distance partition then
+            # runs along the CONTIGUOUS axis (axis=0 on a C-ordered matrix
+            # is a strided column walk that cost as much as the distances)
+            dists = numpy_distance_matrix(metric, qmat, vecs)  # (q, n)
             take = min(k, n)
             # batch-local EXACT top-k under (distance, id): a bare
             # argpartition keeps an arbitrary member of a boundary tie
@@ -160,16 +163,16 @@ def knn_topk_scan(
             # even under float metrics). The kth-distance cut gathers the
             # tie class, then an all-numeric lexsort (id_order_ranks)
             # resolves it to exactly k rows per query.
-            kth = np.partition(dists, take - 1, axis=0)[take - 1]  # (q,)
-            sel_rows, sel_cols = np.nonzero(dists <= kth[None, :])
+            kth = np.partition(dists, take - 1, axis=1)[:, take - 1]  # (q,)
+            sel_q, sel_rows = np.nonzero(dists <= kth[:, None])
             ranks = id_order_ranks(ids)
             keep = topk_per_group(
-                sel_cols, dists[sel_rows, sel_cols], ranks[sel_rows], take
+                sel_q, dists[sel_q, sel_rows], ranks[sel_rows], take
             )
-            sel_rows, sel_cols = sel_rows[keep], sel_cols[keep]
-            acc_q.append(sel_cols)
+            sel_q, sel_rows = sel_q[keep], sel_rows[keep]
+            acc_q.append(sel_q)
             acc_id.append(ids[sel_rows])
-            acc_d.append(dists[sel_rows, sel_cols])
+            acc_d.append(dists[sel_q, sel_rows])
         if not acc_q:
             return
         qi = np.concatenate(acc_q)
@@ -180,7 +183,7 @@ def knn_topk_scan(
             [
                 pa.array(qid_arr[qi[keep]], type=pa.string()),
                 pa.array(idv[keep], type=id_pa_type),
-                pa.array(dv[keep], type=pa.float64()),
+                pa.array(dv[keep].astype(np.float64), type=pa.float64()),
             ],
             names=["query_id", id_col, "_distance"],
         )

