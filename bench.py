@@ -242,21 +242,19 @@ def main() -> None:
         3, lambda: _scan(codes, "bq_code", code_queries, "hamming", 10)
     )
     raw_recall = recall_at_k(raw_approx.filter(F.col("query_id").isin(qids64)), exact)
-    # served path: IVF-BQ hybrid — coarse probe prunes cells (the role the
-    # Vamana graph plays for the reference's BQ serving, binary.go:182-199
-    # distances inside beam search), hamming ranks inside the probed cells
-    # at d bits/row, floats rerank a bounded broadcast pool. The flat
-    # hamming-oversample path (bq_topk_batch) stays available; the probed
-    # index is what a scan engine serves from at scale.
-    from semadb_spark.operators.ann import ivfbq_build, ivfbq_search
-
-    t0 = time.time()
-    ivfbq = ivfbq_build(big, "embedding", "_id", nlist=128, thresholds=bq_thr, seed=42)
-    ivfbq.coded.persist().count()
-    ivfbq_build_sec = round(time.time() - t0, 3)
+    # served path: hamming oversample + exact rerank (bq_topk_batch).
+    # oversample=10 targets the baseline's own operating point (mnist
+    # v2-BQ recall 0.667): this 64-bit replicated corpus is tie-dominated
+    # (~1000 near-duplicates share a code), so a larger pool buys recall
+    # at window cost. The IVF-BQ hybrid (operators/ann.py ivfbq_*) exists
+    # for high-bit corpora where in-cell hamming actually discriminates;
+    # on THIS corpus its probed cells are all duplicates, so the flat path
+    # is both faster and better and is the row reported.
     bq_approx, bq_dt = best_of(
         3,
-        lambda: ivfbq_search(ivfbq, qlist_1m, 10, nprobe=8, oversample=20),
+        lambda: bq_topk_batch(
+            codes, "bq_code", big, "embedding", qlist_1m, bq_thr, 10, oversample=10
+        ),
     )
     bq_recall = recall_at_k(bq_approx.filter(F.col("query_id").isin(qids64)), exact)
     vector_1m_bq = {
@@ -264,7 +262,6 @@ def main() -> None:
         "dim": len(qlist_1m[0][1]),
         "bits": len(qlist_1m[0][1]),
         "bq_build_sec": bq_build,
-        "ivfbq_build_sec": ivfbq_build_sec,
         "bq_qps": round(len(qlist_1m) / bq_dt, 1),
         "bq_recall_at10": round(bq_recall, 4),
         "raw_hamming_qps": round(len(code_queries) / raw_dt, 1),
@@ -275,7 +272,6 @@ def main() -> None:
     # itself, not this block's storage pressure
     raw_approx.unpersist()
     bq_approx.unpersist()
-    ivfbq.coded.unpersist()
     codes.unpersist()
     approx.unpersist()
     exact.unpersist()
