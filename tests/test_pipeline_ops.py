@@ -409,3 +409,38 @@ def test_ivfbq_recall(spark):
     raw = ivfbq_search(idx, queries, 5, nprobe=8, oversample=0)
     for r in raw.collect():
         assert float(r["_distance"]).is_integer()  # hamming counts
+
+
+def test_ivfbq_fused_vs_two_phase(spark):
+    """The fused single-pass kernel (keep_vectors index) must dominate the
+    two-phase rerank join: same output contract (k rows per query, exact
+    float distances, rank ordering) and recall >= the two-phase path at
+    equal oversample — each task reranks its own full hamming pool, a
+    superset of the global pool the two-phase variant reranks."""
+    import numpy as np
+
+    from semadb_spark.operators.ann import ivfbq_build, ivfbq_search, recall_at_k
+    from semadb_spark.operators.knn import knn_topk_scan
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(8, 16))
+    X = np.repeat(centers, 100, axis=0) + rng.normal(scale=0.25, size=(800, 16))
+    df = spark.createDataFrame(
+        [(str(i), [float(x) for x in X[i]]) for i in range(800)],
+        "_id string, v array<float>",
+    ).repartition(4)
+    fused_idx = ivfbq_build(df, "v", nlist=8, seed=3)
+    assert "v" in fused_idx.coded.columns
+    two_idx = ivfbq_build(df, "v", nlist=8, seed=3, keep_vectors=False)
+    assert "v" not in two_idx.coded.columns
+    queries = [(str(i), [float(x) for x in X[i]]) for i in range(8)]
+    exact = knn_topk_scan(df, "v", queries, "euclidean", 5)
+    fused = ivfbq_search(fused_idx, queries, 5, nprobe=4, oversample=3)
+    two = ivfbq_search(two_idx, queries, 5, nprobe=4, oversample=3)
+    fr = fused.collect()
+    assert len(fr) == 8 * 5 and not any(float(r["_distance"]).is_integer() and r["_distance"] > 64 for r in fr)
+    per_q = {}
+    for r in fr:
+        per_q.setdefault(r["query_id"], []).append(r["_rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    assert recall_at_k(fused, exact) >= recall_at_k(two, exact)
