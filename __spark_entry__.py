@@ -234,18 +234,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["filter_starts_with"] = filter_starts_with
 
     def filter_int_range(spark, sf_dir):
+        """F6 inRange(int) + F4/F5 greaterThanOrEquals(float) in one gate:
+        both engine searches run unchanged and union with an op tag —
+        merged (round 4) to free a slot inside the driver's 50-gate budget
+        for ``dedup_substring`` while keeping both value-hashed oracles."""
         eng = SearchEngine(_part(spark, sf_dir), PART_SCHEMA)
-        res = eng.search({"query": {"property": "p_size", "integer": {"operator": "inRange", "value": 10, "endValue": 25}}, "limit": None})
-        return res.select("_id", "p_size")
+        a = eng.search({"query": {"property": "p_size", "integer": {"operator": "inRange", "value": 10, "endValue": 25}}, "limit": None}).select(
+            "_id", F.lit("int_range").alias("op"), F.col("p_size").cast("double").alias("val")
+        )
+        b = eng.search({"query": {"property": "p_retailprice", "float": {"operator": "greaterThanOrEquals", "value": 990.0}}, "limit": None}).select(
+            "_id", F.lit("float_gte").alias("op"), F.col("p_retailprice").cast("double").alias("val")
+        )
+        return a.unionByName(b)
 
     q["filter_int_range"] = filter_int_range
-
-    def filter_float_gte(spark, sf_dir):
-        eng = SearchEngine(_part(spark, sf_dir), PART_SCHEMA)
-        res = eng.search({"query": {"property": "p_retailprice", "float": {"operator": "greaterThanOrEquals", "value": 990.0}}, "limit": None})
-        return res.select("_id", "p_retailprice")
-
-    q["filter_float_gte"] = filter_float_gte
 
     def filter_bool_compose(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem").withColumn(
@@ -608,6 +610,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_ops.exact_dedup(_docs(spark, sf_dir), ["text"], "_id")
 
     q["dedup_exact"] = dedup_exact
+
+    def dedup_substring(spark, sf_dir):
+        """Windowed exact-substring duplication (Lee et al. 2021 train-set
+        dedup at window granularity): every 32-char window at stride 8 is
+        hashed; spans whose hash occurs in >= 2 distinct docs are flagged.
+        Catches copied boilerplate/paragraphs exact doc-level dedup misses."""
+        out = dedup_ops.duplicated_substring_spans(
+            _docs(spark, sf_dir), "text", "_id", window=32, stride=8, min_docs=2
+        )
+        return out.select(F.col("id").alias("_id"), "pos", "win_hash")
+
+    q["dedup_substring"] = dedup_substring
 
     def _lsh_pairs(spark, sf_dir):
         """MinHash-LSH candidate pairs, built once per session — the
@@ -1329,12 +1343,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["filter_int_range"] = """
-        SELECT CAST(p_partkey AS VARCHAR) AS _id, p_size
+        SELECT CAST(p_partkey AS VARCHAR) AS _id, 'int_range' AS op,
+               CAST(p_size AS DOUBLE) AS val
         FROM part WHERE p_size BETWEEN 10 AND 25
-    """
-
-    o["filter_float_gte"] = """
-        SELECT CAST(p_partkey AS VARCHAR) AS _id, p_retailprice
+        UNION ALL
+        SELECT CAST(p_partkey AS VARCHAR) AS _id, 'float_gte' AS op,
+               CAST(p_retailprice AS DOUBLE) AS val
         FROM part WHERE p_retailprice >= 990.0
     """
 
@@ -1504,6 +1518,21 @@ def oracle_sql() -> dict[str, str]:
                min(CAST(doc_id AS VARCHAR)) AS keep_id,
                count(*) AS dup_count
         FROM documents GROUP BY 1
+    """
+
+    o["dedup_substring"] = """
+        WITH spans AS (
+            SELECT CAST(doc_id AS VARCHAR) AS _id, CAST(p AS INT) AS pos,
+                   md5(substring(text, CAST(p AS INT), 32)) AS win_hash
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(1, length(text) - 31, 8)) AS p) t
+            WHERE text IS NOT NULL AND length(text) >= 32
+        )
+        SELECT s._id, s.pos, s.win_hash
+        FROM spans s
+        JOIN (SELECT win_hash FROM spans
+              GROUP BY win_hash HAVING count(DISTINCT _id) >= 2) d
+          USING (win_hash)
     """
 
     # shared shingle CTE (token 3-grams, stopwords kept)

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "hybrid_or",
     # pipeline operators
     "dedup_exact",
+    "dedup_substring",
     "dedup_ngram_jaccard",
     "dedup_components",
     "embed_neardup",

@@ -57,6 +57,60 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     )
 
 
+# -- substring (window) dedup -------------------------------------------------
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "_id",
+    window: int = 32,
+    stride: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication detection at window granularity (the
+    train-set dedup of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499 — their suffix-array pass
+    finds repeated spans; this is the distributable windowed form): every
+    ``window``-char substring starting at 1, 1+stride, 1+2*stride, ... is
+    hashed, and spans whose hash occurs in >= ``min_docs`` DISTINCT
+    documents are flagged. -> (id, pos, win_hash), one row per duplicated
+    span occurrence, 1-based ``pos``.
+
+    Scale shape: pure Catalyst — per-row window extraction is an array
+    higher-order function (no Python), the only shuffles are the
+    hash-keyed groupBy (combiner-friendly: partial counts map-side) and
+    the hash-keyed self-semi-join back to spans. Work is
+    O(corpus_chars/stride), never O(docs^2); a repeated boilerplate
+    paragraph lands in one hash group however many documents carry it.
+    md5 keeps the hash engine-portable for the DuckDB oracle; callers at
+    scale can swap xxhash64.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be positive")
+    t = F.col(text_col)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.length(t) - F.lit(window - 1), F.lit(stride)),
+        lambda p: F.struct(
+            p.alias("pos"), F.substring(t, p, F.lit(window)).alias("win")
+        ),
+    )
+    spans = (
+        df.filter(t.isNotNull() & (F.length(t) >= window))
+        .select(F.col(id_col).alias("id"), F.explode(wins).alias("s"))
+        .select("id", F.col("s.pos").alias("pos"), F.md5(F.col("s.win")).alias("win_hash"))
+    )
+    dup_hashes = (
+        spans.groupBy("win_hash")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("win_hash")
+    )
+    return spans.join(dup_hashes, "win_hash", "left_semi").select(
+        "id", "pos", "win_hash"
+    )
+
+
 # -- MinHash + LSH ------------------------------------------------------------
 
 

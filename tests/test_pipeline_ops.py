@@ -34,6 +34,40 @@ def test_exact_dedup(docs):
     assert "1" not in out
 
 
+def test_duplicated_substring_spans(spark):
+    """Planted shared paragraph across two docs is flagged at every window
+    position inside it; unique docs and too-short docs emit nothing."""
+    para = "the quick brown fox jumps over the lazy dog again and again"
+    # prefix lengths 16 and 31 are congruent mod stride(5), so the stride
+    # grid lands on the same paragraph offsets in both docs and the window
+    # hashes collide (a misaligned prefix would shift every window)
+    rows = [
+        ("a", ("p" * 16) + para + " trailing a"),
+        ("b", ("q" * 31) + para + " other tail"),
+        ("c", "completely unrelated content that repeats nothing of note at all"),
+        ("d", "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "_id string, text string")
+    out = D.duplicated_substring_spans(df, "text", "_id", window=20, stride=5)
+    got = [(r["id"], r["pos"]) for r in out.collect()]
+    ids = {i for i, _ in got}
+    assert ids == {"a", "b"}  # only the docs sharing the paragraph
+    # every flagged span's hash really does occur in both docs
+    by_hash = {}
+    for r in out.collect():
+        by_hash.setdefault(r["win_hash"], set()).add(r["id"])
+    assert all(v == {"a", "b"} for v in by_hash.values())
+    # the planted paragraph is long enough that multiple strides hit it
+    assert len(got) >= 6
+    # positions are 1-based within each doc and windows must match exactly:
+    # doc a's paragraph starts at 17, doc b's at 31 — hashes only collide
+    # where the stride grid lands on the same paragraph offset in both
+    texts = dict(rows)
+    for r in out.collect():
+        w = texts[r["id"]][r["pos"] - 1 : r["pos"] - 1 + 20]
+        assert len(w) == 20
+
+
 def test_minhash_finds_near_dups(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(docs, "text", "_id", 8, 4, 3).collect()}
     assert ("0", "1") in pairs  # exact dup always collides in every band
