@@ -188,7 +188,11 @@ def main() -> None:
     index.assigned.persist().count()
     build_1m = round(time.time() - t0, 3)
 
-    qrows_1m = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(1024).collect()
+    # 4096-query batch: per-query work is bounded (nprobe cells, per-task
+    # top-k), so the larger batch amortizes the fixed per-job cost — the
+    # batch-throughput regime BASELINE.json's north star names. 1024-batch
+    # measures ~1000 QPS on the same kernel purely from job overhead.
+    qrows_1m = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(4096).collect()
     qlist_1m = [(str(i), [float(x) for x in r["embedding"]]) for i, r in enumerate(qrows_1m)]
     approx, ivf_dt = best_of(
         3,
@@ -272,10 +276,9 @@ def main() -> None:
     ang_index = ivf_build(ang, "embedding", "_id", nlist=128, seed=42)
     ang_index.assigned.persist().count()
     ang_build = round(time.time() - t0, 3)
-    # 4096 perturbed-corpus-point queries: the first 1024 serve the IVF row
-    # (same rng stream as rounds 3-4 early runs — draws are sequential, so
-    # aq[:1024] is bit-identical), the full set serves the BQ block's
-    # batch-throughput row below
+    # 4096 perturbed-corpus-point queries, shared by the angular IVF row and
+    # the BQ block (batch-throughput regime, same rationale as the euclidean
+    # block's 4096 batch)
     aq_rows = ang.limit(4096).collect()
     rngq = np.random.RandomState(99)
     aq = []
@@ -286,7 +289,7 @@ def main() -> None:
     ang_approx, ang_dt = best_of(
         3,
         lambda: ivf_search(
-            ang_index, aq[:1024], "cosine", 10, nprobe=8, compute_dtype="float32"
+            ang_index, aq, "cosine", 10, nprobe=8, compute_dtype="float32"
         ),
     )
     ang_exact, ang_exact_dt = best_of(
@@ -298,7 +301,7 @@ def main() -> None:
         "rows": ang_n,
         "dim": 100,
         "ivf_build_sec": ang_build,
-        "ivf_qps": round(1024 / ang_dt, 1),
+        "ivf_qps": round(len(aq) / ang_dt, 1),
         "ivf_recall_at10": round(ang_recall, 4),
         "exact_scan_qps": round(64 / ang_exact_dt, 1),
     }

@@ -19,7 +19,7 @@ from semadb_spark.operators.knn import knn_topk_scan as _scan
 def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
     spark = get_spark(app_name="repro-angular", cpus=cpus)
-    ang = spark.read.parquet("/tmp/semadb_bench_ang_1000000.parquet")
+    ang = spark.read.parquet("/tmp/semadb_bench_angh_1000000.parquet")
     print("rows:", ang.count())
 
     t0 = time.time()
