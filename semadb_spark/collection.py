@@ -416,9 +416,24 @@ class Collection:
             raise ValueError(f"property {prop} is not a vectorVamana index")
         index = ivf_build(self.df(), prop, id_col="_id", nlist=nlist, seed=seed)
         path = self._vindex_path(prop)
+        artifact = index.assigned.select("_id", F.col(prop).alias("v"), "centroid_id")
+        # Quantizer-in-the-index parity (the reference plugs the fitted
+        # quantizer INTO the graph index and serves graph distances over
+        # codes, vamana.go:257-259 / vectorstore.go:75+): when a binary
+        # quantizer is already fit for this property, its codes join the
+        # artifact rows so serving can hamming-prefilter each probed cell
+        # and exact-rerank from the SAME row — the fused IVF-BQ kernel,
+        # no join back to the base table at query time.
+        qmeta = self._frozen_quantizer_meta(prop)
+        if qmeta is not None and qmeta["kind"] == "binary" and os.path.exists(
+            os.path.join(self._qindex_path(prop), "_quantizer.json")
+        ):
+            codes = self.spark.read.parquet(self._qindex_path(prop)).select(
+                "_id", "bq_code"
+            )
+            artifact = artifact.join(codes, "_id", "left")
         (
-            index.assigned.select("_id", F.col(prop).alias("v"), "centroid_id")
-            .write.mode("overwrite")
+            artifact.write.mode("overwrite")
             .partitionBy("centroid_id")
             .parquet(path)
         )
@@ -496,7 +511,7 @@ class Collection:
     def _vector_indexes(self) -> dict[str, object]:
         import numpy as np
 
-        from .operators.ann import IVFIndex
+        from .operators.ann import IVFBQIndex, IVFIndex
 
         out: dict[str, object] = {}
         for p, v in self.schema.items():
@@ -507,7 +522,21 @@ class Collection:
                 with open(os.path.join(path, "_centroids.json")) as f:
                     cents = np.asarray(json.load(f), dtype=np.float64)
                 assigned = self.spark.read.parquet(path)
-                out[p] = IVFIndex(cents, assigned, "v", "_id")
+                qmeta = self._frozen_quantizer_meta(p)
+                if "bq_code" in assigned.columns and qmeta is not None and qmeta[
+                    "kind"
+                ] == "binary":
+                    # quantized artifact: serve via the fused IVF-BQ kernel
+                    out[p] = IVFBQIndex(
+                        cents,
+                        np.asarray(qmeta["thresholds"], dtype=np.float64),
+                        assigned.filter(F.col("bq_code").isNotNull()),
+                        assigned.select("_id", "v"),
+                        "v",
+                        "_id",
+                    )
+                else:
+                    out[p] = IVFIndex(cents, assigned, "v", "_id")
         return out
 
     # -- W7: persisted Vamana graph artifact ---------------------------------

@@ -527,14 +527,20 @@ def ivfbq_search(
     nprobe: int = 8,
     oversample: int = 10,
     rerank_metric: str = "euclidean",
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Batch IVF-BQ serving: probe ``nprobe`` cells per FLOAT query,
     hamming-score only those cells' packed codes against the bit-encoded
-    query, exact-rerank a bounded broadcast pool with ``rerank_metric``.
+    query, exact-rerank with ``rerank_metric`` — fused in-batch when the
+    index keeps vectors (see :func:`_ivfbq_search_fused`), else via a
+    bounded broadcast-pool join.
 
     Scan cost per query is ``nprobe/nlist`` of the corpus at d BITS per
-    row; the rerank join is bounded at queries x k x oversample rows.
-    ``oversample=0`` serves raw hamming distances."""
+    row. ``oversample=0`` serves raw hamming distances. ``candidate_ids``
+    (one id column) restricts the scan to a pre-filter set — the
+    reference's filtered-ANN mode (optimistic recall,
+    docs/content/docs/search/filtered.md:49-51): the probe still prunes
+    cells first, so the semi-join touches ~nprobe/nlist of the index."""
     from semadb_spark.operators.quantize import encode_bits_np
 
     queries = list(queries)
@@ -558,9 +564,18 @@ def ivfbq_search(
     qid_arr = np.asarray(qids, dtype=object)
     out_schema = f"query_id string, {id_col} string, _distance double"
 
+    coded = index.coded
+    if candidate_ids is not None:
+        flt = candidate_ids.select(
+            F.col(candidate_ids.columns[0]).cast("string").alias(id_col)
+        )
+        coded = coded.withColumn(id_col, F.col(id_col).cast("string")).join(
+            flt, id_col, "left_semi"
+        )
+
     if oversample and index.vec_col in index.coded.columns:
         return _ivfbq_search_fused(
-            index, qmat, qcodes, probing_queries, all_probed, k, take_n,
+            index, coded, qmat, qcodes, probing_queries, all_probed, k, take_n,
             rerank_metric, qid_arr, out_schema,
         )
 
@@ -621,7 +636,7 @@ def ivfbq_search(
         )
 
     candidates = (
-        index.coded.filter(F.col("centroid_id").isin(all_probed))
+        coded.filter(F.col("centroid_id").isin(all_probed))
         .select("centroid_id", F.col(id_col).cast("string").alias(id_col), "bq_code")
         .mapInArrow(ham_scan, out_schema)
     )
@@ -662,6 +677,7 @@ def ivfbq_search(
 
 def _ivfbq_search_fused(
     index: IVFBQIndex,
+    coded: DataFrame,
     qmat: np.ndarray,
     qcodes: np.ndarray,
     probing_queries: dict,
@@ -752,7 +768,7 @@ def _ivfbq_search_fused(
         )
 
     scored = (
-        index.coded.filter(F.col("centroid_id").isin(all_probed))
+        coded.filter(F.col("centroid_id").isin(all_probed))
         .select(
             "centroid_id",
             F.col(id_col).cast("string").alias(id_col),

@@ -306,7 +306,53 @@ class SearchEngine:
         weight = 1.0 if w is None else float(w)
         ann_index = self.vector_indexes.get(prop)
         q_index = self.quantized_indexes.get(prop)
-        if q_index is not None and value.quantizer is not None:
+        from semadb_spark.operators.ann import IVFBQIndex
+
+        fused_quantized = (
+            isinstance(ann_index, IVFBQIndex)
+            and value.distance_metric in ("euclidean", "cosine", "dot")
+        )
+        if fused_quantized:
+            # Quantizer-in-the-index serving (the reference wraps the fitted
+            # quantizer INTO the vector index and serves index distances
+            # over codes + rerank, vamana.go:257-259 / vectorstore.go:75+):
+            # the persisted IVF artifact carries the frozen binary codes
+            # next to the floats, so the fused kernel hamming-prefilters
+            # each probed cell and exact-reranks in the same Arrow batch —
+            # one pruned pass, no join. Preferred over the flat quantized
+            # code scan whenever the artifact exists.
+            from semadb_spark.operators.ann import ivfbq_search
+
+            search_size = int(
+                opts.get("searchSize") or value.params.get("searchSize") or 75
+            )
+            nprobe = max(1, min(len(ann_index.centroids), search_size // 8))
+            flt_ids = None
+            exact_fallback = False
+            if opts.get("filter") is not None:
+                flt_ids = self._prefiltered_df(opts["filter"]).select(self.id_col)
+                # same bounded early-stop as the float ANN branch below: a
+                # small filtered candidate set is exact-scanned (full
+                # recall) instead of optimistically probed
+                n = flt_ids.limit(FILTERED_EXACT_FALLBACK_ROWS + 1).count()
+                exact_fallback = n <= FILTERED_EXACT_FALLBACK_ROWS
+            if exact_fallback:
+                base = self._prefiltered_df(opts["filter"])
+                topk = knn_ops.knn_topk(
+                    base, prop, vector, value.distance_metric, limit,
+                    id_col=self.id_col,
+                )
+            else:
+                topk = ivfbq_search(
+                    ann_index,
+                    [("q", vector)],
+                    limit,
+                    nprobe=nprobe,
+                    oversample=max(2, search_size // max(limit, 1)),
+                    rerank_metric=value.distance_metric,
+                    candidate_ids=flt_ids,
+                ).select(F.col(ann_index.id_col).alias(self.id_col), "_distance")
+        elif q_index is not None and value.quantizer is not None:
             # Schema-declared quantized serving: every query on this property
             # ranks over the codes (vectorstore.go:75+ — the reference's
             # store is wrapped the same way, filtered or not). A pre-filter

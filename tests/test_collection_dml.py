@@ -247,6 +247,75 @@ def test_persisted_vector_index(spark, tmp_path):
     assert post[0]._id == "new" and post[0]._distance == 0.0
 
 
+def test_quantized_vector_index_fused_serving(spark, tmp_path):
+    """Quantizer-in-the-index parity (vamana.go:257-259 — the reference
+    plugs the fitted quantizer INTO the vector index): with a binary
+    quantizer fit, build_vector_index co-locates the frozen codes with the
+    floats in the partitioned IVF artifact, and vectorVamana searches serve
+    through the fused hamming-prefilter + in-batch exact-rerank kernel."""
+    import numpy as np
+
+    schema = {
+        "vec": {"type": "vectorVamana",
+                "vectorVamana": {"vectorSize": 4, "distanceMetric": "euclidean",
+                                  "searchSize": 75, "degreeBound": 64, "alpha": 1.2,
+                                  "quantizer": {"type": "binary", "binary": {
+                                      "distanceMetric": "hamming",
+                                      "triggerThreshold": 10}}}},
+        "tag": {"type": "string", "string": {"caseSensitive": False}},
+    }
+    coll = Collection.create(spark, str(tmp_path / "qvcoll"), schema)
+    rng = np.random.RandomState(3)
+    X = np.repeat(rng.normal(size=(10, 4)), 30, axis=0) + rng.normal(
+        scale=0.1, size=(300, 4)
+    )
+    rows = [Row(_id=f"p{i}", vec=[float(x) for x in X[i]], tag=f"t{i % 3}")
+            for i in range(300)]
+    coll.insert(spark.createDataFrame(rows))  # autofit crosses threshold
+    req = {"query": {"property": "vec",
+                     "vectorVamana": {"vector": [float(x) for x in X[7]],
+                                       "operator": "near", "limit": 5}},
+           "limit": 5}
+    # with the quantizer auto-fit, pre-index serving is the flat quantized
+    # route (hamming over codes — reference vectorstore.go:75+ serves every
+    # query through the fitted quantizer); ground truth comes from a direct
+    # exact scan instead
+    from semadb_spark.operators.knn import knn_topk
+
+    pre = coll.search(req).collect()
+    assert all(float(r._distance).is_integer() for r in pre)  # hamming route
+    exact = [(r._id, round(r._distance, 9)) for r in knn_topk(
+        coll.df(), "vec", [float(x) for x in X[7]], "euclidean", 5, id_col="_id"
+    ).collect()]
+    coll.build_vector_index("vec", nlist=4)
+    # artifact carries the codes and the engine sees an IVFBQ index
+    from semadb_spark.operators.ann import IVFBQIndex
+
+    vidx = coll._vector_indexes()
+    assert isinstance(vidx["vec"], IVFBQIndex)
+    assert "bq_code" in spark.read.parquet(coll._vindex_path("vec")).columns
+    served = [(r._id, round(r._distance, 9)) for r in coll.search(req).collect()]
+    # clustered corpus, generous searchSize: the fused route must find the
+    # true nearest and mostly agree with exact
+    assert served[0] == exact[0]
+    assert len({a for a, _ in served} & {e for e, _ in exact}) >= 4
+    # distances are exact floats (reranked), not hamming integers
+    assert any(d != int(d) for _, d in served)
+    # filtered serving stays inside the filter
+    freq = {"query": {"property": "vec",
+                      "vectorVamana": {"vector": [float(x) for x in X[7]],
+                                        "operator": "near", "limit": 5,
+                                        "filter": {"property": "tag", "string":
+                                                   {"operator": "equals", "value": "t0"}}}},
+            "limit": 5}
+    filt = coll.search(freq).collect()
+    assert filt and all(
+        r.tag == "t0"
+        for r in spark.createDataFrame([(r._id,) for r in filt], "_id string")
+        .join(coll.df(), "_id").collect()
+    )
+
+
 def test_update_rejects_duplicate_batch_ids(spark, coll):
     coll.insert(spark.createDataFrame([Row(_id=f"q{i}", name=f"n{i}", price=1.0) for i in range(3)]))
     dup = spark.createDataFrame([Row(_id="q1", price=2.0), Row(_id="q1", price=3.0)])
