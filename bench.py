@@ -396,7 +396,7 @@ def main() -> None:
     pq_recall = recall_at_k(pq_approx.filter(F.col("query_id").isin(aq64)), ang_exact)
     pq_rr, pq_rr_dt = best_of(
         3,
-        lambda: ivfpq_search(ivfpq, aq, "cosine", 10, nprobe=2, oversample=5),
+        lambda: ivfpq_search(ivfpq, aq, "cosine", 10, nprobe=2, oversample=3),
     )
     pq_rr_recall = recall_at_k(pq_rr.filter(F.col("query_id").isin(aq64)), ang_exact)
     vector_1m_pq = {

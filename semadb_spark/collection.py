@@ -425,11 +425,12 @@ class Collection:
         # and exact-rerank from the SAME row — the fused IVF-BQ kernel,
         # no join back to the base table at query time.
         qmeta = self._frozen_quantizer_meta(prop)
-        if qmeta is not None and qmeta["kind"] == "binary" and os.path.exists(
+        if qmeta is not None and os.path.exists(
             os.path.join(self._qindex_path(prop), "_quantizer.json")
         ):
+            code_col = "bq_code" if qmeta["kind"] == "binary" else "pq_code"
             codes = self.spark.read.parquet(self._qindex_path(prop)).select(
-                "_id", "bq_code"
+                "_id", code_col
             )
             artifact = artifact.join(codes, "_id", "left")
         (
@@ -531,6 +532,24 @@ class Collection:
                         cents,
                         np.asarray(qmeta["thresholds"], dtype=np.float64),
                         assigned.filter(F.col("bq_code").isNotNull()),
+                        assigned.select("_id", "v"),
+                        "v",
+                        "_id",
+                    )
+                elif "pq_code" in assigned.columns and qmeta is not None and qmeta[
+                    "kind"
+                ] == "product":
+                    from .operators.quantize import PQCodebooks
+                    from .operators.ann import IVFPQIndex
+
+                    books = PQCodebooks(
+                        centroids=np.asarray(qmeta["centroids"], dtype=np.float64),
+                        metric=qmeta["pq_metric"],
+                    )
+                    out[p] = IVFPQIndex(
+                        cents,
+                        books,
+                        assigned.filter(F.col("pq_code").isNotNull()),
                         assigned.select("_id", "v"),
                         "v",
                         "_id",

@@ -265,13 +265,18 @@ def ivfpq_build(
     metric: str = "euclidean",
     seed: int = 42,
     sample_cap: int | None = None,
+    keep_vectors: bool = True,
 ) -> IVFPQIndex:
     """Coarse quantizer (IVF) + product codes in one pass: one bounded
     sample feeds both k-means fits; assignment and encoding run distributed
     over a single scan. At scale persist ``index.coded`` with
     ``partitionBy("centroid_id")`` — a probe then prunes file groups AND
     each pruned row costs ``m`` bytes, not ``4 * dim`` (the Faiss IVFPQ
-    layout, re-expressed as partitioned parquet)."""
+    layout, re-expressed as partitioned parquet).
+
+    ``keep_vectors`` stores the float vector next to its code (DiskANN
+    layout) so serving ADC-prefilters and exact-reranks in ONE pass —
+    see the fused IVF-BQ twin. Pass False for a codes-only index."""
     from semadb_spark.functions.kmeans import (
         DEFAULT_SAMPLE_CAP,
         assign_centroids,
@@ -295,9 +300,8 @@ def ivfpq_build(
     )
     base = df.filter(F.col(vec_col).isNotNull())
     coded = pq_encode(assign_centroids(base, vec_col, centroids), vec_col, books)
-    coded = coded.select("centroid_id", id_col, "pq_code").sortWithinPartitions(
-        "centroid_id"
-    )
+    cols = ["centroid_id", id_col, "pq_code"] + ([vec_col] if keep_vectors else [])
+    coded = coded.select(*cols).sortWithinPartitions("centroid_id")
     return IVFPQIndex(centroids, books, coded, base, vec_col, id_col)
 
 
@@ -308,14 +312,17 @@ def ivfpq_search(
     k: int,
     nprobe: int = 8,
     oversample: int = 10,
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Batch IVF-PQ serving: probe ``nprobe`` cells per query, ADC-score
-    only those cells' codes, exact-rerank a bounded candidate pool.
+    only those cells' codes, exact-rerank — fused in-batch when the index
+    keeps vectors (one pruned pass, no rerank join; same recipe as the
+    fused IVF-BQ kernel), else via a bounded broadcast-pool join.
 
     The scan cost per query is ``nprobe/nlist`` of the corpus at ``m``
-    bytes per row; the rerank join is bounded at queries x k x oversample
-    rows (broadcast). ``oversample=0`` serves raw ADC distances with no
-    float traffic at all."""
+    bytes per row. ``oversample=0`` serves raw ADC distances with no
+    float traffic at all. ``candidate_ids`` restricts the scan to a
+    pre-filter id set (optimistic filtered-ANN semantics, as IVF/IVF-BQ)."""
     from semadb_spark.operators.quantize import pq_adc_table
 
     queries = list(queries)
@@ -342,6 +349,21 @@ def ivfpq_search(
     id_col = index.id_col
     qid_arr = np.asarray(qids, dtype=object)
     out_schema = f"query_id string, {id_col} string, _distance double"
+
+    coded = index.coded
+    if candidate_ids is not None:
+        flt = candidate_ids.select(
+            F.col(candidate_ids.columns[0]).cast("string").alias(id_col)
+        )
+        coded = coded.withColumn(id_col, F.col(id_col).cast("string")).join(
+            flt, id_col, "left_semi"
+        )
+
+    if oversample and index.vec_col in index.coded.columns:
+        return _ivfpq_search_fused(
+            index, coded, qmat, tables, probing_queries, all_probed, metric,
+            k, take_n, m, qid_arr, out_schema,
+        )
 
     def adc_scan(batches):
         import pyarrow as pa
@@ -409,7 +431,7 @@ def ivfpq_search(
         )
 
     candidates = (
-        index.coded.filter(F.col("centroid_id").isin(all_probed))
+        coded.filter(F.col("centroid_id").isin(all_probed))
         .select("centroid_id", F.col(id_col).cast("string").alias(id_col), "pq_code")
         .mapInArrow(adc_scan, out_schema)
     )
@@ -443,6 +465,111 @@ def ivfpq_search(
         F.col(index.id_col).cast("string").alias(id_col), vec_col
     )
     scored = floats.join(F.broadcast(pool), id_col).mapInPandas(rerank, out_schema)
+    return scored.withColumn("_rank", F.row_number().over(w)).filter(
+        F.col("_rank") <= k
+    )
+
+
+def _ivfpq_search_fused(
+    index: IVFPQIndex,
+    coded: DataFrame,
+    qmat: np.ndarray,
+    tables: np.ndarray,
+    probing_queries: dict,
+    all_probed: list,
+    metric: str,
+    k: int,
+    take_n: int,
+    m: int,
+    qid_arr: np.ndarray,
+    out_schema: str,
+) -> DataFrame:
+    """Single-pass IVF-PQ serving over a ``keep_vectors`` index: per Arrow
+    batch, ADC-prefilter each probed cell's codes to a per-query pool of
+    ``take_n``, gather only the pool rows' float vectors from the same
+    batch, exact-rerank with one small GEMM, emit per-task exact top-k —
+    the PQ twin of :func:`_ivfbq_search_fused` (same recall-dominance
+    argument: per-task pools are supersets of the global pool)."""
+    id_col = index.id_col
+    vec_col = index.vec_col
+
+    def fused(batches):
+        import pyarrow as pa
+
+        from semadb_spark.functions.distances import (
+            arrow_list_matrix,
+            id_order_ranks,
+            topk_per_group,
+        )
+
+        acc_q: list[np.ndarray] = []
+        acc_id: list[np.ndarray] = []
+        acc_d: list[np.ndarray] = []
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cids = batch.column(0).to_numpy(zero_copy_only=False)
+            ids = batch.column(1).to_numpy(zero_copy_only=False)
+            ranks = id_order_ranks(ids)
+            codes = arrow_list_matrix(batch.column(2)).astype(np.int64, copy=False)
+            vecs = arrow_list_matrix(batch.column(3), dtype=np.float64)
+            order = np.argsort(cids, kind="stable")
+            cs = cids[order]
+            starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+            bounds = np.r_[starts, n]
+            for gi in range(len(starts)):
+                rows = order[bounds[gi] : bounds[gi + 1]]
+                qidx = probing_queries.get(int(cs[bounds[gi]]))
+                if qidx is None or not len(qidx):
+                    continue
+                sub = tables[qidx]  # (q_c, m, kc)
+                grp_codes = codes[rows]
+                adc = np.zeros((len(qidx), len(rows)), dtype=np.float32)
+                for i in range(m):
+                    adc += sub[:, i, grp_codes[:, i]]
+                take = min(take_n, len(rows))
+                kth = np.partition(adc, take - 1, axis=1)[:, take - 1]
+                sel_q, sel_cols = np.nonzero(adc <= kth[:, None])
+                keep = topk_per_group(
+                    sel_q, adc[sel_q, sel_cols], ranks[rows[sel_cols]], take
+                )
+                sel_q, sel_cols = sel_q[keep], sel_cols[keep]
+                uniq, inv = np.unique(sel_cols, return_inverse=True)
+                exact = numpy_distance_matrix(
+                    metric, qmat[qidx], vecs[rows[uniq]]
+                )  # (q_c, u)
+                acc_q.append(qidx[sel_q])
+                acc_id.append(ids[rows[sel_cols]])
+                acc_d.append(exact[sel_q, inv].astype(np.float64))
+        if not acc_q:
+            return
+        qi = np.concatenate(acc_q)
+        idv = np.concatenate(acc_id).astype(object)
+        dv = np.concatenate(acc_d)
+        keep = topk_per_group(qi, dv, idv, k)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(qid_arr[qi[keep]], type=pa.string()),
+                pa.array(idv[keep], type=pa.string()),
+                pa.array(dv[keep], type=pa.float64()),
+            ],
+            names=["query_id", id_col, "_distance"],
+        )
+
+    scored = (
+        coded.filter(F.col("centroid_id").isin(all_probed))
+        .select(
+            "centroid_id",
+            F.col(id_col).cast("string").alias(id_col),
+            "pq_code",
+            vec_col,
+        )
+        .mapInArrow(fused, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_distance").asc(), F.col(id_col).asc()
+    )
     return scored.withColumn("_rank", F.row_number().over(w)).filter(
         F.col("_rank") <= k
     )

@@ -306,10 +306,10 @@ class SearchEngine:
         weight = 1.0 if w is None else float(w)
         ann_index = self.vector_indexes.get(prop)
         q_index = self.quantized_indexes.get(prop)
-        from semadb_spark.operators.ann import IVFBQIndex
+        from semadb_spark.operators.ann import IVFBQIndex, IVFPQIndex
 
         fused_quantized = (
-            isinstance(ann_index, IVFBQIndex)
+            isinstance(ann_index, (IVFBQIndex, IVFPQIndex))
             and value.distance_metric in ("euclidean", "cosine", "dot")
         )
         if fused_quantized:
@@ -342,7 +342,7 @@ class SearchEngine:
                     base, prop, vector, value.distance_metric, limit,
                     id_col=self.id_col,
                 )
-            else:
+            elif isinstance(ann_index, IVFBQIndex):
                 topk = ivfbq_search(
                     ann_index,
                     [("q", vector)],
@@ -350,6 +350,18 @@ class SearchEngine:
                     nprobe=nprobe,
                     oversample=max(2, search_size // max(limit, 1)),
                     rerank_metric=value.distance_metric,
+                    candidate_ids=flt_ids,
+                ).select(F.col(ann_index.id_col).alias(self.id_col), "_distance")
+            else:
+                from semadb_spark.operators.ann import ivfpq_search
+
+                topk = ivfpq_search(
+                    ann_index,
+                    [("q", vector)],
+                    value.distance_metric,
+                    limit,
+                    nprobe=nprobe,
+                    oversample=max(2, search_size // max(limit, 1)),
                     candidate_ids=flt_ids,
                 ).select(F.col(ann_index.id_col).alias(self.id_col), "_distance")
         elif q_index is not None and value.quantizer is not None:

@@ -316,6 +316,49 @@ def test_quantized_vector_index_fused_serving(spark, tmp_path):
     )
 
 
+def test_quantized_vector_index_fused_serving_pq(spark, tmp_path):
+    """Product-quantizer twin of the fused-artifact test: pq codes join the
+    IVF artifact and vectorVamana searches serve through the fused
+    ADC-prefilter + in-batch exact-rerank kernel."""
+    import numpy as np
+
+    schema = {
+        "vec": {"type": "vectorVamana",
+                "vectorVamana": {"vectorSize": 8, "distanceMetric": "euclidean",
+                                  "searchSize": 75, "degreeBound": 64, "alpha": 1.2,
+                                  "quantizer": {"type": "product", "product": {
+                                      "numCentroids": 16, "numSubVectors": 4,
+                                      "triggerThreshold": 1000}}}},
+    }
+    coll = Collection.create(spark, str(tmp_path / "pqvcoll"), schema)
+    rng = np.random.RandomState(5)
+    X = np.repeat(rng.normal(size=(10, 8)), 30, axis=0) + rng.normal(
+        scale=0.1, size=(300, 8)
+    )
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i}", vec=[float(x) for x in X[i]]) for i in range(300)]
+    ))
+    # below the trigger: fit explicitly (the reference's explicit-build
+    # path), then the artifact build picks the codes up
+    coll.build_quantized_index("vec")
+    coll.build_vector_index("vec", nlist=4)
+    from semadb_spark.operators.ann import IVFPQIndex
+    from semadb_spark.operators.knn import knn_topk
+
+    assert isinstance(coll._vector_indexes()["vec"], IVFPQIndex)
+    assert "pq_code" in spark.read.parquet(coll._vindex_path("vec")).columns
+    req = {"query": {"property": "vec",
+                     "vectorVamana": {"vector": [float(x) for x in X[7]],
+                                       "operator": "near", "limit": 5}},
+           "limit": 5}
+    served = [(r._id, round(r._distance, 9)) for r in coll.search(req).collect()]
+    exact = [(r._id, round(r._distance, 9)) for r in knn_topk(
+        coll.df(), "vec", [float(x) for x in X[7]], "euclidean", 5, id_col="_id"
+    ).collect()]
+    assert served[0] == exact[0]
+    assert len({a for a, _ in served} & {e for e, _ in exact}) >= 4
+
+
 def test_update_rejects_duplicate_batch_ids(spark, coll):
     coll.insert(spark.createDataFrame([Row(_id=f"q{i}", name=f"n{i}", price=1.0) for i in range(3)]))
     dup = spark.createDataFrame([Row(_id="q1", price=2.0), Row(_id="q1", price=3.0)])
