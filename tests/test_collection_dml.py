@@ -294,7 +294,12 @@ def test_quantized_vector_index_fused_serving(spark, tmp_path):
     vidx = coll._vector_indexes()
     assert isinstance(vidx["vec"], IVFBQIndex)
     assert "bq_code" in spark.read.parquet(coll._vindex_path("vec")).columns
-    served = [(r._id, round(r._distance, 9)) for r in coll.search(req).collect()]
+    res = coll.search(req)
+    # the fused scan must prune the partitioned artifact by probed centroid
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    sections = plan.split("PartitionFilters: [")[1:]
+    assert any("centroid_id" in s.split("]")[0] for s in sections), plan
+    served = [(r._id, round(r._distance, 9)) for r in res.collect()]
     # clustered corpus, generous searchSize: the fused route must find the
     # true nearest and mostly agree with exact
     assert served[0] == exact[0]
