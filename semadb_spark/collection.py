@@ -499,6 +499,27 @@ class Collection:
                 "_id", F.col(prop).alias("v")
             ).filter(F.col("v").isNotNull())
             reassigned = assign_centroids(fresh, "v", cents)
+            # a quantized artifact carries codes beside the floats — fresh
+            # rows are re-encoded with the FROZEN fit (vectorstore.go:75+
+            # Set semantics), exactly as clean rows keep their stored codes
+            qmeta = self._frozen_quantizer_meta(prop)
+            if "bq_code" in old_index.columns and qmeta is not None:
+                from .operators.quantize import bq_encode
+
+                reassigned = bq_encode(
+                    reassigned, "v", np.asarray(qmeta["thresholds"])
+                )
+            elif "pq_code" in old_index.columns and qmeta is not None:
+                from .operators.quantize import PQCodebooks, pq_encode
+
+                reassigned = pq_encode(
+                    reassigned,
+                    "v",
+                    PQCodebooks(
+                        centroids=np.asarray(qmeta["centroids"], dtype=np.float64),
+                        metric=qmeta["pq_metric"],
+                    ),
+                )
             n = reassigned.count()
             merged = clean_rows.unionByName(reassigned)
         else:

@@ -480,6 +480,43 @@ def test_refresh_vector_index_incremental(spark, tmp_path):
     assert n2 == 0  # already current -> no work
 
 
+def test_refresh_vector_index_quantized_artifact(spark, tmp_path):
+    """Roll-forward of a QUANTIZED IVF artifact: fresh rows are re-encoded
+    with the frozen binary fit so the refreshed artifact keeps codes beside
+    floats and fused serving still works after DML."""
+    import numpy as np
+
+    schema = {
+        "v": {"type": "vectorVamana",
+              "vectorVamana": {"vectorSize": 8, "distanceMetric": "euclidean",
+                                "quantizer": {"type": "binary", "binary": {
+                                    "distanceMetric": "hamming",
+                                    "triggerThreshold": 10}}}},
+    }
+    coll = Collection.create(spark, str(tmp_path / "qivfc"), schema, num_buckets=8)
+    rng = np.random.RandomState(4)
+    X = rng.normal(size=(120, 8))
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"a{i:03d}", v=[float(x) for x in X[i]]) for i in range(120)]
+    ))
+    coll.build_vector_index("v", nlist=4)
+    assert "bq_code" in spark.read.parquet(coll._vindex_path("v")).columns
+    far = [9.0] * 8
+    coll.insert(spark.createDataFrame([Row(_id="new00", v=far)]))
+    n = coll.refresh_vector_index("v")
+    assert n > 0
+    idx = spark.read.parquet(coll._vindex_path("v"))
+    assert "bq_code" in idx.columns
+    # the fresh row carries a code (frozen-fit re-encode, not null)
+    assert idx.filter(F.col("_id") == "new00").first()["bq_code"] is not None
+    from semadb_spark.operators.ann import IVFBQIndex
+
+    assert isinstance(coll._vector_indexes()["v"], IVFBQIndex)
+    res = coll.search({"query": {"property": "v", "vectorVamana": {
+        "vector": far, "operator": "near", "limit": 3, "searchSize": 25}}})
+    assert res.first()["_id"] == "new00"
+
+
 def test_build_vamana_export_artifact(spark, tmp_path):
     import json
     import os
