@@ -170,6 +170,8 @@ class Collection:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # version-keyed serving-engine cache (shard/cache/manager.go analogue)
+        self._engine_cache: tuple[int, object] | None = None
         with open(os.path.join(path, _SCHEMA_FILE)) as f:
             self.schema = IndexSchema.from_json(f.read())
         meta_path = os.path.join(path, _META_FILE)
@@ -394,6 +396,7 @@ class Collection:
             with open(os.path.join(path, "_num_docs.json"), "w") as f:
                 json.dump({"num_docs": n}, f)
             stats[p] = n
+        self._invalidate_engine()
         return stats
 
     # -- W7 analogue: persisted ANN (IVF) index -----------------------------
@@ -440,6 +443,7 @@ class Collection:
         )
         with open(os.path.join(path, "_centroids.json"), "w") as f:
             json.dump(index.centroids.tolist(), f)
+        self._invalidate_engine()
         return len(index.centroids)
 
     def refresh_vector_index(self, prop: str) -> int:
@@ -630,6 +634,7 @@ class Collection:
         index.edges.unpersist()
         index.shard_edges.unpersist()
         index.shard_nodes.unpersist()
+        self._invalidate_engine()
         return path
 
     def vamana_search(
@@ -708,6 +713,7 @@ class Collection:
             meta["pq_metric"] = idx.books.metric
         with open(os.path.join(path, "_quantizer.json"), "w") as f:
             json.dump(meta, f)
+        self._invalidate_engine()
         return idx.kind
 
     def _frozen_quantizer_meta(self, prop: str) -> dict | None:
@@ -829,23 +835,43 @@ class Collection:
         return idxs, stats
 
     # -- search (the shard API surface: Shard.SearchPoints) -----------------
-    def search(self, request: dict) -> DataFrame:
-        """Run a JSON query-tree search request against the collection
-        (shard/shard.go:329-472 via the compiler; request shape
-        models/search.go:19-25). Uses the persisted text index for the
-        current snapshot when one exists."""
+    def _open_engine(self):
+        """Version-keyed serving-engine cache — the analogue of the
+        reference's shard decode cache (shard/cache/manager.go:39-303: a
+        decoded shard is opened once and reused across requests until a
+        write invalidates it). Opening an engine lists every index dir and
+        re-derives every serving plan; serving hundreds of requests must
+        not pay that per call. DML bumps the snapshot version (natural key
+        rotation); index builds write into the current version's idx dirs,
+        so they invalidate explicitly via :meth:`_invalidate_engine`."""
         from .plans.compiler import SearchEngine
 
-        schema_dict = {p: {"type": v.type, v.type: v.params} for p, v in self.schema.items()}
+        v = self._current_version()
+        cached = getattr(self, "_engine_cache", None)
+        if cached is not None and cached[0] == v:
+            return cached[1]
+        schema_dict = {p: {"type": vv.type, vv.type: vv.params} for p, vv in self.schema.items()}
         idxs, stats = self._text_indexes()
-        return SearchEngine(
+        eng = SearchEngine(
             self.df(),
             schema_dict,
             text_indexes=idxs,
             text_index_stats=stats,
             vector_indexes=self._vector_indexes(),
             quantized_indexes=self._quantized_indexes(),
-        ).search(request)
+        )
+        self._engine_cache = (v, eng)
+        return eng
+
+    def _invalidate_engine(self) -> None:
+        self._engine_cache = None
+
+    def search(self, request: dict) -> DataFrame:
+        """Run a JSON query-tree search request against the collection
+        (shard/shard.go:329-472 via the compiler; request shape
+        models/search.go:19-25). Uses the persisted text index for the
+        current snapshot when one exists."""
+        return self._open_engine().search(request)
 
     # -- W1: insert ---------------------------------------------------------
     def insert(self, points: DataFrame, id_col: str = "_id") -> int:

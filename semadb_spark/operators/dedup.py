@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from semadb_spark.functions.analyzer import tokenize
 from semadb_spark.functions.distances import l2_normalize
@@ -78,13 +79,18 @@ def duplicated_substring_spans(
     span occurrence, 1-based ``pos``.
 
     Scale shape: pure Catalyst — per-row window extraction is an array
-    higher-order function (no Python), the only shuffles are the
-    hash-keyed groupBy (combiner-friendly: partial counts map-side) and
-    the hash-keyed self-semi-join back to spans. Work is
-    O(corpus_chars/stride), never O(docs^2); a repeated boilerplate
-    paragraph lands in one hash group however many documents carry it.
-    md5 keeps the hash engine-portable for the DuckDB oracle; callers at
-    scale can swap xxhash64.
+    higher-order function (no Python), and the WHOLE operator is one
+    shuffle + one sorted pass: spans exchange once on ``win_hash`` (sorted
+    by ``id`` within the hash), ``dense_rank`` numbers the distinct docs in
+    stream order and ``max(rank)`` over the hash group is the distinct-doc
+    count — no second corpus scan, no join-back (the join-back form
+    computed the span subtree twice: once under the count-distinct
+    aggregate, once as the probe side). Work is O(corpus_chars/stride),
+    never O(docs^2); a repeated boilerplate paragraph lands in one sorted
+    hash group however many documents carry it, and WindowExec's external
+    sorter spills oversized groups rather than materializing them. md5
+    keeps the hash engine-portable for the DuckDB oracle; callers at scale
+    can swap xxhash64.
     """
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be positive")
@@ -100,14 +106,12 @@ def duplicated_substring_spans(
         .select(F.col(id_col).alias("id"), F.explode(wins).alias("s"))
         .select("id", F.col("s.pos").alias("pos"), F.md5(F.col("s.win")).alias("win_hash"))
     )
-    dup_hashes = (
-        spans.groupBy("win_hash")
-        .agg(F.count_distinct("id").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("win_hash")
-    )
-    return spans.join(dup_hashes, "win_hash", "left_semi").select(
-        "id", "pos", "win_hash"
+    by_hash = Window.partitionBy("win_hash")
+    return (
+        spans.withColumn("_dr", F.dense_rank().over(by_hash.orderBy("id")))
+        .withColumn("_n_docs", F.max("_dr").over(by_hash))
+        .filter(F.col("_n_docs") >= min_docs)
+        .select("id", "pos", "win_hash")
     )
 
 
@@ -314,6 +318,13 @@ def ngram_jaccard_pairs(
         # would coalesce the tiny-by-bytes, heavy-by-CPU shuffle to 1 task)
         .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col("id"))
         .select("id", shingles(F.col("_txt"), k).alias("sh"))
+        # sets feeds BOTH broadcast sides of the pair join below; without a
+        # persist the full corpus->candidate semi-join + shingle pass runs
+        # twice (once per broadcast). The frame is bounded by the candidate
+        # set, so caching it is safe at any corpus size, and Spark's
+        # CacheManager resolves by analyzed plan, so repeated calls over the
+        # same inputs share one entry instead of leaking.
+        .persist()
     )
     out = (
         candidates.join(

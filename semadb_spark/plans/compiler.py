@@ -449,6 +449,11 @@ class SearchEngine:
                     0.5,
                 ).select(self.id_col, "bq_code")
                 if cache_key[1]:
+                    # persist, not just memoize the plan: an unpersisted
+                    # frame re-runs the full Arrow encode pass per query;
+                    # the reference's wrapped quantizer stores codes once
+                    # (vectorstore.go:51-73)
+                    codes = codes.persist()
                     self._d8_codes[cache_key] = codes
             qcode = encode_bits_np(
                 np.asarray(vector, dtype=np.float64)[None, :], np.asarray(0.5)
