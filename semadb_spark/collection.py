@@ -399,6 +399,116 @@ class Collection:
         self._invalidate_engine()
         return stats
 
+    def refresh_text_index(self, prop: str) -> int:
+        """W6 incremental maintenance: roll the latest text index forward to
+        the current snapshot WITHOUT re-tokenizing the corpus (the reference
+        maintains posting sets transactionally on every write,
+        shard/index/dispatch.go:33-110 + text.go:151-258; batch-first here).
+
+        The bucket manifests name exactly the data that changed since the
+        index's snapshot: only dirty-bucket documents are re-tokenized.
+        Clean postings keep their (tf, doc_len); the denormalized per-term
+        ``df`` column shifts only for terms present in the dirty documents'
+        OLD or NEW postings — that delta set is bounded by the dirty batch's
+        vocabulary (DML batches are <=100 points in the reference), so the
+        df fix-up is a broadcast map-side join, never a corpus shuffle.
+        Deleted docs fall out naturally: a dirty bucket's postings are
+        replaced wholesale by the current snapshot's content, and their
+        terms' df decrements ride the same delta. The artifact is rewritten
+        (O(index) map-side IO, O(dirty + affected-term postings) compute);
+        rewriting only the affected term_bucket partitions via dynamic
+        partition overwrite is the next step at 100 TB. Returns the number
+        of fresh posting rows."""
+        import re
+
+        from .functions.hashing import md5_hash64
+        from .operators.text_search import TERM_BUCKETS, doc_term_freqs
+
+        if self.schema[prop].type != "text":
+            raise ValueError(f"property {prop} is not a text index")
+        cur = self._current_version()
+        indexed_v = None
+        for entry in os.listdir(self.path):
+            m = re.fullmatch(r"v(\d+)_idx", entry)
+            if m:
+                v = int(m.group(1))
+                if v <= cur and os.path.exists(
+                    os.path.join(self._index_path(prop, v), "_num_docs.json")
+                ):
+                    if indexed_v is None or v > indexed_v:
+                        indexed_v = v
+        if indexed_v is None:
+            raise ValueError(f"no text index found for property {prop}; build first")
+        if indexed_v == cur:
+            return 0
+        old_path = self._index_path(prop, indexed_v)
+        old = self.spark.read.parquet(old_path).drop("term_bucket")
+        with open(os.path.join(old_path, "_num_docs.json")) as f:
+            old_n = json.load(f)["num_docs"]
+        old_manifest = self._manifest(indexed_v)
+        cur_manifest = self._manifest(cur)
+        dirty = sorted(
+            int(b)
+            for b in set(old_manifest) | set(cur_manifest)
+            if old_manifest.get(b) != cur_manifest.get(b)
+        )
+        if not dirty:
+            merged, n_fresh, removed, added = old, 0, 0, 0
+        else:
+            is_dirty = self._bucket_expr(F.col("id")).isin(dirty)
+            old_clean = old.filter(~is_dirty)
+            old_dirty = old.filter(is_dirty)
+            fresh = doc_term_freqs(
+                self._read_buckets(dirty).select(F.col("_id"), F.col(prop)),
+                prop,
+                "_id",
+            )
+            # per-term df delta over the affected vocabulary only
+            neg = old_dirty.groupBy("term").agg((-F.count("*")).alias("d"))
+            pos = fresh.groupBy("term").agg(F.count("*").alias("d"))
+            delta = pos.unionByName(neg).groupBy("term").agg(F.sum("d").alias("delta"))
+            old_term_df = (
+                old.join(F.broadcast(delta.select("term")), "term", "left_semi")
+                .groupBy("term")
+                .agg(F.first("df").alias("old_df"))
+            )
+            term_df = F.broadcast(
+                delta.join(old_term_df, "term", "left").select(
+                    "term",
+                    (F.coalesce(F.col("old_df"), F.lit(0)) + F.col("delta")).alias(
+                        "new_df"
+                    ),
+                )
+            )
+            cols = ["id", "term", "tf", "doc_len", "df"]
+            clean_adj = (
+                old_clean.join(term_df, "term", "left")
+                .withColumn("df", F.coalesce("new_df", "df"))
+                .select(*cols)
+            )
+            fresh_adj = (
+                fresh.join(term_df, "term", "left")
+                .withColumn("df", F.coalesce("new_df", F.lit(1)))
+                .select(*cols)
+            )
+            merged = clean_adj.unionByName(fresh_adj)
+            n_fresh = fresh.count()
+            removed = old_dirty.select("id").distinct().count()
+            added = fresh.select("id").distinct().count()
+        new_path = self._index_path(prop, cur)
+        (
+            merged.withColumn(
+                "term_bucket", F.pmod(md5_hash64(F.col("term")), F.lit(TERM_BUCKETS))
+            )
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(new_path)
+        )
+        with open(os.path.join(new_path, "_num_docs.json"), "w") as f:
+            json.dump({"num_docs": old_n - removed + added}, f)
+        self._invalidate_engine()
+        return n_fresh
+
     # -- W7 analogue: persisted ANN (IVF) index -----------------------------
     def _vindex_path(self, prop: str, version: int | None = None) -> str:
         v = self._current_version() if version is None else version

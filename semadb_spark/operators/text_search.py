@@ -36,13 +36,10 @@ from semadb_spark.functions.analyzer import analyze_query, tokenize
 TERM_BUCKETS = 64
 
 
-def build_text_index(df: DataFrame, text_col: str, id_col: str = "_id") -> DataFrame:
-    """-> doc_terms(id, term, tf, doc_len, df).
-
-    ``df`` (corpus document frequency of the term) is denormalized onto
-    every posting row at build time — it is an index-time fact, exactly like
-    the reference's posting-set cardinality (text.go:368-371), so queries
-    never pay a per-term aggregation shuffle for it.
+def doc_term_freqs(df: DataFrame, text_col: str, id_col: str = "_id") -> DataFrame:
+    """-> doc_terms(id, term, tf, doc_len) — the per-document half of the
+    index (no corpus-wide ``df`` yet). Shared by the full build and the
+    incremental refresh, which re-tokenizes only dirty-bucket documents.
 
     Null/emptied docs are excluded entirely (missing properties are never
     indexed, models/index.go:125-131; empty token list removes the doc,
@@ -54,14 +51,24 @@ def build_text_index(df: DataFrame, text_col: str, id_col: str = "_id") -> DataF
         .withColumn("doc_len", F.size("tokens"))
         .filter(F.col("doc_len") > 0)
     )
-    doc_terms = (
+    return (
         toks.select("id", "doc_len", F.explode("tokens").alias("term"))
         .groupBy("id", "term")
         .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
     )
+
+
+def build_text_index(df: DataFrame, text_col: str, id_col: str = "_id") -> DataFrame:
+    """-> doc_terms(id, term, tf, doc_len, df).
+
+    ``df`` (corpus document frequency of the term) is denormalized onto
+    every posting row at build time — it is an index-time fact, exactly like
+    the reference's posting-set cardinality (text.go:368-371), so queries
+    never pay a per-term aggregation shuffle for it.
+    """
     from pyspark.sql import Window
 
-    return doc_terms.withColumn(
+    return doc_term_freqs(df, text_col, id_col).withColumn(
         "df", F.count("*").over(Window.partitionBy("term"))
     )
 

@@ -616,3 +616,96 @@ def test_quantizer_autofit_trigger(spark, tmp_path):
     res = coll.search({"query": {"property": "v", "vectorFlat": {
         "vector": [float(x) for x in X[0]], "operator": "near", "limit": 5}}})
     assert res.count() == 5
+
+
+def test_serving_engine_cache_reuse_and_invalidation(spark, tmp_path):
+    """The version-keyed engine cache (shard/cache/manager.go analogue):
+    repeated searches on an unchanged collection reuse one engine; DML
+    rotates it via the version bump; an index build invalidates it
+    explicitly (builds write into the CURRENT version's idx dir, so the
+    version alone wouldn't catch them)."""
+    coll = Collection.create(spark, str(tmp_path / "ecoll"), SCHEMA, num_buckets=4)
+    coll.insert(_points(spark, 10))
+    req = {"query": {"property": "vec", "vectorFlat": {
+        "vector": [0.0, 0.0], "operator": "near", "limit": 3}}}
+
+    r1 = [r["_id"] for r in coll.search(req).collect()]
+    eng = coll._engine_cache
+    assert eng is not None
+    coll.search(req).collect()
+    assert coll._engine_cache is eng, "unchanged version must reuse the engine"
+
+    # DML bumps the snapshot version -> new engine, new data served
+    coll.delete([r1[0]])
+    r2 = [r["_id"] for r in coll.search(req).collect()]
+    assert coll._engine_cache is not eng
+    assert r1[0] not in r2
+
+    # text-index build writes into the current version's idx dir; the cache
+    # must still rotate so the persisted index is picked up
+    tcoll = Collection.create(
+        spark, str(tmp_path / "tcoll"),
+        {"text": {"type": "text", "text": {"analyser": "standard"}}},
+        num_buckets=2,
+    )
+    tcoll.insert(spark.createDataFrame(
+        [Row(_id=f"d{i}", text="spark merges windows fast") for i in range(4)]
+    ))
+    tcoll.search({"query": {"property": "text", "text": {
+        "operator": "containsAny", "value": "spark", "limit": 5}}}).collect()
+    eng2 = tcoll._engine_cache
+    tcoll.build_text_index("text")
+    assert tcoll._engine_cache is None, "index build must invalidate the engine"
+    res = tcoll.search({"query": {"property": "text", "text": {
+        "operator": "containsAny", "value": "spark", "limit": 5}}})
+    assert res.count() == 4
+    assert tcoll._engine_cache is not eng2
+
+
+def test_refresh_text_index_incremental(spark, tmp_path):
+    """refresh_text_index rolls the posting table forward from the bucket
+    manifests: re-tokenizes only dirty buckets, fixes the denormalized df
+    for the affected vocabulary, and lands on EXACTLY the index a
+    from-scratch rebuild produces (rows and num_docs), across insert +
+    update + delete."""
+    schema = {"text": {"type": "text", "text": {"analyser": "standard"}}}
+    coll = Collection.create(spark, str(tmp_path / "txcoll"), schema, num_buckets=4)
+    base = [
+        ("d0", "spark merges windows"),
+        ("d1", "windows stream past the merge"),
+        ("d2", "vectors rank the corpus"),
+        ("d3", "corpus quality signals"),
+        ("d4", "spark spark spark"),
+    ]
+    coll.insert(spark.createDataFrame([Row(_id=i, text=t) for i, t in base]))
+    coll.build_text_index("text")
+
+    # DML mix: new docs, a text rewrite, a delete, and an emptied doc
+    coll.insert(spark.createDataFrame(
+        [Row(_id="d5", text="fresh spark vectors"), Row(_id="d6", text="merge quality")]
+    ))
+    coll.update(spark.createDataFrame([Row(_id="d1", text="stream quality rank")]))
+    coll.delete(["d2"])
+
+    n_fresh = coll.refresh_text_index("text")
+    assert n_fresh > 0
+
+    refreshed = spark.read.parquet(coll._index_path("text")).drop("term_bucket")
+    from semadb_spark.operators.text_search import build_text_index
+    expected = build_text_index(coll.df(), "text")
+    cols = ["id", "term", "tf", "doc_len", "df"]
+    got = sorted(map(tuple, refreshed.select(*cols).collect()))
+    want = sorted(map(tuple, expected.select(*cols).collect()))
+    assert got == want
+
+    import json as _json, os as _os
+    with open(_os.path.join(coll._index_path("text"), "_num_docs.json")) as f:
+        assert _json.load(f)["num_docs"] == coll.df().filter(F.col("text").isNotNull()).count()
+
+    # served scores use the refreshed artifact (idf depends on df and N)
+    res = coll.search({"query": {"property": "text", "text": {
+        "operator": "containsAny", "value": "spark quality", "limit": 10}}})
+    assert res.count() > 0
+
+    # a second refresh with no new DML is a no-op
+    assert coll.refresh_text_index("text") == 0
