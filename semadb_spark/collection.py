@@ -738,6 +738,7 @@ class Collection:
                     "search_size": index.search_size,
                     "metric": index.metric,
                     "centroids": index.centroids.tolist(),
+                    "replicas": replicas,
                 },
                 f,
             )
@@ -782,6 +783,250 @@ class Collection:
             nprobe=nprobe,
             candidate_ids=candidate_ids,
         )
+
+    def refresh_vamana_index(self, prop: str) -> int:
+        """W8 maintain-on-write for the PERSISTED Vamana artifact: apply the
+        snapshot delta to the merged graph with the reference's
+        delete-repair + re-insert (vamana.go:136-263 semantics via
+        operators/vamana.py vamana_delete/vamana_update), then roll the
+        per-shard serving subgraphs forward without rebuilding them.
+
+        The bucket manifests name the changed data; within the dirty
+        buckets the actual delta (deleted / changed / new ids) is joined
+        out, and — reference parity — the batch is bounded by the update
+        request limit (MAX_UPDATE_BATCH=100, httpapi/v2/handlers.go:314):
+        past a few percent of the corpus a rebuild is both cheaper and
+        better, exactly the tradeoff the reference's maintenance path
+        takes. Shard roll-forward: departed nodes leave their shards'
+        node/edge tables; upserted nodes join their ``replicas`` nearest
+        build-centroid shards carrying their repaired merged-graph edges
+        (restricted to in-shard endpoints) plus one bidirectional tether to
+        their nearest in-shard node so every upsert is reachable from the
+        shard medoid. Like the reference's delete, the shard-local repair
+        is intentionally local/optimistic — the merged graph holds the full
+        repair; a rebuild re-optimizes. Returns the number of applied
+        changes."""
+        import re
+
+        import numpy as np
+
+        from .functions.distances import distance_expr
+        from .operators.vamana import (
+            MAX_UPDATE_BATCH,
+            VamanaIndex,
+            vamana_delete,
+            vamana_update,
+        )
+
+        if self.schema[prop].type != "vectorVamana":
+            raise ValueError(f"property {prop} is not a vectorVamana index")
+        cur = self._current_version()
+        tag = f"vamana_{prop.replace('.', '_')}"
+        indexed_v = None
+        for entry in os.listdir(self.path):
+            m = re.fullmatch(r"v(\d+)_idx", entry)
+            if m:
+                v = int(m.group(1))
+                if v <= cur and os.path.exists(
+                    os.path.join(self.path, f"v{v}_idx", tag, "_graph.json")
+                ):
+                    if indexed_v is None or v > indexed_v:
+                        indexed_v = v
+        if indexed_v is None:
+            raise ValueError(f"no vamana index found for property {prop}; build first")
+        if indexed_v == cur:
+            return 0
+        old_path = os.path.join(self.path, f"v{indexed_v}_idx", tag)
+        with open(os.path.join(old_path, "_graph.json")) as f:
+            meta = json.load(f)
+        old_manifest = self._manifest(indexed_v)
+        cur_manifest = self._manifest(cur)
+        dirty = sorted(
+            int(b)
+            for b in set(old_manifest) | set(cur_manifest)
+            if old_manifest.get(b) != cur_manifest.get(b)
+        )
+        new_path = os.path.join(self.path, f"v{cur}_idx", tag)
+        old_sn = self.spark.read.parquet(os.path.join(old_path, "shard_nodes"))
+        old_se = self.spark.read.parquet(os.path.join(old_path, "shard_edges"))
+        old_edges = self.spark.read.parquet(os.path.join(old_path, "edges"))
+        if not dirty:
+            # nothing changed: carry the artifact forward verbatim
+            old_edges.write.mode("overwrite").parquet(os.path.join(new_path, "edges"))
+            old_sn.write.mode("overwrite").partitionBy("shard").parquet(
+                os.path.join(new_path, "shard_nodes")
+            )
+            old_se.write.mode("overwrite").partitionBy("shard").parquet(
+                os.path.join(new_path, "shard_edges")
+            )
+            with open(os.path.join(new_path, "_graph.json"), "w") as f:
+                json.dump(meta, f)
+            self._invalidate_engine()
+            return 0
+
+        # -- bounded delta within the dirty buckets -------------------------
+        is_dirty_id = self._bucket_expr(F.col("id")).isin(dirty)
+        old_nodes = (
+            old_sn.select("id", "v").groupBy("id").agg(F.first("v").alias("ov"))
+        ).filter(is_dirty_id)
+        cur_dirty = (
+            self._read_buckets(dirty)
+            .select(F.col("_id").alias("id"), F.col(prop).alias("nv"))
+            .filter(F.col("nv").isNotNull())
+        )
+        delta_rows = (
+            old_nodes.join(cur_dirty, "id", "full_outer")
+            .filter(
+                F.col("ov").isNull()
+                | F.col("nv").isNull()
+                | (F.col("ov") != F.col("nv"))
+            )
+            .limit(MAX_UPDATE_BATCH + 1)
+            .collect()
+        )
+        if len(delta_rows) > MAX_UPDATE_BATCH:
+            raise ValueError(
+                f"vamana refresh delta exceeds {MAX_UPDATE_BATCH} changed "
+                f"points; rebuild the index (build_vamana_index) instead"
+            )
+        deleted = [r["id"] for r in delta_rows if r["nv"] is None]
+        new_ids = [r["id"] for r in delta_rows if r["ov"] is None]
+        changed = [
+            r["id"] for r in delta_rows if r["ov"] is not None and r["nv"] is not None
+        ]
+        if meta["entry_id"] in deleted or meta["entry_id"] in changed:
+            raise ValueError(
+                "vamana refresh touches the entry node; rebuild instead"
+            )
+        cur_vecs = self.df().select(
+            F.col("_id").alias("id"), F.col(prop).alias("v")
+        ).filter(F.col("v").isNotNull())
+        idx = VamanaIndex(
+            old_edges,
+            meta["entry_id"],
+            int(meta["degree_bound"]),
+            float(meta["alpha"]),
+            int(meta["search_size"]),
+            meta["metric"],
+        )
+        if deleted:
+            idx = vamana_delete(idx, cur_vecs, deleted, vec_col="v", id_col="id")
+        upserts = changed + new_ids
+        if upserts:
+            idx = vamana_update(idx, cur_vecs, upserts, vec_col="v", id_col="id")
+        idx.edges.write.mode("overwrite").parquet(os.path.join(new_path, "edges"))
+
+        # -- shard subgraph roll-forward ------------------------------------
+        gone = deleted + changed
+        sn_kept = old_sn.filter(~F.col("id").isin(gone)) if gone else old_sn
+        se_kept = (
+            old_se.filter(~F.col("src").isin(gone) & ~F.col("dst").isin(gone))
+            if gone
+            else old_se
+        )
+        sn_new, se_new = sn_kept, se_kept
+        if upserts:
+            cents = np.asarray(meta["centroids"], dtype=np.float64)
+            replicas = int(meta.get("replicas", 2))
+            up_vec = {
+                r["id"]: [float(x) for x in r["nv"]]
+                for r in delta_rows
+                if r["nv"] is not None
+            }
+            # salt layout per centroid from the kept node table (partition
+            # values "c_salt"); a centroid with no surviving salts gets "_0"
+            salts: dict[int, int] = {}
+            for r in sn_kept.select("shard").distinct().collect():
+                c, _, s = r["shard"].partition("_")
+                salts[int(c)] = max(salts.get(int(c), 0), int(s) + 1)
+            import hashlib
+
+            def shards_of(pid: str, vec: list[float]) -> list[str]:
+                d = ((cents - np.asarray(vec)) ** 2).sum(axis=1)
+                out = []
+                for c in np.argsort(d)[: min(replicas, len(cents))]:
+                    n = salts.get(int(c), 1)
+                    h = int(hashlib.md5(pid.encode()).hexdigest(), 16) % n
+                    out.append(f"{int(c)}_{h}")
+                return out
+
+            member_rows = [
+                (s, i, up_vec[i]) for i in upserts for s in shards_of(i, up_vec[i])
+            ]
+            sn_add = self.spark.createDataFrame(
+                member_rows, "shard string, id string, v array<float>"
+            ).select(*old_sn.columns)
+            # merged-graph edges of the upserts, projected into shards where
+            # both endpoints are members (driver-side: <= batch x degree)
+            up_edges = (
+                idx.edges.filter(F.col("src").isin(upserts) | F.col("dst").isin(upserts))
+                .select("src", "dst")
+                .collect()
+            )
+            nbr_ids = sorted(
+                {r["src"] for r in up_edges} | {r["dst"] for r in up_edges}
+            )
+            membership: dict[str, set] = {i: set() for i in nbr_ids}
+            for r in (
+                sn_kept.filter(F.col("id").isin(nbr_ids)).select("shard", "id").collect()
+            ):
+                membership.setdefault(r["id"], set()).add(r["shard"])
+            for s, i, _ in member_rows:
+                membership.setdefault(i, set()).add(s)
+            se_rows = [
+                (s, r["src"], r["dst"])
+                for r in up_edges
+                for s in membership.get(r["src"], set()) & membership.get(r["dst"], set())
+            ]
+            # tether: nearest kept in-shard node, bidirectional — guarantees
+            # the upsert is reachable from the shard medoid even if none of
+            # its graph neighbours share the shard
+            qdf = self.spark.createDataFrame(
+                [(s, i, up_vec[i]) for s, i, _ in member_rows],
+                "shard string, qid string, qv array<float>",
+            )
+            from pyspark.sql import Window
+
+            t = (
+                qdf.join(sn_kept, "shard")
+                .filter(F.col("id") != F.col("qid"))
+                .withColumn(
+                    "_d",
+                    distance_expr(
+                        meta["metric"],
+                        F.col("qv").cast("array<double>"),
+                        F.col("v").cast("array<double>"),
+                    ),
+                )
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("shard", "qid").orderBy(
+                            F.col("_d").asc(), F.col("id").asc()
+                        )
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .select("shard", "qid", "id")
+                .collect()
+            )
+            se_rows += [(r["shard"], r["qid"], r["id"]) for r in t]
+            se_rows += [(r["shard"], r["id"], r["qid"]) for r in t]
+            se_add = self.spark.createDataFrame(
+                sorted(set(se_rows)), "shard string, src string, dst string"
+            )
+            sn_new = sn_kept.unionByName(sn_add)
+            se_new = se_kept.unionByName(se_add)
+        sn_new.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(new_path, "shard_nodes")
+        )
+        se_new.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(new_path, "shard_edges")
+        )
+        with open(os.path.join(new_path, "_graph.json"), "w") as f:
+            json.dump(meta, f)
+        self._invalidate_engine()
+        return len(delta_rows)
 
     # -- W9 + vectorstore.go:75+: persisted quantized serving codes ----------
     def _qindex_path(self, prop: str, version: int | None = None) -> str:

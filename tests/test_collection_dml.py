@@ -709,3 +709,64 @@ def test_refresh_text_index_incremental(spark, tmp_path):
 
     # a second refresh with no new DML is a no-op
     assert coll.refresh_text_index("text") == 0
+
+
+def test_refresh_vamana_index_incremental(spark, tmp_path):
+    """refresh_vamana_index applies the snapshot delta (delete + update +
+    insert) to the persisted artifact: deleted ids stop serving, upserts
+    serve from the rolled-forward shard subgraphs, and recall holds the
+    reference bar (>= limit/2 true neighbours, vamana_test.go:230-253)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    X = rng.normal(size=(240, 4)).astype(np.float64)
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 4, "distanceMetric": "euclidean",
+        "searchSize": 32, "degreeBound": 32, "alpha": 1.2}}}
+    coll = Collection.create(spark, str(tmp_path / "vcoll"), schema, num_buckets=4)
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i}", v=[float(x) for x in X[i]]) for i in range(200)]
+    ))
+    coll.build_vamana_index("v", seed=7)
+
+    # DML: delete 3, move 2 far away, insert 3 clustered at a new spot
+    coll.delete(["p5", "p6", "p7"])
+    far = {"p10": [9.0, 9.0, 9.0, 9.0], "p11": [9.1, 9.0, 9.0, 9.0]}
+    coll.update(spark.createDataFrame(
+        [Row(_id=i, v=v) for i, v in far.items()]
+    ))
+    spot = [[-8.0, -8.0, -8.0, -8.0], [-8.1, -8.0, -8.0, -8.0], [-8.0, -8.1, -8.0, -8.0]]
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"n{j}", v=spot[j]) for j in range(3)]
+    ))
+
+    n = coll.refresh_vamana_index("v")
+    assert n == 8  # 3 deleted + 2 changed + 3 new
+
+    # deleted ids never serve; the new cluster serves at its own location
+    res = coll.vamana_search("v", [("q0", spot[0]), ("q1", [9.0, 9.0, 9.0, 9.05])], 5)
+    got = {r["query_id"]: [] for r in res.collect()}
+    for r in res.collect():
+        got[r["query_id"]].append(r["_id"])
+    assert not ({"p5", "p6", "p7"} & set(got["q0"] + got["q1"]))
+    assert set(got["q0"]) >= {"n0", "n1", "n2"}, got["q0"]
+    assert {"p10", "p11"} <= set(got["q1"]), got["q1"]
+
+    # recall bar on random queries vs exact scan (reference limit/2 bar)
+    from semadb_spark.operators.knn import knn_topk_scan
+    qs = [(f"r{j}", [float(x) for x in X[150 + j]]) for j in range(8)]
+    served = coll.vamana_search("v", qs, 10)
+    exact = knn_topk_scan(
+        coll.df().select(F.col("_id").alias("id"), F.col("v")), "v", qs,
+        "euclidean", 10, id_col="id")
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["id"])
+    hits = {}
+    for r in served.collect():
+        if r["_id"] in truth[r["query_id"]]:
+            hits[r["query_id"]] = hits.get(r["query_id"], 0) + 1
+    assert all(hits.get(q, 0) >= 5 for q, _ in qs), hits
+
+    # idempotent: nothing new to apply
+    assert coll.refresh_vamana_index("v") == 0
