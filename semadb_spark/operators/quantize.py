@@ -417,10 +417,34 @@ def pq_fit(
             f"vector length {d} must be divisible by num subvectors {num_subvectors}"
         )
     sublen = d // num_subvectors
-    books = [
-        kmeans_np(sample[:, i * sublen : (i + 1) * sublen], num_centroids, seed=seed + i)
-        for i in range(num_subvectors)
-    ]
+    if len(sample) * num_centroids >= 2_000_000:
+        # the m sub-fits are independent pure-NumPy jobs; run them as one
+        # m-task Spark job instead of 20 x ~2s serialized on the driver
+        # core (the dominant cost of ivfpq_build at 1M x 100d). Same
+        # kmeans_np + per-sub seed on every path => bit-identical books.
+        sc = df.sparkSession.sparkContext
+        bc = sc.broadcast(sample)
+
+        def _fit(i: int):
+            from semadb_spark.functions.kmeans import kmeans_np as _km
+
+            s = bc.value
+            return i, _km(
+                s[:, i * sublen : (i + 1) * sublen], num_centroids, seed=seed + i
+            )
+
+        fitted = dict(
+            sc.parallelize(range(num_subvectors), num_subvectors).map(_fit).collect()
+        )
+        bc.unpersist()
+        books = [fitted[i] for i in range(num_subvectors)]
+    else:
+        books = [
+            kmeans_np(
+                sample[:, i * sublen : (i + 1) * sublen], num_centroids, seed=seed + i
+            )
+            for i in range(num_subvectors)
+        ]
     return PQCodebooks(centroids=np.stack(books), metric=metric)
 
 
@@ -431,8 +455,15 @@ def _sub_distances(books: PQCodebooks, sub: np.ndarray, i: int) -> np.ndarray:
     cents = books.centroids[i]  # (k, sublen)
     if books.metric == "dot":
         return -(sub @ cents.T)
-    diff = sub[:, None, :] - cents[None, :, :]
-    return np.einsum("nkd,nkd->nk", diff, diff)
+    # squared-L2 via the expansion trick: one (n, sublen) @ (sublen, k)
+    # GEMM and two rank-1 broadcasts — the (n, k, sublen) diff temp of the
+    # einsum form churned ~100 MB per 10k-row batch per subvector and
+    # dominated the 1M-row encode pass
+    return (
+        (sub * sub).sum(axis=1)[:, None]
+        - 2.0 * (sub @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
 
 
 def pq_encode(
