@@ -25,7 +25,7 @@ persist it partitioned/bucketed by term.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from semadb_spark.functions.analyzer import analyze_query, tokenize
@@ -112,6 +112,9 @@ def text_search(
         return df.sparkSession.createDataFrame(
             [], "id string, _score double, _hybridScore double"
         )
+    nd_lit: Column | None = (
+        F.lit(float(num_docs)) if num_docs is not None else None
+    )
     if doc_terms is None:
         # Ad-hoc path: push the query-term filter BELOW the (id, term)
         # aggregation so the shuffle carries only query-term postings — the
@@ -130,12 +133,8 @@ def text_search(
             .withColumn("doc_len", F.size("tokens"))
             .filter(F.col("doc_len") > 0)
         )
-        if num_docs is not None:
-            num_docs = df.sparkSession.createDataFrame(
-                [(int(num_docs),)], "num_docs long"
-            )
-        else:
-            num_docs = toks.agg(F.count("*").alias("num_docs"))
+        if nd_lit is None:
+            num_docs_frame = toks.agg(F.count("*").alias("num_docs"))
         matches = (
             toks.select("id", "doc_len", F.explode("tokens").alias("term"))
             .filter(F.col("term").isin(terms))
@@ -143,12 +142,8 @@ def text_search(
             .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
         )
     else:
-        if num_docs is not None:
-            num_docs = df.sparkSession.createDataFrame(
-                [(int(num_docs),)], "num_docs long"
-            )
-        else:
-            num_docs = (
+        if nd_lit is None:
+            num_docs_frame = (
                 doc_terms.select("id").distinct().agg(F.count("*").alias("num_docs"))
             )
         if "term_bucket" in doc_terms.columns:
@@ -178,13 +173,16 @@ def text_search(
         matches = matches.withColumn("id", F.col("id").cast("string")).join(
             cand, "id", "left_semi"
         )
-    scored_terms = (
-        matches.crossJoin(F.broadcast(num_docs))
-        .withColumn(
-            "term_score",
-            (F.col("tf").cast("double") / F.col("doc_len").cast("double"))
-            * F.log10(F.col("num_docs").cast("double") / (F.col("df") + 1).cast("double")),
-        )
+    # num_docs known (the persisted _numDocuments counter, text.go:16-20):
+    # inline it as a literal — broadcasting a 1-row frame costs a Spark job
+    # per query on the serving hot path. Unknown: derive + broadcast once.
+    if nd_lit is None:
+        matches = matches.crossJoin(F.broadcast(num_docs_frame))
+        nd_lit = F.col("num_docs").cast("double")
+    scored_terms = matches.withColumn(
+        "term_score",
+        (F.col("tf").cast("double") / F.col("doc_len").cast("double"))
+        * F.log10(nd_lit / (F.col("df") + 1).cast("double")),
     )
     per_doc = scored_terms.groupBy("id").agg(
         F.sum("term_score").alias("_score"),
