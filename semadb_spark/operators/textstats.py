@@ -113,6 +113,28 @@ def _bigrams(toks: Column) -> Column:
     )
 
 
+def _max_run(sorted_arr: Column) -> Column:
+    """Occurrence count of the most frequent element of a SORTED array =
+    its longest equal-run. One linear JVM fold per row (no shuffle)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
 def repetition_signals(df, text_col: str, id_col: str = "_id"):
     """Gopher-style repetition quality signals, one row per document:
 
@@ -126,11 +148,15 @@ def repetition_signals(df, text_col: str, id_col: str = "_id"):
     al. 2021, table A1) — the standard pre-training cut for boilerplate and
     degenerate generations.
 
-    Scale shape: grams are exploded and counted with groupBy(id, gram) —
-    linear work with map-side partial aggregation, every shuffle keyed by
-    document id so a 100 TB corpus spreads evenly (no per-row O(n^2) HOF
-    counting, which degenerates on long documents). Stopwords kept:
-    repetition of function words is exactly what these signals measure.
+    Scale shape: **zero shuffles.** Every signal is per-document, so it is
+    computed per-row with array expressions: distinct count via
+    ``array_distinct``, mode count as the longest run of the sorted gram
+    array (``array_sort`` + one linear fold). A 100 TB corpus is a pure
+    embarrassingly-parallel scan — no gram explosion crossing the wire
+    (the earlier explode+groupBy shape shuffled every token of the corpus
+    twice). Per-doc cost is O(n log n) in the doc's own length, not the
+    O(n^2) of naive per-token HOF counting. Stopwords kept: repetition of
+    function words is exactly what these signals measure.
     """
     toks = tokenize(text_col, remove_stopwords=False)
     base = (
@@ -138,34 +164,14 @@ def repetition_signals(df, text_col: str, id_col: str = "_id"):
         .select(F.col(id_col).alias("_rid"), toks.alias("toks"))
         .filter(F.size("toks") > 0)
     )
-    # single scan + single explode: unigrams and bigrams ride the same
-    # exploded stream tagged by gram order, so the corpus is tokenized once
-    tagged = base.select(
+    bg = _bigrams(F.col("toks"))
+    stats = base.select(
         "_rid",
-        F.explode(
-            F.concat(
-                F.transform(
-                    "toks",
-                    lambda t: F.struct(F.lit(1).alias("n"), t.alias("g")),
-                ),
-                F.transform(
-                    _bigrams(F.col("toks")),
-                    lambda b: F.struct(F.lit(2).alias("n"), b.alias("g")),
-                ),
-            )
-        ).alias("gram"),
-    )
-    stats = (
-        tagged.groupBy("_rid", F.col("gram.n").alias("n"), F.col("gram.g").alias("g"))
-        .agg(F.count("*").alias("c"))
-        .groupBy("_rid")
-        .agg(
-            F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("n_tokens"),
-            F.count(F.when(F.col("n") == 1, True)).alias("n_distinct"),
-            F.max(F.when(F.col("n") == 1, F.col("c"))).alias("top_c"),
-            F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("nb"),
-            F.max(F.when(F.col("n") == 2, F.col("c"))).alias("top_b"),
-        )
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        _max_run(F.array_sort("toks")).alias("top_c"),
+        F.size(bg).cast("long").alias("nb"),
+        _max_run(F.array_sort(bg)).alias("top_b"),
     )
     n = F.col("n_tokens").cast("double")
     return stats.select(
@@ -173,10 +179,11 @@ def repetition_signals(df, text_col: str, id_col: str = "_id"):
         F.col("n_tokens"),
         ((n - F.col("n_distinct")) / n).alias("dup_token_frac"),
         (F.col("top_c") / n).alias("top_token_frac"),
-        F.coalesce(
-            F.col("top_b").cast("double") / F.col("nb").cast("double"),
-            F.lit(0.0),
-        ).alias("top_bigram_frac"),
+        F.when(
+            F.col("nb") > 0, F.col("top_b").cast("double") / F.col("nb")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
     )
 
 
