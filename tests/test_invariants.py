@@ -176,3 +176,46 @@ def test_topk_scan_boundary_ties_resolve_by_id(spark):
             .collect()
         ]
         assert got == [f"{i:04d}" for i in range(10)], (metric, got)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "aa", "bb", "zz"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_repetition_signals_match_counter_reference(spark, docs):
+    """The zero-shuffle sorted-run mode count must equal the obvious
+    Counter-based definition for arbitrary token multisets (the fold is the
+    subtle part: longest equal-run of the sorted gram array == count of the
+    most frequent gram)."""
+    from collections import Counter
+
+    from semadb_spark.operators.textstats import repetition_signals
+
+    rows = [Row(_id=str(i), text=" ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "_id string, text string")
+    got = {r["_id"]: r for r in repetition_signals(df, "text").collect()}
+    for i, toks in enumerate(docs):
+        rid = str(i)
+        if not toks:
+            assert rid not in got
+            continue
+        r = got[rid]
+        uni = Counter(toks)
+        bigr = Counter(
+            f"{toks[j]} {toks[j + 1]}" for j in range(len(toks) - 1)
+        )
+        assert r["n_tokens"] == len(toks)
+        assert r["dup_token_frac"] == (len(toks) - len(uni)) / len(toks)
+        assert r["top_token_frac"] == max(uni.values()) / len(toks)
+        expect_b = (
+            max(bigr.values()) / sum(bigr.values()) if bigr else 0.0
+        )
+        assert r["top_bigram_frac"] == expect_b
