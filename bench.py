@@ -81,11 +81,26 @@ BENCH_QUERIES = [
 VECTOR_QPS_BATCH = 512  # queries in the throughput batch (batch-first regime)
 
 
+def _timed(action) -> float:
+    """Wall-clock one call of ``action()``."""
+    import time as _time
+
+    t0 = _time.time()
+    action()
+    return _time.time() - t0
+
+
 def best_of(n, make):
     """Best-of-n runs of ``make() -> DataFrame``; returns (frame, best_sec).
 
     The first pass measures JIT warm-up, not throughput, and the host is
-    shared, so min-of-N is the stable steady-state estimator.
+    shared, so min-of-N is the stable steady-state estimator. ``n`` is the
+    MINIMUM pass count; while passes keep improving by >10% the loop takes
+    extra passes (hard cap 8) — a virtualized host's noisy-neighbor window
+    can span several seconds, and without the extension a 3-pass block that
+    lands entirely inside one slow window reports a 4-5x-pessimistic
+    number (observed: the same angular IVF kernel measured 2447 and then
+    511 QPS in consecutive runs with zero code change).
 
     CRITICAL measurement honesty: each timed pass must unpersist before the
     next starts. Spark's CacheManager matches cache entries by analyzed
@@ -98,14 +113,18 @@ def best_of(n, make):
     import time as _time
 
     best_dt = None
-    for _ in range(n):
+    passes = 0
+    improving = False
+    while passes < n or (passes < 8 and improving):
         cand = make()
         t0 = _time.time()
         cand.persist().count()
         dt = _time.time() - t0
         cand.unpersist(blocking=True)
+        improving = best_dt is not None and dt < best_dt * 0.9
         if best_dt is None or dt < best_dt:
             best_dt = dt
+        passes += 1
     frame = make()
     frame.persist().count()
     return frame, best_dt
@@ -147,9 +166,13 @@ def main() -> None:
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        dt = time.time() - t0
+        # warm = min of two passes: a single pass is at the mercy of the
+        # shared host's noisy-neighbor windows (one observed window turned
+        # a 1.0s warm query into 5.7s while its neighbors stayed fast)
+        dt = min(
+            _timed(lambda: qs[name](spark, sf_dir).count()),
+            _timed(lambda: qs[name](spark, sf_dir).count()),
+        )
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: warm {dt:.2f}s / cold {cold[name]:.2f}s ({n} rows)", file=sys.stderr)
