@@ -48,17 +48,26 @@ def pack_sequences(
     Scale shape: a global prefix sum is required, but a single global
     window would serialize the corpus through one task. Instead:
 
-    1. range-repartition by ``order_col`` so partitions hold contiguous
-       order ranges;
-    2. per-partition running sums via a window PARTITIONED by partition id
-       (parallel across partitions);
-    3. per-partition totals (one row per partition — bounded by the
+    1. bucket by contiguous ``order_col`` ranges — for integer order keys
+       the bucket is pure arithmetic over the key's (min, max) (one
+       column-pruned agg job that never evaluates the tokenizer); other
+       key types fall back to sampled range repartitioning (whose sampling
+       pass re-evaluates the token-count subtree — the integer path saves
+       a whole tokenize pass over the corpus);
+    2. per-partition running sums via a window PARTITIONED by bucket
+       (parallel across buckets);
+    3. per-bucket totals (one row per bucket — bounded by the shuffle
        partition count, a few thousand at 100 TB) are cumulated and
        broadcast back as base offsets.
 
     Docs spanning a chunk boundary emit one row per spanned sequence via
     ``sequence()`` + ``explode`` (a doc spans at most
     ``n/max_tokens + 1`` sequences, so output is linear in corpus tokens).
+
+    Integer-key bucket balance assumes roughly-uniform key density (true
+    for dense row ids); heavily skewed sparse keys still compute correctly
+    (any non-decreasing ord→bucket map is correct) but may unbalance
+    buckets — pass a dense ``order_col`` for those corpora.
     """
     order_col = order_col or id_col
     n_tok = F.size(tokenize(text_col, remove_stopwords=False))
@@ -74,9 +83,36 @@ def pack_sequences(
 
     from pyspark.sql.window import Window
 
-    parts = counts.repartitionByRange(F.col("_ord")).withColumn(
-        "_part", F.spark_partition_id()
-    )
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if dict(counts.dtypes)["_ord"] in ("tinyint", "smallint", "int", "bigint"):
+        # bounds over the pre-tokenize filter only: a slightly-wide key span
+        # is still a valid (non-decreasing) bucket map, and this agg prunes
+        # to the order column alone — no tokenizer evaluation
+        bounds = (
+            df.filter(F.col(text_col).isNotNull())
+            .agg(
+                F.min(F.col(order_col)).alias("lo"),
+                F.max(F.col(order_col)).alias("hi"),
+            )
+            .first()
+        )
+        if bounds["lo"] is None:
+            return counts.select(
+                F.col("_pid").alias(id_col),
+                F.lit(0).cast("long").alias("seq_id"),
+                F.lit(0).cast("long").alias("doc_tok_start"),
+                F.lit(0).cast("long").alias("seq_offset"),
+                F.lit(0).cast("long").alias("n_toks"),
+            ).limit(0)
+        lo, span = int(bounds["lo"]), int(bounds["hi"]) - int(bounds["lo"]) + 1
+        bucket = F.floor(
+            (F.col("_ord") - F.lit(lo)).cast("long") * F.lit(nparts) / F.lit(span)
+        ).cast("int")
+        parts = counts.withColumn("_part", bucket).repartition(nparts, "_part")
+    else:
+        parts = counts.repartitionByRange(F.col("_ord")).withColumn(
+            "_part", F.spark_partition_id()
+        )
     w = Window.partitionBy("_part").orderBy("_ord")
     local = parts.withColumn("_local_end", F.sum("n").over(w))
 
