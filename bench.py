@@ -452,6 +452,81 @@ def main() -> None:
     vector_qps = round(len(qlist) / dt, 1)
     total += dt
 
+    # 1M-document text-pipeline block: the LLM-data-prep operators at 200x
+    # the sf0.1 documents table — throughput evidence for the 100 TB
+    # posture (these are the ops a pre-training pipeline runs corpus-wide).
+    # Corpus: mostly-unique token-soup docs (~40 tokens from md5 chains of
+    # (doc, rep)) with the original text kept on reps 0/1 only, planting
+    # exactly one exact-duplicate partner per source doc. Giant replicated
+    # near-dup groups would be pathological for LSH pair enumeration
+    # (buckets of 200 → O(200^2) pairs/bucket), which no real corpus has.
+    docs1m_rows = int(os.environ.get("SPARK_GRAFT_BENCH_DOC_ROWS", 1_000_000))
+    docs1m_path = f"/tmp/semadb_bench_docs_{docs1m_rows}.parquet"
+    if not os.path.exists(os.path.join(docs1m_path, "_SUCCESS")):
+        src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        d_reps = max(2, docs1m_rows // src.count())
+        soup = F.concat_ws(
+            " ",
+            *[
+                F.regexp_replace(
+                    F.md5(F.concat_ws("_", "doc_id", "rep", F.lit(j))),
+                    "(.{4})",
+                    "$1 ",
+                )
+                for j in range(5)
+            ],
+        )
+        (
+            src.crossJoin(spark.range(d_reps).withColumnRenamed("id", "rep"))
+            .select(
+                (F.col("doc_id") * d_reps + F.col("rep")).alias("doc_id"),
+                F.when(F.col("rep") < 2, F.col("text")).otherwise(soup).alias("text"),
+                "lang",
+                "source",
+            )
+            .repartition(cpus)
+            .write.mode("overwrite")
+            .parquet(docs1m_path)
+        )
+    from semadb_spark.operators import dedup as dedup_ops
+    from semadb_spark.operators import packing as pk_ops
+    from semadb_spark.operators import textstats as ts_ops
+
+    d1m = spark.read.parquet(docs1m_path).withColumn(
+        "_id", F.col("doc_id").cast("string")
+    )
+    d1m_n = d1m.count()
+    docs_1m: dict[str, float] = {"rows": d1m_n}
+    for key, make in (
+        ("exact_dedup", lambda: dedup_ops.exact_dedup(d1m, ["text"], "_id")),
+        (
+            "minhash_lsh",
+            lambda: dedup_ops.minhash_lsh_pairs(
+                d1m, "text", "_id", num_hashes=16, bands=4
+            ),
+        ),
+        ("repetition", lambda: ts_ops.repetition_signals(d1m, "text")),
+        (
+            "pack",
+            lambda: pk_ops.pack_sequences(
+                d1m, "text", "_id", max_tokens=2048, order_col="doc_id"
+            ),
+        ),
+        (
+            "quality_langid",
+            lambda: d1m.select(
+                "_id",
+                ts_ops.detect_language("text").alias("lang_id"),
+                ts_ops.quality_score("text").alias("quality"),
+            ),
+        ),
+    ):
+        frame, p_dt = best_of(2, make)
+        frame.unpersist()
+        docs_1m[f"{key}_sec"] = round(p_dt, 2)
+        docs_1m[f"{key}_docs_per_sec"] = round(d1m_n / p_dt)
+    print(f"# docs_1m: {docs_1m}", file=sys.stderr)
+
     # Full detail (cold timings, all vector-block fields) goes to a file +
     # stderr; the FINAL stdout line is a compact summary kept well under the
     # driver's 2000-char tail window (round 2's full line overflowed it and
@@ -469,6 +544,7 @@ def main() -> None:
         "vector_1m_bq": vector_1m_bq,
         "vector_1m_angular": vector_1m_angular,
         "vector_1m_pq": vector_1m_pq,
+        "docs_1m": docs_1m,
         "cpus": cpus,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -503,6 +579,12 @@ def main() -> None:
             "qps": vector_1m_pq["pq_qps"],
             "recall": vector_1m_pq["pq_recall_at10"],
             "build_sec": vector_1m_pq["pq_build_sec"],
+        },
+        "docs_1m": {
+            "rows": docs_1m["rows"],
+            "lsh_sec": docs_1m["minhash_lsh_sec"],
+            "rep_sec": docs_1m["repetition_sec"],
+            "pack_sec": docs_1m["pack_sec"],
         },
         "detail": "BENCH_DETAIL.json",
     }
