@@ -158,6 +158,21 @@ class SearchEngine:
         rows = self._shape(rows, request)
         return rows
 
+    def explain(self, request: dict, mode: str = "formatted") -> str:
+        """Compile a SearchRequest and return Spark's physical plan for it
+        (``df.explain`` modes: formatted | simple | extended | cost |
+        codegen). The plan-shape assertions in ``tests/test_plans.py`` pin
+        the load-bearing markers (PushedFilters at the parquet scan,
+        TakeOrderedAndProject for pagination pre-trim, broadcast joins on
+        the bounded sides); this surfaces the same evidence for any ad-hoc
+        request — the Spark-native analogue of a query debugger for the
+        reference's opaque shard search."""
+        plan = self.search(request)
+        return plan._jdf.queryExecution().explainString(
+            plan.sparkSession._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString(mode)
+        )
+
     def compile(self, query: dict) -> Compiled:
         prop = query["property"]
         if prop == "_and":

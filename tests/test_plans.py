@@ -196,3 +196,24 @@ def test_bq_rerank_pool_broadcasts(spark, table):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_explain_surfaces_plan_markers(table):
+    """SearchEngine.explain must return the physical plan for a request with
+    the load-bearing markers readable (pushdown at the scan, pagination
+    pre-trim) in every explain mode a user would reach for."""
+    eng = SearchEngine(table, SCHEMA)
+    req = {
+        "query": {
+            "property": "cat",
+            "string": {"operator": "equals", "value": "cat3"},
+        },
+        "limit": 5,
+    }
+    formatted = eng.explain(req)
+    assert "PushedFilters" in formatted, formatted
+    assert "TakeOrderedAndProject" in formatted, formatted
+    simple = eng.explain(req, mode="simple")
+    assert "TakeOrderedAndProject" in simple, simple
+    with pytest.raises(Exception):
+        eng.explain(req, mode="not-a-mode")
