@@ -197,3 +197,112 @@ def text_search(
         .limit(limit)
     )
     return per_doc
+
+
+def text_search_batch(
+    df: DataFrame,
+    text_col: str,
+    queries: list[tuple[str, str]],
+    operator: str = "containsAny",
+    limit: int = 10,
+    weight: float = 1.0,
+    id_col: str = "_id",
+    doc_terms: DataFrame | None = None,
+    num_docs: int | None = None,
+) -> DataFrame:
+    """Serve many text queries in ONE job — the TF-IDF analogue of
+    ``knn_topk_batch`` (batch-first serving, the regime the bench's QPS
+    rows measure). -> (query_id, id, _score, _hybridScore), per-query
+    top-``limit``, scores identical to per-query :func:`text_search`.
+
+    Shape: the posting table is term-filtered once for the UNION of all
+    query terms (pruning the bucket-partitioned index to at most
+    |union terms| directories), per-term ``df`` is resolved BEFORE the
+    query join (so shared terms don't double-count), then a broadcast
+    (query_id, term) join fans each posting row out to the queries that
+    want it. One scoring aggregation keyed by (query_id, id) and one
+    per-query window trim; posting rows are read once however many
+    queries the batch carries.
+    """
+    if operator not in ("containsAll", "containsAny"):
+        raise ValueError(f"invalid operator {operator} for text query")
+    spark = df.sparkSession
+    q_rows = []
+    for qid, qtext in queries:
+        terms = analyze_query(qtext)
+        for t in terms:
+            q_rows.append((str(qid), t, len(terms)))
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id string, id string, _score double, _hybridScore double"
+        )
+    all_terms = sorted({t for _, t, _ in q_rows})
+    qdf = spark.createDataFrame(q_rows, "query_id string, term string, n_terms int")
+    nd_lit: Column | None = (
+        F.lit(float(num_docs)) if num_docs is not None else None
+    )
+    if doc_terms is None:
+        n_parts = spark.sparkContext.defaultParallelism
+        toks = (
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+            .repartition(n_parts, F.col("id"))
+            .select("id", tokenize("_txt").alias("tokens"))
+            .withColumn("doc_len", F.size("tokens"))
+            .filter(F.col("doc_len") > 0)
+        )
+        if nd_lit is None:
+            num_docs_frame = toks.agg(F.count("*").alias("num_docs"))
+        matches = (
+            toks.select("id", "doc_len", F.explode("tokens").alias("term"))
+            .filter(F.col("term").isin(all_terms))
+            .groupBy("id", "term")
+            .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
+        )
+    else:
+        if nd_lit is None:
+            num_docs_frame = (
+                doc_terms.select("id").distinct().agg(F.count("*").alias("num_docs"))
+            )
+        if "term_bucket" in doc_terms.columns:
+            from semadb_spark.functions.hashing import md5_hash64_py
+
+            buckets = sorted({md5_hash64_py(t) % TERM_BUCKETS for t in all_terms})
+            doc_terms = doc_terms.filter(F.col("term_bucket").isin(buckets))
+        matches = doc_terms.filter(F.col("term").isin(all_terms))
+    from pyspark.sql import Window
+
+    if "df" not in matches.columns:
+        # per-term df over the union-filtered postings, BEFORE the query
+        # join — joining first would double-count postings shared by queries
+        matches = matches.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term"))
+        )
+    if nd_lit is None:
+        matches = matches.crossJoin(F.broadcast(num_docs_frame))
+        nd_lit = F.col("num_docs").cast("double")
+    scored = matches.join(F.broadcast(qdf), "term").withColumn(
+        "term_score",
+        (F.col("tf").cast("double") / F.col("doc_len").cast("double"))
+        * F.log10(nd_lit / (F.col("df") + 1).cast("double")),
+    )
+    per = scored.groupBy("query_id", "id").agg(
+        F.sum("term_score").alias("_score"),
+        F.count("*").alias("_terms_matched"),
+        F.first("n_terms").alias("_n_terms"),
+    )
+    if operator == "containsAll":
+        per = per.filter(F.col("_terms_matched") == F.col("_n_terms"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("id").asc()
+    )
+    return (
+        per.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= limit)
+        .select(
+            "query_id",
+            "id",
+            "_score",
+            (F.lit(float(weight)) * F.col("_score")).alias("_hybridScore"),
+        )
+    )

@@ -449,3 +449,44 @@ def test_vamana_search_size_validation(spark):
     node = {"vector": [0.0, 0.0], "operator": "near", "limit": 50, "searchSize": 25}
     with pytest.raises(ValueError, match="searchSize must be greater"):
         eng.search({"query": {"property": "vector", "vectorVamana": node}})
+
+
+def test_text_search_batch_matches_per_query(products):
+    """Batched TF-IDF serving must reproduce per-query text_search exactly
+    (ids AND scores), on both the ad-hoc and the indexed path, both
+    operators, including a query whose terms miss the corpus entirely."""
+    from semadb_spark.operators.text_search import (
+        build_text_index,
+        text_search,
+        text_search_batch,
+    )
+
+    queries = [
+        ("q0", "gandalf wizard"),
+        ("q1", "red shoe"),
+        ("q2", "the blue walking"),       # stopword collapses
+        ("q3", "zzz-nothing-matches"),
+    ]
+    idx = build_text_index(products, "description")
+    n_docs = idx.select("id").distinct().count()
+    for op in ("containsAny", "containsAll"):
+        for kw in (
+            {},                                    # ad-hoc tokenize path
+            {"doc_terms": idx, "num_docs": n_docs},  # indexed path
+        ):
+            batch = text_search_batch(
+                products, "description", queries, op, limit=5, **kw
+            ).collect()
+            got = {}
+            for r in batch:
+                got.setdefault(r["query_id"], []).append(
+                    (r["id"], r["_score"], r["_hybridScore"])
+                )
+            for qid, qtext in queries:
+                solo = [
+                    (r["id"], r["_score"], r["_hybridScore"])
+                    for r in text_search(
+                        products, "description", qtext, op, limit=5, **kw
+                    ).collect()
+                ]
+                assert got.get(qid, []) == solo, (op, qid, kw.keys())

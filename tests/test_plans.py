@@ -217,3 +217,27 @@ def test_explain_surfaces_plan_markers(table):
     assert "TakeOrderedAndProject" in simple, simple
     with pytest.raises(Exception):
         eng.explain(req, mode="not-a-mode")
+
+
+def test_text_batch_broadcasts_query_terms(spark, tmp_path_factory):
+    """text_search_batch must broadcast the tiny (query_id, term) frame into
+    the posting join — a shuffle of the posting table keyed by term to meet
+    a handful of query terms would be the 100TB scale killer."""
+    from semadb_spark.operators.text_search import build_text_index, text_search_batch
+
+    path = str(tmp_path_factory.mktemp("textb") / "docs.parquet")
+    spark.range(500).select(
+        F.col("id").cast("string").alias("_id"),
+        F.concat(
+            F.lit("alpha beta gamma doc "), F.col("id").cast("string")
+        ).alias("text"),
+    ).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    idx = build_text_index(docs, "text")
+    out = text_search_batch(
+        docs, "text", [("q0", "alpha beta"), ("q1", "gamma")],
+        doc_terms=idx, num_docs=500, limit=5,
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
