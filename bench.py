@@ -218,7 +218,7 @@ def main() -> None:
     qrows_1m = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(4096).collect()
     qlist_1m = [(str(i), [float(x) for x in r["embedding"]]) for i, r in enumerate(qrows_1m)]
     approx, ivf_dt = best_of(
-        3,
+        5,
         lambda: ivf_search(
             index, qlist_1m, "euclidean", 10, nprobe=8, compute_dtype="float32"
         ),
@@ -310,7 +310,7 @@ def main() -> None:
         v /= np.linalg.norm(v)
         aq.append((str(i), v.tolist()))
     ang_approx, ang_dt = best_of(
-        3,
+        5,
         lambda: ivf_search(
             ang_index, aq, "cosine", 10, nprobe=8, compute_dtype="float32"
         ),
@@ -367,7 +367,7 @@ def main() -> None:
         raw_approx.filter(F.col("query_id").isin(aq64)), ang_exact
     )
     bq_approx, bq_dt = best_of(
-        3,
+        5,
         lambda: ivfbq_search(
             bq_index, aq, 10, nprobe=4, oversample=2, rerank_metric="cosine"
         ),
@@ -418,7 +418,7 @@ def main() -> None:
     )
     pq_recall = recall_at_k(pq_approx.filter(F.col("query_id").isin(aq64)), ang_exact)
     pq_rr, pq_rr_dt = best_of(
-        3,
+        5,
         lambda: ivfpq_search(ivfpq, aq, "cosine", 10, nprobe=2, oversample=3),
     )
     pq_rr_recall = recall_at_k(pq_rr.filter(F.col("query_id").isin(aq64)), ang_exact)
