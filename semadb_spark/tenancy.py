@@ -168,6 +168,29 @@ class Workspace:
             )
         return coll.insert(df, id_col=id_col)
 
+    # -- search / DML passthroughs ------------------------------------------
+    def search(self, name: str, request: dict) -> DataFrame:
+        """Request-path search: the v2 lifecycle's third leg
+        (httpapi/v2/handlers.go search handler) so a Workspace covers
+        create -> insert -> search without dropping to the Collection.
+        Search has no plan quota in the reference (limits are request
+        validation, models/search.go:45-47, enforced by the compiler)."""
+        return self.get_collection(name).search(request)
+
+    def update_points(self, name: str, updates: Sequence[dict]) -> list[str]:
+        """Request-path update, bounded by the reference's 100-point batch
+        limit (httpapi/v2/handlers.go:314) via Collection.update. Returns
+        the updated ids (the reference reports per-point outcomes)."""
+        from semadb_spark.sources.points import points_to_df
+
+        coll = self.get_collection(name)
+        return coll.update(points_to_df(self.spark, updates, coll.schema))
+
+    def delete_points(self, name: str, ids: Sequence[str]) -> list[str]:
+        """Request-path delete (missing ids are no-ops, W3); returns the
+        ids actually removed."""
+        return self.get_collection(name).delete(list(ids))
+
     # -- backup policy ------------------------------------------------------
     def apply_backup_policy(self, name: str) -> list[int]:
         """Rotate snapshots to the plan's shardBackupCount (the reference

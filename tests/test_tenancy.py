@@ -92,3 +92,28 @@ def test_backup_policy_rotates_to_plan_count(spark, tmp_path):
         assert not os.path.exists(os.path.join(coll.path, f"v{v}"))
     # collection still reads fully after rotation
     assert ws.get_collection("a").count() == 4
+
+
+def test_workspace_full_lifecycle(spark, tmp_path):
+    """create -> insert -> search -> update -> delete entirely through the
+    Workspace facade (the v2 request lifecycle, SURVEY §3)."""
+    ws = Workspace(spark, str(tmp_path), "u1", plan=PLAN)
+    ws.create_collection("prods", {
+        "category": {"type": "string", "string": {"caseSensitive": False}},
+    })
+    ida = "00000000-0000-4000-8000-00000000000a"
+    idb = "00000000-0000-4000-8000-00000000000b"
+    ws.insert_points("prods", [
+        {"_id": ida, "category": "shoes"},
+        {"_id": idb, "category": "hats"},
+    ])
+    hits = ws.search("prods", {"query": {"property": "category", "string": {
+        "operator": "equals", "value": "SHOES"}}, "limit": 5}).collect()
+    assert [r["_id"] for r in hits] == [ida]
+    updated = ws.update_points("prods", [{"_id": idb, "category": "caps"}])
+    assert updated == [idb]
+    hits2 = ws.search("prods", {"query": {"property": "category", "string": {
+        "operator": "equals", "value": "caps"}}, "limit": 5}).collect()
+    assert [r["_id"] for r in hits2] == [idb]
+    assert ws.delete_points("prods", [ida, "00000000-0000-4000-8000-0000000000ff"]) == [ida]
+    assert ws.get_collection("prods").count() == 1
