@@ -934,19 +934,40 @@ class Collection:
                 if r["nv"] is not None
             }
             # salt layout per centroid from the kept node table (partition
-            # values "c_salt"); a centroid with no surviving salts gets "_0"
-            salts: dict[int, int] = {}
+            # values "c_salt"): the SURVIVING salt slots, plus max+1 as the
+            # build's split count estimate. A centroid with no survivors
+            # gets slot 0 (fresh "c_0" sub-shard).
+            salt_slots: dict[int, list[int]] = {}
             for r in sn_kept.select("shard").distinct().collect():
                 c, _, s = r["shard"].partition("_")
-                salts[int(c)] = max(salts.get(int(c), 0), int(s) + 1)
-            import hashlib
+                salt_slots.setdefault(int(c), []).append(int(s))
+            for c in salt_slots:
+                salt_slots[c].sort()
+            # the build salts with pmod(xxhash64(id), k) (vamana.py build
+            # path); reuse the SAME hash so a refreshed upsert lands in the
+            # sub-shard a rebuild would choose — one tiny job over the ≤100
+            # upsert ids fetches the raw hashes, the modulus runs driver-side
+            xxh = {
+                r["id"]: r["h"]
+                for r in self.spark.createDataFrame(
+                    [(i,) for i in upserts], "id string"
+                )
+                .select("id", F.xxhash64("id").alias("h"))
+                .collect()
+            }
 
             def shards_of(pid: str, vec: list[float]) -> list[str]:
                 d = ((cents - np.asarray(vec)) ** 2).sum(axis=1)
                 out = []
                 for c in np.argsort(d)[: min(replicas, len(cents))]:
-                    n = salts.get(int(c), 1)
-                    h = int(hashlib.md5(pid.encode()).hexdigest(), 16) % n
+                    slots = salt_slots.get(int(c), [0])
+                    n = slots[-1] + 1  # build split count (max surviving + 1)
+                    h = xxh[pid] % n  # == Spark pmod: Python % is non-negative
+                    if h not in slots:
+                        # the rebuild-equivalent slot's members all departed;
+                        # remap deterministically onto a surviving slot rather
+                        # than creating an orphan sub-shard with no medoid
+                        h = slots[xxh[pid] % len(slots)]
                     out.append(f"{int(c)}_{h}")
                 return out
 
@@ -1063,6 +1084,10 @@ class Collection:
                 if getattr(idx.thresholds, "ndim", 0)
                 else float(idx.thresholds)
             )
+            # provenance: this path always fits exact full-corpus means
+            # (quantize.bq_fit); recorded so artifacts are auditable against
+            # sample-fitted operator-level indexes
+            meta["threshold_source"] = "corpus_mean"
         else:
             meta["centroids"] = idx.books.centroids.tolist()
             meta["pq_metric"] = idx.books.metric
@@ -1205,6 +1230,10 @@ class Collection:
         cached = getattr(self, "_engine_cache", None)
         if cached is not None and cached[0] == v:
             return cached[1]
+        if cached is not None:
+            # natural rotation (DML bumped the version): release the old
+            # engine's persisted frames before building the replacement
+            cached[1].close()
         schema_dict = {p: {"type": vv.type, vv.type: vv.params} for p, vv in self.schema.items()}
         idxs, stats = self._text_indexes()
         eng = SearchEngine(
@@ -1219,6 +1248,9 @@ class Collection:
         return eng
 
     def _invalidate_engine(self) -> None:
+        cached = getattr(self, "_engine_cache", None)
+        if cached is not None:
+            cached[1].close()
         self._engine_cache = None
 
     def search(self, request: dict) -> DataFrame:

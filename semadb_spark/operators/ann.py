@@ -670,13 +670,21 @@ class IVFBQIndex:
     binary codes keep the in-cell ranking cheap (binary.go semantics for
     the codes; the layout is Faiss-IVF-style partitioned parquet)."""
 
-    def __init__(self, centroids, thresholds, coded, floats, vec_col, id_col):
+    def __init__(
+        self, centroids, thresholds, coded, floats, vec_col, id_col,
+        threshold_source: str = "corpus_mean",
+    ):
         self.centroids = centroids  # (nlist, dim)
         self.thresholds = thresholds  # per-dim or scalar
         self.coded = coded  # (centroid_id, id_col, bq_code)
         self.floats = floats  # original (id_col, vec_col) for rerank
         self.vec_col = vec_col
         self.id_col = id_col
+        # provenance marker: "corpus_mean" (bq_fit over every row),
+        # "sample_mean" (bounded k-means sample), or "explicit" — persist
+        # this with the quantizer meta so a rebuilt index can tell whether
+        # its codes are comparable to an older artifact's
+        self.threshold_source = threshold_source
 
 
 def ivfbq_build(
@@ -688,6 +696,7 @@ def ivfbq_build(
     seed: int = 42,
     sample_cap: int | None = None,
     keep_vectors: bool = True,
+    sample_thresholds: bool = False,
 ) -> IVFBQIndex:
     """Coarse k-means (bounded sample) + per-dim mean-threshold binary
     codes (binary.go:152-175), assigned and encoded in one distributed
@@ -700,34 +709,41 @@ def ivfbq_build(
     hamming-prefilter and exact-rerank in ONE pass over the probed cells
     with no join back to the base table. Costs index storage (codes are
     ~3% of the floats); pass False for a codes-only index — search then
-    falls back to the two-phase rerank join against ``index.floats``."""
+    falls back to the two-phase rerank join against ``index.floats``.
+
+    Threshold fit: the default is the exact full-corpus per-dim mean
+    (``bq_fit`` semantics, one distributed agg — binary.go:152-175 means
+    over the stored points). ``sample_thresholds=True`` opts into reusing
+    the bounded k-means sample's mean instead, saving that corpus pass;
+    the reference itself fits on the bounded triggerThreshold prefix
+    (binary.go:145-175), so the shortcut matches its spirit, but skewed
+    corpora can diverge — hence opt-in, never a silent default, and the
+    index records ``threshold_source`` so artifacts are auditable."""
     from semadb_spark.functions.kmeans import (
         DEFAULT_SAMPLE_CAP,
         collect_vector_sample,
         kmeans_np,
     )
-    from semadb_spark.operators.quantize import encode_bits_np
+    from semadb_spark.operators.quantize import bq_fit, encode_bits_np
 
     sample = collect_vector_sample(
         df, vec_col, cap=sample_cap or DEFAULT_SAMPLE_CAP, seed=seed
     )
     centroids = kmeans_np(sample, nlist, seed=seed)
-    # default thresholds fit on the SAME bounded sample that fed k-means —
-    # the reference fits BQ on the first triggerThreshold points
-    # (binary.go:145-175), itself a bounded prefix sample; this saves a
-    # full corpus pass vs bq_fit(df). Pass thresholds explicitly (or call
-    # bq_fit) when exact full-corpus means are required.
-    thr = (
-        np.asarray(thresholds, dtype=np.float64)
-        if thresholds is not None
-        else sample.mean(axis=0)
-    )
+    if thresholds is not None:
+        thr, thr_src = np.asarray(thresholds, dtype=np.float64), "explicit"
+    elif sample_thresholds:
+        thr, thr_src = sample.mean(axis=0), "sample_mean"
+    else:
+        thr, thr_src = np.asarray(bq_fit(df, vec_col), dtype=np.float64), "corpus_mean"
     base = df.filter(F.col(vec_col).isNotNull())
     coded = _assign_encode_scan(
         base, vec_col, id_col, centroids,
         lambda X: encode_bits_np(X, thr), "bq_code", np.int64, keep_vectors,
     ).sortWithinPartitions("centroid_id")
-    return IVFBQIndex(centroids, thr, coded, base, vec_col, id_col)
+    return IVFBQIndex(
+        centroids, thr, coded, base, vec_col, id_col, threshold_source=thr_src
+    )
 
 
 def ivfbq_search(

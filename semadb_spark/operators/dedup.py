@@ -355,6 +355,12 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b", "jaccard")
     )
+    # materialize the bounded pair frame (one row per candidate pair) so the
+    # shingle cache can be released immediately instead of stranding executor
+    # storage until session end — the lazy-return alternative would leak one
+    # persisted frame per call site that never re-invokes the same plan
+    out = out.localCheckpoint(eager=True)
+    sets.unpersist()
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
     return out

@@ -84,7 +84,8 @@ def pack_sequences(
     from pyspark.sql.window import Window
 
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if dict(counts.dtypes)["_ord"] in ("tinyint", "smallint", "int", "bigint"):
+    int_ord = dict(counts.dtypes)["_ord"] in ("tinyint", "smallint", "int", "bigint")
+    if int_ord:
         # bounds over the pre-tokenize filter only: a slightly-wide key span
         # is still a valid (non-decreasing) bucket map, and this agg prunes
         # to the order column alone — no tokenizer evaluation
@@ -105,8 +106,21 @@ def pack_sequences(
                 F.lit(0).cast("long").alias("n_toks"),
             ).limit(0)
         lo, span = int(bounds["lo"]), int(bounds["hi"]) - int(bounds["lo"]) + 1
-        bucket = F.floor(
-            (F.col("_ord") - F.lit(lo)).cast("long") * F.lit(nparts) / F.lit(span)
+        if span > 2**63 - 1:
+            # the subtraction (ord - lo) itself would overflow int64; such a
+            # full-range key span only arises for adversarial sparse keys —
+            # fall back to sampled range repartitioning
+            int_ord = False
+    if int_ord:
+        # divide-before-multiply: (ord - lo) * nparts overflows int64 when the
+        # key span times the partition count exceeds 2^63 (sparse 64-bit keys
+        # such as snowflake/hash ids). Computing the per-bucket width on the
+        # driver keeps the row-side arithmetic within the key's own range and
+        # preserves the non-decreasing ord→bucket map.
+        per_bucket = -(-span // nparts)  # ceil(span / nparts), ≥ 1
+        bucket = F.least(
+            F.floor((F.col("_ord") - F.lit(lo)).cast("long") / F.lit(per_bucket)),
+            F.lit(nparts - 1),
         ).cast("int")
         parts = counts.withColumn("_part", bucket).repartition(nparts, "_part")
     else:

@@ -147,6 +147,22 @@ class SearchEngine:
         # reference's auto-wrapped binary store, vectorstore.go:51-73)
         self._d8_codes: dict[tuple, DataFrame] = {}
 
+    def close(self) -> None:
+        """Release executor storage held by this engine's persisted frames.
+
+        The reference bounds its shard cache explicitly (cache/manager.go,
+        1 GiB cap in config/singleServer.yaml:61) and evicts decoded shards;
+        the Spark analogue is unpersisting the packed D8 code frames when
+        the owning Collection rotates or invalidates the engine — without
+        this, every DML on a served collection strands one persisted frame
+        in executor storage memory until JVM LRU eviction."""
+        for frame in self._d8_codes.values():
+            try:
+                frame.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release
+        self._d8_codes.clear()
+
     # -- public API ---------------------------------------------------------
 
     def search(self, request: dict) -> DataFrame:

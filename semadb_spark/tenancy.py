@@ -178,11 +178,28 @@ class Workspace:
         return self.get_collection(name).search(request)
 
     def update_points(self, name: str, updates: Sequence[dict]) -> list[str]:
-        """Request-path update, bounded by the reference's 100-point batch
-        limit (httpapi/v2/handlers.go:314) via Collection.update. Returns
-        the updated ids (the reference reports per-point outcomes)."""
+        """Request-path update with the same validations as insert: the
+        reference's UpdatePointsRequest caps batches to 1..100 points
+        (httpapi/v2/handlers.go:314, binding:"required,max=100,min=1,dive")
+        and each point's encoded size is re-checked against the plan's
+        maxPointSize (httpapi/v2/handlers.go:356) — without the size check
+        a tenant could bypass the quota by updating small points into large
+        ones. Returns the updated ids (the reference reports per-point
+        outcomes)."""
+        from semadb_spark.sources import msgpack_codec
         from semadb_spark.sources.points import points_to_df
 
+        if not 1 <= len(updates) <= 100:
+            raise ValueError(
+                f"update batch must contain 1..100 points, got {len(updates)}"
+            )
+        for i, p in enumerate(updates):
+            size = len(msgpack_codec.packb(p))
+            if size > self.plan.max_point_size:
+                raise QuotaError(
+                    f"update {i} exceeds maximum point size {size} > "
+                    f"{self.plan.max_point_size}"
+                )
         coll = self.get_collection(name)
         return coll.update(points_to_df(self.spark, updates, coll.schema))
 

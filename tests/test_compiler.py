@@ -490,3 +490,27 @@ def test_text_search_batch_matches_per_query(products):
                     ).collect()
                 ]
                 assert got.get(qid, []) == solo, (op, qid, kw.keys())
+
+
+def test_engine_close_releases_d8_codes(products):
+    """Cache hygiene (reference caps its shard cache, singleServer.yaml:61):
+    engine rotation must unpersist the packed D8 code frames, and a closed
+    engine must rebuild them correctly on next use instead of serving a
+    stale or dead handle."""
+    schema = IndexSchema.from_json(
+        {"vector": {"type": "vectorFlat", "vectorFlat": {"vectorSize": 2, "distanceMetric": "hamming"}}}
+    )
+    eng = SearchEngine(products, schema)
+    req = {"query": {"property": "vector", "vectorFlat": {
+        "vector": [0.0, 0.6], "operator": "near", "limit": 6}}}
+    before = {r["_id"]: r["_distance"] for r in eng.search(req).collect()}
+    assert eng._d8_codes  # the code frame was built and cached
+    frames = list(eng._d8_codes.values())
+    assert all(f.storageLevel.useMemory or f.storageLevel.useDisk for f in frames)
+    eng.close()
+    assert not eng._d8_codes
+    for f in frames:
+        assert not (f.storageLevel.useMemory or f.storageLevel.useDisk)
+    # a closed engine is still usable: codes rebuild on demand
+    after = {r["_id"]: r["_distance"] for r in eng.search(req).collect()}
+    assert after == before

@@ -478,3 +478,50 @@ def test_ivfbq_fused_vs_two_phase(spark):
         per_q.setdefault(r["query_id"], []).append(r["_rank"])
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
     assert recall_at_k(fused, exact) >= recall_at_k(two, exact)
+
+
+def test_pack_sequences_sparse_int64_keys_no_overflow(spark):
+    """Sparse 64-bit order keys (snowflake/hash ids): the bucket expression
+    must not overflow int64 when key span x shuffle partitions > 2^63.
+    Packing output must match the same docs packed under dense keys with
+    the same relative order."""
+    from semadb_spark.operators.packing import pack_sequences
+
+    # keys spread across nearly the whole int64 range, ascending
+    sparse = [-(2**62) - 7, -(2**40), -1, 2**31, 2**61, 2**62 + 9001]
+    rows = [(f"d{i}", k, "tok " * (3 + i)) for i, k in enumerate(sparse)]
+    df = spark.createDataFrame(rows, "_id string, ord long, text string")
+    out = pack_sequences(df, "text", "_id", max_tokens=5, order_col="ord")
+    got = sorted(
+        (r["_id"], r["seq_id"], r["doc_tok_start"], r["seq_offset"], r["n_toks"])
+        for r in out.collect()
+    )
+    dense_rows = [(f"d{i}", i, "tok " * (3 + i)) for i in range(len(sparse))]
+    dense = spark.createDataFrame(dense_rows, "_id string, ord long, text string")
+    want = sorted(
+        (r["_id"], r["seq_id"], r["doc_tok_start"], r["seq_offset"], r["n_toks"])
+        for r in pack_sequences(dense, "text", "_id", max_tokens=5, order_col="ord").collect()
+    )
+    assert got == want
+
+
+def test_ivfbq_threshold_provenance(spark):
+    """ivfbq_build defaults to exact full-corpus mean thresholds (bq_fit,
+    binary.go:152-175) and records provenance; the bounded-sample shortcut
+    is opt-in, never a silent default."""
+    import numpy as np
+
+    from semadb_spark.operators.ann import ivfbq_build
+    from semadb_spark.operators.quantize import bq_fit
+
+    rng = np.random.default_rng(11)
+    rows = [(str(i), rng.normal(size=4).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "_id string, v array<float>")
+    idx = ivfbq_build(df, "v", nlist=4, seed=7)
+    assert idx.threshold_source == "corpus_mean"
+    np.testing.assert_allclose(idx.thresholds, bq_fit(df, "v"), rtol=1e-9)
+    idx_s = ivfbq_build(df, "v", nlist=4, seed=7, sample_thresholds=True)
+    assert idx_s.threshold_source == "sample_mean"
+    idx_e = ivfbq_build(df, "v", nlist=4, seed=7, thresholds=[0.0] * 4)
+    assert idx_e.threshold_source == "explicit"
+    np.testing.assert_allclose(idx_e.thresholds, np.zeros(4))

@@ -117,3 +117,25 @@ def test_workspace_full_lifecycle(spark, tmp_path):
     assert [r["_id"] for r in hits2] == [idb]
     assert ws.delete_points("prods", [ida, "00000000-0000-4000-8000-0000000000ff"]) == [ida]
     assert ws.get_collection("prods").count() == 1
+
+
+def test_update_points_batch_cap_and_size(spark, tmp_path):
+    """UpdatePointsRequest validations (httpapi/v2/handlers.go:314,356):
+    1..100 points per batch, each re-checked against maxPointSize — without
+    the size check a tenant could update small points into large ones."""
+    ws = Workspace(spark, str(tmp_path), "alice", PLAN)
+    ws.create_collection("a", SCHEMA)
+    pid = "00000000-0000-4000-8000-000000000001"
+    ws.insert_points("a", [{"_id": pid, "v": [1.0, 2.0], "tag": "small"}])
+    with pytest.raises(ValueError, match="1..100"):
+        ws.update_points("a", [])
+    with pytest.raises(ValueError, match="1..100"):
+        ws.update_points(
+            "a", [{"_id": pid, "tag": f"t{i}"} for i in range(101)]
+        )
+    with pytest.raises(QuotaError, match="maximum point size"):
+        ws.update_points("a", [{"_id": pid, "tag": "x" * 500}])
+    # the rejected oversize update must not have partially applied
+    hits = ws.search("a", {"query": {"property": "tag", "string": {
+        "operator": "equals", "value": "small"}}, "limit": 5}).collect()
+    assert [r["_id"] for r in hits] == [pid]
