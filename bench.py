@@ -534,14 +534,34 @@ def main() -> None:
     # insert+index path is its north-star workload) + TF-IDF serving from
     # the persisted posting table. The reference publishes no text-search
     # QPS row, so this block is scale evidence rather than a baseline
-    # comparison.
-    from semadb_spark.operators.text_search import build_text_index, text_search
+    # comparison. Build = tokenize + posting agg + WRITE of the
+    # term-bucket-partitioned layout (the serving artifact, what
+    # Collection.build_text_index persists) — the honest end-to-end
+    # index-build cost.
+    from semadb_spark.functions.hashing import md5_hash64
+    from semadb_spark.operators.text_search import (
+        TERM_BUCKETS,
+        build_text_index,
+        text_serve,
+    )
 
+    text_idx_path = f"/tmp/semadb_bench_textidx_{docs1m_rows}.parquet"
     t0 = time.time()
-    text_idx = build_text_index(d1m, "text")
-    text_idx.persist()
-    text_postings = text_idx.count()
+    (
+        build_text_index(d1m, "text")
+        .withColumn(
+            "term_bucket", F.pmod(md5_hash64(F.col("term")), F.lit(TERM_BUCKETS))
+        )
+        .repartition("term_bucket")
+        .sortWithinPartitions("term")  # row-group stats prune isin(term)
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(text_idx_path)
+    )
     text_build = round(time.time() - t0, 3)
+    text_disk = spark.read.parquet(text_idx_path)
+    text_disk.createOrReplaceTempView("bench_postings")
+    text_postings = text_disk.count()
     text_queries = [
         ("spark query", "containsAny"),
         ("window merge stream", "containsAny"),
@@ -553,17 +573,34 @@ def main() -> None:
         ("sort spill", "containsAny"),
     ]
 
-    def _run_text_batch() -> float:
-        t1 = time.time()
-        for qtext, op in text_queries:
-            text_search(
-                d1m, "text", qtext, op, limit=75, doc_terms=text_idx,
-                num_docs=d1m_n,
-            ).count()
-        return time.time() - t1
+    # single-query serving via text_serve (one spark.sql call per query,
+    # term-bucket partition pruning, stored num_docs counter — scores
+    # parity-tested against text_search). Two regimes:
+    #   - sequential 1 client: LATENCY-bound — this host's floor for ANY
+    #     1-task Spark job is ~150 ms (tools/repro_text.py measures a bare
+    #     rdd.count() at the same cost), so this number is job overhead,
+    #     not query work;
+    #   - 16 concurrent clients: the serving-throughput regime a real tier
+    #     runs — the scheduler pipelines the tiny per-query jobs.
+    def _serve(args):
+        qtext, op = args
+        return text_serve(
+            spark, "bench_postings", qtext, op, limit=75, num_docs=d1m_n
+        ).count()
 
-    _run_text_batch()  # warm codegen
-    t_dt = min(_run_text_batch(), _run_text_batch())
+    for q in text_queries:
+        _serve(q)  # warm codegen + file listing
+    t1 = time.time()
+    for q in text_queries:
+        _serve(q)
+    seq_dt = time.time() - t1
+    from concurrent.futures import ThreadPoolExecutor
+
+    q64 = text_queries * 8
+    with ThreadPoolExecutor(16) as ex:
+        t1 = time.time()
+        list(ex.map(_serve, q64))
+        conc_dt = time.time() - t1
     # batched serving: 64 queries in ONE job (text_search_batch reads each
     # posting row once for the whole batch) — the batch-first regime the
     # vector QPS rows measure; wall time barely moves from 8 to 64 queries
@@ -587,7 +624,7 @@ def main() -> None:
             batch64,
             "containsAny",
             limit=75,
-            doc_terms=text_idx,
+            doc_terms=text_disk,
             num_docs=d1m_n,
         ),
     )
@@ -596,10 +633,11 @@ def main() -> None:
         "rows": d1m_n,
         "postings": text_postings,
         "index_build_sec": text_build,
-        "search_qps": round(len(text_queries) / t_dt, 1),
+        "search_qps": round(len(q64) / conc_dt, 1),
+        "search_clients": 16,
+        "search_qps_1client": round(len(text_queries) / seq_dt, 1),
         "batch_qps": round(len(batch64) / tb_dt, 1),
     }
-    text_idx.unpersist()
     print(f"# text_1m: {text_1m}", file=sys.stderr)
 
     # Full detail (cold timings, all vector-block fields) goes to a file +

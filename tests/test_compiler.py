@@ -514,3 +514,54 @@ def test_engine_close_releases_d8_codes(products):
     # a closed engine is still usable: codes rebuild on demand
     after = {r["_id"]: r["_distance"] for r in eng.search(req).collect()}
     assert after == before
+
+
+def test_text_serve_matches_text_search(products, tmp_path):
+    """The one-SQL-call serving fast path must reproduce text_search
+    exactly (ids, scores, hybrid scores) over the persisted
+    bucket-partitioned index layout, both operators, including weights
+    and a no-match query."""
+    from pyspark.sql import functions as F
+
+    from semadb_spark.functions.hashing import md5_hash64
+    from semadb_spark.operators.text_search import (
+        TERM_BUCKETS,
+        build_text_index,
+        text_search,
+        text_serve,
+    )
+
+    idx = build_text_index(products, "description")
+    n_docs = idx.select("id").distinct().count()
+    path = str(tmp_path / "postings")
+    (
+        idx.withColumn(
+            "term_bucket", F.pmod(md5_hash64(F.col("term")), F.lit(TERM_BUCKETS))
+        )
+        .write.partitionBy("term_bucket")
+        .parquet(path)
+    )
+    spark = products.sparkSession
+    spark.read.parquet(path).createOrReplaceTempView("tsv_postings")
+    for op in ("containsAny", "containsAll"):
+        for qtext in ("gandalf wizard", "red shoe", "the blue walking",
+                      "zzz-nothing-matches"):
+            want = [
+                (r["id"], r["_score"], r["_hybridScore"])
+                for r in text_search(
+                    products, "description", qtext, op, limit=5, weight=0.7,
+                    doc_terms=idx, num_docs=n_docs,
+                ).collect()
+            ]
+            got = [
+                (r["id"], r["_score"], r["_hybridScore"])
+                for r in text_serve(
+                    spark, "tsv_postings", qtext, op, limit=5, weight=0.7,
+                    num_docs=n_docs,
+                ).collect()
+            ]
+            assert got == want, (op, qtext)
+    with pytest.raises(ValueError, match="num_docs"):
+        text_serve(spark, "tsv_postings", "x", "containsAny")
+    with pytest.raises(ValueError, match="invalid operator"):
+        text_serve(spark, "tsv_postings", "x", "nope", num_docs=1)
