@@ -437,6 +437,147 @@ def main() -> None:
     pq_approx.unpersist()
     ivfpq.coded.unpersist()
 
+    # vamana_1m (VERDICT r4 directive #4): the reference's serving engine IS
+    # Vamana (v2 rows, README.md:191-196); this row serves the 64-query set
+    # from the PACKED persisted artifact (vamana_pack layout: per-shard CSR
+    # + vector blobs, partitionBy("cent") — routing prunes directories) —
+    # built ONCE by tools/build_vamana_1m.py and reused across rounds, as
+    # the directive specifies; build_sec comes from the build-time sidecar.
+    # IVF remains the default vectorVamana route (3.8x the baseline QPS at
+    # recall 1.0); this closes the W7/R2 parity story with a number for the
+    # graph route itself.
+    from tools.build_vamana_1m import ensure_vamana_1m
+
+    from semadb_spark.operators.vamana import vamana_serve_packed
+
+    vam_meta = ensure_vamana_1m(spark, ang_path)
+    vam_disk = spark.read.parquet("/tmp/semadb_bench_vamana_1m.parquet")
+    vam_cents = np.asarray(vam_meta["centroids"], dtype=np.float64)
+    vam_frame, vam_dt = best_of(
+        3,
+        lambda: vamana_serve_packed(
+            vam_disk, aq[:64], 10, metric="cosine",
+            search_size=int(vam_meta["search_size"]),
+            centroids=vam_cents, nprobe=8,
+        ),
+    )
+    vam_recall = recall_at_k(vam_frame, ang_exact)
+    vamana_1m = {
+        "rows": vam_meta["rows"],
+        "dim": 100,
+        "build_sec": vam_meta["build_sec"],
+        "build_once": True,
+        "qps": round(64 / vam_dt, 1),
+        "recall_at10": round(vam_recall, 4),
+        "degree_bound": vam_meta["degree_bound"],
+        "serving": "packed CSR+vector blobs, cent-partition routed",
+    }
+    print(f"# vamana_1m: {vamana_1m}", file=sys.stderr)
+    vam_frame.unpersist()
+
+    # 10M scale-proof block (VERDICT r4 directive #1): the 100 TB posture is
+    # design-argued at 1M; this measures it one decade up. Same clustered
+    # angular mixture (tools/gen_clustered_corpus.py, one-time fixture),
+    # nlist scaled 128 -> 1024 with the corpus so per-query probe work stays
+    # ~constant (rows/cell 7.8k -> 9.8k) — the way a real deployment scales
+    # IVF. Serving is DISK-BACKED: the index artifact is written
+    # partitionBy("centroid_id") and read back per pass, never persisted, so
+    # the QPS row pays the real parquet decode a 1000-executor cluster
+    # would. Build-time scaling is normalized as million (row x centroid)
+    # assignment pairs per second — the unit that is invariant to the nlist
+    # change (10M x 1024 is 80x the 1M x 128 assignment work).
+    tenm_rows = int(os.environ.get("SPARK_GRAFT_BENCH_10M_ROWS", 10_000_000))
+    vector_10m = {}
+    if tenm_rows > 0:
+        from tools.gen_clustered_corpus import generate as _gen_corpus
+
+        path10 = _gen_corpus(spark, tenm_rows)
+        big10 = spark.read.parquet(path10)
+        n10 = big10.count()
+        nlist10 = 1024
+        t0 = time.time()
+        # coarse fit on a 64k sample: cell assignment is what costs at this
+        # scale; centroid quality converges far below the default cap and
+        # recall is measured downstream either way
+        idx10 = ivf_build(
+            big10, "embedding", "_id", nlist=nlist10, seed=42, max_iter=10,
+            sample_cap=65_536,
+        )
+        ivf10_path = f"/tmp/semadb_bench_ivf_{tenm_rows}_{nlist10}.parquet"
+        # repartition ON the partition column before partitionBy: without it
+        # every input task writes a file into every one of the 1024 cell
+        # directories (~40k tiny files — slow to write AND to decode at
+        # serve time); with it each task owns a few whole cells
+        (
+            idx10.assigned.repartition(cpus * 2, "centroid_id")
+            .sortWithinPartitions("centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(ivf10_path)
+        )
+        build10 = round(time.time() - t0, 3)
+        from semadb_spark.operators.ann import IVFIndex
+
+        served10 = IVFIndex(
+            idx10.centroids,
+            spark.read.parquet(ivf10_path),
+            "embedding",
+            "_id",
+        )
+        q10_rows = big10.limit(4096).collect()
+        rng10 = np.random.RandomState(1234)
+        aq10 = []
+        for i, r in enumerate(q10_rows):
+            v = np.asarray(r["embedding"], dtype=np.float64) + rng10.normal(
+                scale=0.05, size=100
+            )
+            v /= np.linalg.norm(v)
+            aq10.append((str(i), v.tolist()))
+        approx10, dt10 = best_of(
+            3,
+            lambda: ivf_search(
+                served10, aq10, "cosine", 10, nprobe=8, compute_dtype="float32"
+            ),
+        )
+        # small batch: 64 queries probe ~half the 1024 cells, so this row
+        # shows the partition pruning a low-concurrency serving tier gets
+        # (the 4096 batch necessarily touches every cell)
+        small10, small10_dt = best_of(
+            3,
+            lambda: ivf_search(
+                served10, aq10[:64], "cosine", 10, nprobe=8,
+                compute_dtype="float32",
+            ),
+        )
+        small10.unpersist()
+        exact10, exact10_dt = best_of(
+            2, lambda: _scan(big10, "embedding", aq10[:64], "cosine", 10)
+        )
+        aq10_64 = {q[0] for q in aq10[:64]}
+        recall10 = recall_at_k(
+            approx10.filter(F.col("query_id").isin(aq10_64)), exact10
+        )
+        # normalized assignment throughput for the linearity note (the 1M
+        # angular build above ran nlist=128 on the same generator's corpus)
+        vector_10m = {
+            "rows": n10,
+            "dim": 100,
+            "nlist": nlist10,
+            "ivf_build_sec": build10,
+            "ivf_qps": round(len(aq10) / dt10, 1),
+            "ivf_qps_64batch": round(64 / small10_dt, 1),
+            "ivf_recall_at10": round(recall10, 4),
+            "exact_scan_qps": round(64 / exact10_dt, 1),
+            "serving": "disk-backed parquet, partition-pruned, never cached",
+            "build_mrc_per_sec": round(n10 * nlist10 / build10 / 1e6, 1),
+            "build_mrc_per_sec_1m_block": round(
+                ang_n * 128 / ang_build / 1e6, 1
+            ),
+        }
+        print(f"# vector_10m: {vector_10m}", file=sys.stderr)
+        approx10.unpersist()
+        exact10.unpersist()
+
     # vector throughput: batch of exact top-10 over the embeddings table via
     # the partition-local scan (the serving-shaped workload)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).withColumn(
@@ -657,6 +798,8 @@ def main() -> None:
         "vector_1m_bq": vector_1m_bq,
         "vector_1m_angular": vector_1m_angular,
         "vector_1m_pq": vector_1m_pq,
+        "vamana_1m": vamana_1m,
+        "vector_10m": vector_10m,
         "docs_1m": docs_1m,
         "text_1m": text_1m,
         "cpus": cpus,
@@ -693,6 +836,21 @@ def main() -> None:
             "qps": vector_1m_pq["pq_qps"],
             "recall": vector_1m_pq["pq_recall_at10"],
             "build_sec": vector_1m_pq["pq_build_sec"],
+        },
+        "vector_10m": (
+            {
+                "rows": vector_10m["rows"],
+                "qps": vector_10m["ivf_qps"],
+                "recall": vector_10m["ivf_recall_at10"],
+                "build_sec": vector_10m["ivf_build_sec"],
+            }
+            if vector_10m
+            else {}
+        ),
+        "vamana_1m": {
+            "qps": vamana_1m["qps"],
+            "recall": vamana_1m["recall_at10"],
+            "build_sec": vamana_1m["build_sec"],
         },
         "docs_1m": {
             "rows": docs_1m["rows"],

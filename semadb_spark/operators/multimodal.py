@@ -59,6 +59,67 @@ except ImportError:
     USING_FAKE_DECODE = True
 
 
+def parse_image_header(data: bytes) -> dict | None:
+    """Pure-Python image header parser: -> {format, width, height} or None.
+
+    The middle tier between PIL and the deterministic fake: PNG / GIF /
+    JPEG / BMP are public formats whose dimensions live in fixed header
+    fields, so width/height/format come from REAL bytes in any environment
+    — no decoder library needed. Pixel-level work (mean_luma, resize)
+    still needs PIL; a blob whose header doesn't parse falls through to
+    the caller's fallback.
+
+    Formats (all public specs):
+    - PNG: 8-byte signature, then the IHDR chunk carries width/height as
+      big-endian u32 at bytes 16..24.
+    - GIF: "GIF87a"/"GIF89a", logical screen width/height as little-endian
+      u16 at bytes 6..10.
+    - JPEG: walk the marker stream from SOI to the first SOF0-SOF15 frame
+      header (skipping non-frame markers by their 2-byte lengths); height
+      and width are big-endian u16 at frame offset 3 and 5.
+    - BMP: "BM", width/height as little-endian i32 at bytes 18 and 22
+      (height may be negative for top-down rows; dimensions are abs).
+    """
+    import struct
+
+    if len(data) < 10:
+        return None
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24 and data[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", data[16:24])
+        return {"format": "png", "width": int(w), "height": int(h)}
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return {"format": "gif", "width": int(w), "height": int(h)}
+    if data[:2] == b"\xff\xd8":  # JPEG SOI
+        pos = 2
+        n = len(data)
+        while pos + 4 <= n:
+            if data[pos] != 0xFF:
+                return None  # corrupt marker stream
+            marker = data[pos + 1]
+            if marker == 0xFF:  # fill byte padding
+                pos += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone marker, no length
+                continue
+            if marker == 0xD9:  # EOI before any frame header
+                return None
+            seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+            is_sof = 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC)
+            if is_sof:
+                if pos + 9 > n:
+                    return None
+                h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+                return {"format": "jpeg", "width": int(w), "height": int(h)}
+            pos += 2 + seglen
+        return None
+    if data[:2] == b"BM" and len(data) >= 26:
+        w, h = struct.unpack("<ii", data[18:26])
+        return {"format": "bmp", "width": abs(int(w)), "height": abs(int(h))}
+    return None
+
+
 def _hash64(data: bytes) -> tuple[str, int]:
     digest = hashlib.md5(data).hexdigest()
     return digest, int(digest[:15], 16)  # 60-bit, DuckDB-reproducible
@@ -86,11 +147,19 @@ def decode_image(content: bytes) -> np.ndarray:
 def image_features(
     df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
 ) -> DataFrame:
-    """-> (id, n_bytes, content_md5, width, height, mean_luma). Rows with a
-    null blob are dropped (consistent with never-indexed missing values)."""
+    """-> (id, n_bytes, content_md5, format, width, height, mean_luma).
+    Rows with a null blob are dropped (consistent with never-indexed
+    missing values).
+
+    Three-tier metadata: blobs that parse as a real image format
+    (:func:`parse_image_header` — PNG/GIF/JPEG/BMP, pure Python) report
+    bytes-derived format/width/height in EVERY environment; PIL (when
+    importable) additionally supplies real pixels for mean_luma;
+    unrecognized blobs fall through to the deterministic hash-fake with
+    ``format`` null — so the fake never masquerades as a parsed image."""
     out_schema = (
         f"{id_col} string, n_bytes long, content_md5 string, "
-        "width int, height int, mean_luma double"
+        "format string, width int, height int, mean_luma double"
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -102,20 +171,26 @@ def image_features(
             for aid, content in zip(pdf[id_col], pdf[content_col]):
                 data = bytes(content)
                 digest, _ = _hash64(data)
-                img = decode_image(data)
-                rows.append(
-                    (
-                        str(aid),
-                        len(data),
-                        digest,
-                        img.shape[1],
-                        img.shape[0],
-                        float(img.mean()) / 255.0,
-                    )
-                )
+                hdr = parse_image_header(data)
+                if hdr is not None:
+                    fmt, w, h = hdr["format"], hdr["width"], hdr["height"]
+                    if not USING_FAKE_DECODE:
+                        img = decode_image(data)
+                        luma = float(img.mean()) / 255.0
+                    else:
+                        # dims/format are real bytes; pixels need a decoder
+                        luma = None
+                else:
+                    img = decode_image(data)
+                    fmt, w, h = None, img.shape[1], img.shape[0]
+                    luma = float(img.mean()) / 255.0
+                rows.append((str(aid), len(data), digest, fmt, w, h, luma))
             yield pd.DataFrame(
                 rows,
-                columns=[id_col, "n_bytes", "content_md5", "width", "height", "mean_luma"],
+                columns=[
+                    id_col, "n_bytes", "content_md5", "format", "width",
+                    "height", "mean_luma",
+                ],
             )
 
     return df.select(id_col, content_col).mapInPandas(extract, out_schema)

@@ -38,6 +38,8 @@ __all__ = [
     "vamana_delete",
     "vamana_update",
     "vamana_serve",
+    "vamana_pack",
+    "vamana_serve_packed",
     "beam_search",
     "bfs_reachable",
 ]
@@ -217,6 +219,7 @@ def vamana_build(
     seed: int = 42,
     metric: str = "euclidean",
     keep_sharded: bool = False,
+    max_shard_rows: int = 400,
 ) -> VamanaIndex:
     """DiskANN merged build: overlap-assign -> per-shard Vamana
     (applyInPandas) -> edge union -> per-node merge cap.
@@ -225,6 +228,16 @@ def vamana_build(
     rows/100k, mirroring the reference's 100k-point shard cap,
     config/singleServer.yaml:41-42); shards build in parallel across the
     cluster, which is the published way DiskANN scales its build.
+
+    ``max_shard_rows`` is the skew-salting cap: any shard past it splits
+    into hash-salted sub-builds. Small (400, the default) minimizes build
+    wall-clock — the local sequential insert is the expensive part and
+    sub-shards parallelize. LARGE serves better: a beam costs
+    O(search_size x degree) regardless of shard size, so a query over
+    2.5k-row sub-shards runs ~6x fewer beams than over 400-row ones for
+    the same routed fraction of the corpus. Build an index intended for
+    :func:`vamana_serve`/:func:`vamana_serve_packed` with
+    ``max_shard_rows`` in the low thousands.
     """
     from semadb_spark.functions.kmeans import collect_vector_sample, kmeans_np
 
@@ -272,7 +285,6 @@ def vamana_build(
     # build is sequential, so the biggest shard sets the wall clock. Split
     # any shard past ``max_shard_rows`` into hash-salted sub-builds — the
     # replica overlap still stitches the sub-graphs together.
-    max_shard_rows = 400
     counts = {r["shard"]: r["n"] for r in assigned.groupBy("shard").agg(F.count("*").alias("n")).collect()}
     splits = {s: -(-n // max_shard_rows) for s, n in counts.items()}
     split_expr = F.coalesce(
@@ -703,6 +715,168 @@ def vamana_serve(
     )
     # overlap replicas surface the same id from several shards: dedup, then
     # the global cut (rounded-distance order with id tiebreak, FIXTURES rule)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("_distance", 4).asc(), F.col("_id").asc()
+    )
+    return (
+        per_shard.groupBy("query_id", "_id")
+        .agg(F.min("_distance").alias("_distance"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def vamana_pack(
+    shard_nodes: DataFrame, shard_edges: DataFrame, dtype: str = "float64"
+) -> DataFrame:
+    """Pack each shard's subgraph into ONE row of binary blobs — the
+    serving-artifact layout (shard, cent, n, ids, vecs, indptr, indices,
+    start).
+
+    Why: :func:`vamana_serve` cogroups the (shard, id, v) node table with
+    the (shard, src, dst) edge table per pass — at 1M vectors that is a
+    ~60M-row shuffle and a Python dict-build per task before a single beam
+    runs. Packing runs that cogroup ONCE at build time and stores per shard
+    a row-major vector matrix, a CSR adjacency (indptr/indices int32), the
+    id list, and the precomputed medoid start. Serving becomes a shuffle-
+    free scan of one row per shard: ``np.frombuffer`` decode, then beams.
+    This is the Spark table analogue of DiskANN's on-disk index layout
+    (vectors + adjacency in one blob per node block); the reference's
+    shard cache plays the same role (cache/manager.go decodes a shard once
+    and serves many requests from it).
+
+    ``cent`` (the coarse-centroid prefix of the shard key) is split out as
+    a column so the artifact can be written ``partitionBy("cent")`` and
+    query routing prunes whole directories.
+
+    ``dtype="float64"`` keeps distances bit-identical to
+    :func:`vamana_serve` (parity-tested); pass ``"float32"`` to halve the
+    artifact size when serving precision is acceptable.
+    """
+    np_dtype = np.dtype(dtype)
+
+    def pack(key, nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(nodes_pdf) < 1:
+            return pd.DataFrame(
+                columns=["shard", "cent", "n", "ids", "vecs", "indptr", "indices", "start"]
+            )
+        shard = str(key[0])
+        ids = nodes_pdf["id"].to_numpy()
+        X = np.stack(nodes_pdf["v"].to_numpy()).astype(np_dtype)
+        loc = {i: j for j, i in enumerate(ids)}
+        n = len(ids)
+        heads: list[list[int]] = [[] for _ in range(n)]
+        for s, t in zip(edges_pdf["src"].to_numpy(), edges_pdf["dst"].to_numpy()):
+            js, jt = loc.get(s), loc.get(t)
+            if js is not None and jt is not None:
+                heads[js].append(jt)
+        counts = np.asarray([len(h) for h in heads], dtype=np.int32)
+        indptr = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(counts, out=indptr[1:])
+        indices = (
+            np.concatenate([np.asarray(h, dtype=np.int32) for h in heads if h])
+            if indptr[-1]
+            else np.empty(0, dtype=np.int32)
+        )
+        # same medoid-start formula vamana_serve computes per pass
+        start = int(((X - X.mean(axis=0)) ** 2).sum(axis=1).argmin())
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "cent": [int(shard.split("_")[0])],
+                "n": [n],
+                "ids": [ids.astype(str).tolist()],
+                "vecs": [np.ascontiguousarray(X).tobytes()],
+                "indptr": [indptr.tobytes()],
+                "indices": [indices.tobytes()],
+                "start": [start],
+            }
+        )
+
+    return (
+        shard_nodes.groupBy("shard")
+        .cogroup(shard_edges.groupBy("shard"))
+        .applyInPandas(
+            pack,
+            "shard string, cent int, n int, ids array<string>, vecs binary, "
+            "indptr binary, indices binary, start int",
+        )
+    )
+
+
+def vamana_serve_packed(
+    packed: DataFrame,
+    queries: list[tuple[str, list[float]]],
+    k: int,
+    metric: str = "euclidean",
+    search_size: int = 75,
+    centroids: np.ndarray | None = None,
+    nprobe: int | None = None,
+    dtype: str = "float64",
+) -> DataFrame:
+    """Distributed Vamana serving over the :func:`vamana_pack` artifact.
+
+    Identical semantics to :func:`vamana_serve` (same greedy beam, same
+    rounded-distance global merge — parity-tested), but each task decodes
+    its shards from binary blobs instead of cogrouping two row tables:
+    zero shuffle before the final q x k x shards merge, and with the
+    artifact written ``partitionBy("cent")`` the routing predicate prunes
+    whole directories before any byte is read. ``dtype`` must match the
+    pack-time dtype."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    qvecs = [(str(qid), np.asarray(v, dtype=np.float64)) for qid, v in queries]
+    np_dtype = np.dtype(dtype)
+
+    routed: dict[int, list[int]] | None = None
+    if nprobe is not None and centroids is not None and nprobe < len(centroids):
+        Q = np.stack([v for _, v in qvecs])
+        d = (
+            (Q**2).sum(axis=1)[:, None]
+            - 2.0 * (Q @ centroids.T)
+            + (centroids**2).sum(axis=1)[None, :]
+        )
+        near = np.argsort(d, axis=1)[:, :nprobe]
+        routed = {}
+        for qi, cents_for_q in enumerate(near):
+            for c in cents_for_q:
+                routed.setdefault(int(c), []).append(qi)
+        packed = packed.filter(F.col("cent").isin(sorted(routed)))
+
+    def serve(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                if routed is None:
+                    q_idx = list(range(len(qvecs)))
+                else:
+                    q_idx = routed.get(int(row["cent"]), [])
+                    if not q_idx:
+                        continue
+                n = int(row["n"])
+                X = np.frombuffer(row["vecs"], dtype=np_dtype).reshape(n, -1)
+                indptr = np.frombuffer(row["indptr"], dtype=np.int32)
+                indices = np.frombuffer(row["indices"], dtype=np.int32)
+                adj = np.split(indices, indptr[1:-1])
+                ids = np.asarray(row["ids"], dtype=object)
+                start = int(row["start"])
+                for qi in q_idx:
+                    qid, qv = qvecs[qi]
+                    vis_ids, vis_dists = _greedy_search(
+                        X.astype(np.float64, copy=False), adj, start, qv,
+                        search_size, metric,
+                    )
+                    for j, dd in zip(vis_ids[:k], vis_dists[:k]):
+                        rows.append((qid, ids[int(j)], float(dd)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["query_id", "_id", "_distance"])
+
+    per_shard = packed.mapInPandas(
+        serve, "query_id string, _id string, _distance double"
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.round("_distance", 4).asc(), F.col("_id").asc()
     )

@@ -200,3 +200,43 @@ def test_filtered_serve_seeded_beam(spark, emb):
         order = np.argsort(dist, kind="stable")
         exact = [ids[j] for j in order if ids[j] in flt_ids][:10]
         assert len(got[f"q{i}"] & set(exact)) >= 5, f"filtered recall < 0.5 for q{i}"
+
+
+def test_packed_serve_matches_cogroup_serve(spark, emb):
+    """vamana_pack + vamana_serve_packed must reproduce vamana_serve
+    exactly (ids AND distances) — the packed artifact is a layout change,
+    not a semantics change — with and without centroid routing, including
+    through a partitionBy("cent") parquet round-trip."""
+    import os
+    import tempfile
+
+    index = vm.vamana_build(
+        emb, "v", "_id", degree_bound=32, alpha=1.2, search_size=40,
+        num_shards=3, seed=7, keep_sharded=True,
+    )
+    packed = vm.vamana_pack(index.shard_nodes, index.shard_edges)
+    d = tempfile.mkdtemp(prefix="vamana_pack_")
+    packed.write.mode("overwrite").partitionBy("cent").parquet(d)
+    disk = spark.read.parquet(d)
+
+    rows = emb.collect()
+    queries = [(f"q{i}", [float(x) for x in rows[i]["v"]]) for i in range(6)]
+
+    for kw in (
+        {},  # exhaustive
+        {"centroids": index.centroids, "nprobe": 2},  # routed
+    ):
+        want = sorted(
+            (r["query_id"], r["_id"], round(r["_distance"], 9))
+            for r in vm.vamana_serve(
+                index.shard_nodes, index.shard_edges, queries, 10,
+                metric="euclidean", search_size=40, **kw,
+            ).collect()
+        )
+        got = sorted(
+            (r["query_id"], r["_id"], round(r["_distance"], 9))
+            for r in vm.vamana_serve_packed(
+                disk, queries, 10, metric="euclidean", search_size=40, **kw
+            ).collect()
+        )
+        assert got == want, kw.keys()
