@@ -38,12 +38,47 @@ from semadb_spark.plans import SearchEngine
 # session therefore reuse the artifact exactly like the reference's shard
 # cache (shard/cache/manager.go).
 _IDX_CACHE: dict[tuple[str, str], object] = {}
+# LRU bound mirroring the reference's capped shard cache (1 GiB,
+# config/singleServer.yaml:61): the driver contract runs one sf_dir so this
+# never trips there, but a long-lived session cycling many corpora would
+# otherwise strand persisted frames in executor storage forever.
+_IDX_CACHE_MAX = 16
+
+
+def _evict_index(obj: object) -> None:
+    """Unpersist whatever persisted frames an evicted artifact holds."""
+    from pyspark.sql import DataFrame as _DF
+
+    seen = [obj]
+    for item in seen:
+        if isinstance(item, _DF):
+            try:
+                item.unpersist()
+            except Exception:
+                pass
+        elif isinstance(item, dict):
+            seen.extend(item.values())
+        elif isinstance(item, (list, tuple)):
+            seen.extend(item)
+        else:
+            for attr in ("assigned", "coded", "edges", "shard_nodes", "shard_edges", "codes"):
+                frame = getattr(item, attr, None)
+                if isinstance(frame, _DF):
+                    try:
+                        frame.unpersist()
+                    except Exception:
+                        pass
 
 
 def _cached_index(kind: str, sf_dir: str, build: Callable[[], object]) -> object:
     key = (kind, sf_dir)
-    if key not in _IDX_CACHE:
-        _IDX_CACHE[key] = build()
+    if key in _IDX_CACHE:
+        _IDX_CACHE[key] = _IDX_CACHE.pop(key)  # refresh LRU position
+        return _IDX_CACHE[key]
+    while len(_IDX_CACHE) >= _IDX_CACHE_MAX:
+        oldest = next(iter(_IDX_CACHE))
+        _evict_index(_IDX_CACHE.pop(oldest))
+    _IDX_CACHE[key] = build()
     return _IDX_CACHE[key]
 
 

@@ -1201,6 +1201,39 @@ class Collection:
                 )
         return out
 
+    def _graph_indexes(self) -> dict[str, dict]:
+        """Persisted Vamana graph artifacts for the current snapshot —
+        handles only (lazy parquet frames + routing metadata), consumed by
+        the compiler's filtered vectorVamana seeded-beam route
+        (search.go:28-51 parity)."""
+        import numpy as np
+
+        out: dict[str, dict] = {}
+        v = self._current_version()
+        for p, val in self.schema.items():
+            if val.type != "vectorVamana":
+                continue
+            path = os.path.join(
+                self.path, f"v{v}_idx", f"vamana_{p.replace('.', '_')}"
+            )
+            meta_file = os.path.join(path, "_graph.json")
+            if not os.path.exists(meta_file):
+                continue
+            with open(meta_file) as f:
+                meta = json.load(f)
+            out[p] = {
+                "shard_nodes": self.spark.read.parquet(
+                    os.path.join(path, "shard_nodes")
+                ),
+                "shard_edges": self.spark.read.parquet(
+                    os.path.join(path, "shard_edges")
+                ),
+                "centroids": np.asarray(meta["centroids"], dtype=np.float64),
+                "search_size": int(meta["search_size"]),
+                "metric": meta["metric"],
+            }
+        return out
+
     def _text_indexes(self) -> tuple[dict[str, DataFrame], dict[str, int]]:
         idxs: dict[str, DataFrame] = {}
         stats: dict[str, int] = {}
@@ -1243,6 +1276,7 @@ class Collection:
             text_index_stats=stats,
             vector_indexes=self._vector_indexes(),
             quantized_indexes=self._quantized_indexes(),
+            graph_indexes=self._graph_indexes(),
         )
         self._engine_cache = (v, eng)
         return eng

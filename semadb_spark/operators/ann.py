@@ -362,6 +362,7 @@ def ivfpq_build(
         metric=metric,
         seed=seed,
         sample_cap=sample_cap,
+        sample=sample,  # one bounded collect feeds both fits
     )
     m, _, sublen = books.centroids.shape
 

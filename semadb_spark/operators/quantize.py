@@ -392,13 +392,17 @@ def pq_fit(
     metric: str = "euclidean",
     seed: int = 42,
     sample_cap: int | None = None,
+    sample: np.ndarray | None = None,
 ) -> PQCodebooks:
     """Per-subvector k-means codebooks via pyspark.ml (product.go:175-236;
     the reference's utils.KMeans is euclidean, as is ml's).
 
     ``sample_cap`` bounds the training set at scale — codebook quality
     converges long before the full corpus is seen (one bounded collect feeds
-    all m sub-fits; see functions/kmeans.py).
+    all m sub-fits; see functions/kmeans.py). Pass ``sample`` to reuse an
+    already-collected training matrix (ivfpq_build shares one collect
+    between the coarse and product fits) — fits are identical because the
+    limit()-bounded collect is deterministic for a given frame and cap.
     """
     from semadb_spark.functions.kmeans import (
         DEFAULT_SAMPLE_CAP,
@@ -407,10 +411,11 @@ def pq_fit(
     )
 
     metric = _effective_metric(metric)
-    vecs = df.select(F.col(vec_col).alias("v"))
-    sample = collect_vector_sample(
-        vecs, "v", cap=sample_cap or DEFAULT_SAMPLE_CAP, seed=seed
-    )
+    if sample is None:
+        vecs = df.select(F.col(vec_col).alias("v"))
+        sample = collect_vector_sample(
+            vecs, "v", cap=sample_cap or DEFAULT_SAMPLE_CAP, seed=seed
+        )
     d = sample.shape[1]
     if d % num_subvectors != 0:
         raise ValueError(

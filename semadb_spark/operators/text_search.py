@@ -277,11 +277,16 @@ def text_search_batch(
     id_col: str = "_id",
     doc_terms: DataFrame | None = None,
     num_docs: int | None = None,
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Serve many text queries in ONE job — the TF-IDF analogue of
     ``knn_topk_batch`` (batch-first serving, the regime the bench's QPS
     rows measure). -> (query_id, id, _score, _hybridScore), per-query
     top-``limit``, scores identical to per-query :func:`text_search`.
+
+    ``candidate_ids`` (one id column) applies the R4 pre-filter exactly as
+    the per-query path does: candidates intersect BEFORE scoring and
+    truncation, df/IDF stay corpus-wide index-time facts.
 
     Shape: the posting table is term-filtered once for the UNION of all
     query terms (pruning the bucket-partitioned index to at most
@@ -345,6 +350,13 @@ def text_search_batch(
         # join — joining first would double-count postings shared by queries
         matches = matches.withColumn(
             "df", F.count("*").over(Window.partitionBy("term"))
+        )
+    if candidate_ids is not None:
+        cand = candidate_ids.select(
+            F.col(candidate_ids.columns[0]).cast("string").alias("id")
+        )
+        matches = matches.withColumn("id", F.col("id").cast("string")).join(
+            cand, "id", "left_semi"
         )
     if nd_lit is None:
         matches = matches.crossJoin(F.broadcast(num_docs_frame))

@@ -122,6 +122,7 @@ class SearchEngine:
         text_index_stats: dict[str, int] | None = None,
         vector_indexes: dict[str, object] | None = None,
         quantized_indexes: dict[str, object] | None = None,
+        graph_indexes: dict[str, dict] | None = None,
     ) -> None:
         self.df = df
         self.schema = (
@@ -142,6 +143,13 @@ class SearchEngine:
         # codes — the reference wraps the whole vector store this way
         # (shard/vectorstore/vectorstore.go:75+).
         self.quantized_indexes = dict(quantized_indexes or {})
+        # property -> persisted Vamana graph artifact handle:
+        # {"shard_nodes": df, "shard_edges": df, "centroids": np.ndarray,
+        #  "search_size": int, "metric": str}. Used for FILTERED
+        # vectorVamana queries: the reference seeds the beam with filtered
+        # points and walks the full graph (search.go:28-51) — exact
+        # seeded-beam parity, served distributed via vamana_serve.
+        self.graph_indexes = dict(graph_indexes or {})
         # property -> packed 0.5-threshold codes for D8 bit-metric queries,
         # built on first use and reused across searches on this engine (the
         # reference's auto-wrapped binary store, vectorstore.go:51-73)
@@ -441,11 +449,35 @@ class SearchEngine:
                 # is exceeded).
                 n = flt_ids.limit(FILTERED_EXACT_FALLBACK_ROWS + 1).count()
                 exact_fallback = n <= FILTERED_EXACT_FALLBACK_ROWS
+            graph = self.graph_indexes.get(prop)
             if exact_fallback:
                 base = self._prefiltered_df(opts["filter"])
                 topk = knn_ops.knn_topk(
                     base, prop, vector, value.distance_metric, limit,
                     id_col=self.id_col,
+                )
+            elif flt_ids is not None and graph is not None:
+                # TRUE reference filtered semantics (search.go:28-51): each
+                # shard seeds its beam with up to searchSize filtered points,
+                # walks the FULL graph, and only filtered points enter the
+                # result — the seeded-beam mode, served distributed over the
+                # persisted per-shard subgraphs (every shard, no routing —
+                # the reference fans a search to all shards). The bounded
+                # exact fallback above still takes small candidate sets:
+                # full recall at lower cost than any optimistic walk.
+                from semadb_spark.operators.vamana import vamana_serve
+
+                topk = (
+                    vamana_serve(
+                        graph["shard_nodes"],
+                        graph["shard_edges"],
+                        [("q", vector)],
+                        limit,
+                        metric=value.distance_metric,
+                        search_size=search_size,
+                        candidate_ids=flt_ids,
+                    )
+                    .select(F.col("_id").alias(self.id_col), "_distance")
                 )
             else:
                 topk = ivf_search(

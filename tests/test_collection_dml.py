@@ -770,3 +770,58 @@ def test_refresh_vamana_index_incremental(spark, tmp_path):
 
     # idempotent: nothing new to apply
     assert coll.refresh_vamana_index("v") == 0
+
+
+def test_filtered_vamana_seeded_beam_route(spark, tmp_path, monkeypatch):
+    """Filtered vectorVamana through the compiler uses the reference's
+    seeded-beam semantics (search.go:28-51) when a persisted graph artifact
+    exists and the candidate set is past the exact-fallback bound: the beam
+    seeds with filtered points, walks the full graph, only filtered points
+    enter the result. Route-pinned by poisoning ivf_search."""
+    import numpy as np
+
+    from semadb_spark.plans import compiler as comp
+
+    schema = {
+        "v": {"type": "vectorVamana", "vectorVamana": {
+            "vectorSize": 8, "distanceMetric": "euclidean",
+            "searchSize": 40, "degreeBound": 32}},
+        "tag": {"type": "string", "string": {}},
+    }
+    coll = Collection.create(spark, str(tmp_path / "gseed"), schema, num_buckets=8)
+    rng = np.random.RandomState(11)
+    X = rng.normal(size=(160, 8))
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]],
+             tag="keep" if i % 2 == 0 else "drop") for i in range(160)]
+    ))
+    coll.build_vector_index("v", nlist=4)
+    coll.build_vamana_index("v", num_shards=3)
+
+    # force the graph route: candidate set (80) must exceed the fallback
+    monkeypatch.setattr(comp, "FILTERED_EXACT_FALLBACK_ROWS", 10)
+
+    def _boom(*a, **k):
+        raise AssertionError("filtered vectorVamana took the IVF probe route")
+
+    import semadb_spark.operators.ann as ann_mod
+
+    monkeypatch.setattr(ann_mod, "ivf_search", _boom)
+    q = [float(x) for x in X[0]]
+    res = coll.search({"query": {"property": "v", "vectorVamana": {
+        "vector": q, "operator": "near", "limit": 10, "searchSize": 40,
+        "filter": {"property": "tag", "string": {
+            "operator": "equals", "value": "keep"}}}}}).collect()
+    assert len(res) == 10
+    keep_ids = {f"p{i:03d}" for i in range(0, 160, 2)}
+    assert all(r["_id"] in keep_ids for r in res), "unfiltered id leaked"
+    # recall vs the exact filtered scan clears the reference's limit/2 bar
+    d = ((X[0::2] - X[0]) ** 2).sum(axis=1)
+    exact = {f"p{2*int(j):03d}" for j in np.argsort(d, kind="stable")[:10]}
+    assert len({r["_id"] for r in res} & exact) >= 5
+    # unfiltered queries still use the IVF route (poisoned -> must raise)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="IVF probe route"):
+        coll.search({"query": {"property": "v", "vectorVamana": {
+            "vector": q, "operator": "near", "limit": 5}}}).collect()

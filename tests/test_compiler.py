@@ -565,3 +565,36 @@ def test_text_serve_matches_text_search(products, tmp_path):
         text_serve(spark, "tsv_postings", "x", "containsAny")
     with pytest.raises(ValueError, match="invalid operator"):
         text_serve(spark, "tsv_postings", "x", "nope", num_docs=1)
+
+
+def test_text_search_batch_candidate_filter_parity(products):
+    """Batched pre-filtered text search must equal the per-query path with
+    the same candidate set (R4 semantics: intersect before scoring,
+    corpus-wide df)."""
+    from semadb_spark.operators.text_search import (
+        build_text_index,
+        text_search,
+        text_search_batch,
+    )
+
+    flt = products.filter(F.col("_id").isin(["02", "05", "06"])).select("_id")
+    idx = build_text_index(products, "description")
+    n_docs = idx.select("id").distinct().count()
+    queries = [("q0", "gandalf wizard"), ("q1", "red shoe")]
+    for kw in ({}, {"doc_terms": idx, "num_docs": n_docs}):
+        batch = text_search_batch(
+            products, "description", queries, "containsAny", limit=5,
+            candidate_ids=flt, **kw,
+        ).collect()
+        got = {}
+        for r in batch:
+            got.setdefault(r["query_id"], []).append((r["id"], r["_score"]))
+        for qid, qtext in queries:
+            solo = [
+                (r["id"], r["_score"])
+                for r in text_search(
+                    products, "description", qtext, "containsAny", limit=5,
+                    candidate_ids=flt, **kw,
+                ).collect()
+            ]
+            assert got.get(qid, []) == solo, (qid, kw.keys())

@@ -219,3 +219,46 @@ def test_repetition_signals_match_counter_reference(spark, docs):
             max(bigr.values()) / sum(bigr.values()) if bigr else 0.0
         )
         assert r["top_bigram_frac"] == expect_b
+
+
+def test_idx_cache_lru_evicts_and_rebuilds(spark):
+    """The entry module's artifact cache is LRU-bounded (reference caps its
+    shard cache, singleServer.yaml:61): filling past the cap evicts the
+    oldest entry, unpersists its frames, and a later request rebuilds it
+    correctly."""
+    import __spark_entry__ as em
+
+    saved_cache, saved_max = dict(em._IDX_CACHE), em._IDX_CACHE_MAX
+    em._IDX_CACHE.clear()
+    try:
+        em._IDX_CACHE_MAX = 2
+        builds = []
+
+        def make(tag):
+            def build():
+                builds.append(tag)
+                # distinct row count per tag: same-shaped plans canonicalize
+                # to ONE CacheManager entry (rename-only variants share it),
+                # which would let a later rebuild re-cache an evicted
+                # frame's entry and make this test lie
+                df = spark.range(3 + len(tag) * ord(tag[0]))
+                df.persist().count()
+                return df
+
+            return build
+
+        a = em._cached_index("a", "/x", make("a"))
+        em._cached_index("b", "/x", make("b"))
+        assert em._cached_index("a", "/x", make("a")) is a  # hit, no rebuild
+        em._cached_index("c", "/x", make("c"))  # evicts b (a was refreshed)
+        assert ("b", "/x") not in em._IDX_CACHE
+        assert builds == ["a", "b", "c"]
+        em._cached_index("b", "/x", make("b"))  # rebuilds cleanly
+        assert builds == ["a", "b", "c", "b"]
+        assert len(em._IDX_CACHE) == 2
+        # evicted frame was unpersisted
+        assert not (a.storageLevel.useMemory or a.storageLevel.useDisk)
+    finally:
+        em._IDX_CACHE.clear()
+        em._IDX_CACHE.update(saved_cache)
+        em._IDX_CACHE_MAX = saved_max
