@@ -670,6 +670,10 @@ class Collection:
                         assigned.select("_id", "v"),
                         "v",
                         "_id",
+                        # thread persisted provenance through reconstruction;
+                        # legacy artifacts without the field stay "unknown"
+                        # rather than being relabeled as corpus-fitted
+                        threshold_source=qmeta.get("threshold_source", "unknown"),
                     )
                 elif "pq_code" in assigned.columns and qmeta is not None and qmeta[
                     "kind"

@@ -673,7 +673,7 @@ class IVFBQIndex:
 
     def __init__(
         self, centroids, thresholds, coded, floats, vec_col, id_col,
-        threshold_source: str = "corpus_mean",
+        threshold_source: str = "unknown",
     ):
         self.centroids = centroids  # (nlist, dim)
         self.thresholds = thresholds  # per-dim or scalar
@@ -682,7 +682,10 @@ class IVFBQIndex:
         self.vec_col = vec_col
         self.id_col = id_col
         # provenance marker: "corpus_mean" (bq_fit over every row),
-        # "sample_mean" (bounded k-means sample), or "explicit" — persist
+        # "sample_mean" (bounded k-means sample), "explicit", or "unknown"
+        # (the constructor default — a reconstruction path that failed to
+        # thread the persisted provenance must not silently relabel the
+        # artifact as corpus-fitted) — persist
         # this with the quantizer meta so a rebuilt index can tell whether
         # its codes are comparable to an older artifact's
         self.threshold_source = threshold_source

@@ -355,14 +355,21 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b", "jaccard")
     )
-    # materialize the bounded pair frame (one row per candidate pair) so the
-    # shingle cache can be released immediately instead of stranding executor
-    # storage until session end — the lazy-return alternative would leak one
-    # persisted frame per call site that never re-invokes the same plan
-    out = out.localCheckpoint(eager=True)
-    sets.unpersist()
+    # threshold BEFORE materializing: the checkpoint below runs a full job,
+    # so pruning first means sub-threshold pairs are never stored
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
+    # EAGER semantics (deliberate API contract): this call materializes the
+    # bounded pair frame (one row per surviving candidate pair) via
+    # localCheckpoint so the shingle cache can be released immediately
+    # instead of stranding executor storage until session end — the
+    # lazy-return alternative would leak one persisted frame per call site
+    # that never re-invokes the same plan. Consequences callers should know:
+    # the Spark job runs at call time even if the result is never used, and
+    # lineage is cut (executor loss after the call cannot recompute the
+    # result; re-run the verify pass instead).
+    out = out.localCheckpoint(eager=True)
+    sets.unpersist()
     return out
 
 

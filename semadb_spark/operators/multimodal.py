@@ -115,8 +115,17 @@ def parse_image_header(data: bytes) -> dict | None:
             pos += 2 + seglen
         return None
     if data[:2] == b"BM" and len(data) >= 26:
-        w, h = struct.unpack("<ii", data[18:26])
-        return {"format": "bmp", "width": abs(int(w)), "height": abs(int(h))}
+        # validate the DIB header size field before claiming BMP — any text
+        # blob starting "BM" would otherwise report garbage dimensions.
+        # Valid sizes: 12 (BITMAPCOREHEADER), 40 (BITMAPINFOHEADER),
+        # 108 (V4), 124 (V5)
+        dib = struct.unpack("<I", data[14:18])[0]
+        if dib == 12:
+            w, h = struct.unpack("<HH", data[18:22])
+            return {"format": "bmp", "width": int(w), "height": int(h)}
+        if dib in (40, 108, 124):
+            w, h = struct.unpack("<ii", data[18:26])
+            return {"format": "bmp", "width": abs(int(w)), "height": abs(int(h))}
     return None
 
 

@@ -858,6 +858,8 @@ def vamana_serve_packed(
                         continue
                 n = int(row["n"])
                 X = np.frombuffer(row["vecs"], dtype=np_dtype).reshape(n, -1)
+                # one float64 view/copy per shard row, not per query
+                Xd = X.astype(np.float64, copy=False)
                 indptr = np.frombuffer(row["indptr"], dtype=np.int32)
                 indices = np.frombuffer(row["indices"], dtype=np.int32)
                 adj = np.split(indices, indptr[1:-1])
@@ -866,7 +868,7 @@ def vamana_serve_packed(
                 for qi in q_idx:
                     qid, qv = qvecs[qi]
                     vis_ids, vis_dists = _greedy_search(
-                        X.astype(np.float64, copy=False), adj, start, qv,
+                        Xd, adj, start, qv,
                         search_size, metric,
                     )
                     for j, dd in zip(vis_ids[:k], vis_dists[:k]):

@@ -125,13 +125,26 @@ def test_parse_image_header_real_bytes(spark):
         + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
         + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 9
     )
-    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, -128) + b"\x00" * 8
+    # BMP file header (14 bytes) + BITMAPINFOHEADER (DIB size 40)
+    bmp = (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+        + struct.pack("<ii", 64, -128) + b"\x00" * 8
+    )
+    # BITMAPCOREHEADER variant (DIB size 12, unsigned 16-bit dims)
+    bmp_core = (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 12)
+        + struct.pack("<HH", 48, 32) + b"\x00" * 8
+    )
     assert mm.parse_image_header(png) == {"format": "png", "width": 640, "height": 480}
     assert mm.parse_image_header(gif) == {"format": "gif", "width": 320, "height": 200}
     assert mm.parse_image_header(jpeg) == {"format": "jpeg", "width": 1920, "height": 1080}
     assert mm.parse_image_header(bmp) == {"format": "bmp", "width": 64, "height": 128}
+    assert mm.parse_image_header(bmp_core) == {"format": "bmp", "width": 48, "height": 32}
     assert mm.parse_image_header(b"plain text, not an image") is None
     assert mm.parse_image_header(b"\xff\xd8\xff\xd9") is None  # empty JPEG
+    # a text blob that happens to start "BM" must NOT sniff as BMP (the DIB
+    # header size field at bytes 14..18 gates the claim)
+    assert mm.parse_image_header(b"BMW dealers report record sales this y") is None
 
     # end-to-end through the Spark kernel: real images report parsed dims
     # and format; a text blob keeps the deterministic fake (format null)
