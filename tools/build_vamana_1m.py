@@ -8,10 +8,15 @@ centroids. bench.py reuses the artifact across rounds (the VERDICT r4
 directive says build once, serve per round) and reports build_sec from the
 sidecar, flagged as built-once.
 
+Version 2 (round 6): build_mode="batch" (batch-parallel Vamana build,
+_local_build_batch) with 64 routing centroids and ~16k-row sub-shards
+— larger shards mean each routed query runs ~4 beams per probed centroid
+pair instead of ~56, and the batched serve kernel amortizes one einsum per
+beam step across the whole routed query batch. Blobs pack float32 (halves
+artifact decode; serving arithmetic float32, distances reported float64).
+
 Params: degree_bound 32 / search_size 75 / alpha 1.2 are inside the
-reference's own ranges (models/index.go:275-313); max_shard_rows=2500
-trades build wall-clock for ~6x fewer beams per query at serve time (see
-vamana_build docstring).
+reference's own ranges (models/index.go:275-313).
 """
 
 from __future__ import annotations
@@ -25,35 +30,43 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ART_PATH = "/tmp/semadb_bench_vamana_1m.parquet"
 META_PATH = ART_PATH + ".meta.json"
+VERSION = 2
 
 
 def ensure_vamana_1m(spark, corpus_path: str) -> dict:
-    """Build the packed artifact if missing; return the sidecar meta."""
+    """Build the packed artifact if missing or stale; return the sidecar
+    meta. A meta without the current version marker forces a rebuild (the
+    v1 artifact used 2.5k-row shards + float64 blobs)."""
     if os.path.exists(META_PATH) and os.path.exists(
         os.path.join(ART_PATH, "_SUCCESS")
     ):
         with open(META_PATH) as f:
-            return json.load(f)
+            meta = json.load(f)
+        if meta.get("version") == VERSION:
+            return meta
     from semadb_spark.operators.vamana import vamana_build, vamana_pack
 
     big = spark.read.parquet(corpus_path)
     t0 = time.time()
     idx = vamana_build(
         big, "embedding", "_id", degree_bound=32, alpha=1.2, search_size=75,
-        num_shards=128, metric="cosine", keep_sharded=True, seed=42,
-        max_shard_rows=2500,
+        num_shards=64, metric="cosine", keep_sharded=True, seed=42,
+        max_shard_rows=16000, build_mode="batch",
     )
-    packed = vamana_pack(idx.shard_nodes, idx.shard_edges)
+    packed = vamana_pack(idx.shard_nodes, idx.shard_edges, dtype="float32")
     packed.write.mode("overwrite").partitionBy("cent").parquet(ART_PATH)
     build_sec = round(time.time() - t0, 3)
     meta = {
+        "version": VERSION,
         "rows": big.count(),
         "build_sec": build_sec,
         "centroids": idx.centroids.tolist(),
         "degree_bound": 32,
         "search_size": 75,
         "metric": "cosine",
-        "max_shard_rows": 2500,
+        "max_shard_rows": 16000,
+        "build_mode": "batch",
+        "pack_dtype": "float32",
     }
     with open(META_PATH, "w") as f:
         json.dump(meta, f)
