@@ -477,6 +477,7 @@ def main() -> None:
             search_size=int(vam_meta["search_size"]),
             centroids=vam_cents, nprobe=8,
             dtype=vam_dtype, kernel="batched", compute_dtype="float32",
+            n_seeds=64,
         ),
     )
     vam_recall = recall_at_k(vam_frame.filter(F.col("query_id").isin(aq64)), ang_exact)
@@ -906,6 +907,148 @@ def main() -> None:
     }
     print(f"# hybrid_1m: {hybrid_1m}", file=sys.stderr)
 
+    # 10M-document decade proof for the pipeline + text operators (VERDICT
+    # r5 directive #2): the ANN side got its 10M measurement in round 5;
+    # this gives dedup/repetition/packing and the text index the same. The
+    # corpus is the docs_1m soup recipe at 10x (one-time fixture). Pipeline
+    # ops run ONE pass each (no best_of: at this scale a second pass would
+    # double bench wall-clock without changing the linearity conclusion —
+    # compare docs_per_sec against docs_1m for the rough-linearity check).
+    docs10m_rows = int(os.environ.get("SPARK_GRAFT_BENCH_10M_DOCS", 10_000_000))
+    docs_10m: dict = {}
+    text_10m: dict = {}
+    if docs10m_rows > 0:
+        docs10m_path = f"/tmp/semadb_bench_docs_{docs10m_rows}.parquet"
+        if not os.path.exists(os.path.join(docs10m_path, "_SUCCESS")):
+            src10 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            d_reps10 = max(2, docs10m_rows // src10.count())
+            soup10 = F.concat_ws(
+                " ",
+                *[
+                    F.regexp_replace(
+                        F.md5(F.concat_ws("_", "doc_id", "rep", F.lit(j))),
+                        "(.{4})",
+                        "$1 ",
+                    )
+                    for j in range(5)
+                ],
+            )
+            (
+                src10.crossJoin(
+                    spark.range(d_reps10).withColumnRenamed("id", "rep")
+                )
+                .select(
+                    (F.col("doc_id") * d_reps10 + F.col("rep")).alias("doc_id"),
+                    F.when(F.col("rep") < 2, F.col("text"))
+                    .otherwise(soup10)
+                    .alias("text"),
+                    "lang",
+                    "source",
+                )
+                .repartition(cpus * 4)
+                .write.mode("overwrite")
+                .parquet(docs10m_path)
+            )
+        d10 = spark.read.parquet(docs10m_path).withColumn(
+            "_id", F.col("doc_id").cast("string")
+        )
+        d10_n = d10.count()
+        docs_10m = {"rows": d10_n}
+        for key, make in (
+            (
+                "minhash_lsh",
+                lambda: dedup_ops.minhash_lsh_pairs(
+                    d10, "text", "_id", num_hashes=16, bands=4,
+                    hash_fn="xxhash64",
+                ),
+            ),
+            ("repetition", lambda: ts_ops.repetition_signals(d10, "text")),
+            (
+                "pack",
+                lambda: pk_ops.pack_sequences(
+                    d10, "text", "_id", max_tokens=2048, order_col="doc_id"
+                ),
+            ),
+        ):
+            frame, p_dt = best_of(1, make)
+            frame.unpersist()
+            docs_10m[f"{key}_sec"] = round(p_dt, 2)
+            docs_10m[f"{key}_docs_per_sec"] = round(d10_n / p_dt)
+            docs_10m[f"{key}_linearity_vs_1m"] = round(
+                docs_1m[f"{key}_docs_per_sec"] / max(d10_n / p_dt, 1), 2
+            )
+        print(f"# docs_10m: {docs_10m}", file=sys.stderr)
+
+        # 10M text index: ~40 tokens/doc -> ~400M posting rows. Built ONCE
+        # (an index is an artifact, same policy as the vamana_1m build);
+        # build_sec comes from the sidecar, flagged build_once. Smaller
+        # parquet row groups than the 1M index: with term-sorted rows the
+        # pyarrow/Spark readers then prune to a few hundred-k rows per
+        # queried term instead of multi-M.
+        tidx10_path = f"/tmp/semadb_bench_textidx_{docs10m_rows}.parquet"
+        tidx10_meta = tidx10_path + ".meta.json"
+        if not (
+            os.path.exists(tidx10_meta)
+            and os.path.exists(os.path.join(tidx10_path, "_SUCCESS"))
+        ):
+            t0 = time.time()
+            (
+                build_text_index(d10, "text")
+                .withColumn(
+                    "term_bucket",
+                    F.pmod(md5_hash64(F.col("term")), F.lit(TERM_BUCKETS)),
+                )
+                .repartition("term_bucket")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .option("parquet.block.size", 8 * 1024 * 1024)
+                .partitionBy("term_bucket")
+                .parquet(tidx10_path)
+            )
+            t_build10 = round(time.time() - t0, 3)
+            with open(tidx10_meta, "w") as fh:
+                json.dump(
+                    {
+                        "build_sec": t_build10,
+                        "postings": spark.read.parquet(tidx10_path).count(),
+                    },
+                    fh,
+                )
+        with open(tidx10_meta) as fh:
+            tmeta10 = json.load(fh)
+        text_disk10 = spark.read.parquet(tidx10_path)
+        text_disk10.createOrReplaceTempView("bench_postings_10m")
+
+        def _serve10(args):
+            qtext, op = args
+            return text_serve(
+                spark, "bench_postings_10m", qtext, op, limit=75,
+                num_docs=d10_n,
+            ).count()
+
+        for q in text_queries:
+            _serve10(q)  # warm file listing + codegen
+        with ThreadPoolExecutor(16) as ex:
+            t1 = time.time()
+            list(ex.map(_serve10, q64))
+            conc10_dt = time.time() - t1
+        for q, op in text_queries:
+            text_serve_local(tidx10_path, q, op, limit=75, num_docs=d10_n)
+        t1 = time.time()
+        for _rep in range(3):
+            for q, op in text_queries:
+                text_serve_local(tidx10_path, q, op, limit=75, num_docs=d10_n)
+        local10_dt = (time.time() - t1) / 3
+        text_10m = {
+            "rows": d10_n,
+            "postings": tmeta10["postings"],
+            "index_build_sec": tmeta10["build_sec"],
+            "build_once": True,
+            "search_qps_16c": round(len(q64) / conc10_dt, 1),
+            "search_qps_1client": round(len(text_queries) / local10_dt, 1),
+        }
+        print(f"# text_10m: {text_10m}", file=sys.stderr)
+
     # Full detail (cold timings, all vector-block fields) goes to a file +
     # stderr; the FINAL stdout line is a compact summary kept well under the
     # driver's 2000-char tail window (round 2's full line overflowed it and
@@ -928,6 +1071,8 @@ def main() -> None:
         "docs_1m": docs_1m,
         "hybrid_1m": hybrid_1m,
         "text_1m": text_1m,
+        "docs_10m": docs_10m,
+        "text_10m": text_10m,
         "cpus": cpus,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -986,6 +1131,8 @@ def main() -> None:
         },
         "text_1m": text_1m,
         "hybrid_1m": hybrid_1m,
+        "docs_10m": docs_10m,
+        "text_10m": text_10m,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact, separators=(",", ":"))

@@ -225,6 +225,7 @@ def test_packed_serve_matches_cogroup_serve(spark, emb):
     for kw in (
         {},  # exhaustive
         {"centroids": index.centroids, "nprobe": 2},  # routed
+        {"n_seeds": 16},  # multi-entry seeded beams
     ):
         want = sorted(
             (r["query_id"], r["_id"], round(r["_distance"], 9))
