@@ -475,7 +475,7 @@ def main() -> None:
         lambda: vamana_serve_packed(
             vam_disk, aq, 10, metric="cosine",
             search_size=int(vam_meta["search_size"]),
-            centroids=vam_cents, nprobe=8,
+            centroids=vam_cents, nprobe=4,
             dtype=vam_dtype, kernel="batched", compute_dtype="float32",
             n_seeds=64,
         ),

@@ -754,7 +754,7 @@ class Collection:
 
     def vamana_search(
         self, prop: str, queries: list[tuple[str, list[float]]], k: int,
-        nprobe: int | None = None, candidate_ids=None,
+        nprobe: int | None = None, candidate_ids=None, n_seeds: int = 0,
     ):
         """Serve ANN queries from the PERSISTED Vamana artifact: distributed
         partition-local beam search + global merge (operators/vamana.py
@@ -786,6 +786,7 @@ class Collection:
             centroids=np.asarray(meta["centroids"], dtype=np.float64),
             nprobe=nprobe,
             candidate_ids=candidate_ids,
+            n_seeds=n_seeds,
         )
 
     def refresh_vamana_index(self, prop: str) -> int:

@@ -727,6 +727,7 @@ def vamana_build(
     keep_sharded: bool = False,
     max_shard_rows: int = 400,
     build_mode: str = "auto",
+    build_passes: int = 2,
 ) -> VamanaIndex:
     """DiskANN merged build: overlap-assign -> per-shard Vamana
     (applyInPandas) -> edge union -> per-node merge cap.
@@ -754,6 +755,10 @@ def vamana_build(
     rows per shard at equal recall), ``"auto"`` (default) picks ``batch``
     for shards above 2048 rows and ``insert`` below — small shards keep
     the reference-exact path, large serving builds get the fast one.
+    ``build_passes`` (batch mode only) trades build time for graph
+    quality: 1 pass prunes trajectory pools over the random init graph
+    (cheapest); 2 (default) refines pools over the pass-1 graph — the
+    DiskANN two-round schedule.
     """
     from semadb_spark.functions.kmeans import collect_vector_sample, kmeans_np
 
@@ -833,6 +838,7 @@ def vamana_build(
             si, di, dd, _ = _local_build_batch(
                 X, degree_bound, alpha, search_size, metric,
                 seed=seed + zlib.crc32(str(shard).encode()) % 100_000,
+                passes=build_passes,
             )
             return pd.DataFrame(
                 {

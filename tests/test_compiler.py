@@ -567,6 +567,57 @@ def test_text_serve_matches_text_search(products, tmp_path):
         text_serve(spark, "tsv_postings", "x", "nope", num_docs=1)
 
 
+def test_text_serve_local_matches_text_serve(products, tmp_path):
+    """The driver-local pyarrow serving path (NO Spark job) must reproduce
+    text_serve exactly — same ids, scores, hybrid scores, ordering — over
+    the same persisted bucket-partitioned artifact, both operators,
+    including weights, a no-match query, and an empty query."""
+    from pyspark.sql import functions as F
+
+    from semadb_spark.functions.hashing import md5_hash64
+    from semadb_spark.operators.text_search import (
+        TERM_BUCKETS,
+        build_text_index,
+        text_serve,
+        text_serve_local,
+    )
+
+    idx = build_text_index(products, "description")
+    n_docs = idx.select("id").distinct().count()
+    path = str(tmp_path / "postings_local")
+    (
+        idx.withColumn(
+            "term_bucket", F.pmod(md5_hash64(F.col("term")), F.lit(TERM_BUCKETS))
+        )
+        .write.partitionBy("term_bucket")
+        .parquet(path)
+    )
+    spark = products.sparkSession
+    spark.read.parquet(path).createOrReplaceTempView("tsl_postings")
+    for op in ("containsAny", "containsAll"):
+        for qtext in ("gandalf wizard", "red shoe", "the blue walking",
+                      "zzz-nothing-matches", ""):
+            want = [
+                (r["id"], round(r["_score"], 10), round(r["_hybridScore"], 10))
+                for r in text_serve(
+                    spark, "tsl_postings", qtext, op, limit=5, weight=0.7,
+                    num_docs=n_docs,
+                ).collect()
+            ]
+            local = text_serve_local(
+                path, qtext, op, limit=5, weight=0.7, num_docs=n_docs
+            )
+            got = [
+                (r["id"], round(r["_score"], 10), round(r["_hybridScore"], 10))
+                for r in local.to_dict("records")
+            ]
+            assert got == want, (op, qtext)
+    with pytest.raises(ValueError, match="num_docs"):
+        text_serve_local(path, "x", "containsAny")
+    with pytest.raises(ValueError, match="invalid operator"):
+        text_serve_local(path, "x", "nope", num_docs=1)
+
+
 def test_text_search_batch_candidate_filter_parity(products):
     """Batched pre-filtered text search must equal the per-query path with
     the same candidate set (R4 semantics: intersect before scoring,

@@ -52,6 +52,7 @@ def ensure_vamana_1m(spark, corpus_path: str) -> dict:
         big, "embedding", "_id", degree_bound=32, alpha=1.2, search_size=75,
         num_shards=64, metric="cosine", keep_sharded=True, seed=42,
         max_shard_rows=16000, build_mode="batch",
+        build_passes=int(os.environ.get("SPARK_GRAFT_VAMANA_PASSES", "1")),
     )
     packed = vamana_pack(idx.shard_nodes, idx.shard_edges, dtype="float32")
     packed.write.mode("overwrite").partitionBy("cent").parquet(ART_PATH)
@@ -66,6 +67,7 @@ def ensure_vamana_1m(spark, corpus_path: str) -> dict:
         "metric": "cosine",
         "max_shard_rows": 16000,
         "build_mode": "batch",
+        "build_passes": int(os.environ.get("SPARK_GRAFT_VAMANA_PASSES", "1")),
         "pack_dtype": "float32",
     }
     with open(META_PATH, "w") as f:
