@@ -115,6 +115,15 @@ def _greedy_search(
     return np.asarray(vis, dtype=np.int64), np.asarray([dists[i] for i in vis])
 
 
+def _ham_rows(qc: np.ndarray, nc: np.ndarray) -> np.ndarray:
+    """Row-wise hamming: qc (A, w) uint64 vs nc (A, K, w) -> (A, K) float.
+    SWAR popcount (numpy < 2.0 has no bitwise_count)."""
+    from semadb_spark.functions.distances import _popcount
+
+    x = np.bitwise_xor(qc[:, None, :], nc)
+    return _popcount(x).sum(axis=2).astype(np.float64)
+
+
 def _batched_greedy_topk(
     X: np.ndarray,
     indptr: np.ndarray,
@@ -127,6 +136,8 @@ def _batched_greedy_topk(
     qchunk: int | None = None,
     return_visited: bool = False,
     seed_ids: np.ndarray | None = None,
+    X_codes: np.ndarray | None = None,
+    Q_codes: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batched greedy beam search: every query advances one expansion per
     step, so each step's distance work is ONE gathered einsum over the
@@ -160,8 +171,13 @@ def _batched_greedy_topk(
     descends locally. Seeds are scored at init but only count as visited
     once expanded, exactly like the scalar kernel's ``seeds``.
     """
-    n, d = X.shape
-    nq = len(Q)
+    code_mode = X_codes is not None
+    if code_mode:
+        n = len(X_codes)
+        nq = len(Q_codes)
+    else:
+        n, d = X.shape
+        nq = len(Q)
     L = search_size
     # padded adjacency: one gather instead of per-node ragged slices
     deg = np.diff(indptr)
@@ -177,7 +193,7 @@ def _batched_greedy_topk(
     rows_rep = np.repeat(np.arange(n), deg)
     cols_rep = np.arange(len(indices)) - np.repeat(indptr[:-1], deg)
     adj_pad[rows_rep, cols_rep] = indices
-    Xsq = (X * X).sum(axis=1) if metric == "euclidean" else None
+    Xsq = (X * X).sum(axis=1) if (not code_mode and metric == "euclidean") else None
     if qchunk is None:
         # bound the per-chunk seen matrix at ~64 MB
         qchunk = max(64, min(1024, (64 << 20) // max(n, 1)))
@@ -191,9 +207,16 @@ def _batched_greedy_topk(
         out_dists = np.full((nq, k), np.inf)
     for q0 in range(0, nq, qchunk):
         q1 = min(q0 + qchunk, nq)
-        Qc = np.ascontiguousarray(Q[q0:q1], dtype=X.dtype)
-        A = q1 - q0
-        Qsq = (Qc * Qc).sum(axis=1) if metric == "euclidean" else None
+        if code_mode:
+            Qc = None
+            Qcc = np.ascontiguousarray(Q_codes[q0:q1])
+            A = q1 - q0
+            Qsq = None
+        else:
+            Qc = np.ascontiguousarray(Q[q0:q1], dtype=X.dtype)
+            Qcc = None
+            A = q1 - q0
+            Qsq = (Qc * Qc).sum(axis=1) if metric == "euclidean" else None
         beam_ids = np.full((A, L), -1, dtype=np.int64)
         beam_d = np.full((A, L), np.inf)
         beam_vis = np.ones((A, L), dtype=bool)
@@ -203,13 +226,20 @@ def _batched_greedy_topk(
             entries = np.asarray([start], dtype=np.int64)
         entries = entries[:L]
         E = len(entries)
-        g0 = Qc @ np.ascontiguousarray(X[entries]).T  # (A, E)
-        if metric == "euclidean":
-            d0 = np.maximum(Xsq[entries][None, :] - 2.0 * g0 + Qsq[:, None], 0.0)
-        elif metric == "cosine":
-            d0 = 1.0 - g0
+        if code_mode:
+            d0 = _ham_rows(
+                Qcc, np.broadcast_to(X_codes[entries], (A, E, X_codes.shape[1]))
+            )
         else:
-            d0 = -g0
+            g0 = Qc @ np.ascontiguousarray(X[entries]).T  # (A, E)
+            if metric == "euclidean":
+                d0 = np.maximum(
+                    Xsq[entries][None, :] - 2.0 * g0 + Qsq[:, None], 0.0
+                )
+            elif metric == "cosine":
+                d0 = 1.0 - g0
+            else:
+                d0 = -g0
         beam_ids[:, :E] = entries[None, :]
         beam_d[:, :E] = d0
         beam_vis[:, :E] = False
@@ -239,15 +269,18 @@ def _batched_greedy_topk(
             flat = aq[:, None] * n + nb0
             np.logical_and(new_mask, ~seen.ravel()[flat], out=new_mask)
             seen.ravel()[flat[new_mask]] = True
-            G = X[nb0]  # (|aq|, max_deg, d)
-            dots = np.einsum("ad,akd->ak", Qc[aq], G, optimize=True)
-            if metric == "euclidean":
-                dd = Xsq[nb0] - 2.0 * dots + Qsq[aq][:, None]
-                np.maximum(dd, 0.0, out=dd)
-            elif metric == "cosine":
-                dd = 1.0 - dots
+            if code_mode:
+                dd = _ham_rows(Qcc[aq], X_codes[nb0])
             else:
-                dd = -dots
+                G = X[nb0]  # (|aq|, max_deg, d)
+                dots = np.einsum("ad,akd->ak", Qc[aq], G, optimize=True)
+                if metric == "euclidean":
+                    dd = Xsq[nb0] - 2.0 * dots + Qsq[aq][:, None]
+                    np.maximum(dd, 0.0, out=dd)
+                elif metric == "cosine":
+                    dd = 1.0 - dots
+                else:
+                    dd = -dots
             dd = np.where(new_mask, dd, np.inf)
             cat_ids = np.concatenate([beam_ids[aq], nb0], axis=1)
             cat_d = np.concatenate([beam_d[aq], dd], axis=1)
@@ -1362,6 +1395,49 @@ def vamana_pack(
     )
 
 
+def vamana_pack_add_codes(
+    packed: DataFrame, thresholds: np.ndarray, dtype: str = "float64"
+) -> DataFrame:
+    """Quantize a :func:`vamana_pack` artifact IN PLACE of its layout: one
+    pass over the packed shard rows decodes each vector blob, binarizes
+    with the frozen per-dim ``thresholds`` (binary.go:152-175 semantics
+    via quantize.encode_bits_np), and adds two columns — ``codes`` (the
+    packed uint64 words, row-major binary blob) and ``code_words``.
+
+    This is the reference's v2-BQ architecture applied to the serving
+    artifact (the quantizer's codes live NEXT TO the graph and the beam
+    runs on quantized distances, vamana.go:257-259) — without rebuilding
+    the graph or re-reading the corpus: the float vectors needed are
+    already in the blobs. ``dtype`` must match the pack dtype.
+    """
+    from semadb_spark.operators.quantize import encode_bits_np
+
+    np_dtype = np.dtype(dtype)
+    thr = np.asarray(thresholds, dtype=np.float64)
+
+    def add(batches):
+        for pdf in batches:
+            codes_col = []
+            words_col = []
+            for _, row in pdf.iterrows():
+                n = int(row["n"])
+                X = np.frombuffer(row["vecs"], dtype=np_dtype).reshape(n, -1)
+                codes = encode_bits_np(X.astype(np.float64), thr)
+                codes_col.append(np.ascontiguousarray(codes).tobytes())
+                words_col.append(codes.shape[1])
+            pdf = pdf.copy()
+            pdf["codes"] = codes_col
+            pdf["code_words"] = words_col
+            yield pdf
+
+    out_schema = (
+        "shard string, cent int, n int, ids array<string>, vecs binary, "
+        "indptr binary, indices binary, start int, codes binary, "
+        "code_words int"
+    )
+    return packed.mapInPandas(add, out_schema)
+
+
 def vamana_serve_packed(
     packed: DataFrame,
     queries: list[tuple[str, list[float]]],
@@ -1374,6 +1450,9 @@ def vamana_serve_packed(
     kernel: str = "batched",
     compute_dtype: str | None = None,
     n_seeds: int = 0,
+    beam_on: str = "float",
+    thresholds: np.ndarray | None = None,
+    oversample: int = 4,
 ) -> DataFrame:
     """Distributed Vamana serving over the :func:`vamana_pack` artifact.
 
@@ -1400,11 +1479,28 @@ def vamana_serve_packed(
     multi-entry navigation) — on clustered corpora this lifts recall
     sharply because every cluster gets an on-ramp; the id-sorted stride is
     content-deterministic, so both kernels and both serve layouts pick
-    identical seeds. 0 = entry-only (reference default semantics)."""
+    identical seeds. 0 = entry-only (reference default semantics).
+
+    ``beam_on="bq"`` runs the beam on HAMMING distances over the packed
+    binary codes stored by :func:`vamana_pack_add_codes` — the
+    reference's v2-BQ serving architecture (the fitted quantizer's
+    distance plugs into the graph search, vamana.go:257-259) — then
+    exact-reranks each query's final pool of ``k * oversample``
+    candidates with the float vectors from the same blob and emits the
+    top ``k`` by exact distance. ``thresholds`` must be the binarization
+    thresholds the codes were encoded with (to encode the queries).
+    Requires the batched kernel."""
     from pyspark.sql import Window
 
     if kernel not in ("batched", "scalar"):
         raise ValueError(f"unknown kernel: {kernel}")
+    if beam_on not in ("float", "bq"):
+        raise ValueError(f"unknown beam_on: {beam_on}")
+    if beam_on == "bq":
+        if kernel != "batched":
+            raise ValueError("beam_on='bq' requires the batched kernel")
+        if thresholds is None:
+            raise ValueError("beam_on='bq' requires the fitted thresholds")
     if not queries:
         raise ValueError("queries must be non-empty")
     qvecs = [(str(qid), np.asarray(v, dtype=np.float64)) for qid, v in queries]
@@ -1448,6 +1544,69 @@ def vamana_serve_packed(
                     id_order = np.argsort(ids.astype(str), kind="stable")
                     seeds = id_order[:: max(n // min(n_seeds, n), 1)][:n_seeds]
                     seeds = seeds.astype(np.int64)
+                if kernel == "batched" and beam_on == "bq":
+                    # quantized graph search (vamana.go:257-259): beam on
+                    # hamming over the stored codes, exact float rerank of
+                    # each final pool
+                    from semadb_spark.operators.quantize import encode_bits_np
+
+                    words = int(row["code_words"])
+                    X_codes = (
+                        np.frombuffer(row["codes"], dtype=np.int64)
+                        .reshape(n, words)
+                        .view(np.uint64)
+                    )
+                    Qf = np.stack([qvecs[qi][1] for qi in q_idx])
+                    Q_codes = encode_bits_np(
+                        Qf, np.asarray(thresholds, dtype=np.float64)
+                    ).view(np.uint64)
+                    pool = min(max(k * oversample, k), search_size)
+                    top_i, _ham = _batched_greedy_topk(
+                        None, indptr.astype(np.int64),
+                        indices.astype(np.int64), start, None, search_size,
+                        pool, metric, seed_ids=seeds,
+                        X_codes=X_codes, Q_codes=Q_codes,
+                    )
+                    # exact rerank: one gathered einsum over each query's
+                    # pool (A x pool x d)
+                    Xc = np.ascontiguousarray(X, dtype=c_dtype)
+                    Qc = Qf.astype(c_dtype)
+                    gi = np.where(top_i >= 0, top_i, 0)
+                    G = Xc[gi]
+                    dots = np.einsum("ad,akd->ak", Qc, G, optimize=True)
+                    if metric == "euclidean":
+                        rd = (
+                            (G * G).sum(axis=2)
+                            - 2.0 * dots
+                            + (Qc * Qc).sum(axis=1)[:, None]
+                        )
+                        np.maximum(rd, 0.0, out=rd)
+                    elif metric == "cosine":
+                        rd = 1.0 - dots
+                    else:
+                        rd = -dots
+                    rd = np.where(top_i >= 0, rd, np.inf)
+                    order = np.argsort(rd, axis=1, kind="stable")[:, :k]
+                    top_i = np.take_along_axis(top_i, order, axis=1)
+                    top_d = np.take_along_axis(rd, order, axis=1)
+                    valid = (top_i >= 0) & np.isfinite(top_d)
+                    qn = valid.sum(axis=1)
+                    qids = np.repeat(
+                        np.asarray(
+                            [qvecs[qi][0] for qi in q_idx], dtype=object
+                        ),
+                        qn,
+                    )
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qids,
+                                "_id": ids[top_i[valid]],
+                                "_distance": top_d[valid].astype(np.float64),
+                            }
+                        )
+                    )
+                    continue
                 if kernel == "batched":
                     Xc = np.ascontiguousarray(X, dtype=c_dtype)
                     Qc = np.stack([qvecs[qi][1] for qi in q_idx]).astype(c_dtype)
