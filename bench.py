@@ -723,8 +723,15 @@ def main() -> None:
             "term_bucket", F.pmod(md5_hash64(F.col("term")), F.lit(TERM_BUCKETS))
         )
         .repartition("term_bucket")
-        .sortWithinPartitions("term")  # row-group stats prune isin(term)
+        # sort by (partition col, term): the partitionBy writer re-sorts by
+        # its partition columns with an UNSTABLE sort, so sorting by term
+        # alone gets destroyed at write time (observed: row-group stats
+        # spanning the full term range = zero pruning); leading with the
+        # partition column makes the writer's sort a no-op and the term
+        # order survives into row-group stats, which prune isin(term)
+        .sortWithinPartitions("term_bucket", "term")
         .write.mode("overwrite")
+        .option("parquet.block.size", 8 * 1024 * 1024)
         .partitionBy("term_bucket")
         .parquet(text_idx_path)
     )
@@ -999,7 +1006,8 @@ def main() -> None:
                     F.pmod(md5_hash64(F.col("term")), F.lit(TERM_BUCKETS)),
                 )
                 .repartition("term_bucket")
-                .sortWithinPartitions("term")
+                # lead with the partition column (see the 1M block note)
+                .sortWithinPartitions("term_bucket", "term")
                 .write.mode("overwrite")
                 .option("parquet.block.size", 8 * 1024 * 1024)
                 .partitionBy("term_bucket")

@@ -387,6 +387,13 @@ class Collection:
                     "term_bucket",
                     F.pmod(md5_hash64(F.col("term")), F.lit(TERM_BUCKETS)),
                 )
+                .repartition("term_bucket")
+                # lead with the partition column: partitionBy's writer
+                # re-sorts by its partition columns with an unstable sort,
+                # which would destroy a term-only ordering; sorted this way
+                # the writer's sort is a no-op and term row-group stats
+                # survive to prune isin(term) scans
+                .sortWithinPartitions("term_bucket", "term")
                 .write.mode("overwrite")
                 .partitionBy("term_bucket")
                 .parquet(path)

@@ -54,7 +54,9 @@ def ensure_index(spark, d1m):
                 "term_bucket", F.pmod(md5_hash64(F.col("term")), F.lit(TERM_BUCKETS))
             )
             .repartition("term_bucket")
-            .sortWithinPartitions("term")  # row-group stats prune isin(term)
+            # lead with the partition column: the partitionBy writer
+            # re-sorts by partition cols unstably (see bench.py note)
+            .sortWithinPartitions("term_bucket", "term")
             .write.mode("overwrite")
             .partitionBy("term_bucket")
             .parquet(IDX_PATH)
