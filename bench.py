@@ -1006,10 +1006,14 @@ def main() -> None:
                     F.pmod(md5_hash64(F.col("term")), F.lit(TERM_BUCKETS)),
                 )
                 .repartition("term_bucket")
-                # lead with the partition column (see the 1M block note)
+                # lead with the partition column (see the 1M block note).
+                # 1 MB row groups: a point query decodes whole row groups
+                # (no page-level pruning in the readers), so at ~400M
+                # postings the group size IS the per-term read cost —
+                # 1 MB keeps it at ~100k rows instead of ~1.1M
                 .sortWithinPartitions("term_bucket", "term")
                 .write.mode("overwrite")
-                .option("parquet.block.size", 8 * 1024 * 1024)
+                .option("parquet.block.size", 1024 * 1024)
                 .partitionBy("term_bucket")
                 .parquet(tidx10_path)
             )
