@@ -268,6 +268,50 @@ def text_serve(
 
 
 _LOCAL_DATASET_CACHE: dict[str, object] = {}
+_LOCAL_RG_INDEX_CACHE: dict[str, object] = {}
+
+
+def _local_rowgroup_index(index_path: str):
+    """bucket -> [(ParquetFile, [(term_min, term_max) per row group])] for
+    a term-bucket partitioned posting artifact, built once per path from
+    parquet footers only (no data pages read). Returns None when term
+    statistics are absent (legacy unsorted artifact) — callers fall back
+    to the generic dataset scan."""
+    if index_path in _LOCAL_RG_INDEX_CACHE:
+        return _LOCAL_RG_INDEX_CACHE[index_path]
+    import glob
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    idx: dict[int, list] = {}
+    usable = False
+    for d in glob.glob(os.path.join(index_path, "term_bucket=*")):
+        m = re.search(r"term_bucket=(\d+)$", d)
+        if not m:
+            continue
+        b = int(m.group(1))
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            pf = pq.ParquetFile(f)
+            md = pf.metadata
+            term_col = None
+            for ci in range(len(md.schema)):
+                if md.schema.column(ci).name == "term":
+                    term_col = ci
+                    break
+            stats = []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(term_col).statistics if term_col is not None else None
+                if st is not None and st.has_min_max:
+                    stats.append((st.min, st.max))
+                    usable = True
+                else:
+                    stats.append((None, None))
+            idx.setdefault(b, []).append((pf, stats))
+    result = idx if usable else None
+    _LOCAL_RG_INDEX_CACHE[index_path] = result
+    return result
 
 
 def text_serve_local(
@@ -325,13 +369,55 @@ def text_serve_local(
     if dset is None:
         dset = pads.dataset(index_path, partitioning="hive")
         _LOCAL_DATASET_CACHE[index_path] = dset
-    flt = pads.field("term").isin(list(terms))
-    if "term_bucket" in dset.schema.names:
-        buckets = sorted({md5_hash64_py(t) % TERM_BUCKETS for t in terms})
-        flt = pads.field("term_bucket").isin(buckets) & flt
-    tbl = dset.to_table(
-        columns=["id", "tf", "doc_len", "df"], filter=flt
-    )
+    bucketed = "term_bucket" in dset.schema.names
+    tbl = None
+    if bucketed:
+        # fast path: per-bucket row-group index (built once per path) —
+        # binary-search each term into its bucket file's cached term
+        # min/max stats and read ONLY the matching row groups. The generic
+        # dataset scan re-evaluates every fragment's metadata per query
+        # and decodes whole filtered fragments; at a 400M-posting index
+        # that overhead is the entire latency budget (measured 75 ms/query
+        # via the dataset path vs ~20 ms via direct row-group reads).
+        # Falls back to the dataset scan if stats are missing (unsorted
+        # legacy artifact).
+        idx = _local_rowgroup_index(index_path)
+        if idx is not None:
+            import pyarrow as pa
+
+            # union of matching row groups per file FIRST, each group read
+            # exactly once — two query terms landing in the same group must
+            # not duplicate its posting rows (scores would double-count)
+            needed: dict[tuple[int, int], set] = {}
+            for t in sorted(set(terms)):
+                b = md5_hash64_py(t) % TERM_BUCKETS
+                for fi, (pf, stats) in enumerate(idx.get(b, [])):
+                    for g, (lo, hi) in enumerate(stats):
+                        if lo is not None and lo <= t <= hi:
+                            needed.setdefault((b, fi), set()).add(g)
+            chunks = []
+            for (b, fi), rgs in needed.items():
+                pf, _stats = idx[b][fi]
+                chunks.append(
+                    pf.read_row_groups(
+                        sorted(rgs),
+                        columns=["id", "term", "tf", "doc_len", "df"],
+                    )
+                )
+            if not chunks:
+                return empty
+            tbl = pa.concat_tables(chunks)
+            mask = np.isin(
+                tbl.column("term").to_numpy(zero_copy_only=False),
+                list(set(terms)),
+            )
+            tbl = tbl.filter(pa.array(mask))
+    if tbl is None:
+        flt = pads.field("term").isin(list(terms))
+        if bucketed:
+            buckets = sorted({md5_hash64_py(t) % TERM_BUCKETS for t in terms})
+            flt = pads.field("term_bucket").isin(buckets) & flt
+        tbl = dset.to_table(columns=["id", "tf", "doc_len", "df"], filter=flt)
     if tbl.num_rows == 0:
         return empty
     ids = tbl.column("id").to_numpy(zero_copy_only=False)
