@@ -731,7 +731,10 @@ def main() -> None:
         # order survives into row-group stats, which prune isin(term)
         .sortWithinPartitions("term_bucket", "term")
         .write.mode("overwrite")
-        .option("parquet.block.size", 8 * 1024 * 1024)
+        # 1 MB row groups: point queries decode whole row groups, so the
+        # group size IS the per-term read cost (the 8 MB default packed a
+        # whole 625k-row bucket into one group = zero pruning)
+        .option("parquet.block.size", 1024 * 1024)
         .partitionBy("term_bucket")
         .parquet(text_idx_path)
     )

@@ -395,6 +395,9 @@ class Collection:
                 # survive to prune isin(term) scans
                 .sortWithinPartitions("term_bucket", "term")
                 .write.mode("overwrite")
+                # small row groups: single-query serving decodes whole row
+                # groups, so group size IS the per-term read cost
+                .option("parquet.block.size", 1024 * 1024)
                 .partitionBy("term_bucket")
                 .parquet(path)
             )
