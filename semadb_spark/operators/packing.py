@@ -56,9 +56,16 @@ def pack_sequences(
        a whole tokenize pass over the corpus);
     2. per-partition running sums via a window PARTITIONED by bucket
        (parallel across buckets);
-    3. per-bucket totals (one row per bucket — bounded by the shuffle
-       partition count, a few thousand at 100 TB) are cumulated and
-       broadcast back as base offsets.
+    3. per-bucket totals (one row per bucket) are cumulated and broadcast
+       back as base offsets.
+
+    The bucket count scales with the corpus — ``max(shuffle partitions,
+    ceil(rows / 65536))`` — so per-bucket window size is CONSTANT as the
+    corpus grows (a fixed bucket count made the per-bucket sort+window
+    grow linearly with the corpus: measured superlinear at 10M, BENCH_r06
+    pack_linearity 1.71). At 100 TB (~100B docs) that is ~1.5M buckets:
+    the totals frame cumulated on the driver-side window stays ~1.5M tiny
+    rows and the broadcast offsets a few tens of MB — both bounded.
 
     Docs spanning a chunk boundary emit one row per spanned sequence via
     ``sequence()`` + ``explode`` (a doc spans at most
@@ -83,17 +90,22 @@ def pack_sequences(
 
     from pyspark.sql.window import Window
 
-    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    min_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    rows_per_bucket = 65_536
     int_ord = dict(counts.dtypes)["_ord"] in ("tinyint", "smallint", "int", "bigint")
     if int_ord:
         # bounds over the pre-tokenize filter only: a slightly-wide key span
         # is still a valid (non-decreasing) bucket map, and this agg prunes
-        # to the order column alone — no tokenizer evaluation
+        # to the order column alone — no tokenizer evaluation. The count
+        # rides the same single agg job (it sizes the bucket grid).
         bounds = (
             df.filter(F.col(text_col).isNotNull())
             .agg(
                 F.min(F.col(order_col)).alias("lo"),
                 F.max(F.col(order_col)).alias("hi"),
+                F.count(F.lit(1)).alias("cnt"),
             )
             .first()
         )
@@ -106,6 +118,7 @@ def pack_sequences(
                 F.lit(0).cast("long").alias("n_toks"),
             ).limit(0)
         lo, span = int(bounds["lo"]), int(bounds["hi"]) - int(bounds["lo"]) + 1
+        nparts = max(min_parts, -(-int(bounds["cnt"]) // rows_per_bucket))
         if span > 2**63 - 1:
             # the subtraction (ord - lo) itself would overflow int64; such a
             # full-range key span only arises for adversarial sparse keys —
@@ -124,7 +137,11 @@ def pack_sequences(
         ).cast("int")
         parts = counts.withColumn("_part", bucket).repartition(nparts, "_part")
     else:
-        parts = counts.repartitionByRange(F.col("_ord")).withColumn(
+        nparts = max(
+            min_parts,
+            -(-df.filter(F.col(text_col).isNotNull()).count() // rows_per_bucket),
+        )
+        parts = counts.repartitionByRange(nparts, F.col("_ord")).withColumn(
             "_part", F.spark_partition_id()
         )
     w = Window.partitionBy("_part").orderBy("_ord")

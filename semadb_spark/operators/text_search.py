@@ -267,18 +267,41 @@ def text_serve(
     )
 
 
-_LOCAL_DATASET_CACHE: dict[str, object] = {}
-_LOCAL_RG_INDEX_CACHE: dict[str, object] = {}
+_LOCAL_DATASET_CACHE: dict[str, tuple[int, object]] = {}
+_LOCAL_RG_INDEX_CACHE: dict[str, tuple[int, object]] = {}
+
+
+def _artifact_fingerprint(index_path: str) -> int:
+    """mtime_ns of the artifact's _SUCCESS marker (the atomic last thing a
+    Spark write commits), falling back to the directory's own mtime. Both
+    driver-local caches key on (path, fingerprint): rebuilding the index
+    in-process with write.mode("overwrite") at the same path bumps the
+    fingerprint, so a subsequent text_serve_local re-opens the new files
+    instead of serving stale postings off pinned ParquetFile handles."""
+    import os
+
+    for p in (os.path.join(index_path, "_SUCCESS"), index_path):
+        try:
+            return os.stat(p).st_mtime_ns
+        except OSError:
+            continue
+    return 0
 
 
 def _local_rowgroup_index(index_path: str):
     """bucket -> [(ParquetFile, [(term_min, term_max) per row group])] for
-    a term-bucket partitioned posting artifact, built once per path from
-    parquet footers only (no data pages read). Returns None when term
-    statistics are absent (legacy unsorted artifact) — callers fall back
-    to the generic dataset scan."""
-    if index_path in _LOCAL_RG_INDEX_CACHE:
-        return _LOCAL_RG_INDEX_CACHE[index_path]
+    a term-bucket partitioned posting artifact, built once per (path,
+    fingerprint) from parquet footers only (no data pages read). Row
+    groups whose term statistics are absent get (None, None) and are
+    treated as MUST-READ by the caller (a mixed-stats artifact — e.g. one
+    file from a different writer — must not silently drop those groups'
+    postings). Returns None only when NO row group anywhere has stats
+    (legacy unsorted artifact) — callers then fall back to the generic
+    dataset scan."""
+    fp = _artifact_fingerprint(index_path)
+    hit = _LOCAL_RG_INDEX_CACHE.get(index_path)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
     import glob
     import os
     import re
@@ -310,7 +333,7 @@ def _local_rowgroup_index(index_path: str):
                     stats.append((None, None))
             idx.setdefault(b, []).append((pf, stats))
     result = idx if usable else None
-    _LOCAL_RG_INDEX_CACHE[index_path] = result
+    _LOCAL_RG_INDEX_CACHE[index_path] = (fp, result)
     return result
 
 
@@ -365,10 +388,13 @@ def text_serve_local(
 
     from semadb_spark.functions.hashing import md5_hash64_py
 
-    dset = _LOCAL_DATASET_CACHE.get(index_path)
-    if dset is None:
+    fp = _artifact_fingerprint(index_path)
+    hit = _LOCAL_DATASET_CACHE.get(index_path)
+    if hit is not None and hit[0] == fp:
+        dset = hit[1]
+    else:
         dset = pads.dataset(index_path, partitioning="hive")
-        _LOCAL_DATASET_CACHE[index_path] = dset
+        _LOCAL_DATASET_CACHE[index_path] = (fp, dset)
     bucketed = "term_bucket" in dset.schema.names
     tbl = None
     if bucketed:
@@ -387,13 +413,15 @@ def text_serve_local(
 
             # union of matching row groups per file FIRST, each group read
             # exactly once — two query terms landing in the same group must
-            # not duplicate its posting rows (scores would double-count)
+            # not duplicate its posting rows (scores would double-count).
+            # Stats-less groups (lo is None) are must-read: pruning them
+            # would silently drop their postings on mixed-stats artifacts.
             needed: dict[tuple[int, int], set] = {}
             for t in sorted(set(terms)):
                 b = md5_hash64_py(t) % TERM_BUCKETS
                 for fi, (pf, stats) in enumerate(idx.get(b, [])):
                     for g, (lo, hi) in enumerate(stats):
-                        if lo is not None and lo <= t <= hi:
+                        if lo is None or lo <= t <= hi:
                             needed.setdefault((b, fi), set()).add(g)
             chunks = []
             for (b, fi), rgs in needed.items():

@@ -183,11 +183,20 @@ def _batched_greedy_topk(
     deg = np.diff(indptr)
     max_deg = int(deg.max()) if len(deg) else 0
     if max_deg == 0:
+        # edgeless shard (single node / legacy artifact): score the entry
+        # with whichever representation this call is running on — X/Q are
+        # None in code mode, so mirror the beam-init entry scoring
         out_i = np.full((nq, k), -1, dtype=np.int64)
         out_i[:, 0] = start
         out_d = np.full((nq, k), np.inf)
-        for qi in range(nq):
-            out_d[qi, 0] = _dist_rows(metric, X[[start]], Q[qi])[0]
+        if code_mode:
+            out_d[:, 0] = _ham_rows(
+                Q_codes,
+                np.broadcast_to(X_codes[[start]], (nq, 1, X_codes.shape[1])),
+            )[:, 0]
+        else:
+            for qi in range(nq):
+                out_d[qi, 0] = _dist_rows(metric, X[[start]], Q[qi])[0]
         return out_i, out_d
     adj_pad = np.full((n, max_deg), -1, dtype=np.int64)
     rows_rep = np.repeat(np.arange(n), deg)
@@ -377,7 +386,7 @@ def _vector_prune(
     alpha: float,
     metric: str = "euclidean",
     chunk: int = 1024,
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """robustPrune (search.go:106-138) vectorized ACROSS nodes: walk each
     node's pool by distance rank; a kept candidate c eliminates every
     later pool member j with ``alpha * d(c, j) < d(node, j)``.
@@ -402,9 +411,12 @@ def _vector_prune(
     already kept.
 
     Also returns ``n_kept`` (n,) — the alpha-kept count per node, BEFORE
-    the fill. Downstream capping must rank alpha-kept edges above fill
-    edges (a plain distance cap would evict exactly the long-range
-    diverse edges the alpha pass preserved).
+    the fill. Current callers cap and order pools purely by distance
+    (``n_kept`` is diagnostic): the fill edges are themselves the nearest
+    occluded candidates, so a distance cap keeps the same set; callers
+    that ever cap HARDER than ``degree_bound`` should rank alpha-kept
+    edges first via ``n_kept`` to avoid evicting the long-range diverse
+    edges.
     """
     n, pool = pool_ids.shape
     out_ids = np.full((n, degree_bound), -1, dtype=np.int64)

@@ -618,6 +618,110 @@ def test_text_serve_local_matches_text_serve(products, tmp_path):
         text_serve_local(path, "x", "nope", num_docs=1)
 
 
+def test_text_serve_local_mixed_stats_rowgroups_must_read(products, tmp_path):
+    """A posting file whose row groups lack term statistics (different
+    writer, stats dropped) must still be READ by the fast path — stats-less
+    groups are must-read, never silently pruned. Regression for the ADVICE
+    r6 finding: `usable` was global, so one stats-bearing group anywhere
+    made every (None, None) group disappear from results."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from semadb_spark.functions.hashing import md5_hash64, md5_hash64_py
+    from semadb_spark.operators.text_search import (
+        TERM_BUCKETS,
+        build_text_index,
+        text_serve_local,
+    )
+
+    idx = build_text_index(products, "description")
+    n_docs = idx.select("id").distinct().count()
+    path = str(tmp_path / "postings_mixed")
+    (
+        idx.withColumn(
+            "term_bucket", F.pmod(md5_hash64(F.col("term")), F.lit(TERM_BUCKETS))
+        )
+        .write.partitionBy("term_bucket")
+        .parquet(path)
+    )
+    # plant a foreign-writer file WITHOUT statistics into the right bucket:
+    # a brand-new term in a brand-new doc, invisible unless the stats-less
+    # group is actually read
+    term = "zzmixedstatsterm"
+    b = md5_hash64_py(term) % TERM_BUCKETS
+    extra = pa.table(
+        {
+            "id": ["doc-alien"],
+            "term": [term],
+            "tf": pa.array([1], type=pa.int64()),
+            "doc_len": pa.array([1], type=pa.int64()),
+            "df": pa.array([1], type=pa.int64()),
+        }
+    )
+    bucket_dir = tmp_path / "postings_mixed" / f"term_bucket={b}"
+    bucket_dir.mkdir(exist_ok=True)
+    pq.write_table(
+        extra, str(bucket_dir / "alien-00000.parquet"), write_statistics=False
+    )
+    got = text_serve_local(path, term, "containsAny", num_docs=n_docs + 1)
+    assert list(got["id"]) == ["doc-alien"], (
+        "stats-less row group was pruned instead of must-read"
+    )
+    # and a normal query through the same mixed artifact still works
+    assert len(text_serve_local(path, "gandalf", "containsAny", num_docs=n_docs + 1))
+
+
+def test_text_serve_local_cache_invalidated_on_rebuild(products, tmp_path):
+    """Rebuilding the artifact in-place (write.mode("overwrite") at the same
+    path — exactly what Collection.build_text_index does) must invalidate
+    the driver-local dataset + row-group caches: the next text_serve_local
+    serves the NEW postings instead of stale ones off pinned ParquetFile
+    handles (ADVICE r6)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from semadb_spark.functions.hashing import md5_hash64
+    from semadb_spark.operators.text_search import (
+        TERM_BUCKETS,
+        build_text_index,
+        text_serve_local,
+    )
+
+    path = str(tmp_path / "postings_rebuild")
+
+    def write(df):
+        idx = build_text_index(df, "description")
+        (
+            idx.withColumn(
+                "term_bucket",
+                F.pmod(md5_hash64(F.col("term")), F.lit(TERM_BUCKETS)),
+            )
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(path)
+        )
+        return idx.select("id").distinct().count()
+
+    n1 = write(products)
+    first = text_serve_local(path, "gandalf", "containsAny", num_docs=n1)
+    assert len(first) > 0
+    # rebuild over a corpus where the term is gone
+    scrubbed = products.withColumn(
+        "description", F.regexp_replace("description", "(?i)gandalf", "nobody")
+    )
+    n2 = write(scrubbed)
+    # _SUCCESS mtime_ns is the cache fingerprint; force a bump in case the
+    # filesystem's mtime granularity makes both writes land on one tick
+    os.utime(os.path.join(path, "_SUCCESS"))
+    time.sleep(0.01)
+    second = text_serve_local(path, "gandalf", "containsAny", num_docs=n2)
+    assert len(second) == 0, "stale postings served after in-place rebuild"
+    assert len(text_serve_local(path, "nobody", "containsAny", num_docs=n2)) > 0
+
+
 def test_text_search_batch_candidate_filter_parity(products):
     """Batched pre-filtered text search must equal the per-query path with
     the same candidate set (R4 semantics: intersect before scoring,

@@ -293,6 +293,36 @@ def test_batched_kernel_equals_scalar_kernel_numpy():
         np.testing.assert_allclose(np.sort(vis_d[:10]), np.sort(bd[qi]), rtol=1e-9)
 
 
+def test_batched_kernel_edgeless_shard_code_mode():
+    """An edgeless shard (single node / legacy artifact) served in code
+    mode must return the entry scored by hamming, not crash dereferencing
+    the None float matrices (ADVICE r6)."""
+    from semadb_spark.operators.quantize import encode_bits_np
+
+    rng = np.random.RandomState(5)
+    X = rng.normal(size=(1, 64))
+    Q = rng.normal(size=(3, 64))
+    thr = np.zeros(64)
+    Xc = encode_bits_np(X, thr).astype(np.uint64)
+    Qc = encode_bits_np(Q, thr).astype(np.uint64)
+    indptr = np.zeros(2, dtype=np.int64)
+    ids, dists = vm._batched_greedy_topk(
+        None, indptr, np.array([], dtype=np.int64), 0, None, 10, 4,
+        X_codes=Xc, Q_codes=Qc,
+    )
+    assert ids.shape == (3, 4) and (ids[:, 0] == 0).all()
+    want = vm._ham_rows(Qc, np.broadcast_to(Xc[[0]], (3, 1, Xc.shape[1])))[:, 0]
+    np.testing.assert_allclose(dists[:, 0], want)
+    assert (ids[:, 1:] == -1).all() and np.isinf(dists[:, 1:]).all()
+    # float mode on the same edgeless graph still works
+    fi, fd = vm._batched_greedy_topk(
+        X, indptr, np.array([], dtype=np.int64), 0, Q, 10, 4,
+        metric="euclidean",
+    )
+    assert (fi[:, 0] == 0).all()
+    np.testing.assert_allclose(fd[:, 0], ((Q - X[0]) ** 2).sum(axis=1))
+
+
 def test_quantized_graph_serving_bq_beam(spark, emb):
     """Quantized-through-graph serving (the reference's v2-BQ architecture,
     vamana.go:257-259: the fitted quantizer's distance plugs into the
