@@ -124,6 +124,21 @@ def _ham_rows(qc: np.ndarray, nc: np.ndarray) -> np.ndarray:
     return _popcount(x).sum(axis=2).astype(np.float64)
 
 
+def _adc_rows(luts_flat: np.ndarray, bytes_gathered: np.ndarray) -> np.ndarray:
+    """Byte-LUT asymmetric distances: ``luts_flat`` (A, B*256) float — per
+    query, per byte position b a 256-entry table at ``[b*256 + value]`` —
+    vs ``bytes_gathered`` (A, K, B) uint8 corpus codes -> (A, K) float.
+    One take_along_axis gather + sum; the asymmetric analogue of
+    :func:`_ham_rows` shared by BQ-margin and PQ-ADC beams."""
+    A, K, B = bytes_gathered.shape
+    idx = bytes_gathered.astype(np.int64) + (np.arange(B, dtype=np.int64) * 256)
+    return (
+        np.take_along_axis(luts_flat, idx.reshape(A, K * B), axis=1)
+        .reshape(A, K, B)
+        .sum(axis=2)
+    )
+
+
 def _batched_greedy_topk(
     X: np.ndarray,
     indptr: np.ndarray,
@@ -138,6 +153,8 @@ def _batched_greedy_topk(
     seed_ids: np.ndarray | None = None,
     X_codes: np.ndarray | None = None,
     Q_codes: np.ndarray | None = None,
+    X_bytes: np.ndarray | None = None,
+    Q_luts: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batched greedy beam search: every query advances one expansion per
     step, so each step's distance work is ONE gathered einsum over the
@@ -170,11 +187,22 @@ def _batched_greedy_topk(
     stride-sample of seeds gives every cluster an on-ramp and the beam
     descends locally. Seeds are scored at init but only count as visited
     once expanded, exactly like the scalar kernel's ``seeds``.
+
+    Quantized beams: ``X_codes``/``Q_codes`` (packed uint64 words) run the
+    beam on symmetric hamming; ``X_bytes`` (n, B) uint8 + ``Q_luts``
+    (nq, B, 256) float run it on byte-LUT asymmetric distances (one gather
+    per step) — the shared mechanism under BQ-margin and PQ-ADC serving.
     """
     code_mode = X_codes is not None
+    adc_mode = X_bytes is not None
     if code_mode:
         n = len(X_codes)
         nq = len(Q_codes)
+    elif adc_mode:
+        n = len(X_bytes)
+        nq = len(Q_luts)
+        B = X_bytes.shape[1]
+        Q_luts_flat = np.ascontiguousarray(Q_luts).reshape(nq, B * 256)
     else:
         n, d = X.shape
         nq = len(Q)
@@ -194,6 +222,10 @@ def _batched_greedy_topk(
                 Q_codes,
                 np.broadcast_to(X_codes[[start]], (nq, 1, X_codes.shape[1])),
             )[:, 0]
+        elif adc_mode:
+            out_d[:, 0] = _adc_rows(
+                Q_luts_flat, np.broadcast_to(X_bytes[[start]], (nq, 1, B))
+            )[:, 0]
         else:
             for qi in range(nq):
                 out_d[qi, 0] = _dist_rows(metric, X[[start]], Q[qi])[0]
@@ -202,7 +234,11 @@ def _batched_greedy_topk(
     rows_rep = np.repeat(np.arange(n), deg)
     cols_rep = np.arange(len(indices)) - np.repeat(indptr[:-1], deg)
     adj_pad[rows_rep, cols_rep] = indices
-    Xsq = (X * X).sum(axis=1) if (not code_mode and metric == "euclidean") else None
+    Xsq = (
+        (X * X).sum(axis=1)
+        if (not code_mode and not adc_mode and metric == "euclidean")
+        else None
+    )
     if qchunk is None:
         # bound the per-chunk seen matrix at ~64 MB
         qchunk = max(64, min(1024, (64 << 20) // max(n, 1)))
@@ -219,6 +255,12 @@ def _batched_greedy_topk(
         if code_mode:
             Qc = None
             Qcc = np.ascontiguousarray(Q_codes[q0:q1])
+            A = q1 - q0
+            Qsq = None
+        elif adc_mode:
+            Qc = None
+            Qcc = None
+            Qlf = Q_luts_flat[q0:q1]
             A = q1 - q0
             Qsq = None
         else:
@@ -239,6 +281,8 @@ def _batched_greedy_topk(
             d0 = _ham_rows(
                 Qcc, np.broadcast_to(X_codes[entries], (A, E, X_codes.shape[1]))
             )
+        elif adc_mode:
+            d0 = _adc_rows(Qlf, np.broadcast_to(X_bytes[entries], (A, E, B)))
         else:
             g0 = Qc @ np.ascontiguousarray(X[entries]).T  # (A, E)
             if metric == "euclidean":
@@ -280,6 +324,8 @@ def _batched_greedy_topk(
             seen.ravel()[flat[new_mask]] = True
             if code_mode:
                 dd = _ham_rows(Qcc[aq], X_codes[nb0])
+            elif adc_mode:
+                dd = _adc_rows(Qlf[aq], X_bytes[nb0])
             else:
                 G = X[nb0]  # (|aq|, max_deg, d)
                 dots = np.einsum("ad,akd->ak", Qc[aq], G, optimize=True)
@@ -1450,6 +1496,94 @@ def vamana_pack_add_codes(
     return packed.mapInPandas(add, out_schema)
 
 
+def vamana_pack_add_pq_codes(packed: DataFrame, books, dtype: str = "float64") -> DataFrame:
+    """Add PRODUCT-quantizer codes to a :func:`vamana_pack` artifact — the
+    other half of the reference's quantized-graph architecture (v2-PQ: the
+    product quantizer's asymmetric distance plugs into the Vamana beam,
+    shard/index/vamana/vamana.go:257-259 + shard/vectorstore/product.go:238-305).
+    One pass decodes each shard's vector blob, encodes every node against
+    the frozen ``books`` (argmin per subvector, product.go:136-160), and
+    stores the (n, m) uint8 code matrix as a binary blob ``pq_codes`` plus
+    ``pq_m``. Requires ``books.num_centroids <= 256`` (the reference's own
+    default is 256, models/index.go:293).
+    """
+    from semadb_spark.operators.quantize import _sub_distances
+
+    if books.num_centroids > 256:
+        raise ValueError("pq graph codes require num_centroids <= 256 (uint8 cells)")
+    np_dtype = np.dtype(dtype)
+    m, _, sublen = books.centroids.shape
+
+    def add(batches):
+        for pdf in batches:
+            codes_col = []
+            for _, row in pdf.iterrows():
+                n = int(row["n"])
+                X = np.frombuffer(row["vecs"], dtype=np_dtype).reshape(n, -1)
+                Xf = X.astype(np.float64, copy=False)
+                codes = np.empty((n, m), dtype=np.uint8)
+                for i in range(m):
+                    sub = Xf[:, i * sublen : (i + 1) * sublen]
+                    codes[:, i] = _sub_distances(books, sub, i).argmin(axis=1)
+                codes_col.append(codes.tobytes())
+            pdf = pdf.copy()
+            pdf["pq_codes"] = codes_col
+            pdf["pq_m"] = m
+            yield pdf
+
+    out_schema = (
+        "shard string, cent int, n int, ids array<string>, vecs binary, "
+        "indptr binary, indices binary, start int, pq_codes binary, pq_m int"
+    )
+    return packed.mapInPandas(add, out_schema)
+
+
+def _bq_margin_luts(Q: np.ndarray, thresholds: np.ndarray, words: int) -> np.ndarray:
+    """Asymmetric BQ tables for the byte-LUT beam: (nq, words*8, 256)
+    float32 where ``lut[q, p, v]`` is the margin-weighted disagreement
+    between query q and a corpus byte value v at byte position p —
+    ``sum_j |q_d - t_d| * [bit_j(v) != (q_d > t_d)]`` over the byte's 8
+    dims (d = p*8 + j, the LSB-first layout of quantize._pack_bits).
+
+    Keeping the query FLOAT against binary corpus codes is strictly more
+    signal than the reference's symmetric hamming beam (binary.go:152-175
+    encodes both sides): dims where the query sits near the threshold
+    contribute ~nothing to the distance instead of a full hamming unit,
+    which is what rescues graph navigation quality through quantization.
+    """
+    nq, d = Q.shape
+    nbits = words * 64
+    B = words * 8
+    mm = np.zeros((nq, nbits))
+    mm[:, :d] = Q - thresholds
+    w = np.abs(mm).reshape(nq, B, 8)
+    qbit = (mm > 0).reshape(nq, B, 8)
+    vbits = (
+        (np.arange(256)[:, None] >> np.arange(8)[None, :]) & 1
+    ).astype(np.float64)  # (256, 8)
+    base = (w * qbit).sum(axis=2)  # disagreement when corpus bit = 0
+    coef = w * (1.0 - 2.0 * qbit)  # +w where qbit=0 (corpus 1 disagrees), -w where qbit=1
+    luts = base[:, :, None] + np.einsum("abj,vj->abv", coef, vbits, optimize=True)
+    return luts.astype(np.float32)
+
+
+def _pq_adc_luts(books, Q: np.ndarray) -> np.ndarray:
+    """PQ asymmetric-distance tables for the byte-LUT beam: (nq, m, 256)
+    float32, ``lut[q, i, c]`` = distance from query q's subvector i to
+    codebook centroid c (squared-L2 partial sums / negated dot,
+    product.go:238-305). Cells past ``num_centroids`` are zero-padded —
+    codes never reference them."""
+    from semadb_spark.operators.quantize import _sub_distances
+
+    nq = len(Q)
+    m, k, sublen = books.centroids.shape
+    luts = np.zeros((nq, m, 256), dtype=np.float32)
+    for i in range(m):
+        sub = Q[:, i * sublen : (i + 1) * sublen]
+        luts[:, i, :k] = _sub_distances(books, sub, i)
+    return luts
+
+
 def vamana_serve_packed(
     packed: DataFrame,
     queries: list[tuple[str, list[float]]],
@@ -1465,6 +1599,7 @@ def vamana_serve_packed(
     beam_on: str = "float",
     thresholds: np.ndarray | None = None,
     oversample: int = 4,
+    books=None,
 ) -> DataFrame:
     """Distributed Vamana serving over the :func:`vamana_pack` artifact.
 
@@ -1493,31 +1628,55 @@ def vamana_serve_packed(
     content-deterministic, so both kernels and both serve layouts pick
     identical seeds. 0 = entry-only (reference default semantics).
 
-    ``beam_on="bq"`` runs the beam on HAMMING distances over the packed
-    binary codes stored by :func:`vamana_pack_add_codes` — the
-    reference's v2-BQ serving architecture (the fitted quantizer's
-    distance plugs into the graph search, vamana.go:257-259) — then
-    exact-reranks each query's final pool of ``k * oversample``
-    candidates with the float vectors from the same blob and emits the
-    top ``k`` by exact distance. ``thresholds`` must be the binarization
-    thresholds the codes were encoded with (to encode the queries).
-    Requires the batched kernel."""
+    Quantized beams (all exact-rerank each query's final pool of
+    ``k * oversample`` candidates with the float vectors from the same
+    blob and emit the top ``k`` by exact distance; all require the
+    batched kernel):
+
+    - ``beam_on="bq"`` — SYMMETRIC hamming over the packed binary codes
+      stored by :func:`vamana_pack_add_codes`, the reference's v2-BQ
+      serving architecture verbatim (both sides binarized,
+      vamana.go:257-259 + binary.go:152-175). ``thresholds`` required.
+    - ``beam_on="bq_adc"`` — ASYMMETRIC: the query stays float and each
+      step scores margin-weighted bit disagreements via byte LUTs
+      (:func:`_bq_margin_luts`); strictly more signal than symmetric
+      hamming at identical artifact bytes. ``thresholds`` required.
+    - ``beam_on="pq"`` — product-quantizer ADC through the graph
+      (v2-PQ, product.go:238-305): byte LUTs from the frozen ``books``
+      against the uint8 codes stored by
+      :func:`vamana_pack_add_pq_codes`. ``books`` required."""
     from pyspark.sql import Window
 
     if kernel not in ("batched", "scalar"):
         raise ValueError(f"unknown kernel: {kernel}")
-    if beam_on not in ("float", "bq"):
+    if beam_on not in ("float", "bq", "bq_adc", "pq"):
         raise ValueError(f"unknown beam_on: {beam_on}")
-    if beam_on == "bq":
+    if beam_on != "float":
         if kernel != "batched":
-            raise ValueError("beam_on='bq' requires the batched kernel")
-        if thresholds is None:
-            raise ValueError("beam_on='bq' requires the fitted thresholds")
+            raise ValueError(f"beam_on='{beam_on}' requires the batched kernel")
+        if beam_on in ("bq", "bq_adc") and thresholds is None:
+            raise ValueError(f"beam_on='{beam_on}' requires the fitted thresholds")
+        if beam_on == "pq" and books is None:
+            raise ValueError("beam_on='pq' requires the fitted PQ books")
     if not queries:
         raise ValueError("queries must be non-empty")
     qvecs = [(str(qid), np.asarray(v, dtype=np.float64)) for qid, v in queries]
     np_dtype = np.dtype(dtype)
     c_dtype = np.dtype(compute_dtype) if compute_dtype else np.dtype("float64")
+
+    # per-query beam tables, built ONCE driver-side (thresholds/books are
+    # global facts) and shipped in the task closure — at cluster scale
+    # this is a broadcast of nq * B * 256 float32 (e.g. 4096 queries x
+    # 100d BQ = 67 MB), not per-shard work
+    q_luts_all: np.ndarray | None = None
+    if beam_on == "bq_adc":
+        Qall = np.stack([v for _, v in qvecs])
+        q_luts_all = _bq_margin_luts(
+            Qall, np.asarray(thresholds, dtype=np.float64),
+            (Qall.shape[1] + 63) // 64,
+        )
+    elif beam_on == "pq":
+        q_luts_all = _pq_adc_luts(books, np.stack([v for _, v in qvecs]))
 
     routed: dict[int, list[int]] | None = None
     if nprobe is not None and centroids is not None and nprobe < len(centroids):
@@ -1556,28 +1715,44 @@ def vamana_serve_packed(
                     id_order = np.argsort(ids.astype(str), kind="stable")
                     seeds = id_order[:: max(n // min(n_seeds, n), 1)][:n_seeds]
                     seeds = seeds.astype(np.int64)
-                if kernel == "batched" and beam_on == "bq":
+                if kernel == "batched" and beam_on != "float":
                     # quantized graph search (vamana.go:257-259): beam on
-                    # hamming over the stored codes, exact float rerank of
-                    # each final pool
-                    from semadb_spark.operators.quantize import encode_bits_np
-
-                    words = int(row["code_words"])
-                    X_codes = (
-                        np.frombuffer(row["codes"], dtype=np.int64)
-                        .reshape(n, words)
-                        .view(np.uint64)
-                    )
+                    # the stored codes (hamming or byte-LUT ADC), exact
+                    # float rerank of each final pool
                     Qf = np.stack([qvecs[qi][1] for qi in q_idx])
-                    Q_codes = encode_bits_np(
-                        Qf, np.asarray(thresholds, dtype=np.float64)
-                    ).view(np.uint64)
+                    code_kw: dict = {}
+                    if beam_on == "bq":
+                        from semadb_spark.operators.quantize import encode_bits_np
+
+                        words = int(row["code_words"])
+                        code_kw["X_codes"] = (
+                            np.frombuffer(row["codes"], dtype=np.int64)
+                            .reshape(n, words)
+                            .view(np.uint64)
+                        )
+                        code_kw["Q_codes"] = encode_bits_np(
+                            Qf, np.asarray(thresholds, dtype=np.float64)
+                        ).view(np.uint64)
+                    elif beam_on == "bq_adc":
+                        # same stored words, viewed as LSB-first bytes
+                        # (little-endian int64 -> byte p covers dims
+                        # 8p..8p+7, matching _bq_margin_luts)
+                        words = int(row["code_words"])
+                        code_kw["X_bytes"] = np.frombuffer(
+                            row["codes"], dtype=np.uint8
+                        ).reshape(n, words * 8)
+                        code_kw["Q_luts"] = q_luts_all[q_idx]
+                    else:  # pq
+                        pq_m = int(row["pq_m"])
+                        code_kw["X_bytes"] = np.frombuffer(
+                            row["pq_codes"], dtype=np.uint8
+                        ).reshape(n, pq_m)
+                        code_kw["Q_luts"] = q_luts_all[q_idx]
                     pool = min(max(k * oversample, k), search_size)
-                    top_i, _ham = _batched_greedy_topk(
+                    top_i, _approx = _batched_greedy_topk(
                         None, indptr.astype(np.int64),
                         indices.astype(np.int64), start, None, search_size,
-                        pool, metric, seed_ids=seeds,
-                        X_codes=X_codes, Q_codes=Q_codes,
+                        pool, metric, seed_ids=seeds, **code_kw,
                     )
                     # exact rerank: one gathered einsum over each query's
                     # pool (A x pool x d)

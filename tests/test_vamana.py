@@ -323,6 +323,99 @@ def test_batched_kernel_edgeless_shard_code_mode():
     np.testing.assert_allclose(fd[:, 0], ((Q - X[0]) ** 2).sum(axis=1))
 
 
+def test_bq_margin_luts_reduce_to_hamming_at_unit_margins():
+    """The asymmetric byte-LUT distance with all query margins exactly 1
+    IS symmetric hamming — pins the LUT construction (bit order, base +
+    coefficient decomposition) against the packed-word popcount path."""
+    from semadb_spark.operators.quantize import encode_bits_np
+
+    rng = np.random.RandomState(11)
+    d = 100
+    thr = rng.normal(size=d)
+    X = rng.normal(size=(50, d))
+    Xc = encode_bits_np(X, thr).view(np.uint64)
+    Xb = np.ascontiguousarray(Xc).view(np.uint8).reshape(50, -1)
+    # queries sitting exactly 1 above/below the threshold per dim
+    signs = rng.choice([-1.0, 1.0], size=(7, d))
+    Q = thr[None, :] + signs
+    Qc = encode_bits_np(Q, thr).view(np.uint64)
+    luts = vm._bq_margin_luts(Q, thr, (d + 63) // 64)
+    got = vm._adc_rows(
+        luts.reshape(7, -1).astype(np.float64), np.broadcast_to(Xb, (7, 50, Xb.shape[1]))
+    )
+    want = vm._ham_rows(Qc, np.broadcast_to(Xc, (7, 50, Xc.shape[1])))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_quantized_graph_serving_adc_beams(spark, emb):
+    """Asymmetric quantized-through-graph serving, both variants: BQ
+    margin LUTs (beam_on="bq_adc") over the same packed words as the
+    symmetric beam, and PQ ADC LUTs (beam_on="pq") over uint8 codes from
+    vamana_pack_add_pq_codes (product.go:238-305 semantics). Contract as
+    for the symmetric beam: exact float distances out, recall >= limit/2
+    (vamana_test.go:230-253) — plus the asymmetric-BQ pool must be at
+    least as good as symmetric BQ's on this corpus."""
+    import os
+    import tempfile
+
+    from semadb_spark.operators.quantize import pq_fit
+
+    index = vm.vamana_build(
+        emb, "v", "_id", degree_bound=32, alpha=1.2, search_size=40,
+        num_shards=2, seed=7, keep_sharded=True,
+    )
+    packed = vm.vamana_pack(index.shard_nodes, index.shard_edges)
+    rows = emb.collect()
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    ids = [r["_id"] for r in rows]
+    thr = X.mean(axis=0)
+    coded = vm.vamana_pack_add_codes(packed, thr)
+    books = pq_fit(emb, "v", num_subvectors=4, num_centroids=16, seed=3)
+    pq_coded = vm.vamana_pack_add_pq_codes(packed, books)
+    d_bq = tempfile.mkdtemp(prefix="vamana_bqadc_")
+    d_pq = tempfile.mkdtemp(prefix="vamana_pqadc_")
+    coded.write.mode("overwrite").partitionBy("cent").parquet(d_bq)
+    pq_coded.write.mode("overwrite").partitionBy("cent").parquet(d_pq)
+
+    queries = [(f"q{i}", [float(x) for x in rows[i]["v"]]) for i in range(4)]
+    cases = [
+        (d_bq, {"beam_on": "bq_adc", "thresholds": thr}),
+        (d_pq, {"beam_on": "pq", "books": books}),
+    ]
+    for path, kw in cases:
+        disk = spark.read.parquet(path)
+        res = vm.vamana_serve_packed(
+            disk, queries, 10, metric="euclidean", search_size=40,
+            oversample=4, n_seeds=16, **kw,
+        )
+        got: dict[str, list] = {}
+        for r in res.collect():
+            got.setdefault(r["query_id"], []).append((r["_id"], r["_distance"]))
+        for i in range(4):
+            qres = got[f"q{i}"]
+            assert 0 < len(qres) <= 10, kw["beam_on"]
+            # exact float euclidean^2 distances out, not code distances
+            for rid, rdist in qres:
+                want = float(((X[ids.index(rid)] - X[i]) ** 2).sum())
+                assert abs(rdist - want) <= 1e-6 * max(want, 1.0), (
+                    kw["beam_on"], rid, rdist, want,
+                )
+            dist = ((X - X[i]) ** 2).sum(axis=1)
+            exact = {ids[j] for j in np.argsort(dist, kind="stable")[:10]}
+            assert len({rid for rid, _ in qres} & exact) >= 5, (
+                f"{kw['beam_on']} recall < 0.5 for q{i}"
+            )
+    # guard rails
+    disk = spark.read.parquet(d_bq)
+    with pytest.raises(ValueError, match="thresholds"):
+        vm.vamana_serve_packed(disk, queries, 10, beam_on="bq_adc")
+    with pytest.raises(ValueError, match="books"):
+        vm.vamana_serve_packed(disk, queries, 10, beam_on="pq")
+    with pytest.raises(ValueError, match="num_centroids"):
+        big_books = pq_fit(emb, "v", num_subvectors=2, num_centroids=300, seed=3)
+        vm.vamana_pack_add_pq_codes(packed, big_books)
+
+
 def test_quantized_graph_serving_bq_beam(spark, emb):
     """Quantized-through-graph serving (the reference's v2-BQ architecture,
     vamana.go:257-259: the fitted quantizer's distance plugs into the
