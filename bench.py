@@ -667,11 +667,33 @@ def main() -> None:
         from tools.build_vamana_10m import ART_PATH as VAM10_ART
         from tools.build_vamana_10m import META_PATH as VAM10_META
 
+        from tools.build_vamana_10m import VERSION as VAM10_VERSION
+
+        vam10_meta = None
         if os.path.exists(os.path.join(VAM10_ART, "_SUCCESS")) and os.path.exists(
             VAM10_META
         ):
             with open(VAM10_META) as f:
                 vam10_meta = json.load(f)
+            # the artifact is built at a fixed 10M; if the bench corpus was
+            # resized via SPARK_GRAFT_BENCH_10M_ROWS the recall oracle and
+            # the artifact would come from different corpora — skip rather
+            # than report a silently meaningless number. Same for a
+            # builder-version mismatch.
+            if vam10_meta.get("rows") != n10 or vam10_meta.get("version") != VAM10_VERSION:
+                vamana_10m = {
+                    "skipped": (
+                        f"artifact rows/version {vam10_meta.get('rows')}/"
+                        f"{vam10_meta.get('version')} != bench corpus "
+                        f"{n10} / builder v{VAM10_VERSION}"
+                    )
+                }
+                vam10_meta = None
+        else:
+            vamana_10m = {
+                "skipped": "artifact absent - run tools/build_vamana_10m.py"
+            }
+        if vam10_meta is not None:
             vam10_disk = spark.read.parquet(VAM10_ART)
             vam10_cents = np.asarray(vam10_meta["centroids"], dtype=np.float64)
             vam10_frame, vam10_dt = best_of(
@@ -697,10 +719,6 @@ def main() -> None:
                 "serving": "disk-backed packed blobs, cent-partition routed",
             }
             vam10_frame.unpersist()
-        else:
-            vamana_10m = {
-                "skipped": "artifact absent - run tools/build_vamana_10m.py"
-            }
         print(f"# vamana_10m: {vamana_10m}", file=sys.stderr)
         exact10.unpersist()
 
@@ -1264,6 +1282,24 @@ def main() -> None:
         )
         compact["queries"] = {k: round(v, 2) for k, v in keep.items()}
         compact["queries"]["_rest_see"] = "BENCH_DETAIL.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    # the fixed 20-query trim can still overflow as optional blocks
+    # accumulate: keep dropping the fastest remaining query entries (and
+    # then whole optional blocks) until the line fits
+    while len(line) >= 1900 and len(compact["queries"]) > 3:
+        fastest = min(
+            (k for k in compact["queries"] if not k.startswith("_")),
+            key=lambda k: compact["queries"][k],
+            default=None,
+        )
+        if fastest is None:
+            break
+        del compact["queries"][fastest]
+        line = json.dumps(compact, separators=(",", ":"))
+    for blk in ("text_10m", "docs_10m", "hybrid_1m", "text_1m"):
+        if len(line) < 1900:
+            break
+        compact.pop(blk, None)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

@@ -743,6 +743,9 @@ class Collection:
         index.shard_edges.write.mode("overwrite").partitionBy("shard").parquet(
             os.path.join(path, "shard_edges")
         )
+        packed_codes = self._write_packed_graph(
+            prop, index.shard_nodes, index.shard_edges, path
+        )
         with open(os.path.join(path, "_graph.json"), "w") as f:
             json.dump(
                 {
@@ -753,6 +756,8 @@ class Collection:
                     "metric": index.metric,
                     "centroids": index.centroids.tolist(),
                     "replicas": replicas,
+                    "pack_dtype": "float32",
+                    "packed_codes": packed_codes,
                 },
                 f,
             )
@@ -761,6 +766,50 @@ class Collection:
         index.shard_nodes.unpersist()
         self._invalidate_engine()
         return path
+
+    def _write_packed_graph(
+        self, prop: str, shard_nodes, shard_edges, path: str
+    ) -> str | None:
+        """Write the packed serving artifact (vamana_pack blob layout,
+        cent-partition routed) beside a graph index — the in-Spark graph
+        serving path. When the property's quantizer is already frozen, its
+        codes are baked INTO the blobs (the reference stores the quantizer
+        inside the graph index and beams over codes, vamana.go:257-259);
+        the engine then serves this property quantized-through-graph
+        (beam_on auto -> bq_adc / pq) instead of the fused-IVF route.
+        Returns the baked code kind ("bq" / "pq") or None."""
+        import numpy as np
+
+        from .operators.vamana import (
+            vamana_pack,
+            vamana_pack_add_codes,
+            vamana_pack_add_pq_codes,
+        )
+
+        packed = vamana_pack(shard_nodes, shard_edges, dtype="float32")
+        qmeta = self._frozen_quantizer_meta(prop)
+        packed_codes = None
+        if qmeta is not None and qmeta["kind"] == "binary":
+            packed = vamana_pack_add_codes(
+                packed, np.asarray(qmeta["thresholds"]), dtype="float32"
+            )
+            packed_codes = "bq"
+        elif qmeta is not None:
+            from .operators.quantize import PQCodebooks
+
+            packed = vamana_pack_add_pq_codes(
+                packed,
+                PQCodebooks(
+                    centroids=np.asarray(qmeta["centroids"], dtype=np.float64),
+                    metric=qmeta["pq_metric"],
+                ),
+                dtype="float32",
+            )
+            packed_codes = "pq"
+        packed.write.mode("overwrite").partitionBy("cent").parquet(
+            os.path.join(path, "packed")
+        )
+        return packed_codes
 
     def vamana_search(
         self, prop: str, queries: list[tuple[str, list[float]]], k: int,
@@ -787,6 +836,41 @@ class Collection:
             )
         with open(meta_file) as f:
             meta = json.load(f)
+        packed_dir = os.path.join(path, "packed")
+        if candidate_ids is None and os.path.exists(
+            os.path.join(packed_dir, "_SUCCESS")
+        ):
+            # packed-blob serving (shuffle-free scan, cent-routed); baked
+            # quantizer codes engage the bq_adc / pq beam via beam_on auto.
+            # The candidate_ids (filtered seeded-beam) mode stays on the
+            # row-table vamana_serve below.
+            from .operators.vamana import vamana_serve_packed
+
+            thresholds = books = None
+            qmeta = self._frozen_quantizer_meta(prop)
+            if meta.get("packed_codes") == "bq" and qmeta is not None:
+                thresholds = np.asarray(qmeta["thresholds"])
+            elif meta.get("packed_codes") == "pq" and qmeta is not None:
+                from .operators.quantize import PQCodebooks
+
+                books = PQCodebooks(
+                    centroids=np.asarray(qmeta["centroids"], dtype=np.float64),
+                    metric=qmeta["pq_metric"],
+                )
+            return vamana_serve_packed(
+                self.spark.read.parquet(packed_dir),
+                queries, k,
+                metric=meta["metric"],
+                search_size=int(meta["search_size"]),
+                centroids=np.asarray(meta["centroids"], dtype=np.float64),
+                nprobe=nprobe,
+                dtype=meta.get("pack_dtype", "float32"),
+                kernel="batched",
+                compute_dtype="float32",
+                n_seeds=n_seeds,
+                thresholds=thresholds,
+                books=books,
+            )
         return vamana_serve(
             self.spark.read.parquet(os.path.join(path, "shard_nodes")),
             self.spark.read.parquet(os.path.join(path, "shard_edges")),
@@ -1059,6 +1143,16 @@ class Collection:
         se_new.write.mode("overwrite").partitionBy("shard").parquet(
             os.path.join(new_path, "shard_edges")
         )
+        # re-pack the rolled-forward subgraphs (reading back the committed
+        # parquet cuts the union/filter lineage) so the packed serving
+        # artifact never lags the shard tables it was derived from
+        meta["packed_codes"] = self._write_packed_graph(
+            prop,
+            self.spark.read.parquet(os.path.join(new_path, "shard_nodes")),
+            self.spark.read.parquet(os.path.join(new_path, "shard_edges")),
+            new_path,
+        )
+        meta["pack_dtype"] = "float32"
         with open(os.path.join(new_path, "_graph.json"), "w") as f:
             json.dump(meta, f)
         self._invalidate_engine()
@@ -1247,6 +1341,11 @@ class Collection:
                 "search_size": int(meta["search_size"]),
                 "metric": meta["metric"],
             }
+            packed_dir = os.path.join(path, "packed")
+            if os.path.exists(os.path.join(packed_dir, "_SUCCESS")):
+                out[p]["packed"] = self.spark.read.parquet(packed_dir)
+                out[p]["pack_dtype"] = meta.get("pack_dtype", "float32")
+                out[p]["packed_codes"] = meta.get("packed_codes")
         return out
 
     def _text_indexes(self) -> tuple[dict[str, DataFrame], dict[str, int]]:

@@ -12,12 +12,16 @@ these are the training-data-pipeline operators a 100 TB corpus needs. Design:
   core, batch size bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
   (set ``media.target_batch_rows`` lower for large blobs so a batch fits in
   worker memory).
-- **The codec step is stubbed**: real decoders (PIL/ffmpeg/librosa) are not
-  in this environment. ``decode_image`` tries the real library and falls
-  back to a *deterministic fake* derived from the content hash, flagged by
-  ``USING_FAKE_DECODE``. Every surrounding piece — schema, null handling,
-  batch shapes, 1->N frame explode, partition sizing — is real and tested,
-  so swapping in a real codec changes one function body.
+- **Codec tiers**: PIL/ffmpeg/librosa are not in this environment, but
+  PNG and BMP pixel layers are public-spec zlib/raw — decoded for real by
+  the pure-NumPy ``decode_png_np``/``decode_bmp_np`` (all five PNG
+  scanline filters, color types 0/2/3/4/6 at bit depth 8; BMP 8/24/32bpp
+  with palette + padding + row order). ``decode_image`` tries PIL, then
+  the NumPy decoders, and only then falls back to a *deterministic fake*
+  derived from the content hash (flagged by ``USING_FAKE_DECODE``) for
+  entropy-coded formats (JPEG/GIF) no local code can decode. Every
+  surrounding piece — schema, null handling, batch shapes, 1->N frame
+  explode, partition sizing — is real and tested.
 """
 
 from __future__ import annotations
@@ -65,9 +69,10 @@ def parse_image_header(data: bytes) -> dict | None:
     The middle tier between PIL and the deterministic fake: PNG / GIF /
     JPEG / BMP are public formats whose dimensions live in fixed header
     fields, so width/height/format come from REAL bytes in any environment
-    — no decoder library needed. Pixel-level work (mean_luma, resize)
-    still needs PIL; a blob whose header doesn't parse falls through to
-    the caller's fallback.
+    — no decoder library needed. Pixel-level work (mean_luma, resize) is
+    also real for PNG/BMP via :func:`decode_png_np`/:func:`decode_bmp_np`;
+    only entropy-coded pixels (JPEG/GIF) still need PIL. A blob whose
+    header doesn't parse falls through to the caller's fallback.
 
     Formats (all public specs):
     - PNG: 8-byte signature, then the IHDR chunk carries width/height as
@@ -134,18 +139,202 @@ def _hash64(data: bytes) -> tuple[str, int]:
     return digest, int(digest[:15], 16)  # 60-bit, DuckDB-reproducible
 
 
+def _luma(rgb: np.ndarray) -> np.ndarray:
+    """(h, w, >=3) uint8 -> (h, w) uint8 — ITU-R 601-2 integer luma, the
+    same truncating formula PIL's ``convert("L")`` documents, so the
+    NumPy decoders and the PIL path agree on mean_luma."""
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the PNG per-scanline filters (spec §9: None/Sub/Up/Average/
+    Paeth) -> (h, stride) uint8. Rows are sequential by construction (each
+    depends on the previous reconstructed row); within a row, Sub is a
+    per-channel cumulative sum and Average/Paeth walk pixel-by-pixel with
+    the ``bpp`` channel lanes vectorized (lanes are independent: every
+    reference is at x-bpp, same lane)."""
+    rows = np.frombuffer(raw, dtype=np.uint8)[: h * (1 + stride)].reshape(
+        h, 1 + stride
+    )
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    k = stride // bpp
+    for y in range(h):
+        ft = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft == 1:  # Sub: cumulative per channel lane, mod 256
+            cur = (np.cumsum(line.reshape(k, bpp), axis=0) % 256).reshape(
+                stride
+            )
+        elif ft in (3, 4):  # Average / Paeth: sequential along x
+            arr = line.reshape(k, bpp)
+            pr = prev.reshape(k, bpp)
+            cur2 = np.empty((k, bpp), dtype=np.int32)
+            a = np.zeros(bpp, dtype=np.int32)
+            c = np.zeros(bpp, dtype=np.int32)
+            for i in range(k):
+                b = pr[i]
+                if ft == 3:
+                    cur2[i] = (arr[i] + ((a + b) >> 1)) % 256
+                else:
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    cur2[i] = (arr[i] + pred) % 256
+                a = cur2[i]
+                c = b
+            cur = cur2.reshape(stride)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y].astype(np.int32)
+    return out
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png_np(data: bytes) -> np.ndarray | None:
+    """Pure NumPy+zlib PNG decode -> (h, w) grayscale uint8, or None for
+    variants outside scope (bit depth != 8, interlaced, truncated).
+
+    PNG's pixel layer is just zlib over filtered scanlines (public spec,
+    RFC 2083) — no codec library needed: parse the chunk stream, inflate
+    the concatenated IDATs, reverse the scanline filters, then map color
+    type to luma (0 gray, 2 RGB, 3 palette via PLTE, 4 gray+alpha,
+    6 RGBA). This is what makes mean_luma REAL bytes in this container,
+    where PIL is absent."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    n = len(data)
+    w = h = None
+    color_type = None
+    plte = None
+    idat = []
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None
+        if ctype == b"IHDR":
+            if length < 13:
+                return None
+            w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+            if bit_depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                return None
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if w is None or not idat or color_type not in _PNG_CHANNELS:
+        return None
+    if color_type == 3 and plte is None:
+        return None
+    ch = _PNG_CHANNELS[color_type]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (1 + stride):
+        return None
+    px = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    if color_type == 0:
+        return px[..., 0]
+    if color_type == 4:
+        return px[..., 0]  # gray, alpha dropped (PIL convert("L") parity)
+    if color_type == 3:
+        idx = px[..., 0]
+        return _luma(plte[idx])
+    return _luma(px)  # 2 (RGB) / 6 (RGBA, alpha dropped)
+
+
+def decode_bmp_np(data: bytes) -> np.ndarray | None:
+    """Pure NumPy BMP decode -> (h, w) grayscale uint8, or None outside
+    scope (compressed, bpp not in {8, 24, 32}). Handles 4-byte row
+    padding, bottom-up vs top-down row order, and the 8-bit palette."""
+    import struct
+
+    if data[:2] != b"BM" or len(data) < 30:
+        return None
+    (offset,) = struct.unpack("<I", data[10:14])
+    (dib,) = struct.unpack("<I", data[14:18])
+    if dib not in (40, 108, 124):
+        return None
+    w, h_signed = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    compression = struct.unpack("<I", data[30:34])[0] if len(data) >= 34 else 0
+    if compression != 0 or bpp not in (8, 24, 32) or w <= 0 or h_signed == 0:
+        return None
+    h = abs(h_signed)
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    if len(data) < offset + row_bytes * h:
+        return None
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=row_bytes * h, offset=offset
+    ).reshape(h, row_bytes)
+    if h_signed > 0:  # bottom-up storage
+        rows = rows[::-1]
+    if bpp == 8:
+        pal_off = 14 + dib
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=min(256, (offset - pal_off) // 4) * 4,
+            offset=pal_off,
+        ).reshape(-1, 4)  # BGRX
+        idx = rows[:, :w]
+        bgr = pal[idx][..., :3]
+        return _luma(bgr[..., ::-1])
+    px = rows[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
+    return _luma(px[..., 2::-1])  # BGR(A) -> RGB
+
+
+def try_decode_image_np(content: bytes) -> np.ndarray | None:
+    """Library-free real pixel decode for the formats whose pixel layer is
+    public-spec + zlib (PNG) or raw (BMP); None for entropy-coded formats
+    (JPEG/GIF) which genuinely need a codec library."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_np(content)
+    if content[:2] == b"BM":
+        return decode_bmp_np(content)
+    return None
+
+
 def decode_image(content: bytes) -> np.ndarray:
     """bytes -> (h, w) grayscale uint8 array.
 
-    Real path uses PIL when importable; otherwise a deterministic fake whose
-    dims/pixels derive from the content hash (so tests and the DuckDB oracle
-    can predict every downstream feature)."""
+    Three real tiers before any fake: PIL when importable (all formats);
+    the pure-NumPy PNG/BMP decoders (:func:`try_decode_image_np`) in any
+    environment; then a deterministic fake whose dims/pixels derive from
+    the content hash (so tests and the DuckDB oracle can predict every
+    downstream feature) for blobs nothing can decode here."""
     if not USING_FAKE_DECODE:
         import io
 
         from PIL import Image
 
         return np.asarray(Image.open(io.BytesIO(content)).convert("L"))
+    img = try_decode_image_np(content)
+    if img is not None:
+        return img
     _, h64 = _hash64(content)
     w = 16 + h64 % 64
     h = 16 + (h64 >> 6) % 64
@@ -162,10 +351,13 @@ def image_features(
 
     Three-tier metadata: blobs that parse as a real image format
     (:func:`parse_image_header` — PNG/GIF/JPEG/BMP, pure Python) report
-    bytes-derived format/width/height in EVERY environment; PIL (when
-    importable) additionally supplies real pixels for mean_luma;
-    unrecognized blobs fall through to the deterministic hash-fake with
-    ``format`` null — so the fake never masquerades as a parsed image."""
+    bytes-derived format/width/height in EVERY environment; mean_luma is
+    real pixels whenever anything here can decode them — PIL when
+    importable, else the pure-NumPy PNG/BMP decoders
+    (:func:`try_decode_image_np`); entropy-coded JPEG/GIF without PIL
+    report luma null. Unrecognized blobs fall through to the
+    deterministic hash-fake with ``format`` null — so the fake never
+    masquerades as a parsed image."""
     out_schema = (
         f"{id_col} string, n_bytes long, content_md5 string, "
         "format string, width int, height int, mean_luma double"
@@ -187,8 +379,12 @@ def image_features(
                         img = decode_image(data)
                         luma = float(img.mean()) / 255.0
                     else:
-                        # dims/format are real bytes; pixels need a decoder
-                        luma = None
+                        # PNG/BMP pixels are real via the NumPy decoders;
+                        # entropy-coded formats still need a codec library
+                        img = try_decode_image_np(data)
+                        luma = (
+                            float(img.mean()) / 255.0 if img is not None else None
+                        )
                 else:
                     img = decode_image(data)
                     fmt, w, h = None, img.shape[1], img.shape[0]

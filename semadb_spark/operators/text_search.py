@@ -272,20 +272,35 @@ _LOCAL_RG_INDEX_CACHE: dict[str, tuple[int, object]] = {}
 
 
 def _artifact_fingerprint(index_path: str) -> int:
-    """mtime_ns of the artifact's _SUCCESS marker (the atomic last thing a
-    Spark write commits), falling back to the directory's own mtime. Both
-    driver-local caches key on (path, fingerprint): rebuilding the index
-    in-process with write.mode("overwrite") at the same path bumps the
-    fingerprint, so a subsequent text_serve_local re-opens the new files
-    instead of serving stale postings off pinned ParquetFile handles."""
+    """Digest of the artifact's file listing (relative name, size,
+    mtime_ns per data file). Both driver-local caches key on (path,
+    fingerprint): ANY mutation — an in-process write.mode("overwrite")
+    rebuild, a file added/replaced inside one bucket directory, or a
+    rewrite landing within the filesystem's mtime granularity for
+    _SUCCESS — changes the digest, so a subsequent text_serve_local
+    re-opens the new files instead of serving stale postings off pinned
+    ParquetFile handles. Cost: one os.walk of the artifact directory per
+    query (~1 ms for the 66-file 10M index), same order as the single
+    os.stat it replaces."""
     import os
+    import zlib
 
-    for p in (os.path.join(index_path, "_SUCCESS"), index_path):
-        try:
-            return os.stat(p).st_mtime_ns
-        except OSError:
-            continue
-    return 0
+    h = 0
+    try:
+        for root, dirs, files in os.walk(index_path):
+            dirs.sort()
+            for fn in sorted(files):
+                try:
+                    st = os.stat(os.path.join(root, fn))
+                except OSError:
+                    continue
+                rel = os.path.relpath(os.path.join(root, fn), index_path)
+                h = zlib.crc32(
+                    f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode(), h
+                )
+    except OSError:
+        return 0
+    return h
 
 
 def _local_rowgroup_index(index_path: str):

@@ -804,6 +804,87 @@ class VamanaIndex:
     centroids: np.ndarray | None = field(default=None)
 
 
+def assign_top_shards(base: DataFrame, cents: np.ndarray, replicas: int) -> DataFrame:
+    """Overlap-assign every point to its ``replicas`` nearest routing
+    centroids (the DiskANN merged-build overlap): (id, v) -> one
+    (id, v, shard int) row per replica. One Arrow-batched GEMM per batch;
+    shared by :func:`vamana_build` and the checkpointed sidecar builders
+    (tools/build_vamana_10m.py) so assignment semantics can't drift."""
+    c_sq = (cents**2).sum(axis=1)
+
+    @F.pandas_udf("array<int>")
+    def top_shards(col: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(col), dtype=object)
+        mask = col.notna()
+        if mask.any():
+            Xb = np.stack(col[mask].to_numpy()).astype(np.float64)
+            d = (Xb**2).sum(axis=1)[:, None] - 2.0 * (Xb @ cents.T) + c_sq[None, :]
+            r = min(replicas, d.shape[1])
+            out[np.flatnonzero(mask.to_numpy())] = list(
+                np.argsort(d, axis=1)[:, :r].astype(np.int32).tolist()
+            )
+        return out
+
+    return base.withColumn("shards", top_shards(F.col("v"))).select(
+        "id", "v", F.explode("shards").alias("shard")
+    )
+
+
+def make_shard_builder(
+    degree_bound: int,
+    alpha: float,
+    search_size: int,
+    metric: str,
+    seed: int,
+    build_mode: str = "auto",
+    build_passes: int = 2,
+):
+    """Factory for the per-shard ``applyInPandas`` build function
+    ((shard, id, v) group -> (shard, src, dst, dist) edge rows). Output
+    schema: ``"shard string, src string, dst string, dist double"``.
+    Module-level so checkpointed builders reuse the exact kernel dispatch
+    ``vamana_build`` runs (batch vs reference-sequential insert)."""
+    if build_mode not in ("auto", "insert", "batch"):
+        raise ValueError(f"unknown build_mode: {build_mode}")
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["shard", "src", "dst", "dist"])
+        shard = pdf["shard"].iloc[0]
+        X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        use_batch = build_mode == "batch" or (
+            build_mode == "auto" and len(pdf) > 2048
+        )
+        if use_batch:
+            # deterministic per-shard seed (hash() is salted per process)
+            si, di, dd, _ = _local_build_batch(
+                X, degree_bound, alpha, search_size, metric,
+                seed=seed + zlib.crc32(str(shard).encode()) % 100_000,
+                passes=build_passes,
+            )
+            return pd.DataFrame(
+                {
+                    "shard": np.repeat(shard, len(si)),
+                    "src": ids[si],
+                    "dst": ids[di],
+                    "dist": dd.astype(np.float64),
+                }
+            )
+        adj, _ = _local_build(X, degree_bound, alpha, search_size, metric)
+        rows = []
+        for a, nbrs in enumerate(adj):
+            if nbrs:
+                d = _dist_rows(metric, X[nbrs], X[a])
+                for b, dd in zip(nbrs, d):
+                    rows.append((shard, ids[a], ids[b], float(dd)))
+        return pd.DataFrame(rows, columns=["shard", "src", "dst", "dist"])
+
+    return build_shard
+
+
 def vamana_build(
     df: DataFrame,
     vec_col: str,
@@ -868,27 +949,12 @@ def vamana_build(
         parallelism = df.sparkSession.sparkContext.defaultParallelism
         num_shards = max(2, min(parallelism, (len(sample) * replicas) // 200 or 2))
     cents = kmeans_np(sample, num_shards, seed=seed)
-    c_sq = (cents**2).sum(axis=1)
     # global entry point: sample point nearest the sample mean (the medoid
     # role of the reference start node)
     entry_vec = sample[((sample - sample.mean(axis=0)) ** 2).sum(axis=1).argmin()]
 
-    @F.pandas_udf("array<int>")
-    def top_shards(col: pd.Series) -> pd.Series:
-        out = pd.Series([None] * len(col), dtype=object)
-        mask = col.notna()
-        if mask.any():
-            Xb = np.stack(col[mask].to_numpy()).astype(np.float64)
-            d = (Xb**2).sum(axis=1)[:, None] - 2.0 * (Xb @ cents.T) + c_sq[None, :]
-            r = min(replicas, d.shape[1])
-            out[np.flatnonzero(mask.to_numpy())] = list(
-                np.argsort(d, axis=1)[:, :r].astype(np.int32).tolist()
-            )
-        return out
-
     assigned = (
-        base.withColumn("shards", top_shards(F.col("v")))
-        .select("id", "v", F.explode("shards").alias("shard"))
+        assign_top_shards(base, cents, replicas)
         # persisted: the skew-count pass below and the build pass would
         # otherwise each run the assignment UDF over the full corpus
         .persist()
@@ -910,43 +976,9 @@ def vamana_build(
         F.concat_ws("_", F.col("shard"), F.pmod(F.xxhash64("id"), split_expr)),
     )
 
-    if build_mode not in ("auto", "insert", "batch"):
-        raise ValueError(f"unknown build_mode: {build_mode}")
-
-    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        import zlib
-
-        if len(pdf) < 2:
-            return pd.DataFrame(columns=["shard", "src", "dst", "dist"])
-        shard = pdf["shard"].iloc[0]
-        X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        ids = pdf["id"].to_numpy()
-        use_batch = build_mode == "batch" or (
-            build_mode == "auto" and len(pdf) > 2048
-        )
-        if use_batch:
-            # deterministic per-shard seed (hash() is salted per process)
-            si, di, dd, _ = _local_build_batch(
-                X, degree_bound, alpha, search_size, metric,
-                seed=seed + zlib.crc32(str(shard).encode()) % 100_000,
-                passes=build_passes,
-            )
-            return pd.DataFrame(
-                {
-                    "shard": np.repeat(shard, len(si)),
-                    "src": ids[si],
-                    "dst": ids[di],
-                    "dist": dd.astype(np.float64),
-                }
-            )
-        adj, _ = _local_build(X, degree_bound, alpha, search_size, metric)
-        rows = []
-        for a, nbrs in enumerate(adj):
-            if nbrs:
-                d = _dist_rows(metric, X[nbrs], X[a])
-                for b, dd in zip(nbrs, d):
-                    rows.append((shard, ids[a], ids[b], float(dd)))
-        return pd.DataFrame(rows, columns=["shard", "src", "dst", "dist"])
+    build_shard = make_shard_builder(
+        degree_bound, alpha, search_size, metric, seed, build_mode, build_passes
+    )
 
     # Explicit repartition by shard BEFORE the grouped build: the group
     # shuffle is tiny in bytes but huge in CPU, and AQE would coalesce it to
@@ -1596,7 +1628,7 @@ def vamana_serve_packed(
     kernel: str = "batched",
     compute_dtype: str | None = None,
     n_seeds: int = 0,
-    beam_on: str = "float",
+    beam_on: str = "auto",
     thresholds: np.ndarray | None = None,
     oversample: int = 4,
     books=None,
@@ -1631,7 +1663,11 @@ def vamana_serve_packed(
     Quantized beams (all exact-rerank each query's final pool of
     ``k * oversample`` candidates with the float vectors from the same
     blob and emit the top ``k`` by exact distance; all require the
-    batched kernel):
+    batched kernel). The default ``beam_on="auto"`` picks the best route
+    for whatever quantizer state is passed: ``thresholds`` -> ``bq_adc``
+    (the asymmetric beam — measured r7 recall 0.84 vs 0.30 for the
+    symmetric one at identical artifact bytes, so it is the graded
+    quantized-graph default), ``books`` -> ``pq``, neither -> ``float``:
 
     - ``beam_on="bq"`` — SYMMETRIC hamming over the packed binary codes
       stored by :func:`vamana_pack_add_codes`, the reference's v2-BQ
@@ -1649,6 +1685,17 @@ def vamana_serve_packed(
 
     if kernel not in ("batched", "scalar"):
         raise ValueError(f"unknown kernel: {kernel}")
+    if beam_on == "auto":
+        # bq_adc over bq: same artifact bytes, strictly more recall (the
+        # r7-measured 0.84-vs-0.30 gap); "bq" stays opt-in reference
+        # parity. The scalar kernel has no quantized path, so auto only
+        # promotes under the batched kernel.
+        if kernel == "batched" and thresholds is not None:
+            beam_on = "bq_adc"
+        elif kernel == "batched" and books is not None:
+            beam_on = "pq"
+        else:
+            beam_on = "float"
     if beam_on not in ("float", "bq", "bq_adc", "pq"):
         raise ValueError(f"unknown beam_on: {beam_on}")
     if beam_on != "float":
@@ -1671,12 +1718,25 @@ def vamana_serve_packed(
     q_luts_all: np.ndarray | None = None
     if beam_on == "bq_adc":
         Qall = np.stack([v for _, v in qvecs])
-        q_luts_all = _bq_margin_luts(
-            Qall, np.asarray(thresholds, dtype=np.float64),
-            (Qall.shape[1] + 63) // 64,
-        )
+        thr = np.asarray(thresholds, dtype=np.float64)
+        if len(thr) != Qall.shape[1]:
+            raise ValueError(
+                f"beam_on='bq_adc' dim mismatch: queries are "
+                f"{Qall.shape[1]}-d but thresholds cover {len(thr)} dims "
+                "(thresholds must come from the quantizer fitted on this "
+                "collection's vectors)"
+            )
+        q_luts_all = _bq_margin_luts(Qall, thr, (Qall.shape[1] + 63) // 64)
     elif beam_on == "pq":
-        q_luts_all = _pq_adc_luts(books, np.stack([v for _, v in qvecs]))
+        Qall = np.stack([v for _, v in qvecs])
+        m_b, _, sublen_b = books.centroids.shape
+        pq_dim = m_b * sublen_b
+        if pq_dim != Qall.shape[1]:
+            raise ValueError(
+                f"beam_on='pq' dim mismatch: queries are {Qall.shape[1]}-d "
+                f"but the PQ books cover {pq_dim} dims"
+            )
+        q_luts_all = _pq_adc_luts(books, Qall)
 
     routed: dict[int, list[int]] | None = None
     if nprobe is not None and centroids is not None and nprobe < len(centroids):
@@ -1738,12 +1798,28 @@ def vamana_serve_packed(
                         # (little-endian int64 -> byte p covers dims
                         # 8p..8p+7, matching _bq_margin_luts)
                         words = int(row["code_words"])
+                        if words * 8 != q_luts_all.shape[1]:
+                            raise ValueError(
+                                f"bq_adc artifact/threshold mismatch: shard "
+                                f"{row['shard']} stores {words} code words "
+                                f"({words * 8} LUT bytes) but the query LUTs "
+                                f"were built {q_luts_all.shape[1]} bytes wide "
+                                "- the thresholds do not match the artifact's "
+                                "coded dimension"
+                            )
                         code_kw["X_bytes"] = np.frombuffer(
                             row["codes"], dtype=np.uint8
                         ).reshape(n, words * 8)
                         code_kw["Q_luts"] = q_luts_all[q_idx]
                     else:  # pq
                         pq_m = int(row["pq_m"])
+                        if pq_m != q_luts_all.shape[1]:
+                            raise ValueError(
+                                f"pq artifact/books mismatch: shard "
+                                f"{row['shard']} stores {pq_m} subvector "
+                                f"codes but the books define "
+                                f"{q_luts_all.shape[1]} subvectors"
+                            )
                         code_kw["X_bytes"] = np.frombuffer(
                             row["pq_codes"], dtype=np.uint8
                         ).reshape(n, pq_m)

@@ -351,7 +351,57 @@ class SearchEngine:
             isinstance(ann_index, (IVFBQIndex, IVFPQIndex))
             and value.distance_metric in ("euclidean", "cosine", "dot")
         )
-        if fused_quantized:
+        graph_q = self.graph_indexes.get(prop) if key == "vectorVamana" else None
+        quantized_graph = (
+            graph_q is not None
+            and graph_q.get("packed") is not None
+            and graph_q.get("packed_codes") in ("bq", "pq")
+            and q_index is not None
+            and opts.get("filter") is None
+            and value.distance_metric in ("euclidean", "cosine", "dot")
+        )
+        if quantized_graph:
+            # Quantized-THROUGH-GRAPH serving (the reference's actual
+            # vectorVamana+quantizer architecture, vamana.go:257-259: the
+            # beam walks the Vamana graph scoring stored codes, then the
+            # final pool exact-reranks). Available once build_vamana_index
+            # ran after the quantizer froze — the packed blobs then carry
+            # the codes. beam_on="auto" resolves to the asymmetric bq_adc
+            # byte-LUT beam for binary codes (r7: recall 0.84 vs 0.30
+            # symmetric at identical artifact bytes) and the PQ-ADC beam
+            # for product codes. Filtered queries keep the seeded-beam /
+            # exact-fallback routes below — the packed route has no
+            # candidate-id mode.
+            from semadb_spark.operators.vamana import vamana_serve_packed
+
+            search_size = int(
+                opts.get("searchSize")
+                or value.params.get("searchSize")
+                or graph_q["search_size"]
+            )
+            nprobe = max(1, min(len(graph_q["centroids"]), search_size // 8))
+            topk = vamana_serve_packed(
+                graph_q["packed"],
+                [("q", vector)],
+                limit,
+                metric=value.distance_metric,
+                search_size=search_size,
+                centroids=graph_q["centroids"],
+                nprobe=nprobe,
+                dtype=graph_q.get("pack_dtype", "float32"),
+                kernel="batched",
+                compute_dtype="float32",
+                n_seeds=32,
+                thresholds=(
+                    q_index.thresholds
+                    if graph_q["packed_codes"] == "bq"
+                    else None
+                ),
+                books=(
+                    q_index.books if graph_q["packed_codes"] == "pq" else None
+                ),
+            ).select(F.col("_id").alias(self.id_col), "_distance")
+        elif fused_quantized:
             # Quantizer-in-the-index serving (the reference wraps the fitted
             # quantizer INTO the vector index and serves index distances
             # over codes + rerank, vamana.go:257-259 / vectorstore.go:75+):

@@ -753,3 +753,52 @@ def test_text_search_batch_candidate_filter_parity(products):
                 ).collect()
             ]
             assert got.get(qid, []) == solo, (qid, kw.keys())
+
+
+def test_quantized_vamana_serves_through_graph_route(spark, tmp_path):
+    """Schema-declared vectorVamana + frozen quantizer serves
+    quantized-THROUGH-GRAPH (the reference's actual architecture — the
+    quantizer lives inside the graph index and the beam scores stored
+    codes, vamana.go:257-259): build_vamana_index after the quantizer
+    froze bakes the codes into the packed blobs, and the engine's
+    unfiltered route beams on them (beam_on auto -> bq_adc) with exact
+    float rerank. Recall vs exact >= limit/2 (vamana_test.go:230-253) and
+    exact float distances out."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from semadb_spark import Collection
+
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2,
+        "quantizer": {"type": "binary", "binary": {
+            "distanceMetric": "hamming", "triggerThreshold": 10}}}}}
+    coll = Collection.create(spark, str(tmp_path / "qgraph"), schema, num_buckets=4)
+    rng = np.random.RandomState(21)
+    X = np.repeat(rng.normal(size=(8, 8)), 40, axis=0) + rng.normal(
+        scale=0.15, size=(320, 8)
+    )
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]]) for i in range(320)]
+    ))  # autofit crosses the trigger -> the binary quantizer freezes
+    coll.build_vamana_index("v", num_shards=2, seed=5)
+
+    g = coll._graph_indexes()["v"]
+    assert g["packed_codes"] == "bq"
+    assert "codes" in g["packed"].columns  # baked into the blobs
+
+    for i in (0, 45, 123):
+        res = coll.search({"query": {"property": "v", "vectorVamana": {
+            "vector": [float(x) for x in X[i]], "operator": "near",
+            "limit": 10, "searchSize": 40}}}).collect()
+        assert 0 < len(res) <= 10
+        got = {r["_id"] for r in res}
+        d2 = ((X - X[i]) ** 2).sum(axis=1)
+        exact = {f"p{j:03d}" for j in np.argsort(d2, kind="stable")[:10]}
+        assert len(got & exact) >= 5, f"graph-route recall < 0.5 for row {i}"
+        # exact float rerank distances, never code distances
+        for r in res:
+            j = int(r["_id"][1:])
+            want = float(((X[j] - X[i]) ** 2).sum())
+            assert abs(r["_distance"] - want) <= 1e-4 * max(want, 1.0)

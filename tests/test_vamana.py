@@ -471,3 +471,92 @@ def test_quantized_graph_serving_bq_beam(spark, emb):
         vm.vamana_serve_packed(
             disk, queries, 10, beam_on="bq", thresholds=thr, kernel="scalar"
         )
+
+
+def test_serve_packed_auto_beam_dispatch(spark, emb):
+    """``beam_on`` defaults to ``"auto"``: passing ``thresholds`` engages
+    the asymmetric bq_adc beam, ``books`` the pq beam, neither the plain
+    float beam — each returning exactly what the explicit route returns.
+    The symmetric ``"bq"`` stays opt-in reference parity (r7 measured it
+    0.30 recall vs 0.84 for bq_adc on identical artifact bytes, hence the
+    default flip)."""
+    import tempfile
+
+    from semadb_spark.operators.quantize import pq_fit
+
+    index = vm.vamana_build(
+        emb, "v", "_id", degree_bound=32, alpha=1.2, search_size=40,
+        num_shards=2, seed=7, keep_sharded=True,
+    )
+    packed = vm.vamana_pack(index.shard_nodes, index.shard_edges)
+    rows = emb.collect()
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    thr = X.mean(axis=0)
+    books = pq_fit(emb, "v", num_subvectors=4, num_centroids=16, seed=3)
+    d_plain = tempfile.mkdtemp(prefix="vamana_auto_f_")
+    d_bq = tempfile.mkdtemp(prefix="vamana_auto_bq_")
+    d_pq = tempfile.mkdtemp(prefix="vamana_auto_pq_")
+    packed.write.mode("overwrite").partitionBy("cent").parquet(d_plain)
+    vm.vamana_pack_add_codes(packed, thr).write.mode("overwrite").partitionBy(
+        "cent"
+    ).parquet(d_bq)
+    vm.vamana_pack_add_pq_codes(packed, books).write.mode(
+        "overwrite"
+    ).partitionBy("cent").parquet(d_pq)
+    queries = [(f"q{i}", [float(x) for x in rows[i]["v"]]) for i in range(3)]
+
+    def rset(df):
+        return {
+            (r["query_id"], r["_id"], round(r["_distance"], 6))
+            for r in df.collect()
+        }
+
+    cases = [
+        (d_bq, {"thresholds": thr}, "bq_adc"),
+        (d_pq, {"books": books}, "pq"),
+        (d_plain, {}, "float"),
+    ]
+    for path, state, explicit in cases:
+        disk = spark.read.parquet(path)
+        auto = vm.vamana_serve_packed(
+            disk, queries, 10, metric="euclidean", search_size=40,
+            n_seeds=16, **state,
+        )
+        want = vm.vamana_serve_packed(
+            disk, queries, 10, metric="euclidean", search_size=40,
+            n_seeds=16, beam_on=explicit, **state,
+        )
+        assert rset(auto) == rset(want), explicit
+
+
+def test_serve_packed_quantizer_dim_validation(spark, emb):
+    """A thresholds/books fit that doesn't cover the query dimension fails
+    fast driver-side with a clear message, instead of an opaque reshape
+    error inside the beam kernel."""
+    from semadb_spark.operators.quantize import pq_fit
+
+    index = vm.vamana_build(
+        emb, "v", "_id", degree_bound=32, alpha=1.2, search_size=40,
+        num_shards=2, seed=7, keep_sharded=True,
+    )
+    packed = vm.vamana_pack(index.shard_nodes, index.shard_edges)
+    rows = emb.collect()
+    dim = len(rows[0]["v"])
+    queries = [("q0", [float(x) for x in rows[0]["v"]])]
+    disk_cols = vm.vamana_pack_add_codes(packed, np.zeros(dim))
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="vamana_dimchk_")
+    disk_cols.write.mode("overwrite").partitionBy("cent").parquet(d)
+    disk = spark.read.parquet(d)
+    with pytest.raises(ValueError, match="dim mismatch"):
+        vm.vamana_serve_packed(
+            disk, queries, 10, metric="euclidean",
+            thresholds=np.zeros(dim + 64),
+        )
+    with pytest.raises(ValueError, match="dim mismatch"):
+        bad_books = pq_fit(emb, "v", num_subvectors=2, num_centroids=8, seed=3)
+        short_q = [("q0", [0.0] * (dim // 2))]
+        vm.vamana_serve_packed(
+            disk, short_q, 10, metric="euclidean", books=bad_books,
+        )

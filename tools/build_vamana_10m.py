@@ -1,17 +1,34 @@
-"""One-time builder for the 10M Vamana serving fixture (bench vamana_10m row).
+"""Checkpointed builder for the 10M Vamana serving fixture (bench
+vamana_10m row).
 
-The graph route's decade proof (VERDICT r6 directive #3): same DiskANN
-merged-build recipe as tools/build_vamana_1m.py, one decade up on the same
-clustered angular generator (tools/gen_clustered_corpus.py). Coarse routing
-centroids scale 64 -> 640 with the corpus so per-probe work stays ~constant
-(the same nlist scaling the IVF 10M block applies, bench.py vector_10m);
-sub-shards stay ~16k rows so each shard build fits the measured per-shard
-profile (COVERAGE r6: batched search + prune + reverse re-prune, memory-
-bandwidth-bound at 32-way). Build is one pass (the 1M recipe's default) and
-runs ~10x the 1M build's wall clock — strictly a one-time sidecar artifact,
-which is why bench.py only SERVES this fixture (skips the row with a note if
-the artifact is absent) instead of building in-bench like the 240 s text
-index.
+Same DiskANN merged-build recipe as tools/build_vamana_1m.py, one decade up
+on the same clustered angular generator (tools/gen_clustered_corpus.py):
+routing centroids scale 64 -> 640 so per-probe work stays ~constant, and
+sub-shards stay ~16k rows so each shard build matches the measured
+per-shard profile (~31 s / ~0.5 GB peak in _local_build_batch).
+
+Why phases instead of one vamana_build call: the all-in-one build persists
+the 20M-row assignment AND the ~640M-row edge table in executor memory
+before packing — at 10M rows on this host that is what pushed the JVM past
+the global memory line (the r7 attempt died to the kernel OOM killer, java
+at 49 GB RSS). The checkpointed shape is also the honest 100 TB posture:
+at cluster scale every phase boundary is a parquet write (lineage cut,
+restartable, no multi-hour in-memory job), which is exactly what the
+comment in vamana_build says production would do. Phases:
+
+  A. sample + k-means(640) driver-side; overlap-assign (replicas=2) via
+     the shared assign_top_shards kernel; salt-split oversized shards;
+     write (id, v, shard, slice) parquet partitioned by slice.
+  B. per slice: groupBy(shard) -> make_shard_builder kernel -> write the
+     slice's edge rows. Each slice is a few minutes; a _SUCCESS per slice
+     makes the ~25 min phase resumable at slice granularity.
+  C. per slice: cogroup nodes+edges -> vamana_pack(float32) -> write
+     ART_PATH/slice=N partitioned by cent. Readers see one artifact with
+     (slice, cent) partition columns; the cent routing predicate prunes
+     directories exactly as with the unsliced 1M artifact.
+
+Slices are keyed cent % NSLICES, so a shard's nodes and edges always land
+in the same slice and phase C's cogroup never crosses slice boundaries.
 
 Params degree_bound 32 / search_size 75 / alpha 1.2 are inside the
 reference's own ranges (models/index.go:275-313).
@@ -26,53 +43,179 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np
+
 ROWS = 10_000_000
 ART_PATH = "/tmp/semadb_bench_vamana_10m.parquet"
 META_PATH = ART_PATH + ".meta.json"
-VERSION = 1
+WORK = "/tmp/semadb_vamana10m_work"
+VERSION = 2
+NSLICES = 16
+REPLICAS = 2
+NUM_SHARDS = 640
+MAX_SHARD_ROWS = 16_000
+DEGREE_BOUND = 32
+SEARCH_SIZE = 75
+ALPHA = 1.2
+METRIC = "cosine"
+SEED = 42
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _state() -> dict:
+    p = os.path.join(WORK, "state.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"phase_sec": {}}
+
+
+def _save_state(st: dict) -> None:
+    os.makedirs(WORK, exist_ok=True)
+    with open(os.path.join(WORK, "state.json"), "w") as f:
+        json.dump(st, f)
 
 
 def ensure_vamana_10m(spark, corpus_path: str) -> dict:
-    """Build the packed 10M artifact if missing or stale; return the
-    sidecar meta."""
-    if os.path.exists(META_PATH) and os.path.exists(
-        os.path.join(ART_PATH, "_SUCCESS")
-    ):
+    """Build the packed 10M artifact phase-by-phase (resuming whatever is
+    already on disk); return the sidecar meta."""
+    if os.path.exists(META_PATH) and _done(ART_PATH):
         with open(META_PATH) as f:
             meta = json.load(f)
         if meta.get("version") == VERSION:
             return meta
-    from semadb_spark.operators.vamana import vamana_build, vamana_pack
 
-    big = spark.read.parquet(corpus_path)
-    t0 = time.time()
-    idx = vamana_build(
-        big, "embedding", "_id", degree_bound=32, alpha=1.2, search_size=75,
-        num_shards=640, metric="cosine", keep_sharded=True, seed=42,
-        max_shard_rows=16000, build_mode="batch", build_passes=1,
+    from pyspark.sql import functions as F
+
+    from semadb_spark.functions.kmeans import collect_vector_sample, kmeans_np
+    from semadb_spark.operators.vamana import (
+        assign_top_shards,
+        make_shard_builder,
+        vamana_pack,
     )
-    packed = vamana_pack(idx.shard_nodes, idx.shard_edges, dtype="float32")
-    packed.write.mode("overwrite").partitionBy("cent").parquet(ART_PATH)
-    build_sec = round(time.time() - t0, 3)
+
+    st = _state()
+    big = spark.read.parquet(corpus_path)
+    base = big.filter(F.col("embedding").isNotNull()).select(
+        F.col("_id").cast("string").alias("id"), F.col("embedding").alias("v")
+    )
+
+    # -- Phase A: centroids + salted overlap assignment ------------------
+    assigned_path = os.path.join(WORK, "assigned")
+    cents_path = os.path.join(WORK, "centroids.npy")
+    if not (_done(assigned_path) and os.path.exists(cents_path)):
+        t0 = time.time()
+        sample = collect_vector_sample(base, "v", seed=SEED)
+        cents = kmeans_np(sample, NUM_SHARDS, seed=SEED)
+        os.makedirs(WORK, exist_ok=True)
+        np.save(cents_path, cents)
+        raw = assign_top_shards(base, cents, REPLICAS)
+        # Skew-salting (the vamana_build policy): shards past
+        # MAX_SHARD_ROWS split into hash-salted sub-builds. One extra
+        # counting pass over the assignment UDF instead of a 20M-row
+        # persist — two cheap GEMM scans beat holding 16 GB in the JVM.
+        counts = {
+            r["shard"]: r["n"]
+            for r in raw.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        }
+        splits = {s: -(-n // MAX_SHARD_ROWS) for s, n in counts.items()}
+        split_expr = F.coalesce(
+            *[F.when(F.col("shard") == s, F.lit(k)) for s, k in splits.items()]
+            or [F.lit(1)],
+            F.lit(1),
+        )
+        (
+            raw.withColumn("slice", F.col("shard") % NSLICES)
+            .withColumn(
+                "shard",
+                F.concat_ws(
+                    "_", F.col("shard"), F.pmod(F.xxhash64("id"), split_expr)
+                ),
+            )
+            .write.mode("overwrite")
+            .partitionBy("slice")
+            .parquet(assigned_path)
+        )
+        st["phase_sec"]["assign"] = round(time.time() - t0, 3)
+        st["n_subshards"] = int(sum(splits.values()))
+        _save_state(st)
+    cents = np.load(cents_path)
+
+    # -- Phase B: per-slice shard builds ---------------------------------
+    builder = make_shard_builder(
+        DEGREE_BOUND, ALPHA, SEARCH_SIZE, METRIC, SEED,
+        build_mode="batch", build_passes=1,
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    for s in range(NSLICES):
+        epath = os.path.join(WORK, f"edges_{s}")
+        if _done(epath):
+            continue
+        t0 = time.time()
+        nodes_s = spark.read.parquet(assigned_path).filter(F.col("slice") == s)
+        (
+            # 4x the sub-shard count in hash buckets keeps key collisions
+            # (two 31 s builds serialized in one task) rare
+            nodes_s.repartition(max(n_parts, 4 * (st.get("n_subshards", 1280) // NSLICES)), "shard")
+            .groupBy("shard")
+            .applyInPandas(
+                builder, "shard string, src string, dst string, dist double"
+            )
+            .write.mode("overwrite")
+            .parquet(epath)
+        )
+        st["phase_sec"][f"build_{s}"] = round(time.time() - t0, 3)
+        _save_state(st)
+        print(f"# slice {s}: built in {st['phase_sec'][f'build_{s}']}s", file=sys.stderr)
+
+    # -- Phase C: per-slice pack + artifact write ------------------------
+    for s in range(NSLICES):
+        spath = os.path.join(ART_PATH, f"slice={s}")
+        if _done(spath):
+            continue
+        t0 = time.time()
+        nodes_s = (
+            spark.read.parquet(assigned_path)
+            .filter(F.col("slice") == s)
+            .select("shard", "id", "v")
+        )
+        edges_s = spark.read.parquet(os.path.join(WORK, f"edges_{s}")).select(
+            "shard", "src", "dst"
+        )
+        (
+            vamana_pack(nodes_s, edges_s, dtype="float32")
+            .write.mode("overwrite")
+            .partitionBy("cent")
+            .parquet(spath)
+        )
+        st["phase_sec"][f"pack_{s}"] = round(time.time() - t0, 3)
+        _save_state(st)
+        print(f"# slice {s}: packed in {st['phase_sec'][f'pack_{s}']}s", file=sys.stderr)
+
+    build_sec = round(sum(st["phase_sec"].values()), 3)
     meta = {
         "version": VERSION,
         "rows": big.count(),
         "build_sec": build_sec,
-        "centroids": idx.centroids.tolist(),
-        "degree_bound": 32,
-        "search_size": 75,
-        "metric": "cosine",
-        "num_shards": 640,
-        "max_shard_rows": 16000,
+        "phase_sec": st["phase_sec"],
+        "centroids": cents.tolist(),
+        "degree_bound": DEGREE_BOUND,
+        "search_size": SEARCH_SIZE,
+        "metric": METRIC,
+        "num_shards": NUM_SHARDS,
+        "max_shard_rows": MAX_SHARD_ROWS,
         "build_mode": "batch",
         "build_passes": 1,
         "pack_dtype": "float32",
     }
     with open(META_PATH, "w") as f:
         json.dump(meta, f)
-    idx.edges.unpersist()
-    idx.shard_edges.unpersist()
-    idx.shard_nodes.unpersist()
+    # root completeness marker (bench and this builder's resume check)
+    with open(os.path.join(ART_PATH, "_SUCCESS"), "w"):
+        pass
     return meta
 
 
@@ -80,6 +223,7 @@ if __name__ == "__main__":
     from semadb_spark import get_spark
     from tools.gen_clustered_corpus import generate
 
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "20g")
     spark = get_spark(
         app_name="build-vamana-10m",
         cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),

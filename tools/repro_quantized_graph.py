@@ -49,13 +49,23 @@ def ensure_code_artifacts(spark, corpus_path: str, meta: dict):
     )
     from tools.build_vamana_1m import ART_PATH
 
+    # cache key ties the derived code artifacts to the EXACT base packed
+    # artifact they were encoded from: a 1M rebuild (version bump or
+    # re-run) invalidates them, otherwise quant rows would keep serving
+    # codes derived from a graph that no longer exists
+    base_fp = (
+        meta.get("version"),
+        os.stat(os.path.join(ART_PATH, "_SUCCESS")).st_mtime_ns,
+    )
     if (
         os.path.exists(SIDE_PATH)
         and os.path.exists(os.path.join(BQ_PATH, "_SUCCESS"))
         and os.path.exists(os.path.join(PQ_PATH, "_SUCCESS"))
     ):
         with open(SIDE_PATH, "rb") as f:
-            return pickle.load(f)
+            side = pickle.load(f)
+        if side.get("base_fp") == list(base_fp) or side.get("base_fp") == base_fp:
+            return side
     big = spark.read.parquet(corpus_path)
     thr = bq_fit(big, "embedding")
     books = pq_fit(big, "embedding", num_subvectors=20, num_centroids=256,
@@ -68,7 +78,7 @@ def ensure_code_artifacts(spark, corpus_path: str, meta: dict):
     vamana_pack_add_pq_codes(packed, books, dtype=dtype).write.mode(
         "overwrite"
     ).partitionBy("cent").parquet(PQ_PATH)
-    side = {"thresholds": thr, "books": books}
+    side = {"thresholds": thr, "books": books, "base_fp": base_fp}
     with open(SIDE_PATH, "wb") as f:
         pickle.dump(side, f)
     return side
