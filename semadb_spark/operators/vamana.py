@@ -482,7 +482,12 @@ def _vector_prune(
         # once finished so the per-rank fancy-index gathers stay small —
         # uncompacted, the repeated P[sel] copies dominate the whole build)
         act = np.arange(hi - lo)
-        for i in range(pool):
+        # pools are ascending with ALL padding at the tail, so ranks past
+        # the chunk's widest valid row are pure no-ops — skip them (pools
+        # are padded to the global max width; a chunk of mostly-narrow
+        # rows otherwise pays the full-width rank loop in overhead)
+        w_eff = int(valid.sum(axis=1).max()) if valid.any() else 0
+        for i in range(w_eff):
             if not len(act):
                 break
             sel = alive[act, i] & (count[act] < degree_bound)
@@ -517,7 +522,7 @@ def _vector_prune(
         # occlude escalation: top up under-full lists with the nearest
         # eliminated candidates (pool walk stays ascending by distance)
         act = np.flatnonzero(count < degree_bound)
-        for i in range(pool):
+        for i in range(w_eff):
             if not len(act):
                 break
             sel = valid[act, i] & ~kept[act, i]
@@ -581,6 +586,12 @@ def _edges_reverse_prune(
     u_src, u_dst, u_dd = src[under_mask], dst[under_mask], dd[under_mask]
     # build (n_over, width) pools sorted ascending (segments already are)
     oc = counts[over]
+    # process overflow nodes in degree order so each prune chunk holds
+    # similar-width pools: the rank loop then runs ~that chunk's own max
+    # width instead of the global hub maximum for every chunk (results
+    # are order-invariant — each node's re-prune is independent)
+    by_deg = np.argsort(oc, kind="stable")
+    over, oc = over[by_deg], oc[by_deg]
     width = int(min(pool_width, oc.max()))
     w1 = (3 * width) // 4
     j = np.arange(width)[None, :]
