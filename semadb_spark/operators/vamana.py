@@ -544,6 +544,7 @@ def _edges_reverse_prune(
     alpha: float,
     metric: str,
     pool_width: int = 256,
+    fwd_kept: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Forward + reverse edges (insert.go:34-66 bi-directional), dedup per
     (src, dst); nodes whose merged list exceeds ``degree_bound`` are
@@ -560,6 +561,16 @@ def _edges_reverse_prune(
     Overflow candidate lists wider than ``pool_width`` are thinned to the
     nearest 3/4 plus an even stride over the tail (preserving candidates
     at every distance scale), mirroring DiskANN's bounded occlude list.
+
+    ``fwd_kept`` (optional, same shape as ``out_ids``): boolean mask of
+    the forward edges that robustPrune alpha-KEPT (vs topped-up fill).
+    When given, an overflow node's own alpha-kept outbound edges are
+    force-included in its thinned re-prune pool (ranked ahead of the
+    near+stride selection over the rest) so the thinning can never evict
+    the long-range diverse edges the forward prune chose; the pool is
+    re-sorted ascending before robustPrune, so only INCLUSION changes,
+    not the prune's distance-rank walk. ``None`` keeps the pure
+    distance-based thinning bit-identically.
     """
     valid = out_ids >= 0
     cols = out_ids.shape[1]
@@ -569,18 +580,39 @@ def _edges_reverse_prune(
     src = np.concatenate([fsrc, fdst])
     dst = np.concatenate([fdst, fsrc])
     dd = np.concatenate([fd, fd])
+    kp = None
+    if fwd_kept is not None:
+        fkp = fwd_kept.ravel()[valid.ravel()].astype(np.int8)
+        # reverse copies are not the dst node's own alpha-kept choices
+        kp = np.concatenate([fkp, np.zeros_like(fkp)])
     key = src * np.int64(n) + dst
-    order = np.lexsort((dd, key))
+    if kp is None:
+        order = np.lexsort((dd, key))
+    else:
+        # within a duplicate (src, dst) group distances are equal; sort
+        # kept-copy first so dedup keeps the flag
+        order = np.lexsort((1 - kp, dd, key))
+        kp = kp[order]
     key, src, dst, dd = key[order], src[order], dst[order], dd[order]
     first = np.ones(len(key), dtype=bool)
     first[1:] = key[1:] != key[:-1]
     src, dst, dd = src[first], dst[first], dd[first]
-    order = np.lexsort((dd, src))
+    if kp is not None:
+        kp = kp[first]
+        # kept-first inside each src segment, ascending distance within
+        # each class — the kept run is then segment-prefix addressable
+        order = np.lexsort((dd, 1 - kp, src))
+        kp = kp[order]
+    else:
+        order = np.lexsort((dd, src))
     src, dst, dd = src[order], dst[order], dd[order]
     seg = np.searchsorted(src, np.arange(n + 1))
     counts = np.diff(seg)
     over = np.flatnonzero(counts > degree_bound)
     if not len(over):
+        if kp is not None:
+            order = np.lexsort((dd, src))
+            return src[order], dst[order], dd[order]
         return src, dst, dd
     under_mask = (counts <= degree_bound)[src]
     u_src, u_dst, u_dd = src[under_mask], dst[under_mask], dd[under_mask]
@@ -593,18 +625,45 @@ def _edges_reverse_prune(
     by_deg = np.argsort(oc, kind="stable")
     over, oc = over[by_deg], oc[by_deg]
     width = int(min(pool_width, oc.max()))
-    w1 = (3 * width) // 4
     j = np.arange(width)[None, :]
     c = oc[:, None]
-    near = np.minimum(j, c - 1)
-    # stride the tail so far candidates survive the thinning
-    denom = max(width - w1, 1)
-    strided = w1 + (j - w1) * np.maximum(c - w1, 1) // denom
-    pos = np.where((c <= width) | (j < w1), near, np.minimum(strided, c - 1))
-    pad = j >= c
-    idx = seg[over][:, None] + pos
-    pool_i = np.where(pad, -1, dst[idx])
-    pool_d = np.where(pad, np.inf, dd[idx]).astype(np.float32)
+    if kp is None:
+        w1 = (3 * width) // 4
+        near = np.minimum(j, c - 1)
+        # stride the tail so far candidates survive the thinning
+        denom = max(width - w1, 1)
+        strided = w1 + (j - w1) * np.maximum(c - w1, 1) // denom
+        pos = np.where((c <= width) | (j < w1), near, np.minimum(strided, c - 1))
+        pad = j >= c
+        idx = seg[over][:, None] + pos
+        pool_i = np.where(pad, -1, dst[idx])
+        pool_d = np.where(pad, np.inf, dd[idx]).astype(np.float32)
+    else:
+        # kept-first segments: slots [0, kc) take the node's alpha-kept
+        # outbound edges unconditionally; the remaining width-kc slots run
+        # the same near+stride thinning over the (c-kc)-wide rest
+        kcnt = np.bincount(src, weights=kp, minlength=n).astype(np.int64)
+        kc = np.minimum(kcnt[over], width)[:, None]
+        jj = j - kc
+        rem_w = np.maximum(width - kc, 1)
+        rem_c = np.maximum(c - kc, 1)
+        w1r = (3 * rem_w) // 4
+        near = np.minimum(jj, rem_c - 1)
+        denom = np.maximum(rem_w - w1r, 1)
+        strided = w1r + (jj - w1r) * np.maximum(rem_c - w1r, 1) // denom
+        pos_rem = np.where(
+            (rem_c <= rem_w) | (jj < w1r), near, np.minimum(strided, rem_c - 1)
+        )
+        pos = np.where(j < kc, j, kc + pos_rem)
+        pad = j >= c
+        idx = seg[over][:, None] + np.minimum(pos, c - 1)
+        pool_i = np.where(pad, -1, dst[idx])
+        pool_d = np.where(pad, np.inf, dd[idx]).astype(np.float32)
+        # robustPrune walks pools ascending by distance — restore that
+        # order now that inclusion is settled
+        o2 = np.argsort(pool_d, axis=1, kind="stable")
+        pool_i = np.take_along_axis(pool_i, o2, axis=1)
+        pool_d = np.take_along_axis(pool_d, o2, axis=1)
     pr_ids, pr_d, _ = _vector_prune(
         Xc, pool_i, pool_d, degree_bound, alpha, metric, chunk=512
     )
@@ -628,6 +687,7 @@ def _local_build_batch(
     seed: int = 42,
     passes: int = 2,
     search_size_first: int | None = None,
+    keep_alpha_edges: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Fast shard build: the batch-parallel Vamana construction (the
     published DiskANN/ParlayANN batch-build recipe, semantically matching
@@ -693,11 +753,17 @@ def _local_build_batch(
         pool_i = np.take_along_axis(pool_i, order2, axis=1)
         pool_d = np.take_along_axis(pool_d, order2, axis=1)
         pool_i[~np.isfinite(pool_d)] = -1
-        out_ids, out_d, _ = _vector_prune(
+        out_ids, out_d, nk = _vector_prune(
             Xc, pool_i, pool_d.astype(np.float32), degree_bound, a_p, metric
         )
+        fwd_kept = (
+            np.arange(out_ids.shape[1])[None, :] < nk[:, None]
+            if keep_alpha_edges
+            else None
+        )
         src, dst, dd = _edges_reverse_prune(
-            Xc, out_ids, out_d, n, degree_bound, a_p, metric
+            Xc, out_ids, out_d, n, degree_bound, a_p, metric,
+            fwd_kept=fwd_kept,
         )
     src, dst, dd = _repair_connectivity(Xc, src, dst, dd, start, metric)
     return src, dst, dd.astype(np.float32), start
@@ -849,6 +915,7 @@ def make_shard_builder(
     seed: int,
     build_mode: str = "auto",
     build_passes: int = 2,
+    keep_alpha_edges: bool = False,
 ):
     """Factory for the per-shard ``applyInPandas`` build function
     ((shard, id, v) group -> (shard, src, dst, dist) edge rows). Output
@@ -875,6 +942,7 @@ def make_shard_builder(
                 X, degree_bound, alpha, search_size, metric,
                 seed=seed + zlib.crc32(str(shard).encode()) % 100_000,
                 passes=build_passes,
+                keep_alpha_edges=keep_alpha_edges,
             )
             return pd.DataFrame(
                 {
