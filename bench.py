@@ -661,9 +661,16 @@ def main() -> None:
         # build-once index); skipped with a note when the artifact is
         # absent so the row never silently reports a partial build.
         # Routing: 640 centroids at 10M vs 64 at 1M keeps rows/cent
-        # constant, so nprobe=4 probes the same ~62k vectors per query as
-        # the 1M row — per-query work is scale-invariant by construction;
-        # recall is measured against the same exact-scan oracle.
+        # constant, so per-probe beam work is scale-invariant by
+        # construction; recall is measured against the same exact-scan
+        # oracle. Serving params come from tools/sweep_vamana10m.py's
+        # measured frontier on this artifact: nprobe=1 wins (646.8 QPS @
+        # 0.9781 vs 529.1 @ 0.9797 at the old nprobe=4) because a 4096-
+        # query batch touches every cent partition regardless, so the
+        # batch is artifact-transfer-bound and extra probes only add
+        # near-duplicate candidates; trimming search_size below 75 lost
+        # recall without QPS gain (same reason — the beam is not the
+        # bottleneck).
         from tools.build_vamana_10m import ART_PATH as VAM10_ART
         from tools.build_vamana_10m import META_PATH as VAM10_META
 
@@ -701,7 +708,7 @@ def main() -> None:
                 lambda: vamana_serve_packed(
                     vam10_disk, aq10, 10, metric="cosine",
                     search_size=int(vam10_meta["search_size"]),
-                    centroids=vam10_cents, nprobe=4,
+                    centroids=vam10_cents, nprobe=1,
                     dtype=vam10_meta.get("pack_dtype", "float64"),
                     kernel="batched", compute_dtype="float32", n_seeds=64,
                 ),
@@ -715,7 +722,8 @@ def main() -> None:
                 "build_once": True,
                 "qps": round(len(aq10) / vam10_dt, 1),
                 "recall_at10": round(vam10_recall, 4),
-                "nprobe": 4,
+                "nprobe": 1,
+                "pack_dtype": vam10_meta.get("pack_dtype", "float64"),
                 "serving": "disk-backed packed blobs, cent-partition routed",
             }
             vam10_frame.unpersist()

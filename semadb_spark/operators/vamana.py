@@ -1539,7 +1539,10 @@ def vamana_pack(
             else np.empty(0, dtype=np.int32)
         )
         # same medoid-start formula vamana_serve computes per pass
-        start = int(((X - X.mean(axis=0)) ** 2).sum(axis=1).argmin())
+        # (computed at >=float32 so a half-precision pack dtype cannot
+        # degrade the medoid choice — only the stored blob is halved)
+        Xm = X.astype(np.float32, copy=False) if np_dtype.itemsize < 4 else X
+        start = int(((Xm - Xm.mean(axis=0)) ** 2).sum(axis=1).argmin())
         return pd.DataFrame(
             {
                 "shard": [shard],

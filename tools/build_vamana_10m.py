@@ -22,7 +22,7 @@ comment in vamana_build says production would do. Phases:
   B. per slice: groupBy(shard) -> make_shard_builder kernel -> write the
      slice's edge rows. Each slice is a few minutes; a _SUCCESS per slice
      makes the ~25 min phase resumable at slice granularity.
-  C. per slice: cogroup nodes+edges -> vamana_pack(float32) -> write
+  C. per slice: cogroup nodes+edges -> vamana_pack(PACK_DTYPE) -> write
      ART_PATH/slice=N partitioned by cent. Readers see one artifact with
      (slice, cent) partition columns; the cent routing predicate prunes
      directories exactly as with the unsliced 1M artifact.
@@ -32,6 +32,14 @@ in the same slice and phase C's cogroup never crosses slice boundaries.
 
 Params degree_bound 32 / search_size 75 / alpha 1.2 are inside the
 reference's own ranges (models/index.go:275-313).
+
+v3 packs the vector blobs float16 (edges/centroids unchanged — only
+phase C re-runs when upgrading from v2): a scan diagnosis showed serving
+a 4096-query batch is ~85% artifact-transfer-bound (JVM scan 1.5 s,
+Arrow transfer to Python 5.5 s of the 6.3 s serve), so halving the
+8 GB vec payload is the direct QPS lever; beams and rerank compute in
+float32 regardless (compute_dtype), and the sweep's recall check guards
+the half-precision storage.
 """
 
 from __future__ import annotations
@@ -49,7 +57,8 @@ ROWS = 10_000_000
 ART_PATH = "/tmp/semadb_bench_vamana_10m.parquet"
 META_PATH = ART_PATH + ".meta.json"
 WORK = "/tmp/semadb_vamana10m_work"
-VERSION = 2
+VERSION = 3
+PACK_DTYPE = "float16"
 NSLICES = 16
 REPLICAS = 2
 NUM_SHARDS = 640
@@ -186,7 +195,7 @@ def ensure_vamana_10m(spark, corpus_path: str) -> dict:
             "shard", "src", "dst"
         )
         (
-            vamana_pack(nodes_s, edges_s, dtype="float32")
+            vamana_pack(nodes_s, edges_s, dtype=PACK_DTYPE)
             .write.mode("overwrite")
             .partitionBy("cent")
             .parquet(spath)
@@ -209,7 +218,7 @@ def ensure_vamana_10m(spark, corpus_path: str) -> dict:
         "max_shard_rows": MAX_SHARD_ROWS,
         "build_mode": "batch",
         "build_passes": 1,
-        "pack_dtype": "float32",
+        "pack_dtype": PACK_DTYPE,
     }
     with open(META_PATH, "w") as f:
         json.dump(meta, f)
