@@ -709,7 +709,8 @@ class Collection:
 
     # -- W7: persisted Vamana graph artifact ---------------------------------
     def build_vamana_index(self, prop: str, num_shards: int | None = None,
-                           replicas: int = 2, seed: int = 42) -> str:
+                           replicas: int = 2, seed: int = 42,
+                           pack_dtype: str = "float32") -> str:
         """Build the DiskANN-style graph for a vectorVamana property as a
         distributed job (operators/vamana.py merged build) and persist the
         edge table + entry metadata beside the snapshot. This is the EXPORT
@@ -717,8 +718,11 @@ class Collection:
         in-Spark approximate serving uses the IVF artifact
         (build_vector_index). Graph parameters come from the schema
         (searchSize/degreeBound/alpha, models/index.go:275-313) and the
-        build honors the declared distance metric. Returns the artifact
-        path."""
+        build honors the declared distance metric. ``pack_dtype`` sets the
+        packed blob storage precision ("float16" halves blob bytes; batched
+        serving is artifact-transfer-bound, measured +15-21% QPS at ~0.003
+        recall cost on the 10M bench artifact — arithmetic stays float32
+        either way). Returns the artifact path."""
         from .operators.vamana import vamana_build
 
         value = self.schema[prop]
@@ -744,7 +748,8 @@ class Collection:
             os.path.join(path, "shard_edges")
         )
         packed_codes = self._write_packed_graph(
-            prop, index.shard_nodes, index.shard_edges, path
+            prop, index.shard_nodes, index.shard_edges, path,
+            pack_dtype=pack_dtype,
         )
         with open(os.path.join(path, "_graph.json"), "w") as f:
             json.dump(
@@ -756,7 +761,7 @@ class Collection:
                     "metric": index.metric,
                     "centroids": index.centroids.tolist(),
                     "replicas": replicas,
-                    "pack_dtype": "float32",
+                    "pack_dtype": pack_dtype,
                     "packed_codes": packed_codes,
                 },
                 f,
@@ -768,7 +773,8 @@ class Collection:
         return path
 
     def _write_packed_graph(
-        self, prop: str, shard_nodes, shard_edges, path: str
+        self, prop: str, shard_nodes, shard_edges, path: str,
+        pack_dtype: str = "float32",
     ) -> str | None:
         """Write the packed serving artifact (vamana_pack blob layout,
         cent-partition routed) beside a graph index — the in-Spark graph
@@ -786,12 +792,12 @@ class Collection:
             vamana_pack_add_pq_codes,
         )
 
-        packed = vamana_pack(shard_nodes, shard_edges, dtype="float32")
+        packed = vamana_pack(shard_nodes, shard_edges, dtype=pack_dtype)
         qmeta = self._frozen_quantizer_meta(prop)
         packed_codes = None
         if qmeta is not None and qmeta["kind"] == "binary":
             packed = vamana_pack_add_codes(
-                packed, np.asarray(qmeta["thresholds"]), dtype="float32"
+                packed, np.asarray(qmeta["thresholds"]), dtype=pack_dtype
             )
             packed_codes = "bq"
         elif qmeta is not None:
@@ -803,7 +809,7 @@ class Collection:
                     centroids=np.asarray(qmeta["centroids"], dtype=np.float64),
                     metric=qmeta["pq_metric"],
                 ),
-                dtype="float32",
+                dtype=pack_dtype,
             )
             packed_codes = "pq"
         packed.write.mode("overwrite").partitionBy("cent").parquet(
@@ -1146,13 +1152,15 @@ class Collection:
         # re-pack the rolled-forward subgraphs (reading back the committed
         # parquet cuts the union/filter lineage) so the packed serving
         # artifact never lags the shard tables it was derived from
+        # roll-forward preserves the original artifact's blob precision
+        meta["pack_dtype"] = meta.get("pack_dtype", "float32")
         meta["packed_codes"] = self._write_packed_graph(
             prop,
             self.spark.read.parquet(os.path.join(new_path, "shard_nodes")),
             self.spark.read.parquet(os.path.join(new_path, "shard_edges")),
             new_path,
+            pack_dtype=meta["pack_dtype"],
         )
-        meta["pack_dtype"] = "float32"
         with open(os.path.join(new_path, "_graph.json"), "w") as f:
             json.dump(meta, f)
         self._invalidate_engine()

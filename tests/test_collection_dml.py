@@ -570,6 +570,61 @@ def test_build_vamana_export_artifact(spark, tmp_path):
         assert f"{i:03d}" in by_qr[f"q{i}"]
 
 
+def test_build_vamana_index_pack_dtype_float16(spark, tmp_path):
+    """pack_dtype="float16" halves packed blob bytes (serving is
+    artifact-transfer-bound at scale); precision is storage-only — the
+    graph, _graph.json metadata, serving recall, and a roll-forward
+    refresh all behave as with float32, and the refresh PRESERVES the
+    declared dtype instead of silently repacking float32."""
+    import json
+    import os
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    X = rng.normal(size=(150, 8))
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2}}}
+    coll = Collection.create(spark, str(tmp_path / "vam16"), schema, num_buckets=4)
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"{i:03d}", v=[float(x) for x in X[i]]) for i in range(150)]
+    ))
+    path = coll.build_vamana_index("v", num_shards=2, seed=5, pack_dtype="float16")
+    with open(os.path.join(path, "_graph.json")) as f:
+        meta = json.load(f)
+    assert meta["pack_dtype"] == "float16"
+    # blob bytes really are half-width: n rows x 8 dims x 2 bytes
+    packed = spark.read.parquet(os.path.join(path, "packed"))
+    r0 = packed.first()
+    assert len(r0["vecs"]) == r0["n"] * 8 * 2
+
+    queries = [(f"q{i}", [float(x) for x in X[i]]) for i in range(5)]
+    got = coll.vamana_search("v", queries, k=10)
+    by_q: dict = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, set()).add(r._id)
+    d2 = ((X[None, :, :] - X[:5, None, :]) ** 2).sum(axis=2)
+    for i in range(5):
+        exact = {f"{j:03d}" for j in np.argsort(d2[i], kind="stable")[:10]}
+        assert len(by_q[f"q{i}"] & exact) >= 5, f"recall below 0.5 for q{i}"
+
+    # roll-forward refresh keeps float16 packing
+    coll.insert(spark.createDataFrame([Row(_id="new00", v=[4.0] * 8)]))
+    assert coll.refresh_vamana_index("v") > 0
+    # locate the refreshed _graph.json (highest-numbered version dir)
+    vdirs = sorted(
+        (d for d in os.listdir(str(tmp_path / "vam16")) if d.endswith("_idx")),
+        key=lambda d: int(d[1:].split("_")[0]),
+    )
+    gpath = os.path.join(str(tmp_path / "vam16"), vdirs[-1], "vamana_v")
+    with open(os.path.join(gpath, "_graph.json")) as f:
+        meta2 = json.load(f)
+    assert meta2["pack_dtype"] == "float16"
+    got2 = coll.vamana_search("v", [("qn", [4.0] * 8)], k=3)
+    assert "new00" in {r._id for r in got2.collect()}
+
+
 def test_quantizer_autofit_trigger(spark, tmp_path):
     """Insert-path auto-fit parity (binary.go:145+, product.go:175-236):
     a schema-declared quantizer with triggerThreshold fits itself when the

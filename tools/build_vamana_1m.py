@@ -12,8 +12,14 @@ Version 2 (round 6): build_mode="batch" (batch-parallel Vamana build,
 _local_build_batch) with 64 routing centroids and ~16k-row sub-shards
 — larger shards mean each routed query runs ~4 beams per probed centroid
 pair instead of ~56, and the batched serve kernel amortizes one einsum per
-beam step across the whole routed query batch. Blobs pack float32 (halves
-artifact decode; serving arithmetic float32, distances reported float64).
+beam step across the whole routed query batch.
+
+Version 3 (round 8): vector blobs pack float16, following the 10M
+artifact's measured serve breakdown (a batched serve is ~85%
+artifact-transfer-bound, so blob bytes are the QPS lever; the 10M
+interleaved A/B measured f16 +15-21% QPS at a ~0.003 recall cost).
+Serving arithmetic stays float32 (compute_dtype), distances report
+float64, and vamana_pack computes the medoid at >=float32.
 
 Params: degree_bound 32 / search_size 75 / alpha 1.2 are inside the
 reference's own ranges (models/index.go:275-313).
@@ -30,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ART_PATH = "/tmp/semadb_bench_vamana_1m.parquet"
 META_PATH = ART_PATH + ".meta.json"
-VERSION = 2
+VERSION = 3
 
 
 def ensure_vamana_1m(spark, corpus_path: str) -> dict:
@@ -54,7 +60,7 @@ def ensure_vamana_1m(spark, corpus_path: str) -> dict:
         max_shard_rows=16000, build_mode="batch",
         build_passes=int(os.environ.get("SPARK_GRAFT_VAMANA_PASSES", "1")),
     )
-    packed = vamana_pack(idx.shard_nodes, idx.shard_edges, dtype="float32")
+    packed = vamana_pack(idx.shard_nodes, idx.shard_edges, dtype="float16")
     packed.write.mode("overwrite").partitionBy("cent").parquet(ART_PATH)
     build_sec = round(time.time() - t0, 3)
     meta = {
@@ -68,7 +74,7 @@ def ensure_vamana_1m(spark, corpus_path: str) -> dict:
         "max_shard_rows": 16000,
         "build_mode": "batch",
         "build_passes": int(os.environ.get("SPARK_GRAFT_VAMANA_PASSES", "1")),
-        "pack_dtype": "float32",
+        "pack_dtype": "float16",
     }
     with open(META_PATH, "w") as f:
         json.dump(meta, f)
