@@ -727,6 +727,39 @@ def main() -> None:
                 "serving": "disk-backed packed blobs, cent-partition routed",
             }
             vam10_frame.unpersist()
+
+            # CODE-DOMAIN serving (rerank="none"): the 100 TB posture row.
+            # Beams run on BQ margin LUTs over the baked codes and the
+            # float blobs are column-pruned out of the scan entirely, so a
+            # saturating batch transfers codes + int16 CSR + ids instead
+            # of the vector payload. Recall is the raw ADC number — this
+            # row shows the bytes/recall trade a memory/IO-bound
+            # deployment would take, next to the exact-rerank row above.
+            from tools.build_vamana_10m import ensure_vamana_10m_codes
+            from tools.build_vamana_10m import BQ_ART_PATH as VAM10_BQ
+
+            thr10 = ensure_vamana_10m_codes(spark, path10, vam10_meta)
+            vam10_bq = spark.read.parquet(VAM10_BQ)
+            cd_frame, cd_dt = best_of(
+                3,
+                lambda: vamana_serve_packed(
+                    vam10_bq, aq10, 10, metric="cosine",
+                    search_size=int(vam10_meta["search_size"]),
+                    centroids=vam10_cents, nprobe=1,
+                    dtype=vam10_meta.get("pack_dtype", "float64"),
+                    kernel="batched", compute_dtype="float32", n_seeds=64,
+                    beam_on="bq_adc", thresholds=thr10, rerank="none",
+                ),
+            )
+            cd_recall = recall_at_k(
+                cd_frame.filter(F.col("query_id").isin(aq10_64)), exact10
+            )
+            vamana_10m["code_domain"] = {
+                "qps": round(len(aq10) / cd_dt, 1),
+                "recall_at10": round(cd_recall, 4),
+                "beam": "bq_adc, rerank=none, vecs column-pruned",
+            }
+            cd_frame.unpersist()
         print(f"# vamana_10m: {vamana_10m}", file=sys.stderr)
         exact10.unpersist()
 

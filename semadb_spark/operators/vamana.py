@@ -1533,10 +1533,16 @@ def vamana_pack(
         counts = np.asarray([len(h) for h in heads], dtype=np.int32)
         indptr = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(counts, out=indptr[1:])
+        # CSR neighbor ids are SHARD-LOCAL (< n), so int16 suffices for the
+        # production <=16k-row shards and halves the adjacency payload —
+        # which DOMINATES artifact transfer at degree 32 (32 edges x 4 B
+        # beats even float16 100d vecs). Readers sniff the width from
+        # len(bytes)/indptr[-1], so old int32 artifacts stay readable.
+        idx_dtype = np.int16 if n <= 0x7FFF else np.int32
         indices = (
-            np.concatenate([np.asarray(h, dtype=np.int32) for h in heads if h])
+            np.concatenate([np.asarray(h, dtype=idx_dtype) for h in heads if h])
             if indptr[-1]
-            else np.empty(0, dtype=np.int32)
+            else np.empty(0, dtype=idx_dtype)
         )
         # same medoid-start formula vamana_serve computes per pass
         # (computed at >=float32 so a half-precision pack dtype cannot
@@ -1714,6 +1720,7 @@ def vamana_serve_packed(
     thresholds: np.ndarray | None = None,
     oversample: int = 4,
     books=None,
+    rerank: str = "exact",
 ) -> DataFrame:
     """Distributed Vamana serving over the :func:`vamana_pack` artifact.
 
@@ -1762,7 +1769,19 @@ def vamana_serve_packed(
     - ``beam_on="pq"`` — product-quantizer ADC through the graph
       (v2-PQ, product.go:238-305): byte LUTs from the frozen ``books``
       against the uint8 codes stored by
-      :func:`vamana_pack_add_pq_codes`. ``books`` required."""
+      :func:`vamana_pack_add_pq_codes`. ``books`` required.
+
+    ``rerank`` (quantized beams only) selects the final scoring pass:
+    ``"exact"`` (default) reranks each query's ``k * oversample`` pool
+    with the float vectors from the same blob; ``"none"`` is CODE-DOMAIN
+    serving — results come straight from the code distances and the float
+    blobs are DROPPED from the scan entirely (Spark column pruning), so a
+    batch transfers only codes + CSR + ids. This is the 100 TB posture:
+    at saturating batch sizes serving is artifact-transfer-bound and the
+    code payload is 10-20x smaller than even float16 vectors; recall is
+    the raw ADC number (~0.84 BQ / ~0.90 PQ at 1M) and ``_distance`` is
+    the code-domain distance (comparable across shards — the LUTs come
+    from global thresholds/books — but NOT a true metric distance)."""
     from pyspark.sql import Window
 
     if kernel not in ("batched", "scalar"):
@@ -1787,6 +1806,13 @@ def vamana_serve_packed(
             raise ValueError(f"beam_on='{beam_on}' requires the fitted thresholds")
         if beam_on == "pq" and books is None:
             raise ValueError("beam_on='pq' requires the fitted PQ books")
+    if rerank not in ("exact", "none"):
+        raise ValueError(f"unknown rerank: {rerank}")
+    if rerank == "none" and beam_on == "float":
+        raise ValueError("rerank='none' requires a quantized beam_on")
+    if rerank == "none":
+        # code-domain serving: the float blobs never leave the parquet scan
+        packed = packed.drop("vecs")
     if not queries:
         raise ValueError("queries must be non-empty")
     qvecs = [(str(qid), np.asarray(v, dtype=np.float64)) for qid, v in queries]
@@ -1847,9 +1873,19 @@ def vamana_serve_packed(
                     if not q_idx:
                         continue
                 n = int(row["n"])
-                X = np.frombuffer(row["vecs"], dtype=np_dtype).reshape(n, -1)
+                X = (
+                    np.frombuffer(row["vecs"], dtype=np_dtype).reshape(n, -1)
+                    if "vecs" in row
+                    else None
+                )
                 indptr = np.frombuffer(row["indptr"], dtype=np.int32)
-                indices = np.frombuffer(row["indices"], dtype=np.int32)
+                # width-sniff the CSR neighbor ids: int16 artifacts store
+                # 2 bytes/edge, legacy int32 ones 4 (indptr[-1] = edge count)
+                nedges = int(indptr[-1])
+                idx_w = len(row["indices"]) // nedges if nedges else 4
+                indices = np.frombuffer(
+                    row["indices"], dtype=np.int16 if idx_w == 2 else np.int32
+                )
                 ids = np.asarray(row["ids"], dtype=object)
                 start = int(row["start"])
                 seeds = None
@@ -1906,35 +1942,46 @@ def vamana_serve_packed(
                             row["pq_codes"], dtype=np.uint8
                         ).reshape(n, pq_m)
                         code_kw["Q_luts"] = q_luts_all[q_idx]
-                    pool = min(max(k * oversample, k), search_size)
-                    top_i, _approx = _batched_greedy_topk(
+                    pool = (
+                        min(max(k * oversample, k), search_size)
+                        if rerank == "exact"
+                        else k
+                    )
+                    top_i, approx_d = _batched_greedy_topk(
                         None, indptr.astype(np.int64),
                         indices.astype(np.int64), start, None, search_size,
                         pool, metric, seed_ids=seeds, **code_kw,
                     )
-                    # exact rerank: one gathered einsum over each query's
-                    # pool (A x pool x d)
-                    Xc = np.ascontiguousarray(X, dtype=c_dtype)
-                    Qc = Qf.astype(c_dtype)
-                    gi = np.where(top_i >= 0, top_i, 0)
-                    G = Xc[gi]
-                    dots = np.einsum("ad,akd->ak", Qc, G, optimize=True)
-                    if metric == "euclidean":
-                        rd = (
-                            (G * G).sum(axis=2)
-                            - 2.0 * dots
-                            + (Qc * Qc).sum(axis=1)[:, None]
-                        )
-                        np.maximum(rd, 0.0, out=rd)
-                    elif metric == "cosine":
-                        rd = 1.0 - dots
+                    if rerank == "none":
+                        # code-domain results: the beam's own distances ARE
+                        # the ranking (LUTs come from global thresholds/
+                        # books, so they merge across shards)
+                        top_d = np.asarray(approx_d, dtype=np.float64)
+                        valid = (top_i >= 0) & np.isfinite(top_d)
                     else:
-                        rd = -dots
-                    rd = np.where(top_i >= 0, rd, np.inf)
-                    order = np.argsort(rd, axis=1, kind="stable")[:, :k]
-                    top_i = np.take_along_axis(top_i, order, axis=1)
-                    top_d = np.take_along_axis(rd, order, axis=1)
-                    valid = (top_i >= 0) & np.isfinite(top_d)
+                        # exact rerank: one gathered einsum over each
+                        # query's pool (A x pool x d)
+                        Xc = np.ascontiguousarray(X, dtype=c_dtype)
+                        Qc = Qf.astype(c_dtype)
+                        gi = np.where(top_i >= 0, top_i, 0)
+                        G = Xc[gi]
+                        dots = np.einsum("ad,akd->ak", Qc, G, optimize=True)
+                        if metric == "euclidean":
+                            rd = (
+                                (G * G).sum(axis=2)
+                                - 2.0 * dots
+                                + (Qc * Qc).sum(axis=1)[:, None]
+                            )
+                            np.maximum(rd, 0.0, out=rd)
+                        elif metric == "cosine":
+                            rd = 1.0 - dots
+                        else:
+                            rd = -dots
+                        rd = np.where(top_i >= 0, rd, np.inf)
+                        order = np.argsort(rd, axis=1, kind="stable")[:, :k]
+                        top_i = np.take_along_axis(top_i, order, axis=1)
+                        top_d = np.take_along_axis(rd, order, axis=1)
+                        valid = (top_i >= 0) & np.isfinite(top_d)
                     qn = valid.sum(axis=1)
                     qids = np.repeat(
                         np.asarray(

@@ -641,3 +641,108 @@ def test_local_build_keep_alpha_edges_recall_parity():
     r_kept = build_recall(True)
     assert r_base >= 0.9
     assert abs(r_base - r_kept) <= 0.03
+
+
+def test_packed_indices_int16_and_legacy_int32(spark, emb):
+    """vamana_pack stores CSR neighbor ids int16 for <=32k-row shards
+    (the adjacency dominates artifact transfer at degree 32); readers
+    width-sniff from len(bytes)/edge-count, so a legacy int32 artifact
+    serves IDENTICALLY (ids and distances)."""
+    import pandas as pd
+
+    index = vm.vamana_build(
+        emb, "v", "_id", degree_bound=32, alpha=1.2, search_size=40,
+        num_shards=2, seed=7, keep_sharded=True,
+    )
+    packed = vm.vamana_pack(index.shard_nodes, index.shard_edges)
+    pdf = packed.toPandas()
+    for _, row in pdf.iterrows():
+        nedges = np.frombuffer(row["indptr"], dtype=np.int32)[-1]
+        assert len(row["indices"]) == 2 * nedges  # int16 per edge
+
+    # legacy artifact: same graph, indices widened back to int32
+    legacy_pdf = pdf.copy()
+    legacy_pdf["indices"] = [
+        np.frombuffer(b, dtype=np.int16).astype(np.int32).tobytes()
+        for b in pdf["indices"]
+    ]
+    legacy = spark.createDataFrame(legacy_pdf, schema=packed.schema)
+
+    rows = emb.collect()
+    queries = [(f"q{i}", [float(x) for x in rows[i]["v"]]) for i in range(4)]
+    kw = dict(metric="euclidean", search_size=40, n_seeds=8)
+    want = sorted(
+        (r["query_id"], r["_id"], round(r["_distance"], 9))
+        for r in vm.vamana_serve_packed(packed, queries, 10, **kw).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["_id"], round(r["_distance"], 9))
+        for r in vm.vamana_serve_packed(legacy, queries, 10, **kw).collect()
+    )
+    assert want == got and len(want) > 0
+
+
+def test_code_domain_serving_rerank_none(spark, emb):
+    """rerank="none" serves straight from code distances with the float
+    blobs column-pruned out of the scan — proven by serving a frame whose
+    vecs column is REMOVED before the call. Distances are code-domain
+    (monotone ranking, not the exact metric); recall is the raw ADC
+    number, lower than exact-rerank but far above chance."""
+    import os
+    import tempfile
+
+    from semadb_spark.operators.quantize import pq_fit
+
+    index = vm.vamana_build(
+        emb, "v", "_id", degree_bound=32, alpha=1.2, search_size=40,
+        num_shards=2, seed=7, keep_sharded=True,
+    )
+    packed = vm.vamana_pack(index.shard_nodes, index.shard_edges)
+    rows = emb.collect()
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    ids = [r["_id"] for r in rows]
+    thr = X.mean(axis=0)
+    # finer books than the exact-rerank test: raw ADC has no rerank to
+    # absorb quantizer coarseness
+    books = pq_fit(emb, "v", num_subvectors=8, num_centroids=32, seed=3)
+    d_bq = tempfile.mkdtemp(prefix="vamana_cdom_bq_")
+    d_pq = tempfile.mkdtemp(prefix="vamana_cdom_pq_")
+    vm.vamana_pack_add_codes(packed, thr).write.mode("overwrite").partitionBy(
+        "cent"
+    ).parquet(d_bq)
+    vm.vamana_pack_add_pq_codes(packed, books).write.mode(
+        "overwrite"
+    ).partitionBy("cent").parquet(d_pq)
+
+    queries = [(f"q{i}", [float(x) for x in rows[i]["v"]]) for i in range(4)]
+    for path, kw in (
+        (d_bq, {"beam_on": "bq_adc", "thresholds": thr}),
+        (d_pq, {"beam_on": "pq", "books": books}),
+    ):
+        # vecs removed BEFORE the call: the kernel must never touch them
+        disk = spark.read.parquet(path).drop("vecs")
+        res = vm.vamana_serve_packed(
+            disk, queries, 10, metric="euclidean", search_size=40,
+            n_seeds=16, rerank="none", **kw,
+        )
+        got: dict[str, set] = {}
+        for r in res.collect():
+            got.setdefault(r["query_id"], set()).add(r["_id"])
+        for i in range(4):
+            dist = ((X - X[i]) ** 2).sum(axis=1)
+            exact = {ids[j] for j in np.argsort(dist, kind="stable")[:10]}
+            assert len(got[f"q{i}"] & exact) >= 3, (
+                f"{kw['beam_on']} raw-ADC recall < 0.3 for q{i}"
+            )
+
+    # guard rails
+    disk = spark.read.parquet(d_bq)
+    with pytest.raises(ValueError, match="rerank"):
+        vm.vamana_serve_packed(
+            disk, queries, 10, search_size=40, rerank="bogus",
+            beam_on="bq_adc", thresholds=thr,
+        )
+    with pytest.raises(ValueError, match="quantized"):
+        vm.vamana_serve_packed(
+            disk, queries, 10, search_size=40, rerank="none",
+        )

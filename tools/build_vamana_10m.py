@@ -33,7 +33,10 @@ in the same slice and phase C's cogroup never crosses slice boundaries.
 Params degree_bound 32 / search_size 75 / alpha 1.2 are inside the
 reference's own ranges (models/index.go:275-313).
 
-v3 packs the vector blobs float16 (edges/centroids unchanged — only
+v4 re-packs with int16 CSR neighbor ids (vamana_pack now stores them
+2 bytes/edge for <=32k-row shards — the adjacency is the largest single
+transfer payload at degree 32, 1.28 GB int32 -> 0.64 GB at 10M; phase C
+re-runs, edges/centroids unchanged). v3 packed the vector blobs float16 (edges/centroids unchanged — only
 phase C re-runs when upgrading from v2): a scan diagnosis showed serving
 a 4096-query batch is ~85% artifact-transfer-bound (JVM scan 1.5 s,
 Arrow transfer to Python 5.5 s of the 6.3 s serve), so halving the
@@ -57,7 +60,7 @@ ROWS = 10_000_000
 ART_PATH = "/tmp/semadb_bench_vamana_10m.parquet"
 META_PATH = ART_PATH + ".meta.json"
 WORK = "/tmp/semadb_vamana10m_work"
-VERSION = 3
+VERSION = 4
 PACK_DTYPE = "float16"
 NSLICES = 16
 REPLICAS = 2
@@ -226,6 +229,46 @@ def ensure_vamana_10m(spark, corpus_path: str) -> dict:
     with open(os.path.join(ART_PATH, "_SUCCESS"), "w"):
         pass
     return meta
+
+
+BQ_ART_PATH = ART_PATH + ".bq"
+BQ_SIDE_PATH = ART_PATH + ".bq_side.pkl"
+
+
+def ensure_vamana_10m_codes(spark, corpus_path: str, meta: dict):
+    """BQ-coded copy of the packed 10M artifact for CODE-DOMAIN serving
+    (vamana_serve_packed rerank="none"): fit thresholds on the corpus,
+    bake packed sign codes into every shard row (vamana_pack_add_codes),
+    write beside the base artifact. Keyed on the base artifact's
+    (version, _SUCCESS mtime) like the 1M repro's coded artifacts, so a
+    base rebuild invalidates the codes. Returns the fitted thresholds."""
+    import pickle
+
+    base_fp = [
+        meta.get("version"),
+        os.stat(os.path.join(ART_PATH, "_SUCCESS")).st_mtime_ns,
+    ]
+    if os.path.exists(BQ_SIDE_PATH) and os.path.exists(
+        os.path.join(BQ_ART_PATH, "_SUCCESS")
+    ):
+        with open(BQ_SIDE_PATH, "rb") as f:
+            side = pickle.load(f)
+        if list(side.get("base_fp", [])) == base_fp:
+            return side["thresholds"]
+    from semadb_spark.operators.quantize import bq_fit
+    from semadb_spark.operators.vamana import vamana_pack_add_codes
+
+    thr = bq_fit(spark.read.parquet(corpus_path), "embedding")
+    packed = spark.read.parquet(ART_PATH)
+    (
+        vamana_pack_add_codes(packed, thr, dtype=meta.get("pack_dtype", "float64"))
+        .write.mode("overwrite")
+        .partitionBy("cent")
+        .parquet(BQ_ART_PATH)
+    )
+    with open(BQ_SIDE_PATH, "wb") as f:
+        pickle.dump({"base_fp": base_fp, "thresholds": thr}, f)
+    return thr
 
 
 if __name__ == "__main__":

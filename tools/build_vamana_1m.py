@@ -14,7 +14,9 @@ _local_build_batch) with 64 routing centroids and ~16k-row sub-shards
 pair instead of ~56, and the batched serve kernel amortizes one einsum per
 beam step across the whole routed query batch.
 
-Version 3 (round 8): vector blobs pack float16, following the 10M
+Version 4 (round 8): int16 CSR neighbor ids from vamana_pack (halves
+the adjacency payload, the largest single transfer component at
+degree 32). Version 3 (round 8): vector blobs pack float16, following the 10M
 artifact's measured serve breakdown (a batched serve is ~85%
 artifact-transfer-bound, so blob bytes are the QPS lever; the 10M
 interleaved A/B measured f16 +15-21% QPS at a ~0.003 recall cost).
@@ -36,7 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ART_PATH = "/tmp/semadb_bench_vamana_1m.parquet"
 META_PATH = ART_PATH + ".meta.json"
-VERSION = 3
+VERSION = 4
 
 
 def ensure_vamana_1m(spark, corpus_path: str) -> dict:
