@@ -728,38 +728,49 @@ def main() -> None:
             }
             vam10_frame.unpersist()
 
-            # CODE-DOMAIN serving (rerank="none"): the 100 TB posture row.
-            # Beams run on BQ margin LUTs over the baked codes and the
-            # float blobs are column-pruned out of the scan entirely, so a
-            # saturating batch transfers codes + int16 CSR + ids instead
-            # of the vector payload. Recall is the raw ADC number — this
-            # row shows the bytes/recall trade a memory/IO-bound
-            # deployment would take, next to the exact-rerank row above.
+            # CODE-DOMAIN candidate generation (rerank="none"): the
+            # 100 TB posture row. Beams run on BQ margin LUTs over the
+            # baked codes and the float blobs are column-pruned out of
+            # the scan entirely, so a saturating batch transfers codes +
+            # int16 CSR + ids instead of the vector payload. Code
+            # distances shortlist well but final-rank poorly (full-scan
+            # raw hamming@10 is ~0.27 at 1M), so this row serves k=100
+            # shortlists and scores recall@10-in-100 — the fraction of
+            # the true top-10 a downstream exact reranker would receive.
             from tools.build_vamana_10m import ensure_vamana_10m_codes
             from tools.build_vamana_10m import BQ_ART_PATH as VAM10_BQ
+            from tools.build_vamana_10m import PQ_ART_PATH as VAM10_PQ
 
-            thr10 = ensure_vamana_10m_codes(spark, path10, vam10_meta)
-            vam10_bq = spark.read.parquet(VAM10_BQ)
-            cd_frame, cd_dt = best_of(
-                3,
-                lambda: vamana_serve_packed(
-                    vam10_bq, aq10, 10, metric="cosine",
-                    search_size=int(vam10_meta["search_size"]),
-                    centroids=vam10_cents, nprobe=1,
-                    dtype=vam10_meta.get("pack_dtype", "float64"),
-                    kernel="batched", compute_dtype="float32", n_seeds=64,
-                    beam_on="bq_adc", thresholds=thr10, rerank="none",
-                ),
+            side10 = ensure_vamana_10m_codes(spark, path10, vam10_meta)
+            vamana_10m["code_domain"] = {}
+            for cd_name, cd_path, cd_kw in (
+                ("pq", VAM10_PQ, {"beam_on": "pq", "books": side10["books"]}),
+                ("bq_adc", VAM10_BQ,
+                 {"beam_on": "bq_adc", "thresholds": side10["thresholds"]}),
+            ):
+                cd_disk = spark.read.parquet(cd_path)
+                cd_frame, cd_dt = best_of(
+                    3,
+                    lambda: vamana_serve_packed(
+                        cd_disk, aq10, 100, metric="cosine",
+                        search_size=128,
+                        centroids=vam10_cents, nprobe=1,
+                        dtype=vam10_meta.get("pack_dtype", "float64"),
+                        kernel="batched", compute_dtype="float32",
+                        n_seeds=64, rerank="none", **cd_kw,
+                    ),
+                )
+                cd_recall = recall_at_k(
+                    cd_frame.filter(F.col("query_id").isin(aq10_64)), exact10
+                )
+                vamana_10m["code_domain"][cd_name] = {
+                    "qps": round(len(aq10) / cd_dt, 1),
+                    "recall10_in_100": round(cd_recall, 4),
+                }
+                cd_frame.unpersist()
+            vamana_10m["code_domain"]["note"] = (
+                "k=100 candidate gen, rerank=none, vecs column-pruned"
             )
-            cd_recall = recall_at_k(
-                cd_frame.filter(F.col("query_id").isin(aq10_64)), exact10
-            )
-            vamana_10m["code_domain"] = {
-                "qps": round(len(aq10) / cd_dt, 1),
-                "recall_at10": round(cd_recall, 4),
-                "beam": "bq_adc, rerank=none, vecs column-pruned",
-            }
-            cd_frame.unpersist()
         print(f"# vamana_10m: {vamana_10m}", file=sys.stderr)
         exact10.unpersist()
 

@@ -1776,12 +1776,16 @@ def vamana_serve_packed(
     with the float vectors from the same blob; ``"none"`` is CODE-DOMAIN
     serving — results come straight from the code distances and the float
     blobs are DROPPED from the scan entirely (Spark column pruning), so a
-    batch transfers only codes + CSR + ids. This is the 100 TB posture:
-    at saturating batch sizes serving is artifact-transfer-bound and the
-    code payload is 10-20x smaller than even float16 vectors; recall is
-    the raw ADC number (~0.84 BQ / ~0.90 PQ at 1M) and ``_distance`` is
-    the code-domain distance (comparable across shards — the LUTs come
-    from global thresholds/books — but NOT a true metric distance)."""
+    batch transfers only codes + CSR + ids. This is CANDIDATE GENERATION,
+    not final ranking: code distances navigate the graph and shortlist
+    well, but their top-10 ordering is weak (full-scan raw hamming@10 is
+    ~0.27 at 1M 100-bit codes) — call it with a generous ``k`` (e.g. 100)
+    and exact-rerank the shortlist downstream where the float vectors
+    live. The payoff is bytes: at saturating batch sizes serving is
+    artifact-transfer-bound and the code payload is 10-20x smaller than
+    even float16 vectors. ``_distance`` is the code-domain distance
+    (comparable across shards — the LUTs come from global
+    thresholds/books — but NOT a true metric distance)."""
     from pyspark.sql import Window
 
     if kernel not in ("batched", "scalar"):

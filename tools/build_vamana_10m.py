@@ -232,43 +232,65 @@ def ensure_vamana_10m(spark, corpus_path: str) -> dict:
 
 
 BQ_ART_PATH = ART_PATH + ".bq"
+PQ_ART_PATH = ART_PATH + ".pq"
 BQ_SIDE_PATH = ART_PATH + ".bq_side.pkl"
 
 
-def ensure_vamana_10m_codes(spark, corpus_path: str, meta: dict):
-    """BQ-coded copy of the packed 10M artifact for CODE-DOMAIN serving
-    (vamana_serve_packed rerank="none"): fit thresholds on the corpus,
-    bake packed sign codes into every shard row (vamana_pack_add_codes),
-    write beside the base artifact. Keyed on the base artifact's
-    (version, _SUCCESS mtime) like the 1M repro's coded artifacts, so a
-    base rebuild invalidates the codes. Returns the fitted thresholds."""
+def ensure_vamana_10m_codes(spark, corpus_path: str, meta: dict) -> dict:
+    """BQ- and PQ-coded copies of the packed 10M artifact for CODE-DOMAIN
+    serving (vamana_serve_packed rerank="none"): fit thresholds + 20x256
+    product books on the corpus (sample-capped k-means), bake codes into
+    every shard row (vamana_pack_add_codes / _add_pq_codes), write beside
+    the base artifact. Keyed on the base artifact's (version, _SUCCESS
+    mtime) like the 1M repro's coded artifacts, so a base rebuild
+    invalidates the codes. Returns {"thresholds", "books"}."""
     import pickle
 
     base_fp = [
         meta.get("version"),
         os.stat(os.path.join(ART_PATH, "_SUCCESS")).st_mtime_ns,
     ]
-    if os.path.exists(BQ_SIDE_PATH) and os.path.exists(
-        os.path.join(BQ_ART_PATH, "_SUCCESS")
+    if (
+        os.path.exists(BQ_SIDE_PATH)
+        and os.path.exists(os.path.join(BQ_ART_PATH, "_SUCCESS"))
+        and os.path.exists(os.path.join(PQ_ART_PATH, "_SUCCESS"))
     ):
         with open(BQ_SIDE_PATH, "rb") as f:
             side = pickle.load(f)
-        if list(side.get("base_fp", [])) == base_fp:
-            return side["thresholds"]
-    from semadb_spark.operators.quantize import bq_fit
-    from semadb_spark.operators.vamana import vamana_pack_add_codes
+        if list(side.get("base_fp", [])) == base_fp and "books" in side:
+            return side
+    from semadb_spark.operators.quantize import bq_fit, pq_fit
+    from semadb_spark.operators.vamana import (
+        vamana_pack_add_codes,
+        vamana_pack_add_pq_codes,
+    )
 
-    thr = bq_fit(spark.read.parquet(corpus_path), "embedding")
-    packed = spark.read.parquet(ART_PATH)
+    corpus = spark.read.parquet(corpus_path)
+    thr = bq_fit(corpus, "embedding")
+    books = pq_fit(
+        corpus, "embedding", num_subvectors=20, num_centroids=256,
+        metric="cosine", seed=42,
+    )
+    # "slice" is phase-resume bookkeeping on the base artifact, not part
+    # of the vamana_pack layout add_codes emits; cent stays for routing
+    packed = spark.read.parquet(ART_PATH).drop("slice")
+    dtype = meta.get("pack_dtype", "float64")
     (
-        vamana_pack_add_codes(packed, thr, dtype=meta.get("pack_dtype", "float64"))
+        vamana_pack_add_codes(packed, thr, dtype=dtype)
         .write.mode("overwrite")
         .partitionBy("cent")
         .parquet(BQ_ART_PATH)
     )
+    (
+        vamana_pack_add_pq_codes(packed, books, dtype=dtype)
+        .write.mode("overwrite")
+        .partitionBy("cent")
+        .parquet(PQ_ART_PATH)
+    )
+    side = {"base_fp": base_fp, "thresholds": thr, "books": books}
     with open(BQ_SIDE_PATH, "wb") as f:
-        pickle.dump({"base_fp": base_fp, "thresholds": thr}, f)
-    return thr
+        pickle.dump(side, f)
+    return side
 
 
 if __name__ == "__main__":
