@@ -820,13 +820,18 @@ class Collection:
     def vamana_search(
         self, prop: str, queries: list[tuple[str, list[float]]], k: int,
         nprobe: int | None = None, candidate_ids=None, n_seeds: int = 0,
+        rerank: str = "exact",
     ):
         """Serve ANN queries from the PERSISTED Vamana artifact: distributed
         partition-local beam search + global merge (operators/vamana.py
         vamana_serve — the reference's shard fan-out + merge,
         cluster/actions.go). No graph state touches the driver; the artifact
         is read straight from parquet, so a fresh session serves a
-        previously built index."""
+        previously built index. ``rerank="none"`` (quantized packed
+        artifacts only) is code-domain CANDIDATE GENERATION: results come
+        from the ADC beam distances and the float blobs never leave the
+        parquet scan — call with a generous ``k`` and exact-rerank
+        downstream (see vamana_serve_packed)."""
         import numpy as np
 
         from .operators.vamana import vamana_serve
@@ -876,6 +881,12 @@ class Collection:
                 n_seeds=n_seeds,
                 thresholds=thresholds,
                 books=books,
+                rerank=rerank,
+            )
+        if rerank != "exact":
+            raise ValueError(
+                "rerank='none' needs the packed quantized artifact "
+                "(unfiltered query on a collection with baked codes)"
             )
         return vamana_serve(
             self.spark.read.parquet(os.path.join(path, "shard_nodes")),

@@ -802,3 +802,49 @@ def test_quantized_vamana_serves_through_graph_route(spark, tmp_path):
             j = int(r["_id"][1:])
             want = float(((X[j] - X[i]) ** 2).sum())
             assert abs(r["_distance"] - want) <= 1e-4 * max(want, 1.0)
+
+
+def test_collection_vamana_search_rerank_none(spark, tmp_path):
+    """Collection.vamana_search(rerank="none") = code-domain candidate
+    generation through the engine surface: only valid on the packed
+    quantized artifact (baked codes), returns ADC-ranked shortlists whose
+    union with the exact top-10 is well above chance, and raises cleanly
+    when the packed/quantized route is unavailable (filtered query)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from semadb_spark import Collection
+
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2,
+        "quantizer": {"type": "binary", "binary": {
+            "distanceMetric": "hamming", "triggerThreshold": 10}}}}}
+    coll = Collection.create(spark, str(tmp_path / "cdom"), schema, num_buckets=4)
+    rng = np.random.RandomState(21)
+    X = np.repeat(rng.normal(size=(8, 8)), 40, axis=0) + rng.normal(
+        scale=0.15, size=(320, 8)
+    )
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]]) for i in range(320)]
+    ))
+    coll.build_vamana_index("v", num_shards=2, seed=5)
+
+    queries = [(f"q{i}", [float(x) for x in X[i]]) for i in (0, 45, 123)]
+    res = coll.vamana_search("v", queries, k=30, n_seeds=16, rerank="none")
+    got: dict = {}
+    for r in res.collect():
+        got.setdefault(r.query_id, set()).add(r._id)
+    for qid, qi in (("q0", 0), ("q45", 45), ("q123", 123)):
+        d2 = ((X - X[qi]) ** 2).sum(axis=1)
+        exact = {f"p{j:03d}" for j in np.argsort(d2, kind="stable")[:10]}
+        assert len(got[qid]) <= 30
+        assert len(got[qid] & exact) >= 3, f"candidate gen too weak for {qid}"
+
+    # filtered queries fall back to the row-table path - no code-domain
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="packed quantized"):
+        coll.vamana_search(
+            "v", queries, k=10, candidate_ids=["p000", "p001"], rerank="none"
+        )

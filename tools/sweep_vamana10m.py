@@ -1,8 +1,10 @@
 """Serving-parameter sweep for the bench vamana_10m row.
 
-The r8 full-bench run recorded 473.8 QPS @ recall 0.9797 with nprobe=4 —
-below the directive bar (>= ~630, half the 1M figure) but with 0.08 recall
-headroom over the 0.9 floor. Per-query beam work is scale-invariant by
+The first r8 full-bench run recorded 473.8 QPS @ recall 0.9797 with
+nprobe=4 — below the directive bar (>= ~630, half the 1M figure) but with
+0.08 recall headroom over the 0.9 floor. (Resolved: nprobe=1 + float16 +
+int16 CSR landed 794.0 @ 0.975 in the final r8 bench; this tool remains
+the measurement harness for future artifact/param changes.) Per-query beam work is scale-invariant by
 construction (rows/cent constant 1M -> 10M), so the 3.2x QPS gap vs the 1M
 row is per-shard FIXED cost: at 640 centroids each probed shard sees ~25
 of the 4096 batched queries (vs ~256 at 1M's 64 centroids), so blob decode
