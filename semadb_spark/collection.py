@@ -69,6 +69,28 @@ class DuplicatePointError(ValueError):
     pass
 
 
+def _quantizer_fingerprint(qmeta: dict) -> str:
+    """Digest of the fit parameters that determine what a baked code MEANS
+    (thresholds for BQ, codebooks+metric for PQ). Stored in _graph.json
+    when codes are baked into a packed graph and re-checked at serve time:
+    the serve path resolves the LATEST frozen quantizer meta, and if that
+    ever differed from the fit the codes were baked with (e.g. the
+    highest-version glob resolving a different fit), ADC distances would
+    silently degrade rather than error (ADVICE r8)."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.sha256()
+    h.update(str(qmeta.get("kind")).encode())
+    if qmeta.get("kind") == "binary":
+        h.update(np.asarray(qmeta["thresholds"], dtype=np.float64).tobytes())
+    else:
+        h.update(np.asarray(qmeta["centroids"], dtype=np.float64).tobytes())
+        h.update(str(qmeta.get("pq_metric")).encode())
+    return h.hexdigest()[:16]
+
+
 def _merge_column(
     old: Column, upd: Column, dtype: T.DataType, unset: Column | None
 ) -> Column:
@@ -747,7 +769,7 @@ class Collection:
         index.shard_edges.write.mode("overwrite").partitionBy("shard").parquet(
             os.path.join(path, "shard_edges")
         )
-        packed_codes = self._write_packed_graph(
+        packed_codes, quantizer_fp = self._write_packed_graph(
             prop, index.shard_nodes, index.shard_edges, path,
             pack_dtype=pack_dtype,
         )
@@ -763,6 +785,7 @@ class Collection:
                     "replicas": replicas,
                     "pack_dtype": pack_dtype,
                     "packed_codes": packed_codes,
+                    "quantizer_fp": quantizer_fp,
                 },
                 f,
             )
@@ -783,7 +806,8 @@ class Collection:
         inside the graph index and beams over codes, vamana.go:257-259);
         the engine then serves this property quantized-through-graph
         (beam_on auto -> bq_adc / pq) instead of the fused-IVF route.
-        Returns the baked code kind ("bq" / "pq") or None."""
+        Returns ``(code_kind, quantizer_fp)`` — ("bq"/"pq", fingerprint of
+        the fit the codes were baked with) or ``(None, None)``."""
         import numpy as np
 
         from .operators.vamana import (
@@ -815,7 +839,8 @@ class Collection:
         packed.write.mode("overwrite").partitionBy("cent").parquet(
             os.path.join(path, "packed")
         )
-        return packed_codes
+        q_fp = _quantizer_fingerprint(qmeta) if packed_codes else None
+        return packed_codes, q_fp
 
     def vamana_search(
         self, prop: str, queries: list[tuple[str, list[float]]], k: int,
@@ -859,6 +884,27 @@ class Collection:
 
             thresholds = books = None
             qmeta = self._frozen_quantizer_meta(prop)
+            if meta.get("packed_codes"):
+                # codes were baked with a specific fit — the quantizer this
+                # serve resolves MUST be that fit, or the ADC beam would
+                # score garbage silently (fingerprint check, ADVICE r8).
+                # Legacy artifacts without a recorded fp skip the check.
+                want_fp = meta.get("quantizer_fp")
+                if qmeta is None:
+                    raise ValueError(
+                        f"packed graph for {prop} bakes "
+                        f"{meta['packed_codes']} codes but no frozen "
+                        "quantizer meta resolves; rebuild the index"
+                    )
+                if want_fp is not None:
+                    got_fp = _quantizer_fingerprint(qmeta)
+                    if got_fp != want_fp:
+                        raise ValueError(
+                            f"quantizer drift for {prop}: packed codes were "
+                            f"baked with fit {want_fp} but the resolved "
+                            f"frozen quantizer is {got_fp}; rebuild the "
+                            "index (build_vamana_index) to re-bake codes"
+                        )
             if meta.get("packed_codes") == "bq" and qmeta is not None:
                 thresholds = np.asarray(qmeta["thresholds"])
             elif meta.get("packed_codes") == "pq" and qmeta is not None:
@@ -1165,7 +1211,7 @@ class Collection:
         # artifact never lags the shard tables it was derived from
         # roll-forward preserves the original artifact's blob precision
         meta["pack_dtype"] = meta.get("pack_dtype", "float32")
-        meta["packed_codes"] = self._write_packed_graph(
+        meta["packed_codes"], meta["quantizer_fp"] = self._write_packed_graph(
             prop,
             self.spark.read.parquet(os.path.join(new_path, "shard_nodes")),
             self.spark.read.parquet(os.path.join(new_path, "shard_edges")),
@@ -1365,6 +1411,7 @@ class Collection:
                 out[p]["packed"] = self.spark.read.parquet(packed_dir)
                 out[p]["pack_dtype"] = meta.get("pack_dtype", "float32")
                 out[p]["packed_codes"] = meta.get("packed_codes")
+                out[p]["quantizer_fp"] = meta.get("quantizer_fp")
         return out
 
     def _text_indexes(self) -> tuple[dict[str, DataFrame], dict[str, int]]:

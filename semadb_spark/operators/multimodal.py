@@ -264,6 +264,8 @@ def decode_png_np(data: bytes) -> np.ndarray | None:
         return px[..., 0]  # gray, alpha dropped (PIL convert("L") parity)
     if color_type == 3:
         idx = px[..., 0]
+        if idx.size and int(idx.max()) >= len(plte):
+            return None  # palette index out of range — corrupt PLTE/IDAT
         return _luma(plte[idx])
     return _luma(px)  # 2 (RGB) / 6 (RGBA, alpha dropped)
 
@@ -296,11 +298,15 @@ def decode_bmp_np(data: bytes) -> np.ndarray | None:
         rows = rows[::-1]
     if bpp == 8:
         pal_off = 14 + dib
+        n_entries = min(256, (offset - pal_off) // 4)
+        if n_entries <= 0:
+            return None  # pixel offset at/inside the palette — corrupt header
         pal = np.frombuffer(
-            data, dtype=np.uint8, count=min(256, (offset - pal_off) // 4) * 4,
-            offset=pal_off,
+            data, dtype=np.uint8, count=n_entries * 4, offset=pal_off
         ).reshape(-1, 4)  # BGRX
         idx = rows[:, :w]
+        if idx.size and int(idx.max()) >= len(pal):
+            return None  # pixel indexes past the stored palette
         bgr = pal[idx][..., :3]
         return _luma(bgr[..., ::-1])
     px = rows[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
@@ -310,11 +316,21 @@ def decode_bmp_np(data: bytes) -> np.ndarray | None:
 def try_decode_image_np(content: bytes) -> np.ndarray | None:
     """Library-free real pixel decode for the formats whose pixel layer is
     public-spec + zlib (PNG) or raw (BMP); None for entropy-coded formats
-    (JPEG/GIF) which genuinely need a codec library."""
-    if content[:8] == b"\x89PNG\r\n\x1a\n":
-        return decode_png_np(content)
-    if content[:2] == b"BM":
-        return decode_bmp_np(content)
+    (JPEG/GIF) which genuinely need a codec library.
+
+    Never raises: an untrusted corpus WILL contain blobs that pass the
+    magic-byte check but are malformed inside (bad filter bytes, palette
+    indexes past the stored palette, truncated chunk streams). One such
+    blob must degrade to the documented luma=None / deterministic-fake
+    contract, not fail the whole Spark task, so any decode error here
+    collapses to None."""
+    try:
+        if content[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png_np(content)
+        if content[:2] == b"BM":
+            return decode_bmp_np(content)
+    except Exception:
+        return None
     return None
 
 
@@ -331,7 +347,10 @@ def decode_image(content: bytes) -> np.ndarray:
 
         from PIL import Image
 
-        return np.asarray(Image.open(io.BytesIO(content)).convert("L"))
+        try:
+            return np.asarray(Image.open(io.BytesIO(content)).convert("L"))
+        except Exception:
+            pass  # corrupt blob: fall through the same tiers as no-PIL
     img = try_decode_image_np(content)
     if img is not None:
         return img
@@ -375,16 +394,28 @@ def image_features(
                 hdr = parse_image_header(data)
                 if hdr is not None:
                     fmt, w, h = hdr["format"], hdr["width"], hdr["height"]
+                    img = None
                     if not USING_FAKE_DECODE:
-                        img = decode_image(data)
-                        luma = float(img.mean()) / 255.0
-                    else:
+                        import io
+
+                        from PIL import Image
+
+                        try:
+                            img = np.asarray(
+                                Image.open(io.BytesIO(data)).convert("L")
+                            )
+                        except Exception:
+                            img = None  # corrupt body under a valid header
+                    if img is None:
                         # PNG/BMP pixels are real via the NumPy decoders;
-                        # entropy-coded formats still need a codec library
+                        # entropy-coded formats still need a codec library.
+                        # A header-valid blob whose body won't decode reports
+                        # luma NULL — never the hash-fake (which would
+                        # masquerade as measured pixels).
                         img = try_decode_image_np(data)
-                        luma = (
-                            float(img.mean()) / 255.0 if img is not None else None
-                        )
+                    luma = (
+                        float(img.mean()) / 255.0 if img is not None else None
+                    )
                 else:
                     img = decode_image(data)
                     fmt, w, h = None, img.shape[1], img.shape[0]

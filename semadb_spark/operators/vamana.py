@@ -1758,6 +1758,14 @@ def vamana_serve_packed(
     symmetric one at identical artifact bytes, so it is the graded
     quantized-graph default), ``books`` -> ``pq``, neither -> ``float``:
 
+    .. note:: **Behavior change (r8).** The ``beam_on`` default flipped
+       from ``"float"`` to ``"auto"``: a caller that passes
+       ``thresholds`` or ``books`` while relying on the default now gets
+       the quantized beam (different result ordering and ``_distance``
+       values at the same inputs) instead of the float beam. Pass
+       ``beam_on="float"`` explicitly to keep the old behavior with
+       quantizer state supplied.
+
     - ``beam_on="bq"`` — SYMMETRIC hamming over the packed binary codes
       stored by :func:`vamana_pack_add_codes`, the reference's v2-BQ
       serving architecture verbatim (both sides binarized,

@@ -360,6 +360,32 @@ class SearchEngine:
             and opts.get("filter") is None
             and value.distance_metric in ("euclidean", "cosine", "dot")
         )
+        if quantized_graph and graph_q.get("quantizer_fp") is not None:
+            # the codes in the packed blobs were baked with a specific fit;
+            # serving them against a DIFFERENT resolved quantizer would
+            # degrade silently (ADVICE r8) — error instead. Legacy
+            # artifacts without a recorded fp skip the check.
+            from semadb_spark.collection import _quantizer_fingerprint
+
+            if graph_q["packed_codes"] == "bq":
+                got_fp = _quantizer_fingerprint(
+                    {"kind": "binary", "thresholds": q_index.thresholds}
+                )
+            else:
+                got_fp = _quantizer_fingerprint(
+                    {
+                        "kind": "product",
+                        "centroids": q_index.books.centroids,
+                        "pq_metric": q_index.books.metric,
+                    }
+                )
+            if got_fp != graph_q["quantizer_fp"]:
+                raise ValueError(
+                    f"quantizer drift for {prop}: packed codes baked with "
+                    f"fit {graph_q['quantizer_fp']} but the resolved frozen "
+                    f"quantizer is {got_fp}; rebuild the index "
+                    "(build_vamana_index) to re-bake codes"
+                )
         if quantized_graph:
             # Quantized-THROUGH-GRAPH serving (the reference's actual
             # vectorVamana+quantizer architecture, vamana.go:257-259: the

@@ -848,3 +848,56 @@ def test_collection_vamana_search_rerank_none(spark, tmp_path):
         coll.vamana_search(
             "v", queries, k=10, candidate_ids=["p000", "p001"], rerank="none"
         )
+
+
+def test_quantizer_drift_errors_not_degrades(spark, tmp_path):
+    """The packed graph bakes codes for a SPECIFIC quantizer fit; if the
+    resolved frozen quantizer ever differs (ADVICE r8 — e.g. a later refit
+    resolving as the highest version), serving must ERROR, not silently
+    score ADC against the wrong LUTs. Both engine surfaces check the
+    fingerprint recorded at pack time."""
+    import glob
+    import json
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from semadb_spark import Collection
+
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2,
+        "quantizer": {"type": "binary", "binary": {
+            "distanceMetric": "hamming", "triggerThreshold": 10}}}}}
+    coll = Collection.create(spark, str(tmp_path / "drift"), schema, num_buckets=4)
+    rng = np.random.RandomState(21)
+    X = np.repeat(rng.normal(size=(8, 8)), 40, axis=0) + rng.normal(
+        scale=0.15, size=(320, 8)
+    )
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]]) for i in range(320)]
+    ))
+    coll.build_vamana_index("v", num_shards=2, seed=5)
+    query = {"query": {"property": "v", "vectorVamana": {
+        "vector": [float(x) for x in X[0]], "operator": "near",
+        "limit": 10, "searchSize": 40}}}
+    assert coll.search(query).count() > 0  # matching fit serves fine
+
+    # tamper: the resolved frozen fit drifts away from the baked one
+    [qmeta_path] = glob.glob(
+        os.path.join(str(tmp_path / "drift"), "v*_idx", "quant_v",
+                     "_quantizer.json")
+    )
+    with open(qmeta_path) as f:
+        qmeta = json.load(f)
+    qmeta["thresholds"] = [t + 10.0 for t in qmeta["thresholds"]]
+    with open(qmeta_path, "w") as f:
+        json.dump(qmeta, f)
+    coll._invalidate_engine()
+
+    with _pytest.raises(ValueError, match="quantizer drift"):
+        coll.search(query).collect()
+    with _pytest.raises(ValueError, match="quantizer drift"):
+        coll.vamana_search("v", [("q0", [float(x) for x in X[0]])], k=10)

@@ -330,3 +330,59 @@ def test_image_features_real_luma_for_png_bmp(spark):
     assert rows["bmp"]["format"] == "bmp"
     assert abs(rows["bmp"]["mean_luma"] - float(mm._luma(rgb).mean()) / 255.0) < 1e-9
     assert rows["jpg"]["format"] == "jpeg" and rows["jpg"]["mean_luma"] is None
+
+
+def test_malformed_blobs_degrade_not_raise(spark):
+    """An untrusted corpus WILL contain blobs that pass the magic-byte
+    check but are malformed inside (ADVICE r8): a short 8bpp palette with
+    pixel indexes past it, a pixel offset at/inside the palette, and a
+    corrupt-but-well-framed PNG filter byte. Each must collapse to
+    None/luma-null — one bad blob must never fail the Spark task."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(11)
+    # 8bpp BMP whose pixels index entry 15 but palette stores 4 entries
+    plte4 = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = np.full((4, 4), 15, dtype=np.uint8)
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in plte4)
+    offset = 14 + 40 + len(pal)
+    body = b"".join(idx[y].tobytes() for y in range(3, -1, -1))
+    short_pal = (b"BM" + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+                 + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 0, len(body),
+                               2835, 2835, 0, 0) + pal + body)
+    assert mm.decode_bmp_np(short_pal) is None
+    # pixel offset <= palette start (offset points INTO the header)
+    bad_off = bytearray(short_pal)
+    bad_off[10:14] = struct.pack("<I", 14 + 40)  # zero palette entries
+    assert mm.decode_bmp_np(bytes(bad_off)) is None
+    # well-framed PNG whose first scanline declares filter type 9
+    g = rng.integers(0, 256, size=(5, 5), dtype=np.uint8)
+    good = _png_bytes(g, 0, [0] * 5)
+    raw = bytearray(b"\x09" + g[0].tobytes())
+    for y in range(1, 5):
+        raw += bytearray(b"\x00" + g[y].tobytes())
+    bad_idat = zlib.compress(bytes(raw))
+    # splice: reuse header/IEND from the good encoding, swap IDAT body
+
+    def chunk(ctype: bytes, cbody: bytes) -> bytes:
+        return (struct.pack(">I", len(cbody)) + ctype + cbody
+                + struct.pack(">I", zlib.crc32(ctype + cbody)))
+
+    hdr_end = 8 + 12 + 13  # signature + IHDR chunk
+    bad_png = good[:hdr_end] + chunk(b"IDAT", bad_idat) + chunk(b"IEND", b"")
+    assert mm.try_decode_image_np(bad_png) is None
+    # PNG palette with out-of-range pixel index
+    plte2 = rng.integers(0, 256, size=(2, 3), dtype=np.uint8)
+    hi_idx = np.full((4, 4), 200, dtype=np.uint8)
+    assert mm.decode_png_np(_png_bytes(hi_idx, 3, [0] * 4, plte=plte2)) is None
+    # end-to-end: malformed blobs flow through image_features as a task
+    df = spark.createDataFrame(
+        [Row(asset_id="badbmp", content=bytearray(short_pal)),
+         Row(asset_id="badpng", content=bytearray(bad_png))])
+    rows = {r["asset_id"]: r for r in mm.image_features(df).collect()}
+    # headers parsed (format real) but pixels undecodable -> luma null
+    assert rows["badbmp"]["format"] == "bmp"
+    assert rows["badbmp"]["mean_luma"] is None
+    assert rows["badpng"]["format"] == "png"
+    assert rows["badpng"]["mean_luma"] is None

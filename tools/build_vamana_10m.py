@@ -30,6 +30,11 @@ comment in vamana_build says production would do. Phases:
 Slices are keyed cent % NSLICES, so a shard's nodes and edges always land
 in the same slice and phase C's cogroup never crosses slice boundaries.
 
+Resume safety: state.json records a per-phase parameter fingerprint
+(_phase_params); on any VERSION / param change the affected phase outputs
+are DELETED before resuming (A ⊃ B ⊃ C cascade, _invalidate_stale_phases)
+— a _SUCCESS marker alone is never trusted across a recipe change.
+
 Params degree_bound 32 / search_size 75 / alpha 1.2 are inside the
 reference's own ranges (models/index.go:275-313).
 
@@ -91,6 +96,102 @@ def _save_state(st: dict) -> None:
         json.dump(st, f)
 
 
+def _phase_params() -> dict:
+    """The build parameters each phase's on-disk output depends on. A
+    _SUCCESS marker alone is NOT resume evidence (ADVICE r8): a VERSION /
+    param bump between runs would otherwise skip phases A-C and stamp the
+    new version onto unchanged bytes — e.g. meta.pack_dtype=float16 over
+    float32 blobs, which serving would frombuffer-reshape into garbage."""
+    a = {
+        "rows": ROWS, "seed": SEED, "nslices": NSLICES,
+        "replicas": REPLICAS, "num_shards": NUM_SHARDS,
+        "max_shard_rows": MAX_SHARD_ROWS,
+    }
+    b = dict(a, degree_bound=DEGREE_BOUND, search_size=SEARCH_SIZE,
+             alpha=ALPHA, metric=METRIC, build_mode="batch", build_passes=1)
+    c = dict(b, pack_dtype=PACK_DTYPE, version=VERSION)
+    return {"a": a, "b": b, "c": c}
+
+
+def _invalidate_stale_phases(st: dict) -> dict:
+    """Compare the current builder params against the ones recorded when
+    each phase's outputs were written; delete every phase output downstream
+    of the first mismatch (A ⊃ B ⊃ C cascade). Returns the updated state
+    with the new fingerprints recorded and stale phase_sec entries
+    dropped."""
+    import shutil
+
+    want = _phase_params()
+    have = st.get("phase_params")
+    if have is None:
+        # Legacy workdir written before fingerprints existed. If a META
+        # completed the old build, reconstruct the params it recorded and
+        # diff those; with no META (mid-build crash) adopt the current
+        # params — a same-session crash-resume always has them, and every
+        # run from here on stamps real fingerprints.
+        if os.path.exists(META_PATH):
+            with open(META_PATH) as f:
+                m = json.load(f)
+            legacy_a = dict(
+                want["a"], rows=m.get("rows"),
+                num_shards=m.get("num_shards"),
+                max_shard_rows=m.get("max_shard_rows"),
+            )
+            legacy_b = dict(
+                want["b"], **{k: legacy_a[k] for k in legacy_a},
+                degree_bound=m.get("degree_bound"),
+                search_size=m.get("search_size"),
+                metric=m.get("metric"),
+                build_mode=m.get("build_mode"),
+                build_passes=m.get("build_passes"),
+            )
+            legacy_c = dict(
+                legacy_b, version=m.get("version"),
+                pack_dtype=m.get("pack_dtype"),
+            )
+            have = {"a": legacy_a, "b": legacy_b, "c": legacy_c}
+        else:
+            have = want
+    stale_a = have.get("a") != want["a"]
+    stale_b = stale_a or have.get("b") != want["b"]
+    stale_c = stale_b or have.get("c") != want["c"]
+    secs = st.get("phase_sec", {})
+
+    def _rm(path: str) -> None:
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    if stale_c:
+        # META + root _SUCCESS first so a crash mid-wipe can't leave a
+        # "complete" artifact pointing at mixed-recipe slices
+        _rm(META_PATH)
+        _rm(os.path.join(ART_PATH, "_SUCCESS"))
+        for s in range(NSLICES):
+            _rm(os.path.join(ART_PATH, f"slice={s}"))
+        secs = {k: v for k, v in secs.items() if not k.startswith("pack_")}
+        print("# params/version changed: phase C outputs invalidated",
+              file=sys.stderr)
+    if stale_b:
+        for s in range(NSLICES):
+            _rm(os.path.join(WORK, f"edges_{s}"))
+        secs = {k: v for k, v in secs.items() if not k.startswith("build_")}
+        print("# graph params changed: phase B outputs invalidated",
+              file=sys.stderr)
+    if stale_a:
+        _rm(os.path.join(WORK, "assigned"))
+        _rm(os.path.join(WORK, "centroids.npy"))
+        secs.pop("assign", None)
+        st.pop("n_subshards", None)
+        print("# assignment params changed: phase A outputs invalidated",
+              file=sys.stderr)
+    st["phase_sec"] = secs
+    st["phase_params"] = want
+    _save_state(st)
+    return st
+
+
 def ensure_vamana_10m(spark, corpus_path: str) -> dict:
     """Build the packed 10M artifact phase-by-phase (resuming whatever is
     already on disk); return the sidecar meta."""
@@ -109,7 +210,7 @@ def ensure_vamana_10m(spark, corpus_path: str) -> dict:
         vamana_pack,
     )
 
-    st = _state()
+    st = _invalidate_stale_phases(_state())
     big = spark.read.parquet(corpus_path)
     base = big.filter(F.col("embedding").isNotNull()).select(
         F.col("_id").cast("string").alias("id"), F.col("embedding").alias("v")
