@@ -901,3 +901,63 @@ def test_quantizer_drift_errors_not_degrades(spark, tmp_path):
         coll.search(query).collect()
     with _pytest.raises(ValueError, match="quantizer drift"):
         coll.vamana_search("v", [("q0", [float(x) for x in X[0]])], k=10)
+
+
+def test_text_serve_pool_parity_and_lifecycle(products, tmp_path):
+    """TextServePool (the process-parallel serving tier) returns results
+    byte-identical to text_serve_local for every query/operator, in input
+    order through search_many, across worker processes; lifecycle is
+    bounded (context manager shuts the workers down) and bad constructor
+    args raise."""
+    from pyspark.sql import functions as F
+
+    from semadb_spark.functions.hashing import md5_hash64
+    from semadb_spark.operators.text_search import (
+        TERM_BUCKETS,
+        TextServePool,
+        build_text_index,
+        text_serve_local,
+    )
+
+    idx = build_text_index(products, "description")
+    n_docs = idx.select("id").distinct().count()
+    path = str(tmp_path / "postings_pool")
+    (
+        idx.withColumn(
+            "term_bucket", F.pmod(md5_hash64(F.col("term")), F.lit(TERM_BUCKETS))
+        )
+        .write.partitionBy("term_bucket")
+        .parquet(path)
+    )
+    queries = [
+        ("gandalf wizard", "containsAny"),
+        ("red shoe", "containsAll"),
+        ("the blue walking", "containsAny"),
+        ("zzz-nothing-matches", "containsAny"),
+        ("", "containsAll"),
+    ]
+    with TextServePool(path, num_docs=n_docs, workers=2) as pool:
+        # single-query surface
+        got1 = pool.search("gandalf wizard", "containsAny", limit=5, weight=0.7)
+        want1 = text_serve_local(
+            path, "gandalf wizard", "containsAny", limit=5, weight=0.7,
+            num_docs=n_docs,
+        )
+        assert got1.to_dict("records") == want1.to_dict("records")
+        # fan-out surface: input order preserved, every row identical
+        many = pool.search_many(queries, limit=5, weight=0.7)
+        assert len(many) == len(queries)
+        for (qtext, op), got in zip(queries, many):
+            want = text_serve_local(
+                path, qtext, op, limit=5, weight=0.7, num_docs=n_docs
+            )
+            assert got.to_dict("records") == want.to_dict("records"), (qtext, op)
+    # pool is shut down after the context exits
+    import concurrent.futures
+
+    with pytest.raises(RuntimeError):
+        pool._pool.submit(len, [])
+    with pytest.raises(ValueError, match="no posting artifact"):
+        TextServePool(str(tmp_path / "missing"), num_docs=10)
+    with pytest.raises(ValueError, match="num_docs"):
+        TextServePool(path, num_docs=0)
