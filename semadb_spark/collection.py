@@ -873,13 +873,26 @@ class Collection:
         with open(meta_file) as f:
             meta = json.load(f)
         packed_dir = os.path.join(path, "packed")
-        if candidate_ids is None and os.path.exists(
-            os.path.join(packed_dir, "_SUCCESS")
+        if candidate_ids is not None and rerank != "exact":
+            raise ValueError(
+                "rerank='none' needs the packed quantized artifact "
+                "(unfiltered query on a collection with baked codes)"
+            )
+        if candidate_ids is not None and not isinstance(
+            candidate_ids, DataFrame
         ):
+            # convenience: accept a plain id list/sequence
+            candidate_ids = self.spark.createDataFrame(
+                [(str(i),) for i in candidate_ids], "id string"
+            )
+        if os.path.exists(os.path.join(packed_dir, "_SUCCESS")):
             # packed-blob serving (shuffle-free scan, cent-routed); baked
             # quantizer codes engage the bq_adc / pq beam via beam_on auto.
-            # The candidate_ids (filtered seeded-beam) mode stays on the
-            # row-table vamana_serve below.
+            # Filtered queries (candidate_ids) run the reference's seeded
+            # beam on the SAME packed layout (r9): shards without filtered
+            # points are join-pruned before any blob is read, and the beam
+            # stays quantized when codes are baked. nprobe routing is a
+            # no-op in filtered mode (reference fans to every shard).
             from .operators.vamana import vamana_serve_packed
 
             thresholds = books = None
@@ -920,7 +933,7 @@ class Collection:
                 metric=meta["metric"],
                 search_size=int(meta["search_size"]),
                 centroids=np.asarray(meta["centroids"], dtype=np.float64),
-                nprobe=nprobe,
+                nprobe=None if candidate_ids is not None else nprobe,
                 dtype=meta.get("pack_dtype", "float32"),
                 kernel="batched",
                 compute_dtype="float32",
@@ -928,6 +941,7 @@ class Collection:
                 thresholds=thresholds,
                 books=books,
                 rerank=rerank,
+                candidate_ids=candidate_ids,
             )
         if rerank != "exact":
             raise ValueError(

@@ -1721,6 +1721,7 @@ def vamana_serve_packed(
     oversample: int = 4,
     books=None,
     rerank: str = "exact",
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed Vamana serving over the :func:`vamana_pack` artifact.
 
@@ -1793,7 +1794,23 @@ def vamana_serve_packed(
     artifact-transfer-bound and the code payload is 10-20x smaller than
     even float16 vectors. ``_distance`` is the code-domain distance
     (comparable across shards — the LUTs come from global
-    thresholds/books — but NOT a true metric distance)."""
+    thresholds/books — but NOT a true metric distance).
+
+    ``candidate_ids`` (one id column) enables the reference's filtered
+    seeded-beam mode ON THE PACKED ARTIFACT (search.go:28-51 — same
+    semantics as :func:`vamana_serve`'s filtered mode, works with every
+    ``beam_on`` incl. the quantized beams): each shard's beams are seeded
+    with up to ``search_size`` of its filtered points (id ascending), the
+    walk explores the FULL graph on the beam representation (float or
+    codes), and the result pool is ``seeds ∪ (visited ∩ filter)``
+    exact-reranked with the float vectors from the same blob. The filter
+    reaches tasks as per-shard id lists via an explode + semi-join +
+    collect_list on the artifact's ``ids`` column — never collected or
+    broadcast whole — and the inner join PRUNES shards holding no
+    filtered point before any blob is read (the row-table path must open
+    every shard to discover that). Requires the batched kernel and
+    ``rerank="exact"``; incompatible with ``nprobe`` routing (the
+    reference fans filtered searches to every shard)."""
     from pyspark.sql import Window
 
     if kernel not in ("batched", "scalar"):
@@ -1822,6 +1839,21 @@ def vamana_serve_packed(
         raise ValueError(f"unknown rerank: {rerank}")
     if rerank == "none" and beam_on == "float":
         raise ValueError("rerank='none' requires a quantized beam_on")
+    filtered_mode = candidate_ids is not None
+    if filtered_mode:
+        if kernel != "batched":
+            raise ValueError("candidate_ids requires the batched kernel")
+        if rerank != "exact":
+            raise ValueError(
+                "candidate_ids requires rerank='exact' (code-domain "
+                "candidate generation has no filtered mode)"
+            )
+        if nprobe is not None:
+            raise ValueError(
+                "candidate_ids is incompatible with nprobe routing: "
+                "filtered search fans to every shard holding a filtered "
+                "point (search.go:28-51)"
+            )
     if rerank == "none":
         # code-domain serving: the float blobs never leave the parquet scan
         packed = packed.drop("vecs")
@@ -1873,7 +1905,76 @@ def vamana_serve_packed(
                 routed.setdefault(int(c), []).append(qi)
         packed = packed.filter(F.col("cent").isin(sorted(routed)))
 
+    if filtered_mode:
+        # per-shard filtered id lists, derived distributed: explode only
+        # the (shard, ids) columns of the artifact (column pruning keeps
+        # the blobs out of this scan), semi-join against the filter frame,
+        # re-aggregate per shard. The INNER join then drops shards with no
+        # filtered point before their blobs are ever read.
+        flt = (
+            candidate_ids.select(
+                F.col(candidate_ids.columns[0]).cast("string").alias("_fid")
+            ).distinct()
+        )
+        flt_by_shard = (
+            packed.select("shard", F.explode("ids").alias("_fid"))
+            .join(flt, "_fid", "left_semi")
+            .groupBy("shard")
+            .agg(F.collect_list("_fid").alias("_flt_ids"))
+        )
+        packed = packed.join(flt_by_shard, "shard", "inner")
+
     def serve(batches):
+        def build_code_kw(row, n, q_idx):
+            """Per-shard kernel kwargs for the quantized beams (decode the
+            stored codes, slice the driver-built query LUTs)."""
+            code_kw: dict = {}
+            if beam_on == "bq":
+                from semadb_spark.operators.quantize import encode_bits_np
+
+                Qf = np.stack([qvecs[qi][1] for qi in q_idx])
+                words = int(row["code_words"])
+                code_kw["X_codes"] = (
+                    np.frombuffer(row["codes"], dtype=np.int64)
+                    .reshape(n, words)
+                    .view(np.uint64)
+                )
+                code_kw["Q_codes"] = encode_bits_np(
+                    Qf, np.asarray(thresholds, dtype=np.float64)
+                ).view(np.uint64)
+            elif beam_on == "bq_adc":
+                # same stored words, viewed as LSB-first bytes
+                # (little-endian int64 -> byte p covers dims 8p..8p+7,
+                # matching _bq_margin_luts)
+                words = int(row["code_words"])
+                if words * 8 != q_luts_all.shape[1]:
+                    raise ValueError(
+                        f"bq_adc artifact/threshold mismatch: shard "
+                        f"{row['shard']} stores {words} code words "
+                        f"({words * 8} LUT bytes) but the query LUTs "
+                        f"were built {q_luts_all.shape[1]} bytes wide "
+                        "- the thresholds do not match the artifact's "
+                        "coded dimension"
+                    )
+                code_kw["X_bytes"] = np.frombuffer(
+                    row["codes"], dtype=np.uint8
+                ).reshape(n, words * 8)
+                code_kw["Q_luts"] = q_luts_all[q_idx]
+            else:  # pq
+                pq_m = int(row["pq_m"])
+                if pq_m != q_luts_all.shape[1]:
+                    raise ValueError(
+                        f"pq artifact/books mismatch: shard "
+                        f"{row['shard']} stores {pq_m} subvector "
+                        f"codes but the books define "
+                        f"{q_luts_all.shape[1]} subvectors"
+                    )
+                code_kw["X_bytes"] = np.frombuffer(
+                    row["pq_codes"], dtype=np.uint8
+                ).reshape(n, pq_m)
+                code_kw["Q_luts"] = q_luts_all[q_idx]
+            return code_kw
+
         for pdf in batches:
             rows = []
             frames = []
@@ -1905,55 +2006,102 @@ def vamana_serve_packed(
                     id_order = np.argsort(ids.astype(str), kind="stable")
                     seeds = id_order[:: max(n // min(n_seeds, n), 1)][:n_seeds]
                     seeds = seeds.astype(np.int64)
+                if filtered_mode:
+                    # reference filtered seeded-beam (search.go:28-51) on
+                    # the packed layout: seed with up to search_size
+                    # filtered points (id ascending), walk the FULL graph
+                    # on the beam representation, result pool =
+                    # seeds ∪ (visited ∩ filter), exact float rerank.
+                    flt_ids_shard = row["_flt_ids"]
+                    if flt_ids_shard is None or not len(flt_ids_shard):
+                        continue  # inner join should prevent this
+                    id_to_pos = {v: j for j, v in enumerate(ids)}
+                    flt_pos = np.asarray(
+                        [
+                            id_to_pos[i]
+                            for i in sorted(str(x) for x in flt_ids_shard)
+                            if i in id_to_pos
+                        ],
+                        dtype=np.int64,
+                    )
+                    if not len(flt_pos):
+                        continue
+                    mask = np.zeros(n, dtype=bool)
+                    mask[flt_pos] = True
+                    seed_pos = flt_pos[:search_size]  # already id-ascending
+                    Qf = np.stack([qvecs[qi][1] for qi in q_idx])
+                    if beam_on != "float":
+                        vis_i, _vis_d = _batched_greedy_topk(
+                            None, indptr.astype(np.int64),
+                            indices.astype(np.int64), start, None,
+                            search_size, k, metric, seed_ids=seed_pos,
+                            return_visited=True,
+                            **build_code_kw(row, n, q_idx),
+                        )
+                    else:
+                        vis_i, _vis_d = _batched_greedy_topk(
+                            np.ascontiguousarray(X, dtype=c_dtype),
+                            indptr.astype(np.int64),
+                            indices.astype(np.int64), start,
+                            Qf.astype(c_dtype), search_size, k, metric,
+                            seed_ids=seed_pos, return_visited=True,
+                        )
+                    A = len(q_idx)
+                    pool = np.full(
+                        (A, vis_i.shape[1] + len(seed_pos)), -1,
+                        dtype=np.int64,
+                    )
+                    for a in range(A):
+                        v = vis_i[a]
+                        vf = v[(v >= 0) & mask[np.where(v >= 0, v, 0)]]
+                        merged = np.concatenate(
+                            [vf, seed_pos[~np.isin(seed_pos, vf)]]
+                        )
+                        pool[a, : len(merged)] = merged
+                    Xc = np.ascontiguousarray(X, dtype=c_dtype)
+                    Qc = Qf.astype(c_dtype)
+                    gi = np.where(pool >= 0, pool, 0)
+                    G = Xc[gi]
+                    dots = np.einsum("ad,akd->ak", Qc, G, optimize=True)
+                    if metric == "euclidean":
+                        rd = (
+                            (G * G).sum(axis=2)
+                            - 2.0 * dots
+                            + (Qc * Qc).sum(axis=1)[:, None]
+                        )
+                        np.maximum(rd, 0.0, out=rd)
+                    elif metric == "cosine":
+                        rd = 1.0 - dots
+                    else:
+                        rd = -dots
+                    rd = np.where(pool >= 0, rd, np.inf)
+                    order = np.argsort(rd, axis=1, kind="stable")[:, :k]
+                    top_i = np.take_along_axis(pool, order, axis=1)
+                    top_d = np.take_along_axis(rd, order, axis=1)
+                    valid = (top_i >= 0) & np.isfinite(top_d)
+                    qn = valid.sum(axis=1)
+                    qids = np.repeat(
+                        np.asarray(
+                            [qvecs[qi][0] for qi in q_idx], dtype=object
+                        ),
+                        qn,
+                    )
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qids,
+                                "_id": ids[top_i[valid]],
+                                "_distance": top_d[valid].astype(np.float64),
+                            }
+                        )
+                    )
+                    continue
                 if kernel == "batched" and beam_on != "float":
                     # quantized graph search (vamana.go:257-259): beam on
                     # the stored codes (hamming or byte-LUT ADC), exact
                     # float rerank of each final pool
                     Qf = np.stack([qvecs[qi][1] for qi in q_idx])
-                    code_kw: dict = {}
-                    if beam_on == "bq":
-                        from semadb_spark.operators.quantize import encode_bits_np
-
-                        words = int(row["code_words"])
-                        code_kw["X_codes"] = (
-                            np.frombuffer(row["codes"], dtype=np.int64)
-                            .reshape(n, words)
-                            .view(np.uint64)
-                        )
-                        code_kw["Q_codes"] = encode_bits_np(
-                            Qf, np.asarray(thresholds, dtype=np.float64)
-                        ).view(np.uint64)
-                    elif beam_on == "bq_adc":
-                        # same stored words, viewed as LSB-first bytes
-                        # (little-endian int64 -> byte p covers dims
-                        # 8p..8p+7, matching _bq_margin_luts)
-                        words = int(row["code_words"])
-                        if words * 8 != q_luts_all.shape[1]:
-                            raise ValueError(
-                                f"bq_adc artifact/threshold mismatch: shard "
-                                f"{row['shard']} stores {words} code words "
-                                f"({words * 8} LUT bytes) but the query LUTs "
-                                f"were built {q_luts_all.shape[1]} bytes wide "
-                                "- the thresholds do not match the artifact's "
-                                "coded dimension"
-                            )
-                        code_kw["X_bytes"] = np.frombuffer(
-                            row["codes"], dtype=np.uint8
-                        ).reshape(n, words * 8)
-                        code_kw["Q_luts"] = q_luts_all[q_idx]
-                    else:  # pq
-                        pq_m = int(row["pq_m"])
-                        if pq_m != q_luts_all.shape[1]:
-                            raise ValueError(
-                                f"pq artifact/books mismatch: shard "
-                                f"{row['shard']} stores {pq_m} subvector "
-                                f"codes but the books define "
-                                f"{q_luts_all.shape[1]} subvectors"
-                            )
-                        code_kw["X_bytes"] = np.frombuffer(
-                            row["pq_codes"], dtype=np.uint8
-                        ).reshape(n, pq_m)
-                        code_kw["Q_luts"] = q_luts_all[q_idx]
+                    code_kw = build_code_kw(row, n, q_idx)
                     pool = (
                         min(max(k * oversample, k), search_size)
                         if rerank == "exact"

@@ -357,9 +357,22 @@ class SearchEngine:
             and graph_q.get("packed") is not None
             and graph_q.get("packed_codes") in ("bq", "pq")
             and q_index is not None
-            and opts.get("filter") is None
             and value.distance_metric in ("euclidean", "cosine", "dot")
         )
+        qg_flt_ids = None
+        if quantized_graph and opts.get("filter") is not None:
+            # filtered quantized-graph route (r9): a BROAD candidate set
+            # runs the reference's seeded quantized beam on the packed
+            # artifact (search.go:28-51 + vamana.go:257-259 — filter-
+            # seeded beams scoring stored codes, exact float rerank); a
+            # small set keeps the pre-r9 filtered routes below (fused /
+            # flat quantized scan or exact fallback — full recall at
+            # lower cost than any beam).
+            qg_flt_ids = self._prefiltered_df(opts["filter"]).select(self.id_col)
+            n = qg_flt_ids.limit(FILTERED_EXACT_FALLBACK_ROWS + 1).count()
+            if n <= FILTERED_EXACT_FALLBACK_ROWS:
+                quantized_graph = False
+                qg_flt_ids = None
         if quantized_graph and graph_q.get("quantizer_fp") is not None:
             # the codes in the packed blobs were baked with a specific fit;
             # serving them against a DIFFERENT resolved quantizer would
@@ -395,9 +408,12 @@ class SearchEngine:
             # the codes. beam_on="auto" resolves to the asymmetric bq_adc
             # byte-LUT beam for binary codes (r7: recall 0.84 vs 0.30
             # symmetric at identical artifact bytes) and the PQ-ADC beam
-            # for product codes. Filtered queries keep the seeded-beam /
-            # exact-fallback routes below — the packed route has no
-            # candidate-id mode.
+            # for product codes. Filtered queries with a BROAD candidate
+            # set stay on this route too (r9): the packed filtered
+            # seeded-beam walks the quantized graph with filter-derived
+            # seeds and exact-reranks seeds ∪ (visited ∩ filter); small
+            # candidate sets keep the pre-r9 filtered routes below
+            # (fused/flat quantized scan or exact fallback).
             from semadb_spark.operators.vamana import vamana_serve_packed
 
             search_size = int(
@@ -413,7 +429,9 @@ class SearchEngine:
                 metric=value.distance_metric,
                 search_size=search_size,
                 centroids=graph_q["centroids"],
-                nprobe=nprobe,
+                # filtered mode fans to every shard holding a filtered
+                # point (join-pruned inside vamana_serve_packed)
+                nprobe=None if qg_flt_ids is not None else nprobe,
                 dtype=graph_q.get("pack_dtype", "float32"),
                 kernel="batched",
                 compute_dtype="float32",
@@ -426,6 +444,7 @@ class SearchEngine:
                 books=(
                     q_index.books if graph_q["packed_codes"] == "pq" else None
                 ),
+                candidate_ids=qg_flt_ids,
             ).select(F.col("_id").alias(self.id_col), "_distance")
         elif fused_quantized:
             # Quantizer-in-the-index serving (the reference wraps the fitted

@@ -961,3 +961,79 @@ def test_text_serve_pool_parity_and_lifecycle(products, tmp_path):
         TextServePool(str(tmp_path / "missing"), num_docs=10)
     with pytest.raises(ValueError, match="num_docs"):
         TextServePool(path, num_docs=0)
+
+
+def test_filtered_broad_quantized_query_takes_graph_route(spark, tmp_path, monkeypatch):
+    """A vectorVamana+quantizer query WITH a broad filter (candidate set
+    above the exact-fallback threshold) serves through the packed
+    quantized-graph route (r9): filter-seeded quantized beam + exact
+    float rerank (search.go:28-51 + vamana.go:257-259). Only filtered ids
+    come back, recall vs the exact FILTERED scan clears limit/2, the
+    distances are exact float, and a spy proves vamana_serve_packed got
+    the candidate frame. A narrow filter keeps the pre-r9 routes."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    import semadb_spark.operators.vamana as vm_mod
+    import semadb_spark.plans.compiler as comp_mod
+    from semadb_spark import Collection
+
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2,
+        "quantizer": {"type": "binary", "binary": {
+            "distanceMetric": "hamming", "triggerThreshold": 10}}}},
+        "grp": {"type": "string", "string": {"caseSensitive": True}}}
+    coll = Collection.create(spark, str(tmp_path / "fqg"), schema, num_buckets=4)
+    rng = np.random.RandomState(21)
+    X = np.repeat(rng.normal(size=(8, 8)), 40, axis=0) + rng.normal(
+        scale=0.15, size=(320, 8)
+    )
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]],
+             grp="a" if i % 2 == 0 else "b") for i in range(320)]
+    ))
+    coll.build_vamana_index("v", num_shards=2, seed=5)
+
+    # 160 filtered rows > patched threshold of 20 -> broad -> graph route
+    monkeypatch.setattr(comp_mod, "FILTERED_EXACT_FALLBACK_ROWS", 20)
+    calls = []
+    real_serve = vm_mod.vamana_serve_packed
+
+    def spy(*a, **kw):
+        calls.append(kw.get("candidate_ids"))
+        return real_serve(*a, **kw)
+
+    monkeypatch.setattr(vm_mod, "vamana_serve_packed", spy)
+
+    flt_ids = {f"p{i:03d}" for i in range(320) if i % 2 == 0}
+    for i in (0, 45):
+        res = coll.search({"query": {"property": "v", "vectorVamana": {
+            "vector": [float(x) for x in X[i]], "operator": "near",
+            "limit": 10, "searchSize": 40,
+            "filter": {"property": "grp", "string": {
+                "value": "a", "operator": "equals"}}}}}).collect()
+        assert 0 < len(res) <= 10
+        got = {r["_id"] for r in res}
+        assert got <= flt_ids, "unfiltered id leaked through the graph route"
+        d2 = ((X - X[i]) ** 2).sum(axis=1)
+        exact = [f"p{j:03d}" for j in np.argsort(d2, kind="stable")
+                 if j % 2 == 0][:10]
+        assert len(got & set(exact)) >= 5, f"filtered graph recall row {i}"
+        for r in res:
+            j = int(r["_id"][1:])
+            want = float(((X[j] - X[i]) ** 2).sum())
+            assert abs(r["_distance"] - want) <= 1e-4 * max(want, 1.0)
+    assert len(calls) == 2 and all(c is not None for c in calls), (
+        "broad filtered query did not reach the packed graph route"
+    )
+
+    # narrow filter (2 ids <= threshold): pre-r9 routes, no packed call
+    calls.clear()
+    res = coll.search({"query": {"property": "v", "vectorVamana": {
+        "vector": [float(x) for x in X[0]], "operator": "near",
+        "limit": 10, "searchSize": 40,
+        "filter": {"property": "_id", "stringArray": {
+            "value": ["p000", "p002"], "operator": "containsAny"}}}}}).collect()
+    assert {r["_id"] for r in res} <= {"p000", "p002"}
+    assert not calls, "narrow filter should not take the packed route"

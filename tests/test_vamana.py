@@ -746,3 +746,110 @@ def test_code_domain_serving_rerank_none(spark, emb):
         vm.vamana_serve_packed(
             disk, queries, 10, search_size=40, rerank="none",
         )
+
+
+def test_filtered_serve_packed_matches_row_path(spark, emb):
+    """Filtered seeded-beam on the PACKED artifact (r9): same reference
+    semantics as vamana_serve's filtered mode (search.go:28-51) — only
+    filtered ids in the result, recall >= limit/2 vs the exact filtered
+    scan — plus shard pruning (shards without filtered points are join-
+    dropped). Float beam parity vs the row-table path, and the bq_adc
+    quantized beam clears the same bar with exact rerank distances."""
+    import os
+    import tempfile
+
+    from semadb_spark.operators.quantize import bq_fit
+
+    index = vm.vamana_build(
+        emb, "v", "_id", degree_bound=32, alpha=1.2, search_size=40,
+        num_shards=2, seed=7, keep_sharded=True,
+    )
+    d = tempfile.mkdtemp(prefix="vamana_fltpack_")
+    index.shard_nodes.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(d, "nodes")
+    )
+    index.shard_edges.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(d, "edges")
+    )
+    thr = bq_fit(emb, "v")
+    packed = vm.vamana_pack_add_codes(
+        vm.vamana_pack(index.shard_nodes, index.shard_edges), thr
+    )
+    packed.write.mode("overwrite").partitionBy("cent").parquet(
+        os.path.join(d, "packed")
+    )
+    packed_disk = spark.read.parquet(os.path.join(d, "packed"))
+
+    flt = emb.filter(F.col("_id").cast("int") % 3 == 0).select("_id")
+    flt_ids = {r["_id"] for r in flt.collect()}
+    rows = emb.collect()
+    queries = [(f"q{i}", [float(x) for x in rows[i]["v"]]) for i in range(4)]
+
+    # float beam on the packed layout
+    res_f = vm.vamana_serve_packed(
+        packed_disk, queries, 10, metric="euclidean", search_size=40,
+        candidate_ids=flt, beam_on="float",
+    )
+    got_f: dict[str, set] = {}
+    for r in res_f.collect():
+        assert r["_id"] in flt_ids, "unfiltered id leaked (packed float)"
+        got_f.setdefault(r["query_id"], set()).add(r["_id"])
+
+    # quantized bq_adc beam over the baked codes, exact float rerank
+    res_q = vm.vamana_serve_packed(
+        packed_disk, queries, 10, metric="euclidean", search_size=40,
+        candidate_ids=flt, thresholds=thr,
+    )
+    got_q: dict[str, set] = {}
+    dist_q: dict[tuple, float] = {}
+    for r in res_q.collect():
+        assert r["_id"] in flt_ids, "unfiltered id leaked (packed bq_adc)"
+        got_q.setdefault(r["query_id"], set()).add(r["_id"])
+        dist_q[(r["query_id"], r["_id"])] = r["_distance"]
+
+    # row-table reference path
+    res_row = vm.vamana_serve(
+        spark.read.parquet(os.path.join(d, "nodes")),
+        spark.read.parquet(os.path.join(d, "edges")),
+        queries, 10, metric="euclidean", search_size=40,
+        centroids=index.centroids, candidate_ids=flt,
+    )
+    got_row: dict[str, set] = {}
+    for r in res_row.collect():
+        got_row.setdefault(r["query_id"], set()).add(r["_id"])
+
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    ids = [r["_id"] for r in rows]
+    for i in range(4):
+        dist = ((X - X[i]) ** 2).sum(axis=1)
+        order = np.argsort(dist, kind="stable")
+        exact = [ids[j] for j in order if ids[j] in flt_ids][:10]
+        q = f"q{i}"
+        assert len(got_f[q] & set(exact)) >= 5, f"packed float recall {q}"
+        assert len(got_q[q] & set(exact)) >= 5, f"packed bq_adc recall {q}"
+        # float beams explore identically up to distance ties; require
+        # strong overlap with the row-table reference result
+        assert len(got_f[q] & got_row[q]) >= 7, f"row/packed divergence {q}"
+        # quantized-beam distances are EXACT rerank distances
+        for rid in got_q[q]:
+            j = ids.index(rid)
+            want = float(((X[j] - X[i]) ** 2).sum())
+            got = dist_q[(q, rid)]
+            assert abs(got - want) <= 1e-3 * max(want, 1.0)
+
+    # validation: scalar kernel / code-domain / nprobe are rejected
+    with pytest.raises(ValueError, match="batched"):
+        vm.vamana_serve_packed(
+            packed_disk, queries, 10, search_size=40, kernel="scalar",
+            candidate_ids=flt,
+        )
+    with pytest.raises(ValueError, match="rerank"):
+        vm.vamana_serve_packed(
+            packed_disk, queries, 10, search_size=40, thresholds=thr,
+            candidate_ids=flt, rerank="none",
+        )
+    with pytest.raises(ValueError, match="nprobe"):
+        vm.vamana_serve_packed(
+            packed_disk, queries, 10, search_size=40, candidate_ids=flt,
+            centroids=index.centroids, nprobe=1,
+        )
