@@ -559,16 +559,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_tfidf_any"] = text_tfidf_any
 
-    def text_tfidf_all(spark, sf_dir):
-        idx, n = _docs_text_index(spark, sf_dir)
-        eng = SearchEngine(
-            _docs(spark, sf_dir), CORPUS_SCHEMA,
-            text_indexes={"text": idx}, text_index_stats={"text": n},
-        )
-        res = eng.search({"query": {"property": "text", "text": {"operator": "containsAll", "value": "window merge", "limit": 75}}, "limit": None})
-        return res.select("_id", F.round("_score", 6).alias("_score"))
-
-    q["text_tfidf_all"] = text_tfidf_all
+    # gate-budget note (r9): the former text_tfidf_all gate (containsAll
+    # over the same persisted index as text_tfidf_any) retired to make
+    # room for vamana_graph_route_recall under the driver's 50-gate cap;
+    # containsAll semantics stay pinned by the text_serve /
+    # text_serve_local / text_search_batch parity tests in
+    # tests/test_compiler.py (both operators, same artifact).
 
     def _udocs(spark, sf_dir):
         """Deterministic non-ASCII corpus derived from documents: vowels →
@@ -1061,6 +1057,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_vamana_recall"] = ann_vamana_recall
 
+    def vamana_graph_route_recall(spark, sf_dir):
+        """R2+W9 ENGINE-route gate (r9): schema-declared vectorVamana +
+        binary quantizer served end-to-end through ``Collection.search`` —
+        the reference's actual vectorVamana+quantizer architecture
+        (vamana.go:257-259: the quantizer lives inside the graph index and
+        the beam scores stored codes, exact float rerank of the pool).
+        Insert crosses the autofit trigger (the quantizer fits + freezes,
+        binary.go:145+), ``build_vamana_index`` bakes the frozen codes into
+        the packed blobs and records the fit fingerprint, and the query
+        compiler's quantized-graph route serves over them (beam_on auto ->
+        bq_adc). Booleans per gate query:
+
+        - ``route_ok``: the packed artifact REALLY carries baked codes +
+          the quantizer fingerprint — i.e. the graph route, not a
+          fallback, is what serves this schema;
+        - ``recall_ok``: recall vs exact >= 0.5, the reference's own bar
+          (vamana_test.go:230-253 requires limit/2)."""
+        import tempfile
+
+        from semadb_spark.collection import Collection
+
+        schema = {"embedding": {"type": "vectorVamana", "vectorVamana": {
+            "vectorSize": 64, "distanceMetric": "euclidean",
+            "searchSize": 75, "degreeBound": 32, "alpha": 1.2,
+            "quantizer": {"type": "binary", "binary": {
+                "distanceMetric": "hamming", "triggerThreshold": 10}}}}}
+
+        def build():
+            d = tempfile.mkdtemp(prefix="vgraphroute_")
+            coll = Collection.create(
+                spark, os.path.join(d, "coll"), schema, num_buckets=8
+            )
+            coll.insert(_emb(spark, sf_dir).select("_id", "embedding"))
+            assert set(coll._quantized_indexes()) == {"embedding"}, (
+                "autofit must freeze the quantizer before the graph build"
+            )
+            coll.build_vamana_index("embedding", num_shards=2, seed=7)
+            g = coll._graph_indexes()["embedding"]
+            route_ok = (
+                g.get("packed_codes") == "bq"
+                and g.get("quantizer_fp") is not None
+            )
+            return coll, route_ok
+
+        coll, route_ok = _cached_index("vamana_graph_route", sf_dir, build)
+        exact = _exact_topk_sets(spark, sf_dir)
+        rows = []
+        for qid, qv in _qlist(spark, sf_dir):
+            res = coll.search({"query": {"property": "embedding", "vectorVamana": {
+                "vector": qv, "operator": "near", "limit": 10,
+                "searchSize": 75}}})
+            got = {r["_id"] for r in res.collect()}
+            rows.append(
+                (qid, bool(route_ok), len(got & exact[qid]) / 10.0 >= 0.5)
+            )
+        return spark.createDataFrame(
+            rows, "query_id string, route_ok boolean, recall_ok boolean"
+        )
+
+    q["vamana_graph_route_recall"] = vamana_graph_route_recall
+
     # -- W9/D5: quantizers --------------------------------------------------
 
     def bq_hamming_topk(spark, sf_dir):
@@ -1529,10 +1586,12 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY s DESC, _id ASC LIMIT 75
     """
 
-    o["text_tfidf_all"] = f"""
-        WITH {_dk_tfidf(["window", "merge"])}
-        SELECT _id, round(s, 6) AS _score FROM scored WHERE nmatch = 2
-        ORDER BY s DESC, _id ASC LIMIT 75
+    # boolean oracle for the engine graph-route gate (the recall check is
+    # Spark-side vs the exact scan; the driver hashes the booleans)
+    o["vamana_graph_route_recall"] = """
+        SELECT CAST(vec_id AS VARCHAR) AS query_id,
+               TRUE AS route_ok, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 5
     """
 
     _udocs_cte = """

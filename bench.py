@@ -55,7 +55,7 @@ BENCH_QUERIES = [
     "quantized_autofit_serving",
     # text search + hybrid
     "text_tfidf_any",
-    "text_tfidf_all",
+    "vamana_graph_route_recall",
     "text_tfidf_unicode",
     "hybrid_or",
     # pipeline operators
