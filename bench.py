@@ -508,16 +508,21 @@ def main() -> None:
     # the batched beam kernel advances every routed query together per
     # shard (one gathered einsum per step). Recall vs the exact oracle is
     # measured on the first 64 queries (ang_exact covers those).
-    vam_frame, vam_dt = best_of(
-        3,
-        lambda: vamana_serve_packed(
+    def _vam1m_serve():
+        return vamana_serve_packed(
             vam_disk, aq, 10, metric="cosine",
             search_size=int(vam_meta["search_size"]),
             centroids=vam_cents, nprobe=4,
             dtype=vam_dtype, kernel="batched", compute_dtype="float32",
             n_seeds=64,
-        ),
-    )
+        )
+
+    # cold-path story (VERDICT r8 directive #5): the FIRST batch on a
+    # fresh session pays parquet footer opens + whole-stage codegen +
+    # query-LUT build — the reference documents its own 1-10 s cold start
+    # (README.md:204); this records ours next to the warm row.
+    vam_cold = _timed(lambda: _vam1m_serve().count())
+    vam_frame, vam_dt = best_of(2, _vam1m_serve)
     vam_recall = recall_at_k(vam_frame.filter(F.col("query_id").isin(aq64)), ang_exact)
     vamana_1m = {
         "rows": vam_meta["rows"],
@@ -526,6 +531,7 @@ def main() -> None:
         "build_once": True,
         "build_mode": vam_meta.get("build_mode", "insert"),
         "qps": round(len(aq) / vam_dt, 1),
+        "cold_first_batch_sec": round(vam_cold, 2),
         "recall_at10": round(vam_recall, 4),
         "degree_bound": vam_meta["degree_bound"],
         "serving": "packed CSR+vector blobs, cent-partition routed, batched beams",
@@ -741,16 +747,19 @@ def main() -> None:
         if vam10_meta is not None:
             vam10_disk = spark.read.parquet(VAM10_ART)
             vam10_cents = np.asarray(vam10_meta["centroids"], dtype=np.float64)
-            vam10_frame, vam10_dt = best_of(
-                3,
-                lambda: vamana_serve_packed(
+
+            def _vam10_serve():
+                return vamana_serve_packed(
                     vam10_disk, aq10, 10, metric="cosine",
                     search_size=int(vam10_meta["search_size"]),
                     centroids=vam10_cents, nprobe=1,
                     dtype=vam10_meta.get("pack_dtype", "float64"),
                     kernel="batched", compute_dtype="float32", n_seeds=64,
-                ),
-            )
+                )
+
+            # session-cold first batch (see the vamana_1m cold note)
+            vam10_cold = _timed(lambda: _vam10_serve().count())
+            vam10_frame, vam10_dt = best_of(2, _vam10_serve)
             vam10_recall = recall_at_k(
                 vam10_frame.filter(F.col("query_id").isin(aq10_64)), exact10
             )
@@ -759,6 +768,7 @@ def main() -> None:
                 "build_sec": vam10_meta["build_sec"],
                 "build_once": True,
                 "qps": round(len(aq10) / vam10_dt, 1),
+                "cold_first_batch_sec": round(vam10_cold, 2),
                 "recall_at10": round(vam10_recall, 4),
                 "nprobe": 1,
                 "pack_dtype": vam10_meta.get("pack_dtype", "float64"),

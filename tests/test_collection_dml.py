@@ -880,3 +880,32 @@ def test_filtered_vamana_seeded_beam_route(spark, tmp_path, monkeypatch):
     with _pytest.raises(Exception, match="IVF probe route"):
         coll.search({"query": {"property": "v", "vectorVamana": {
             "vector": q, "operator": "near", "limit": 5}}}).collect()
+
+
+def test_warm_vamana_index(spark, tmp_path):
+    """warm_vamana_index pre-reads the packed blobs and compiles the serve
+    plan (the cold-start knob, r9): returns elapsed seconds, leaves results
+    unchanged, raises without an index."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    from semadb_spark import Collection
+
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2}}}
+    coll = Collection.create(spark, str(tmp_path / "warm"), schema, num_buckets=4)
+    rng = np.random.RandomState(5)
+    X = rng.normal(size=(120, 8))
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]]) for i in range(120)]
+    ))
+    with pytest.raises(ValueError, match="no persisted vamana index"):
+        coll.warm_vamana_index("v")
+    coll.build_vamana_index("v", num_shards=2, seed=3)
+    dt = coll.warm_vamana_index("v")
+    assert dt > 0
+    res = coll.vamana_search("v", [("q", [float(x) for x in X[7]])], k=5)
+    got = [r["_id"] for r in res.collect()]
+    assert "p007" in got
