@@ -13,15 +13,18 @@ these are the training-data-pipeline operators a 100 TB corpus needs. Design:
   (set ``media.target_batch_rows`` lower for large blobs so a batch fits in
   worker memory).
 - **Codec tiers**: PIL/ffmpeg/librosa are not in this environment, but
-  PNG and BMP pixel layers are public-spec zlib/raw — decoded for real by
-  the pure-NumPy ``decode_png_np``/``decode_bmp_np`` (all five PNG
-  scanline filters, color types 0/2/3/4/6 at bit depth 8; BMP 8/24/32bpp
-  with palette + padding + row order). ``decode_image`` tries PIL, then
-  the NumPy decoders, and only then falls back to a *deterministic fake*
-  derived from the content hash (flagged by ``USING_FAKE_DECODE``) for
-  entropy-coded formats (JPEG/GIF) no local code can decode. Every
-  surrounding piece — schema, null handling, batch shapes, 1->N frame
-  explode, partition sizing — is real and tested.
+  the pixel layers of PNG (zlib scanlines), BMP (raw rows), and baseline
+  JPEG (huffman + DCT, ITU-T T.81) are public spec — decoded for real by
+  the pure-NumPy ``decode_png_np``/``decode_bmp_np``/``decode_jpeg_np``
+  (PNG: all five scanline filters, color types 0/2/3/4/6 at bit depth 8;
+  BMP: 8/24/32bpp with palette + padding + row order; JPEG: baseline
+  sequential incl. subsampling + restart intervals, Y plane as luma).
+  ``decode_image`` tries PIL, then the NumPy decoders, and only then
+  falls back to a *deterministic fake* derived from the content hash
+  (flagged by ``USING_FAKE_DECODE``) for formats no local code can
+  decode (GIF's LZW, progressive/arithmetic JPEG). Every surrounding
+  piece — schema, null handling, batch shapes, 1->N frame explode,
+  partition sizing — is real and tested.
 """
 
 from __future__ import annotations
@@ -70,9 +73,10 @@ def parse_image_header(data: bytes) -> dict | None:
     JPEG / BMP are public formats whose dimensions live in fixed header
     fields, so width/height/format come from REAL bytes in any environment
     — no decoder library needed. Pixel-level work (mean_luma, resize) is
-    also real for PNG/BMP via :func:`decode_png_np`/:func:`decode_bmp_np`;
-    only entropy-coded pixels (JPEG/GIF) still need PIL. A blob whose
-    header doesn't parse falls through to the caller's fallback.
+    also real for PNG/BMP/baseline-JPEG via :func:`decode_png_np` /
+    :func:`decode_bmp_np` / :func:`decode_jpeg_np`; only GIF pixels (LZW)
+    and non-baseline JPEG still need PIL. A blob whose header doesn't
+    parse falls through to the caller's fallback.
 
     Formats (all public specs):
     - PNG: 8-byte signature, then the IHDR chunk carries width/height as
@@ -313,10 +317,445 @@ def decode_bmp_np(data: bytes) -> np.ndarray | None:
     return _luma(px[..., 2::-1])  # BGR(A) -> RGB
 
 
+# -- baseline JPEG (ITU-T T.81), pure NumPy --------------------------------
+
+
+def _zigzag_flat() -> np.ndarray:
+    """(64,) map: zigzag position k -> row-major flat index (T.81 fig. 5),
+    generated by diagonal traversal instead of embedding the table."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        if s % 2 == 0:
+            diag.reverse()  # even anti-diagonals run bottom-left -> top-right
+        order.extend(diag)
+    return np.asarray([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+_JPEG_ZIGZAG = _zigzag_flat()
+
+
+def _dct8_basis() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis C[u, x] = c(u)/2 * cos((2x+1)u*pi/16);
+    forward F = C f C^T, inverse f = C^T F C (T.81 A.3.3)."""
+    u = np.arange(8, dtype=np.float64)
+    C = np.cos((2.0 * u[None, :] + 1.0) * u[:, None] * np.pi / 16.0) / 2.0
+    C[0] *= 1.0 / np.sqrt(2.0)
+    return C
+
+
+_DCT8 = _dct8_basis()
+
+
+class _JpegHuff:
+    """Canonical huffman decode table from a DHT segment's (BITS, VALUES)
+    (T.81 Annex C code assignment): codes of each length are consecutive
+    integers, doubling at each length step."""
+
+    def __init__(self, counts: list[int], values: list[int]):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                self.lookup[(ln, code)] = values[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+def _jpeg_huff_decode(tab: _JpegHuff, bits: np.ndarray, pos: int) -> tuple[int, int]:
+    code = 0
+    nb = len(bits)
+    for ln in range(1, 17):
+        if pos >= nb:
+            raise ValueError("truncated JPEG scan")
+        code = (code << 1) | int(bits[pos])
+        pos += 1
+        v = tab.lookup.get((ln, code))
+        if v is not None:
+            return v, pos
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_receive_extend(bits: np.ndarray, pos: int, size: int) -> tuple[int, int]:
+    """Read ``size`` magnitude bits and sign-extend them (T.81 F.2.2.1
+    EXTEND: values with a 0 first bit are negative, offset by 1-2^size)."""
+    if size == 0:
+        return 0, pos
+    if pos + size > len(bits):
+        raise ValueError("truncated JPEG scan")
+    v = 0
+    for _ in range(size):
+        v = (v << 1) | int(bits[pos])
+        pos += 1
+    if v < (1 << (size - 1)):
+        v -= (1 << size) - 1
+    return v, pos
+
+
+def _jpeg_decode_block(
+    bits: np.ndarray, pos: int, dc_tab: _JpegHuff, ac_tab: _JpegHuff, pred: int
+) -> tuple[np.ndarray, int, int]:
+    """One 8x8 block in ZIGZAG coefficient order: DC size category + diff,
+    then AC (run, size) symbols with EOB / ZRL (T.81 F.2.2)."""
+    coef = np.zeros(64, dtype=np.float64)
+    t, pos = _jpeg_huff_decode(dc_tab, bits, pos)
+    diff, pos = _jpeg_receive_extend(bits, pos, t)
+    pred += diff
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs, pos = _jpeg_huff_decode(ac_tab, bits, pos)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        v, pos = _jpeg_receive_extend(bits, pos, s)
+        coef[k] = float(v)
+        k += 1
+    return coef, pos, pred
+
+
+def decode_jpeg_np(data: bytes) -> np.ndarray | None:
+    """Pure NumPy baseline-JPEG decode -> (h, w) LUMA uint8, or None for
+    variants outside scope (progressive/lossless/arithmetic SOFs, 12-bit
+    precision, 16-bit quant tables, truncated streams).
+
+    Baseline JPEG's pixel layer is fully public spec (ITU-T T.81): marker
+    segments carry the quant + huffman tables, the scan is huffman-coded
+    (DC prediction + AC run-length in zigzag order), and each block
+    inverts through dequant + IDCT. This decoder entropy-decodes EVERY
+    component (the bitstream interleaves them) but runs the IDCT only for
+    the first SOF component — JPEG's Y channel IS the ITU-R 601 luma this
+    module reports, so the chroma planes would be converted straight back
+    out (PIL's ``convert("L")`` of the RGB reconstruction equals Y up to
+    integer rounding and RGB clipping). Restart intervals (DRI/RSTn)
+    reset the DC predictors per segment, as specified.
+
+    This is the correctness tier, not the throughput tier: the huffman
+    loop is per-bit Python (~1 s per megapixel). With PIL importable the
+    fast path runs first; without it, real pixels still beat a fake.
+    """
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        return None
+    n = len(data)
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _JpegHuff] = {}
+    sof = None
+    scomp = None
+    dri = 0
+    scan_start = None
+    while pos + 2 <= n:
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 4 > n:
+            return None
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            return None
+        if marker == 0xDB:  # DQT (one or more tables; zigzag order)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0 or b + 65 > len(body):
+                    return None  # 16-bit tables / truncated: out of scope
+                qt[tq] = np.frombuffer(
+                    body[b + 1 : b + 65], dtype=np.uint8
+                ).astype(np.float64)
+                b += 65
+        elif marker == 0xC4:  # DHT (one or more tables)
+            b = 0
+            while b < len(body):
+                if b + 17 > len(body):
+                    return None
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                counts = list(body[b + 1 : b + 17])
+                nv = sum(counts)
+                if b + 17 + nv > len(body):
+                    return None
+                huff[(tc, th)] = _JpegHuff(counts, list(body[b + 17 : b + 17 + nv]))
+                b += 17 + nv
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential DCT
+            if len(body) < 6:
+                return None
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or len(body) < 6 + 3 * nc or h == 0 or w == 0:
+                return None
+            comps = []
+            for ci in range(nc):
+                cid = body[6 + 3 * ci]
+                hv = body[7 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * ci]))
+            if any(hc < 1 or vc < 1 for _, hc, vc, _ in comps):
+                return None
+            sof = (int(h), int(w), comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / lossless / arithmetic: out of scope
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                return None
+            (dri,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if not body:
+                return None
+            ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                return None
+            scomp = []
+            for ci in range(ns):
+                cs = body[1 + 2 * ci]
+                tt = body[2 + 2 * ci]
+                scomp.append((cs, tt >> 4, tt & 0x0F))
+            scan_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if sof is None or scan_start is None or scomp is None:
+        return None
+    h, w, comps = sof
+
+    # unstuff the entropy-coded bytes, splitting at restart markers
+    segments: list[list[int]] = [[]]
+    i = scan_start
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            segments[-1].append(b)
+            i += 1
+            continue
+        m = data[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:
+            segments[-1].append(0xFF)
+            i += 2
+            continue
+        if 0xD0 <= m <= 0xD7:
+            segments.append([])
+            i += 2
+            continue
+        break  # EOI or next marker ends the scan
+
+    # scan-component -> (dc table, ac table, quant table) resolution
+    tabs = []
+    for cid, hc, vc, tq in comps:
+        entry = next(((d, a) for cs, d, a in scomp if cs == cid), None)
+        if entry is None or tq not in qt:
+            return None
+        d, a = entry
+        if (0, d) not in huff or (1, a) not in huff:
+            return None
+        tabs.append((huff[(0, d)], huff[(1, a)], qt[tq]))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    total_mcus = mcux * mcuy
+    y_h, y_v = comps[0][1], comps[0][2]
+    yplane = np.zeros((mcuy * y_v * 8, mcux * y_h * 8), dtype=np.float64)
+    C = _DCT8
+    mcu = 0
+    try:
+        for seg in segments:
+            if mcu >= total_mcus:
+                break
+            bits = np.unpackbits(np.asarray(seg, dtype=np.uint8))
+            bpos = 0
+            preds = [0] * len(comps)
+            in_seg = 0
+            while mcu < total_mcus:
+                my, mx = divmod(mcu, mcux)
+                for ci, (cid, hc, vc, tq) in enumerate(comps):
+                    dc_tab, ac_tab, q = tabs[ci]
+                    for vy in range(vc):
+                        for hx in range(hc):
+                            coef, bpos, preds[ci] = _jpeg_decode_block(
+                                bits, bpos, dc_tab, ac_tab, preds[ci]
+                            )
+                            if ci == 0:
+                                blk = np.zeros(64, dtype=np.float64)
+                                blk[_JPEG_ZIGZAG] = coef * q  # dezigzag+dequant
+                                f = C.T @ blk.reshape(8, 8) @ C
+                                y0 = (my * y_v + vy) * 8
+                                x0 = (mx * y_h + hx) * 8
+                                yplane[y0 : y0 + 8, x0 : x0 + 8] = f
+                mcu += 1
+                in_seg += 1
+                if dri and in_seg == dri:
+                    break  # next restart segment resets predictors
+    except ValueError:
+        return None  # truncated / corrupt entropy stream
+    if mcu < total_mcus:
+        return None  # truncated scan
+    out = np.clip(np.round(yplane + 128.0), 0.0, 255.0).astype(np.uint8)
+    return out[:h, :w]
+
+
+# -- GIF (GIF87a/89a), pure NumPy -------------------------------------------
+
+
+def decode_gif_np(data: bytes) -> np.ndarray | None:
+    """Pure NumPy+Python GIF decode of the FIRST image frame -> (h, w)
+    grayscale uint8, or None for malformed/truncated streams.
+
+    GIF's pixel layer is LZW over palette indexes (public spec, GIF89a) —
+    variable-width codes LSB-first, clear/EOI codes, width growth at each
+    table-size power of two with NO early change, 12-bit cap, 4-pass
+    interlace option. Local color tables override the global one.
+    Animation frames beyond the first and extension blocks (GCE
+    transparency etc.) are skipped — mean_luma/resize semantics here are
+    single-image."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        return None
+    import struct
+
+    sw, sh, flags = struct.unpack("<HHB", data[6:11])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(data):
+            return None
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(data):
+            ln = data[p]
+            p += 1
+            if ln == 0:
+                return p
+            p += ln
+        return p
+
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            return None  # no image frame present
+        if b == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+            continue
+        if b != 0x2C:
+            return None
+        break
+    if pos >= len(data):
+        return None
+    # image descriptor
+    if pos + 10 > len(data):
+        return None
+    _l, _t, w, h, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+    pos += 10
+    pal = gct
+    if iflags & 0x80:  # local color table
+        n = 2 << (iflags & 0x07)
+        if pos + 3 * n > len(data):
+            return None
+        pal = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    if pal is None or w == 0 or h == 0 or pos >= len(data):
+        return None
+    interlaced = bool(iflags & 0x40)
+
+    min_size = data[pos]
+    pos += 1
+    if not (2 <= min_size <= 11):
+        return None
+    # concatenate the LZW sub-blocks
+    chunks = []
+    while pos < len(data):
+        ln = data[pos]
+        pos += 1
+        if ln == 0:
+            break
+        chunks.append(data[pos : pos + ln])
+        pos += ln
+    stream = b"".join(chunks)
+    bits = np.unpackbits(
+        np.frombuffer(stream, dtype=np.uint8), bitorder="little"
+    )
+    clear = 1 << min_size
+    eoi = clear + 1
+    npix = w * h
+    out = bytearray()
+    width = min_size + 1
+    table: list[bytes | None] = [bytes([i]) for i in range(clear)] + [None, None]
+    prev: bytes | None = None
+    bp = 0
+    nb = len(bits)
+    try:
+        while len(out) < npix:
+            if bp + width > nb:
+                return None  # truncated stream
+            code = 0
+            for i in range(width):
+                code |= int(bits[bp + i]) << i
+            bp += width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [None, None]
+                width = min_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= clear:
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if entry is None:
+                    return None
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            out += entry
+            prev = entry
+    except IndexError:
+        return None
+    if len(out) < npix:
+        return None
+    idx = np.frombuffer(bytes(out[:npix]), dtype=np.uint8).reshape(h, w)
+    if idx.size and int(idx.max()) >= len(pal):
+        return None
+    if interlaced:
+        de = np.empty_like(idx)
+        rows = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            rows.extend(range(start, h, step))
+        de[np.asarray(rows, dtype=np.int64)] = idx
+        idx = de
+    return _luma(pal[idx])
+
+
 def try_decode_image_np(content: bytes) -> np.ndarray | None:
     """Library-free real pixel decode for the formats whose pixel layer is
-    public-spec + zlib (PNG) or raw (BMP); None for entropy-coded formats
-    (JPEG/GIF) which genuinely need a codec library.
+    public-spec: zlib scanlines (PNG), raw rows (BMP), baseline
+    huffman+DCT (JPEG, :func:`decode_jpeg_np`), and LZW palette indexes
+    (GIF, :func:`decode_gif_np`); None only for out-of-scope variants
+    (progressive/arithmetic JPEG, 16-bit PNG, compressed BMP).
 
     Never raises: an untrusted corpus WILL contain blobs that pass the
     magic-byte check but are malformed inside (bad filter bytes, palette
@@ -329,6 +768,10 @@ def try_decode_image_np(content: bytes) -> np.ndarray | None:
             return decode_png_np(content)
         if content[:2] == b"BM":
             return decode_bmp_np(content)
+        if content[:2] == b"\xff\xd8":
+            return decode_jpeg_np(content)
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif_np(content)
     except Exception:
         return None
     return None
@@ -372,9 +815,9 @@ def image_features(
     (:func:`parse_image_header` — PNG/GIF/JPEG/BMP, pure Python) report
     bytes-derived format/width/height in EVERY environment; mean_luma is
     real pixels whenever anything here can decode them — PIL when
-    importable, else the pure-NumPy PNG/BMP decoders
-    (:func:`try_decode_image_np`); entropy-coded JPEG/GIF without PIL
-    report luma null. Unrecognized blobs fall through to the
+    importable, else the pure-NumPy PNG/BMP/baseline-JPEG decoders
+    (:func:`try_decode_image_np`); GIF and out-of-scope JPEG variants
+    without PIL report luma null. Unrecognized blobs fall through to the
     deterministic hash-fake with ``format`` null — so the fake never
     masquerades as a parsed image."""
     out_schema = (
@@ -407,11 +850,11 @@ def image_features(
                         except Exception:
                             img = None  # corrupt body under a valid header
                     if img is None:
-                        # PNG/BMP pixels are real via the NumPy decoders;
-                        # entropy-coded formats still need a codec library.
-                        # A header-valid blob whose body won't decode reports
-                        # luma NULL — never the hash-fake (which would
-                        # masquerade as measured pixels).
+                        # PNG/BMP/baseline-JPEG pixels are real via the
+                        # NumPy decoders; GIF (LZW) still needs a codec
+                        # library. A header-valid blob whose body won't
+                        # decode reports luma NULL — never the hash-fake
+                        # (which would masquerade as measured pixels).
                         img = try_decode_image_np(data)
                     luma = (
                         float(img.mean()) / 255.0 if img is not None else None

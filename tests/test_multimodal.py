@@ -386,3 +386,343 @@ def test_malformed_blobs_degrade_not_raise(spark):
     assert rows["badbmp"]["mean_luma"] is None
     assert rows["badpng"]["format"] == "png"
     assert rows["badpng"]["mean_luma"] is None
+
+
+# -- baseline JPEG round-trip (decoder in multimodal, encoder here) ---------
+
+def _jpeg_huff_spec(symbols):
+    """Fixed-length canonical table: all symbols at length L (< 2^L of
+    them, so the all-ones code is never assigned). The decoder's Annex C
+    canonical assignment then maps symbol i -> code i at length L."""
+    import math
+
+    syms = sorted(set(symbols))
+    L = max(1, math.ceil(math.log2(len(syms) + 1)))
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    codes = {s: (L, i) for i, s in enumerate(syms)}
+    return bits, syms, codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def tobytes_stuffed(self):
+        bits = self.bits + [1] * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+def _fdct_zz(block):
+    C = mm._DCT8
+    F = C @ (block.astype(np.float64) - 128.0) @ C.T
+    return np.round(F).astype(np.int64).ravel()[mm._JPEG_ZIGZAG]
+
+
+def _block_symbols(coef_zz, pred):
+    """-> (symbol stream, new DC pred). Symbols: ("dc", size, diff) and
+    ("ac", run<<4|size, value)."""
+    syms = []
+    diff = int(coef_zz[0]) - pred
+    syms.append(("dc", int(abs(diff)).bit_length(), diff))
+    run = 0
+    for k in range(1, 64):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            syms.append(("ac", 0xF0, None))
+            run -= 16
+        syms.append(("ac", (run << 4) | int(abs(v)).bit_length(), v))
+        run = 0
+    if run:
+        syms.append(("ac", 0x00, None))  # EOB
+    return syms, int(coef_zz[0])
+
+
+def _jpeg_bytes(y, cbcr=None, restart=0):
+    """Hand-rolled baseline JPEG encoder (T.81): grayscale when cbcr is
+    None, else 4:2:0 YCbCr with Y sampled 2x2 (cbcr = (cb, cr) at half
+    resolution). All-ones quant table (near-lossless), fixed-length
+    canonical huffman tables derived from the actually-emitted symbols."""
+    import struct
+
+    h, w = y.shape
+    if cbcr is None:
+        comps = [(1, 1, 1)]
+        planes = [y]
+    else:
+        comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+        planes = [y, cbcr[0], cbcr[1]]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    assert h % (8 * vmax) == 0 and w % (8 * hmax) == 0, "test image dims"
+    mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
+
+    # pass 1: per-MCU symbol streams, restart-aware DC reset
+    def mcu_stream():
+        preds = [0] * len(comps)
+        for mcu in range(mcux * mcuy):
+            if restart and mcu and mcu % restart == 0:
+                yield "RST", None
+                preds = [0] * len(comps)
+            my, mx = divmod(mcu, mcux)
+            out = []
+            for ci, (cid, hc, vc) in enumerate(comps):
+                p = planes[ci]
+                for vy in range(vc):
+                    for hx in range(hc):
+                        y0, x0 = (my * vc + vy) * 8, (mx * hc + hx) * 8
+                        coef = _fdct_zz(p[y0 : y0 + 8, x0 : x0 + 8])
+                        syms, preds[ci] = _block_symbols(coef, preds[ci])
+                        out.extend(syms)
+            yield "MCU", out
+
+    stream = list(mcu_stream())
+    dc_syms = [s[1] for _, syms in stream if syms for s in syms if s[0] == "dc"]
+    ac_syms = [s[1] for _, syms in stream if syms for s in syms if s[0] == "ac"]
+    dc_bits, dc_vals, dc_codes = _jpeg_huff_spec(dc_syms)
+    ac_bits, ac_vals, ac_codes = _jpeg_huff_spec(ac_syms or [0x00])
+
+    # pass 2: bit-pack, splitting at restarts
+    segs = [_BitWriter()]
+    for kind, syms in stream:
+        if kind == "RST":
+            segs.append(_BitWriter())
+            continue
+        bw = segs[-1]
+        for s in syms:
+            if s[0] == "dc":
+                ln, code = dc_codes[s[1]]
+                bw.write(code, ln)
+                size, v = s[1], s[2]
+            else:
+                ln, code = ac_codes[s[1]]
+                bw.write(code, ln)
+                size, v = s[1] & 0x0F, s[2]
+            if size:
+                field = v if v >= 0 else v + (1 << size) - 1
+                bw.write(field, size)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, b"\x00" + b"\x01" * 64)  # all-ones quant, id 0
+    sofb = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hc, vc in comps:
+        sofb += bytes([cid, (hc << 4) | vc, 0])
+    out += seg(0xC0, sofb)
+    out += seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sosb = bytes([len(comps)])
+    for cid, _, _ in comps:
+        sosb += bytes([cid, 0x00])
+    sosb += b"\x00\x3f\x00"
+    out += seg(0xDA, sosb)
+    for i, bw in enumerate(segs):
+        if i:
+            out += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+        out += bw.tobytes_stuffed()
+    return out + b"\xff\xd9"
+
+
+def test_decode_jpeg_np_roundtrip():
+    """Baseline JPEG decode is REAL pixels: block-constant images (whose
+    DCT is exactly integral) round-trip EXACTLY through the all-ones-quant
+    encoder; arbitrary images round-trip within DCT rounding (<= 3 LSB)."""
+    rng = np.random.default_rng(5)
+    # block-constant 24x16 grayscale: exact
+    vals = rng.integers(0, 256, size=(3, 2), dtype=np.uint8)
+    y = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    got = mm.decode_jpeg_np(_jpeg_bytes(y))
+    np.testing.assert_array_equal(got, y)
+    # arbitrary 16x24 grayscale: within rounding
+    y2 = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    got2 = mm.decode_jpeg_np(_jpeg_bytes(y2))
+    assert got2.shape == y2.shape
+    assert int(np.abs(got2.astype(int) - y2.astype(int)).max()) <= 3
+
+
+def test_decode_jpeg_np_color_and_restart():
+    """4:2:0 YCbCr: the decoder entropy-decodes the interleaved chroma
+    blocks (bitstream position must stay exact) and returns the Y plane;
+    restart intervals reset the DC predictors per segment."""
+    rng = np.random.default_rng(9)
+    y = rng.integers(0, 256, size=(32, 48), dtype=np.uint8)
+    cb = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    cr = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    got = mm.decode_jpeg_np(_jpeg_bytes(y, cbcr=(cb, cr)))
+    assert got.shape == y.shape
+    assert int(np.abs(got.astype(int) - y.astype(int)).max()) <= 3
+    # with restart markers every 2 MCUs
+    got_r = mm.decode_jpeg_np(_jpeg_bytes(y, cbcr=(cb, cr), restart=2))
+    assert int(np.abs(got_r.astype(int) - y.astype(int)).max()) <= 3
+    # grayscale with restarts too
+    got_g = mm.decode_jpeg_np(_jpeg_bytes(y, restart=3))
+    assert int(np.abs(got_g.astype(int) - y.astype(int)).max()) <= 3
+
+
+def test_decode_jpeg_np_rejects_out_of_scope():
+    """Progressive SOF2, truncated scans, and 16-bit quant tables decline
+    to None (fall through to the luma-null contract) instead of raising."""
+    import struct
+
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    good = _jpeg_bytes(y)
+    # flip SOF0 -> SOF2 (progressive)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert mm.decode_jpeg_np(prog) is None
+    # truncate the scan
+    assert mm.decode_jpeg_np(good[: len(good) // 2]) is None
+    assert mm.try_decode_image_np(good[: len(good) // 2]) is None
+    # 16-bit quant table (Pq=1)
+    i = good.index(b"\xff\xdb")
+    bad_q = bytearray(good)
+    bad_q[i + 4] = 0x10
+    assert mm.decode_jpeg_np(bytes(bad_q)) is None
+
+
+def test_image_features_jpeg_real_luma(spark):
+    """image_features reports REAL mean_luma for baseline JPEG blobs via
+    the pure-NumPy decoder — the former 'entropy-coded formats report
+    null' carve-out now applies only to GIF and out-of-scope JPEGs."""
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 256, size=(2, 2), dtype=np.uint8)
+    y = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    blob = _jpeg_bytes(y)
+    df = spark.createDataFrame([Row(asset_id="jpg", content=bytearray(blob))])
+    rows = {r["asset_id"]: r for r in mm.image_features(df).collect()}
+    assert rows["jpg"]["format"] == "jpeg"
+    assert rows["jpg"]["width"] == 16 and rows["jpg"]["height"] == 16
+    assert abs(rows["jpg"]["mean_luma"] - float(y.mean()) / 255.0) < 1e-9
+
+
+# -- GIF round-trip (decoder in multimodal, LZW encoder here) ---------------
+
+def _gif_bytes(idx, pal, interlace=False, lct=False, with_gce=True):
+    """Hand-rolled GIF89a encoder: literal-only LZW (valid stream, no
+    compression) whose table counter mirrors the decoder's, so width
+    growth and mid-stream clear codes are exercised for real. ``lct``
+    stores the palette as a LOCAL color table and a decoy global one."""
+    import struct
+
+    h, w = idx.shape
+    n_pal = len(pal)
+    assert n_pal & (n_pal - 1) == 0 and n_pal >= 4
+    s = n_pal.bit_length() - 2  # 2^(s+1) entries
+    min_size = max(2, n_pal.bit_length() - 1)
+    clear, eoi = 1 << min_size, (1 << min_size) + 1
+    bits = []
+
+    def emit(code, width):
+        for i in range(width):
+            bits.append((code >> i) & 1)
+
+    width = min_size + 1
+    table_len = clear + 2
+    emit(clear, width)
+    prevset = False
+    if interlace:
+        order = []
+        for st, sp in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(range(st, h, sp))
+        seq = idx[np.asarray(order)].ravel()
+    else:
+        seq = idx.ravel()
+    for v in seq:
+        emit(int(v), width)
+        if prevset:
+            table_len += 1
+            if table_len == (1 << width) and width < 12:
+                width += 1
+            if table_len >= 4094:
+                emit(clear, width)
+                width = min_size + 1
+                table_len = clear + 2
+                prevset = False
+                continue
+        prevset = True
+    emit(eoi, width)
+    by = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            b |= bit << j
+        by.append(b)
+
+    pal_bytes = bytes(int(x) for x in np.asarray(pal, dtype=np.uint8).ravel())
+    decoy = bytes(3 * n_pal)  # all-black global table when lct overrides
+    out = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | s, 0, 0)
+    out += decoy if lct else pal_bytes
+    if with_gce:  # graphic control extension: decoder must skip it
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    iflags = (0x40 if interlace else 0) | ((0x80 | s) if lct else 0)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([iflags])
+    if lct:
+        out += pal_bytes
+    out += bytes([min_size])
+    for i in range(0, len(by), 255):
+        chunk = by[i : i + 255]
+        out += bytes([len(chunk)]) + bytes(chunk)
+    return out + b"\x00\x3b"
+
+
+def test_decode_gif_np_roundtrip():
+    """GIF LZW decode is REAL pixels: palette indexes round-trip exactly
+    (the literal-only LZW stream still exercises variable code widths and
+    mid-stream clears), with interlace de-permutation and local-color-
+    table override both pinned."""
+    rng = np.random.default_rng(17)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(23, 11), dtype=np.uint8)
+    want = mm._luma(pal[idx])
+    np.testing.assert_array_equal(mm.decode_gif_np(_gif_bytes(idx, pal)), want)
+    np.testing.assert_array_equal(
+        mm.decode_gif_np(_gif_bytes(idx, pal, interlace=True)), want
+    )
+    np.testing.assert_array_equal(
+        mm.decode_gif_np(_gif_bytes(idx, pal, lct=True)), want
+    )
+    # wide image forces code-width growth past min_size+1
+    big = rng.integers(0, 16, size=(40, 80), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        mm.decode_gif_np(_gif_bytes(big, pal)), mm._luma(pal[big])
+    )
+    # malformed streams decline: truncated LZW, trailer-only, bad index
+    full = _gif_bytes(idx, pal)
+    assert mm.decode_gif_np(full[: len(full) - 20]) is None
+    assert mm.decode_gif_np(b"GIF89a" + full[6:13] + b"\x3b") is None
+    assert mm.try_decode_image_np(full[: len(full) - 20]) is None
+
+
+def test_image_features_gif_real_luma(spark):
+    """image_features now reports REAL mean_luma for GIF blobs in the
+    PIL-free container — every header format (PNG/BMP/JPEG/GIF) has a
+    real pixel tier; only out-of-scope variants report luma null."""
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(9, 13), dtype=np.uint8)
+    blob = _gif_bytes(idx, pal)
+    df = spark.createDataFrame([Row(asset_id="gif", content=bytearray(blob))])
+    rows = {r["asset_id"]: r for r in mm.image_features(df).collect()}
+    assert rows["gif"]["format"] == "gif"
+    assert rows["gif"]["width"] == 13 and rows["gif"]["height"] == 9
+    want = float(mm._luma(pal[idx]).mean()) / 255.0
+    assert abs(rows["gif"]["mean_luma"] - want) < 1e-9
