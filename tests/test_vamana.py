@@ -837,6 +837,14 @@ def test_filtered_serve_packed_matches_row_path(spark, emb):
             got = dist_q[(q, rid)]
             assert abs(got - want) <= 1e-3 * max(want, 1.0)
 
+    # 100 TB posture: the filter-derivation leg must COLUMN-PRUNE the
+    # blobs — its parquet scan reads only (shard, ids); the blob columns
+    # travel solely through the serving scan
+    plan = res_f._jdf.queryExecution().executedPlan().toString()
+    assert "struct<shard:string,ids:array<string>>" in plan.replace(" ", ""), (
+        "filter-derivation scan is not pruned to (shard, ids)"
+    )
+
     # validation: scalar kernel / code-domain / nprobe are rejected
     with pytest.raises(ValueError, match="batched"):
         vm.vamana_serve_packed(
