@@ -560,20 +560,46 @@ class SearchEngine:
                 # the reference fans a search to all shards). The bounded
                 # exact fallback above still takes small candidate sets:
                 # full recall at lower cost than any optimistic walk.
-                from semadb_spark.operators.vamana import vamana_serve
-
-                topk = (
-                    vamana_serve(
-                        graph["shard_nodes"],
-                        graph["shard_edges"],
-                        [("q", vector)],
-                        limit,
-                        metric=value.distance_metric,
-                        search_size=search_size,
-                        candidate_ids=flt_ids,
+                # PACKED layout preferred (r9): identical semantics/recall,
+                # measured 3.7x faster than the row-table cogroup at 200k
+                # rows (tools/repro_filtered_graph.py — blob decode beats
+                # the per-query node+edge shuffle, and shards without
+                # filtered points are join-pruned before any blob read).
+                if graph.get("packed") is not None:
+                    from semadb_spark.operators.vamana import (
+                        vamana_serve_packed,
                     )
-                    .select(F.col("_id").alias(self.id_col), "_distance")
-                )
+
+                    topk = (
+                        vamana_serve_packed(
+                            graph["packed"],
+                            [("q", vector)],
+                            limit,
+                            metric=value.distance_metric,
+                            search_size=search_size,
+                            dtype=graph.get("pack_dtype", "float32"),
+                            kernel="batched",
+                            compute_dtype="float32",
+                            candidate_ids=flt_ids,
+                            beam_on="float",
+                        )
+                        .select(F.col("_id").alias(self.id_col), "_distance")
+                    )
+                else:
+                    from semadb_spark.operators.vamana import vamana_serve
+
+                    topk = (
+                        vamana_serve(
+                            graph["shard_nodes"],
+                            graph["shard_edges"],
+                            [("q", vector)],
+                            limit,
+                            metric=value.distance_metric,
+                            search_size=search_size,
+                            candidate_ids=flt_ids,
+                        )
+                        .select(F.col("_id").alias(self.id_col), "_distance")
+                    )
             else:
                 topk = ivf_search(
                     ann_index,

@@ -1037,3 +1037,59 @@ def test_filtered_broad_quantized_query_takes_graph_route(spark, tmp_path, monke
             "value": ["p000", "p002"], "operator": "containsAny"}}}}}).collect()
     assert {r["_id"] for r in res} <= {"p000", "p002"}
     assert not calls, "narrow filter should not take the packed route"
+
+
+def test_filtered_plain_vamana_prefers_packed_layout(spark, tmp_path, monkeypatch):
+    """A plain (no-quantizer) vectorVamana query with a broad filter
+    serves the reference seeded-beam on the PACKED layout (r9 — measured
+    3.7x the row-table cogroup at identical recall,
+    tools/repro_filtered_graph.py): spy proves vamana_serve_packed got
+    the candidate frame, results honor the filter, recall clears
+    limit/2, distances are exact float."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    import semadb_spark.operators.vamana as vm_mod
+    import semadb_spark.plans.compiler as comp_mod
+    from semadb_spark import Collection
+
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2}},
+        "grp": {"type": "string", "string": {"caseSensitive": True}}}
+    coll = Collection.create(spark, str(tmp_path / "fplain"), schema, num_buckets=4)
+    rng = np.random.RandomState(8)
+    X = np.repeat(rng.normal(size=(8, 8)), 40, axis=0) + rng.normal(
+        scale=0.15, size=(320, 8)
+    )
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]],
+             grp="a" if i % 2 == 0 else "b") for i in range(320)]
+    ))
+    coll.build_vector_index("v")
+    coll.build_vamana_index("v", num_shards=2, seed=5)
+    monkeypatch.setattr(comp_mod, "FILTERED_EXACT_FALLBACK_ROWS", 20)
+    calls = []
+    real = vm_mod.vamana_serve_packed
+
+    def spy(*a, **kw):
+        calls.append(kw.get("candidate_ids") is not None)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(vm_mod, "vamana_serve_packed", spy)
+    res = coll.search({"query": {"property": "v", "vectorVamana": {
+        "vector": [float(x) for x in X[2]], "operator": "near",
+        "limit": 10, "searchSize": 40,
+        "filter": {"property": "grp", "string": {
+            "value": "a", "operator": "equals"}}}}}).collect()
+    assert calls == [True], "broad plain filter did not take the packed route"
+    got = {r["_id"] for r in res}
+    assert got and all(int(i[1:]) % 2 == 0 for i in got)
+    d2 = ((X - X[2]) ** 2).sum(axis=1)
+    exact = [f"p{j:03d}" for j in np.argsort(d2, kind="stable")
+             if j % 2 == 0][:10]
+    assert len(got & set(exact)) >= 5
+    for r in res:
+        j = int(r["_id"][1:])
+        want = float(((X[j] - X[2]) ** 2).sum())
+        assert abs(r["_distance"] - want) <= 1e-4 * max(want, 1.0)
