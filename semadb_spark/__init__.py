@@ -38,8 +38,15 @@ def __getattr__(name):
         from semadb_spark import tenancy
 
         return getattr(tenancy, name)
+    if name == "TextServePool":
+        from semadb_spark.operators.text_search import TextServePool
+
+        return TextServePool
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
-__all__ = ["get_spark", "Collection", "SearchEngine", "IndexSchema", "Workspace", "UserPlan"]
+__all__ = [
+    "get_spark", "Collection", "SearchEngine", "IndexSchema", "Workspace",
+    "UserPlan", "TextServePool",
+]
 __version__ = "0.1.0"

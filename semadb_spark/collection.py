@@ -431,6 +431,31 @@ class Collection:
         self._invalidate_engine()
         return stats
 
+    def open_text_pool(self, prop: str, workers: int = 8):
+        """Open a process-parallel serving pool over this collection's
+        persisted text index for ``prop`` — the point-read serving tier
+        (:class:`~semadb_spark.operators.text_search.TextServePool`): one
+        worker process per client, each with its own ParquetFile handles
+        on the immutable posting artifact, results byte-identical to the
+        engine's text scoring. Measured on a 400M-posting index: 250-437
+        QPS at 8-16 workers vs ~35 for one client (the Spark route stays
+        the analytical/batch path). Use as a context manager; reopen after
+        ``build_text_index``/``refresh_text_index`` rotate the artifact
+        (the pool detects rebuilds via the artifact fingerprint, but
+        rotation at a request boundary is the clean deployment shape)."""
+        from .operators.text_search import TextServePool
+
+        if prop not in self.schema or self.schema[prop].type != "text":
+            raise ValueError(f"property {prop} is not a text index")
+        path = self._index_path(prop)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise ValueError(
+                f"no persisted text index for {prop}; run build_text_index"
+            )
+        with open(os.path.join(path, "_num_docs.json")) as f:
+            num_docs = json.load(f)["num_docs"]
+        return TextServePool(path, num_docs=num_docs, workers=workers)
+
     def refresh_text_index(self, prop: str) -> int:
         """W6 incremental maintenance: roll the latest text index forward to
         the current snapshot WITHOUT re-tokenizing the corpus (the reference

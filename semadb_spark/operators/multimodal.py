@@ -22,9 +22,13 @@ these are the training-data-pipeline operators a 100 TB corpus needs. Design:
   ``decode_image`` tries PIL, then the NumPy decoders, and only then
   falls back to a *deterministic fake* derived from the content hash
   (flagged by ``USING_FAKE_DECODE``) for formats no local code can
-  decode (GIF's LZW, progressive/arithmetic JPEG). Every surrounding
-  piece — schema, null handling, batch shapes, 1->N frame explode,
-  partition sizing — is real and tested.
+  decode (GIF's LZW, progressive/arithmetic JPEG). Audio: WAV/PCM is raw
+  samples behind a chunked RIFF header — ``decode_wav_np`` decodes PCM
+  8/16/24/32 + IEEE float for real and ``audio_features`` reports
+  rate/duration/rms/peak from bytes; compressed codecs (MP3/AAC/OGG)
+  report NULL features. Every surrounding piece — schema, null handling,
+  batch shapes, 1->N frame explode, partition sizing — is real and
+  tested.
 """
 
 from __future__ import annotations
@@ -936,6 +940,134 @@ def sample_frames(
 
     src = df.select(id_col, content_col, F.col(duration_col).alias("_dur"))
     return src.mapInPandas(frames, out_schema)
+
+
+def decode_wav_np(data: bytes) -> tuple[np.ndarray, int] | None:
+    """Pure NumPy WAV decode -> (mono float64 samples in [-1, 1],
+    sample_rate), or None outside scope (compressed codecs, truncated
+    RIFF). WAV's pixel-equivalent is raw PCM behind a chunked RIFF header
+    (public spec) — no audio library needed: walk the chunks, read
+    ``fmt `` (format/channels/rate/bits), slice ``data``. Supports PCM
+    uint8 / int16 / int24 / int32 and IEEE float32/64; multi-channel
+    downmixes by mean. Never raises on malformed bytes (callers treat
+    None as 'not decodable here')."""
+    import struct
+
+    try:
+        if data[:4] != b"RIFF" or data[8:12] != b"WAVE" or len(data) < 44:
+            return None
+        pos = 12
+        fmt = None
+        payload = None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + clen]
+            if cid == b"fmt " and len(body) >= 16:
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                payload = body
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if fmt is None or payload is None:
+            return None
+        audio_format, channels, rate, _byte_rate, _align, bits = fmt
+        if channels < 1 or rate <= 0:
+            return None
+        if audio_format == 1:  # integer PCM
+            if bits == 8:
+                x = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                x = (x - 128.0) / 128.0
+            elif bits == 16:
+                n16 = len(payload) // 2
+                x = np.frombuffer(payload, dtype="<i2", count=n16).astype(
+                    np.float64
+                ) / 32768.0
+            elif bits == 24:
+                n24 = len(payload) // 3
+                raw = np.frombuffer(payload, dtype=np.uint8, count=n24 * 3)
+                x = (
+                    raw[0::3].astype(np.int32)
+                    | (raw[1::3].astype(np.int32) << 8)
+                    | (raw[2::3].astype(np.int32) << 16)
+                )
+                x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.float64)
+                x /= float(1 << 23)
+            elif bits == 32:
+                n32 = len(payload) // 4
+                x = np.frombuffer(payload, dtype="<i4", count=n32).astype(
+                    np.float64
+                ) / float(1 << 31)
+            else:
+                return None
+        elif audio_format == 3:  # IEEE float
+            if bits == 32:
+                x = np.frombuffer(
+                    payload, dtype="<f4", count=len(payload) // 4
+                ).astype(np.float64)
+            elif bits == 64:
+                x = np.frombuffer(payload, dtype="<f8", count=len(payload) // 8)
+            else:
+                return None
+        else:
+            return None  # compressed codecs need a real library
+        frames = len(x) // channels
+        if frames == 0:
+            return None
+        x = x[: frames * channels].reshape(frames, channels).mean(axis=1)
+        return x, int(rate)
+    except Exception:
+        return None
+
+
+def audio_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
+) -> DataFrame:
+    """Real per-asset audio features from WAV bytes -> (id, n_bytes,
+    sample_rate, n_samples, duration_ms, rms, peak). WAV/PCM is decoded
+    for real in any environment (:func:`decode_wav_np`); blobs that are
+    not decodable WAV report NULL feature columns (never fake audio) —
+    the same tier contract as image mean_luma. Arrow-batched mapInPandas,
+    blobs never touch the driver."""
+    out_schema = (
+        f"{id_col} string, n_bytes long, sample_rate int, n_samples long, "
+        "duration_ms long, rms double, peak double"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf[content_col].notna()]
+            if pdf.empty:
+                continue
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(content)
+                dec = decode_wav_np(data)
+                if dec is None:
+                    rows.append(
+                        (str(aid), len(data), None, None, None, None, None)
+                    )
+                    continue
+                x, rate = dec
+                rows.append(
+                    (
+                        str(aid),
+                        len(data),
+                        rate,
+                        len(x),
+                        int(len(x) * 1000 // rate),
+                        float(np.sqrt(np.mean(x * x))),
+                        float(np.abs(x).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_bytes", "sample_rate", "n_samples",
+                    "duration_ms", "rms", "peak",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(extract, out_schema)
 
 
 def audio_stats(

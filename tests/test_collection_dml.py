@@ -909,3 +909,40 @@ def test_warm_vamana_index(spark, tmp_path):
     res = coll.vamana_search("v", [("q", [float(x) for x in X[7]])], k=5)
     got = [r["_id"] for r in res.collect()]
     assert "p007" in got
+
+
+def test_open_text_pool_serves_engine_identical_results(spark, tmp_path):
+    """Collection.open_text_pool = the point-read serving tier over the
+    persisted text index: pool results match the engine's text search
+    (ids + scores) for both operators; lifecycle errors are clean."""
+    import pytest
+    from pyspark.sql import Row
+
+    from semadb_spark import Collection
+
+    schema = {"body": {"type": "text", "text": {"analyser": "standard"}}}
+    coll = Collection.create(spark, str(tmp_path / "tpool"), schema, num_buckets=4)
+    docs = [
+        ("d0", "the red running shoe fast"),
+        ("d1", "blue walking shoe"),
+        ("d2", "red wizard hat gandalf"),
+        ("d3", "warm winter coat gandalf wizard"),
+        ("d4", "gandalf the grey wizard"),
+        ("d5", "spark streams merge windows"),
+    ]
+    coll.insert(spark.createDataFrame([Row(_id=i, body=t) for i, t in docs]))
+    with pytest.raises(ValueError, match="no persisted text index"):
+        coll.open_text_pool("body")
+    coll.build_text_index()
+    with coll.open_text_pool("body", workers=2) as pool:
+        for op in ("containsAny", "containsAll"):
+            got = pool.search("gandalf wizard", op, limit=5)
+            want = coll.search({"query": {"property": "body", "text": {
+                "operator": op, "value": "gandalf wizard", "limit": 5}},
+                "limit": 5}).collect()
+            assert [
+                (r["id"], round(r["_score"], 10))
+                for r in got.to_dict("records")
+            ] == [(r["_id"], round(r["_score"], 10)) for r in want], op
+    with pytest.raises(ValueError, match="not a text index"):
+        coll.open_text_pool("nope")

@@ -726,3 +726,80 @@ def test_image_features_gif_real_luma(spark):
     assert rows["gif"]["width"] == 13 and rows["gif"]["height"] == 9
     want = float(mm._luma(pal[idx]).mean()) / 255.0
     assert abs(rows["gif"]["mean_luma"] - want) < 1e-9
+
+
+# -- WAV round-trip ----------------------------------------------------------
+
+def _wav_bytes(x, rate, bits=16, fmt=1, channels=1, extra_chunk=True):
+    """Minimal RIFF/WAVE encoder for decoder tests: PCM 8/16/24/32 or
+    IEEE float32/64, optional junk chunk before data (walker must skip)."""
+    import struct
+
+    arr = np.asarray(x, dtype=np.float64)
+    if channels > 1:
+        arr = np.repeat(arr[:, None], channels, axis=1).ravel()
+    if fmt == 1:
+        if bits == 8:
+            payload = (np.clip(arr, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+        elif bits == 16:
+            payload = (np.clip(arr, -1, 1) * 32767).astype("<i2").tobytes()
+        elif bits == 24:
+            v = (np.clip(arr, -1, 1) * ((1 << 23) - 1)).astype(np.int32)
+            v = np.where(v < 0, v + (1 << 24), v)
+            b = np.empty((len(v), 3), dtype=np.uint8)
+            b[:, 0] = v & 0xFF
+            b[:, 1] = (v >> 8) & 0xFF
+            b[:, 2] = (v >> 16) & 0xFF
+            payload = b.tobytes()
+        else:
+            payload = (np.clip(arr, -1, 1) * ((1 << 31) - 1)).astype("<i4").tobytes()
+    else:
+        payload = arr.astype("<f4" if bits == 32 else "<f8").tobytes()
+    block = channels * bits // 8
+    fmt_body = struct.pack("<HHIIHH", fmt, channels, rate, rate * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    if extra_chunk:
+        chunks += b"LIST" + struct.pack("<I", 5) + b"junk!" + b"\x00"  # odd len: padded
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_np_roundtrip_and_features(spark):
+    """WAV decode is REAL samples for every PCM width + IEEE float, with
+    chunk-walking (junk chunks skipped), stereo downmix, and the
+    audio_features kernel reporting real rate/duration/rms/peak; non-WAV
+    blobs report NULL features."""
+    rng = np.random.default_rng(23)
+    t = np.arange(1600) / 16000.0
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    for bits, fmt, tol in ((8, 1, 2e-2), (16, 1, 1e-4), (24, 1, 1e-6),
+                           (32, 1, 1e-9), (32, 3, 1e-7), (64, 3, 1e-12)):
+        dec = mm.decode_wav_np(_wav_bytes(x, 16000, bits=bits, fmt=fmt))
+        assert dec is not None, (bits, fmt)
+        got, rate = dec
+        assert rate == 16000 and len(got) == len(x)
+        assert float(np.abs(got - x).max()) <= tol, (bits, fmt)
+    # stereo downmix: duplicated channels mean back to the mono signal
+    got2, _ = mm.decode_wav_np(_wav_bytes(x, 8000, bits=16, channels=2))
+    assert len(got2) == len(x) and float(np.abs(got2 - x).max()) <= 1e-4
+    # malformed declines
+    assert mm.decode_wav_np(b"RIFFxxxxWAVE") is None
+    assert mm.decode_wav_np(_wav_bytes(x, 16000)[:50]) is None
+    full = bytearray(_wav_bytes(x, 16000))
+    full[20] = 0x55  # compressed codec id
+    assert mm.decode_wav_np(bytes(full)) is None
+
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([
+        Row(asset_id="wav", content=bytearray(_wav_bytes(x, 16000))),
+        Row(asset_id="txt", content=bytearray(b"not audio at all")),
+    ])
+    rows = {r["asset_id"]: r for r in mm.audio_features(df).collect()}
+    w = rows["wav"]
+    assert w["sample_rate"] == 16000 and w["n_samples"] == 1600
+    assert w["duration_ms"] == 100
+    assert abs(w["rms"] - float(np.sqrt(np.mean(x * x)))) < 1e-3
+    assert abs(w["peak"] - 0.5) < 1e-3
+    assert rows["txt"]["sample_rate"] is None and rows["txt"]["rms"] is None
+    assert rows["txt"]["n_bytes"] == 16
