@@ -839,6 +839,45 @@ def main() -> None:
             vamana_10m["code_domain"]["note"] = (
                 "k=100 candidate gen, rerank=none, vecs column-pruned"
             )
+
+            # driver-local POINT-READ tier (vamana_serve_local, r9): one
+            # query at a time straight off the packed artifact with
+            # pyarrow + the NumPy beam — no Spark job, so the ~150 ms
+            # 1-task floor that caps engine point-reads at ~2-7 QPS never
+            # applies. The latency twin of the text serving-tier rows;
+            # measured 74 QPS / 13.5 ms/q in isolation (pin 40).
+            from semadb_spark.operators.vamana import vamana_serve_local
+
+            pkw = dict(
+                metric="cosine",
+                search_size=int(vam10_meta["search_size"]),
+                centroids=vam10_cents, nprobe=1,
+                dtype=vam10_meta.get("pack_dtype", "float64"), n_seeds=64,
+            )
+            point_queries = aq10[:64]
+            ex_sets: dict = {}
+            for r in exact10.select("query_id", "_id").collect():
+                ex_sets.setdefault(r["query_id"], set()).add(r["_id"])
+            p_hits = p_tot = 0
+            for qid, v in point_queries:  # warm decode + recall in one pass
+                got = {i for i, _ in vamana_serve_local(VAM10_ART, v, 10, **pkw)}
+                p_hits += len(got & ex_sets.get(qid, set()))
+                p_tot += len(ex_sets.get(qid, set()))
+
+            def _point_pass():
+                for _qid, v in point_queries:
+                    vamana_serve_local(VAM10_ART, v, 10, **pkw)
+
+            point_qps, _, point_note = qps_best_of(
+                len(point_queries), _point_pass, pin=40.0
+            )
+            vamana_10m["point_read"] = {
+                "qps_1client": point_qps,
+                "latency_ms": round(1000.0 / max(point_qps, 0.001), 1),
+                "recall_at10": round(p_hits / max(p_tot, 1), 4),
+            }
+            if point_note:
+                vamana_10m["point_read"]["note"] = point_note
         print(f"# vamana_10m: {vamana_10m}", file=sys.stderr)
         exact10.unpersist()
 
@@ -1403,6 +1442,11 @@ def main() -> None:
         "vamana_10m": (
             {
                 **_qr(vamana_10m["qps"], vamana_10m["recall_at10"]),
+                **(
+                    {"pt_qps": vamana_10m["point_read"]["qps_1client"]}
+                    if "point_read" in vamana_10m
+                    else {}
+                ),
                 **(
                     {"note": vamana_10m["qps_note"]}
                     if "qps_note" in vamana_10m

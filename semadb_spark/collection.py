@@ -985,6 +985,49 @@ class Collection:
             n_seeds=n_seeds,
         )
 
+    def vamana_search_local(
+        self, prop: str, vector: list[float], k: int,
+        nprobe: int | None = None, n_seeds: int = 0,
+    ) -> list[tuple[str, float]]:
+        """Driver-local single-query ANN point-read over the packed Vamana
+        artifact — NO Spark job (operators/vamana.py vamana_serve_local;
+        the vector twin of the text serving-tier path). Returns
+        ``[(id, distance)] * k`` in the collection metric. Use
+        :meth:`vamana_search` for batches — the Spark route amortizes its
+        per-job floor across thousands of queries; this is the latency
+        tier a serving node runs."""
+        from .operators.vamana import vamana_serve_local
+
+        import numpy as np
+
+        path = os.path.join(
+            self.path, f"v{self._current_version()}_idx",
+            f"vamana_{prop.replace('.', '_')}",
+        )
+        meta_file = os.path.join(path, "_graph.json")
+        packed_dir = os.path.join(path, "packed")
+        if not os.path.exists(meta_file) or not os.path.exists(
+            os.path.join(packed_dir, "_SUCCESS")
+        ):
+            raise ValueError(
+                f"no packed vamana artifact for {prop}; run build_vamana_index"
+            )
+        with open(meta_file) as f:
+            meta = json.load(f)
+        cents = np.asarray(meta["centroids"], dtype=np.float64)
+        if nprobe is None:
+            nprobe = max(1, min(len(cents), int(meta["search_size"]) // 8))
+        return vamana_serve_local(
+            packed_dir, vector, k,
+            metric=meta["metric"],
+            search_size=int(meta["search_size"]),
+            centroids=cents,
+            nprobe=nprobe,
+            dtype=meta.get("pack_dtype", "float32"),
+            compute_dtype="float32",
+            n_seeds=n_seeds,
+        )
+
     def warm_vamana_index(self, prop: str) -> float:
         """Pre-warm the packed Vamana serving artifact so the FIRST real
         query batch serves at warm latency; returns the seconds spent.

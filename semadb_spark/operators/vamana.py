@@ -155,6 +155,7 @@ def _batched_greedy_topk(
     Q_codes: np.ndarray | None = None,
     X_bytes: np.ndarray | None = None,
     Q_luts: np.ndarray | None = None,
+    adj_pad: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batched greedy beam search: every query advances one expansion per
     step, so each step's distance work is ONE gathered einsum over the
@@ -207,9 +208,15 @@ def _batched_greedy_topk(
         n, d = X.shape
         nq = len(Q)
     L = search_size
-    # padded adjacency: one gather instead of per-node ragged slices
-    deg = np.diff(indptr)
-    max_deg = int(deg.max()) if len(deg) else 0
+    # padded adjacency: one gather instead of per-node ragged slices.
+    # ``adj_pad`` can be passed in precomputed — the build costs ~10 ms on
+    # a 16k x 32 shard, which a POINT-READ pays per query unless its
+    # decode cache holds the padded form (vamana_serve_local does).
+    if adj_pad is not None:
+        max_deg = adj_pad.shape[1]
+    else:
+        deg = np.diff(indptr)
+        max_deg = int(deg.max()) if len(deg) else 0
     if max_deg == 0:
         # edgeless shard (single node / legacy artifact): score the entry
         # with whichever representation this call is running on — X/Q are
@@ -230,10 +237,11 @@ def _batched_greedy_topk(
             for qi in range(nq):
                 out_d[qi, 0] = _dist_rows(metric, X[[start]], Q[qi])[0]
         return out_i, out_d
-    adj_pad = np.full((n, max_deg), -1, dtype=np.int64)
-    rows_rep = np.repeat(np.arange(n), deg)
-    cols_rep = np.arange(len(indices)) - np.repeat(indptr[:-1], deg)
-    adj_pad[rows_rep, cols_rep] = indices
+    if adj_pad is None:
+        adj_pad = np.full((n, max_deg), -1, dtype=np.int64)
+        rows_rep = np.repeat(np.arange(n), deg)
+        cols_rep = np.arange(len(indices)) - np.repeat(indptr[:-1], deg)
+        adj_pad[rows_rep, cols_rep] = indices
     Xsq = (
         (X * X).sum(axis=1)
         if (not code_mode and not adc_mode and metric == "euclidean")
@@ -328,7 +336,7 @@ def _batched_greedy_topk(
                 dd = _adc_rows(Qlf[aq], X_bytes[nb0])
             else:
                 G = X[nb0]  # (|aq|, max_deg, d)
-                dots = np.einsum("ad,akd->ak", Qc[aq], G, optimize=True)
+                dots = np.matmul(G, Qc[aq][:, :, None])[:, :, 0]
                 if metric == "euclidean":
                     dd = Xsq[nb0] - 2.0 * dots + Qsq[aq][:, None]
                     np.maximum(dd, 0.0, out=dd)
@@ -2062,7 +2070,7 @@ def vamana_serve_packed(
                     Qc = Qf.astype(c_dtype)
                     gi = np.where(pool >= 0, pool, 0)
                     G = Xc[gi]
-                    dots = np.einsum("ad,akd->ak", Qc, G, optimize=True)
+                    dots = np.matmul(G, Qc[:, :, None])[:, :, 0]
                     if metric == "euclidean":
                         rd = (
                             (G * G).sum(axis=2)
@@ -2125,7 +2133,7 @@ def vamana_serve_packed(
                         Qc = Qf.astype(c_dtype)
                         gi = np.where(top_i >= 0, top_i, 0)
                         G = Xc[gi]
-                        dots = np.einsum("ad,akd->ak", Qc, G, optimize=True)
+                        dots = np.matmul(G, Qc[:, :, None])[:, :, 0]
                         if metric == "euclidean":
                             rd = (
                                 (G * G).sum(axis=2)
@@ -2214,6 +2222,180 @@ def vamana_serve_packed(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# -- driver-local point-read serving (no Spark job) -------------------------
+
+_LOCAL_PACKED_CACHE: dict[str, tuple[tuple, dict]] = {}
+_LOCAL_PACKED_FP_AT: dict[str, tuple[float, int]] = {}
+_FP_TTL_SEC = 1.0
+
+
+def _packed_artifact_fingerprint(path: str) -> int:
+    """Listing digest (name/size/mtime_ns per file) — same invalidation
+    contract as text_search._artifact_fingerprint: ANY rewrite of the
+    artifact re-opens it instead of serving stale decoded shards."""
+    import os
+    import zlib
+
+    h = 0
+    try:
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            for fn in sorted(files):
+                try:
+                    st = os.stat(os.path.join(root, fn))
+                except OSError:
+                    continue
+                rel = os.path.relpath(os.path.join(root, fn), path)
+                h = zlib.crc32(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode(), h)
+    except OSError:
+        return 0
+    return h
+
+
+def _local_decoded_cents(path: str, cents_needed: list[int], np_dtype,
+                         c_dtype, max_cached_cents: int = 256) -> dict[int, list]:
+    """Decode (and cache) the packed shard blobs of the requested cent
+    partitions via pyarrow — no Spark session involved. Vectors are cast
+    to the COMPUTE dtype at decode time (per-query float16->float32 casts
+    cost ~ms each otherwise). Cache keys on the artifact fingerprint;
+    FIFO-evicts whole cent entries past ``max_cached_cents`` (a hot
+    serving node keeps its working set decoded, exactly like the
+    reference's shard decode cache, cache/manager.go:39-303)."""
+    import time as _time
+
+    import pyarrow.dataset as pads
+
+    # fingerprint with a short TTL: the listing walk costs ~100 ms on a
+    # 3000-file 10M artifact — paying it per POINT-READ was 73% of the
+    # query latency (r9 profile). A rebuild is still picked up within
+    # _FP_TTL_SEC, which is far inside any artifact-rotation window.
+    now = _time.monotonic()
+    cached_at = _LOCAL_PACKED_FP_AT.get(path)
+    if cached_at is not None and now - cached_at[0] < _FP_TTL_SEC:
+        fp = cached_at[1]
+    else:
+        fp = _packed_artifact_fingerprint(path)
+        _LOCAL_PACKED_FP_AT[path] = (now, fp)
+    key = (fp, str(c_dtype))
+    hit = _LOCAL_PACKED_CACHE.get(path)
+    if hit is None or hit[0] != key:
+        _LOCAL_PACKED_CACHE[path] = (key, {})
+    cache = _LOCAL_PACKED_CACHE[path][1]
+    missing = [c for c in cents_needed if c not in cache]
+    if missing:
+        dset = pads.dataset(path, partitioning="hive")
+        cols = [
+            c for c in ("shard", "n", "ids", "vecs", "indptr", "indices", "start")
+            if c in dset.schema.names
+        ]
+        tbl = dset.to_table(columns=cols, filter=pads.field("cent").isin(missing) if "cent" in dset.schema.names else None)
+        by_cent: dict[int, list] = {c: [] for c in missing}
+        rows = tbl.to_pylist()
+        for row in rows:
+            n = int(row["n"])
+            X = np.ascontiguousarray(
+                np.frombuffer(row["vecs"], dtype=np_dtype).reshape(n, -1),
+                dtype=c_dtype,
+            )
+            indptr = np.frombuffer(row["indptr"], dtype=np.int32).astype(np.int64)
+            nedges = int(indptr[-1])
+            idx_w = len(row["indices"]) // nedges if nedges else 4
+            indices = np.frombuffer(
+                row["indices"], dtype=np.int16 if idx_w == 2 else np.int32
+            ).astype(np.int64)
+            ids = np.asarray(row["ids"], dtype=object)
+            cent = int(str(row["shard"]).split("_")[0])
+            # point-read accelerators, built ONCE per decode: the padded
+            # adjacency (the kernel's per-call build costs ~10 ms on a
+            # 16k x 32 shard) and the id-sorted seed order (argsort of
+            # 16k strings costs ~ms per query otherwise)
+            deg = np.diff(indptr)
+            max_deg = int(deg.max()) if len(deg) else 0
+            adj_pad = np.full((n, max_deg), -1, dtype=np.int64)
+            if max_deg:
+                rows_rep = np.repeat(np.arange(n), deg)
+                cols_rep = np.arange(len(indices)) - np.repeat(indptr[:-1], deg)
+                adj_pad[rows_rep, cols_rep] = indices
+            id_order = np.argsort(ids.astype(str), kind="stable")
+            by_cent.setdefault(cent, []).append(
+                (ids, X, indptr, indices, int(row["start"]), adj_pad, id_order)
+            )
+        for c, shards in by_cent.items():
+            cache[c] = shards
+        while len(cache) > max_cached_cents:
+            cache.pop(next(iter(cache)))
+    return {c: cache.get(c, []) for c in cents_needed}
+
+
+def vamana_serve_local(
+    packed_path: str,
+    query: list[float] | np.ndarray,
+    k: int,
+    metric: str = "euclidean",
+    search_size: int = 75,
+    centroids: np.ndarray | None = None,
+    nprobe: int = 1,
+    dtype: str = "float32",
+    compute_dtype: str = "float32",
+    n_seeds: int = 0,
+) -> list[tuple[str, float]]:
+    """Driver-local SINGLE-query Vamana serving straight off the persisted
+    :func:`vamana_pack` artifact with pyarrow + the NumPy beam kernel — NO
+    Spark job at all. The vector twin of
+    :func:`~semadb_spark.operators.text_search.text_serve_local`, and the
+    same reasoning: on this host class ANY 1-task Spark job costs ~150 ms
+    of scheduler+py4j floor, which caps engine point-reads at ~2-7 QPS no
+    matter how cheap the beam is. A point query only ever touches its
+    ``nprobe`` routed cent partitions — with the artifact written
+    ``partitionBy("cent")`` that is a handful of directories — so a
+    serving node reads those blobs directly, decodes once into a
+    fingerprint-keyed cache, and beams in NumPy. Scores/ordering are
+    pinned identical to :func:`vamana_serve_packed` (same kernel, same
+    rounded-distance merge; parity-tested).
+
+    Returns ``[(id, distance)] * k`` (floats exact in the collection
+    metric). For BATCHES use :func:`vamana_serve_packed` — the Spark
+    route amortizes its floor across thousands of queries and wins past
+    ~50 queries/batch; this path is the latency tier. Process-parallel
+    scaling works exactly like the text pool (read-only artifact, one
+    process per client)."""
+    if centroids is None:
+        raise ValueError("vamana_serve_local requires the routing centroids")
+    np_dtype = np.dtype(dtype)
+    c_dtype = np.dtype(compute_dtype)
+    q = np.asarray(query, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    d = (
+        (q @ q)
+        - 2.0 * (cents @ q)
+        + (cents * cents).sum(axis=1)
+    )
+    routed = [int(c) for c in np.argsort(d, kind="stable")[: max(1, nprobe)]]
+    shards = _local_decoded_cents(packed_path, routed, np_dtype, c_dtype)
+    Qc = q[None, :].astype(c_dtype)
+    results: dict[str, float] = {}
+    for c in routed:
+        for ids, X, indptr, indices, start, adj_pad, id_order in shards.get(c, []):
+            seeds = None
+            n = len(ids)
+            if n_seeds > 0 and n:
+                seeds = id_order[:: max(n // min(n_seeds, n), 1)][:n_seeds]
+                seeds = seeds.astype(np.int64)
+            top_i, top_d = _batched_greedy_topk(
+                X, indptr, indices,
+                start, Qc, search_size, k, metric, seed_ids=seeds,
+                adj_pad=adj_pad,
+            )
+            for j, dd in zip(top_i[0], top_d[0]):
+                if j < 0 or not np.isfinite(dd):
+                    continue
+                rid = ids[int(j)]
+                if rid not in results or dd < results[rid]:
+                    results[rid] = float(dd)
+    ranked = sorted(results.items(), key=lambda kv: (round(kv[1], 4), kv[0]))
+    return ranked[:k]
 
 
 # ---------------------------------------------------------------------------

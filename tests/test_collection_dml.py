@@ -946,3 +946,42 @@ def test_open_text_pool_serves_engine_identical_results(spark, tmp_path):
             ] == [(r["_id"], round(r["_score"], 10)) for r in want], op
     with pytest.raises(ValueError, match="not a text index"):
         coll.open_text_pool("nope")
+
+
+def test_vamana_search_local_point_read(spark, tmp_path):
+    """Collection.vamana_search_local = single-query ANN point-read with
+    NO Spark job: results match the Spark packed route for the same
+    query, errors cleanly without a packed artifact."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    from semadb_spark import Collection
+
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2}}}
+    coll = Collection.create(spark, str(tmp_path / "ptread"), schema, num_buckets=4)
+    rng = np.random.RandomState(6)
+    X = np.repeat(rng.normal(size=(4, 8)), 40, axis=0) + rng.normal(
+        scale=0.1, size=(160, 8)
+    )
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]]) for i in range(160)]
+    ))
+    with pytest.raises(ValueError, match="no packed vamana artifact"):
+        coll.vamana_search_local("v", [0.0] * 8, 5)
+    coll.build_vamana_index("v", num_shards=2, seed=3)
+    qv = [float(x) for x in X[9]]
+    got = coll.vamana_search_local("v", qv, 5, n_seeds=8)
+    assert len(got) == 5 and got[0][0] == "p009" and got[0][1] <= 1e-4
+    # parity vs the Spark packed route (same artifact, same params)
+    want = [
+        (r["_id"], round(r["_distance"], 6))
+        for r in coll.vamana_search("v", [("q", qv)], 5, n_seeds=8)
+        .orderBy("_distance", "_id").collect()
+    ]
+    got_r = [(i, round(d, 6)) for i, d in got]
+    # the local route defaults to the same nprobe formula; distances are
+    # exact in-metric so sets and values line up
+    assert got_r == want

@@ -861,3 +861,58 @@ def test_filtered_serve_packed_matches_row_path(spark, emb):
             packed_disk, queries, 10, search_size=40, candidate_ids=flt,
             centroids=index.centroids, nprobe=1,
         )
+
+
+def test_vamana_serve_local_matches_packed(spark, emb, tmp_path):
+    """The driver-local point-read path (NO Spark job) reproduces
+    vamana_serve_packed exactly — same ids, same distances, same
+    tiebreaks — over the same persisted artifact, at several nprobe
+    settings; the decoded-shard cache invalidates on artifact rewrite."""
+    import os
+
+    index = vm.vamana_build(
+        emb, "v", "_id", degree_bound=32, alpha=1.2, search_size=40,
+        num_shards=3, seed=7, keep_sharded=True,
+    )
+    d = str(tmp_path / "packed_local")
+    vm.vamana_pack(index.shard_nodes, index.shard_edges, dtype="float32") \
+        .write.mode("overwrite").partitionBy("cent").parquet(d)
+    disk = spark.read.parquet(d)
+    rows = emb.collect()
+    for nprobe in (1, 2, 3):
+        for qi in (0, 7, 42):
+            qv = [float(x) for x in rows[qi]["v"]]
+            want = [
+                (r["_id"], round(r["_distance"], 6))
+                for r in vm.vamana_serve_packed(
+                    disk, [("q", qv)], 10, metric="euclidean",
+                    search_size=40, centroids=index.centroids,
+                    nprobe=nprobe, dtype="float32",
+                    compute_dtype="float32", n_seeds=8,
+                )
+                .orderBy(F.round("_distance", 4).asc(), F.col("_id").asc())
+                .collect()
+            ]
+            got = [
+                (i, round(dd, 6))
+                for i, dd in vm.vamana_serve_local(
+                    d, qv, 10, metric="euclidean", search_size=40,
+                    centroids=index.centroids, nprobe=nprobe,
+                    dtype="float32", n_seeds=8,
+                )
+            ]
+            assert got == want, (nprobe, qi)
+    # artifact rewrite invalidates the decoded cache (fingerprint change)
+    assert d in vm._LOCAL_PACKED_CACHE
+    old_fp = vm._LOCAL_PACKED_CACHE[d][0]
+    vm.vamana_pack(index.shard_nodes, index.shard_edges, dtype="float32") \
+        .write.mode("overwrite").partitionBy("cent").parquet(d)
+    qv = [float(x) for x in rows[0]["v"]]
+    vm.vamana_serve_local(d, qv, 5, metric="euclidean", search_size=40,
+                          centroids=index.centroids, dtype="float32")
+    assert vm._LOCAL_PACKED_CACHE[d][0] != old_fp
+    with pytest.raises(ValueError, match="centroids"):
+        vm.vamana_serve_local(d, qv, 5)
+    index.edges.unpersist()
+    index.shard_nodes.unpersist()
+    index.shard_edges.unpersist()
