@@ -140,7 +140,8 @@ def best_of(n, make, pin_sec=None):
     return frame, best_dt
 
 
-def qps_best_of(n_queries, run_pass, pin=None, min_passes=2, max_passes=6):
+def qps_best_of(n_queries, run_pass, pin=None, min_passes=2, max_passes=8,
+                band_backoff_sec=2.0):
     """Serving-loop QPS as BEST-of-N passes, with a pinned-band guard.
 
     Round-8 lesson (VERDICT r8 "what's wrong" #1): the text_10m 1-client
@@ -154,6 +155,13 @@ def qps_best_of(n_queries, run_pass, pin=None, min_passes=2, max_passes=6):
     ``max_passes``) while the best pass sits >2x below it, and returns a
     note naming the pin when even the best pass stays below — so a
     collapsed row can never land in BENCH_r{N}.json silently again.
+
+    Noise windows can outlast back-to-back re-measures (r9: one run's
+    text_10m legs sat ~4x below band for all passes while an isolation
+    run minutes later was in band), so band-miss re-measures sleep
+    ``band_backoff_sec`` between passes — spreading the re-measures in
+    time costs seconds and raises the odds of escaping a transient
+    window.
 
     Returns (qps, passes, note|None)."""
     import time as _time
@@ -171,6 +179,8 @@ def qps_best_of(n_queries, run_pass, pin=None, min_passes=2, max_passes=6):
             pin is None or n_queries / best_dt >= 0.5 * pin
         ):
             break
+        if passes >= min_passes and band_backoff_sec:
+            _time.sleep(band_backoff_sec)
     qps = round(n_queries / best_dt, 1)
     note = None
     if pin is not None and qps < 0.5 * pin:
