@@ -1028,6 +1028,50 @@ class Collection:
             n_seeds=n_seeds,
         )
 
+    def open_vector_pool(self, prop: str, workers: int = 8,
+                         nprobe: int | None = None, n_seeds: int = 0):
+        """Open a process-parallel ANN serving pool over this collection's
+        packed Vamana artifact for ``prop`` — the vector point-read serving
+        tier (:class:`~semadb_spark.operators.vamana.VectorServePool`):
+        N worker processes with cent-affinity dispatch over the immutable
+        packed artifact, results identical to :meth:`vamana_search_local`.
+        The reference's deployment shape: concurrent request goroutines
+        over shared shard state (shard/shard.go:329-472) with shard-owner
+        fan-out (cluster/actions.go:321-351). Use as a context manager;
+        reopen after ``build_vamana_index`` rotates the artifact."""
+        import numpy as np
+
+        from .operators.vamana import VectorServePool
+
+        path = os.path.join(
+            self.path, f"v{self._current_version()}_idx",
+            f"vamana_{prop.replace('.', '_')}",
+        )
+        meta_file = os.path.join(path, "_graph.json")
+        packed_dir = os.path.join(path, "packed")
+        if not os.path.exists(meta_file) or not os.path.exists(
+            os.path.join(packed_dir, "_SUCCESS")
+        ):
+            raise ValueError(
+                f"no packed vamana artifact for {prop}; run build_vamana_index"
+            )
+        with open(meta_file) as f:
+            meta = json.load(f)
+        cents = np.asarray(meta["centroids"], dtype=np.float64)
+        if nprobe is None:
+            nprobe = max(1, min(len(cents), int(meta["search_size"]) // 8))
+        return VectorServePool(
+            packed_dir,
+            centroids=cents,
+            metric=meta["metric"],
+            search_size=int(meta["search_size"]),
+            nprobe=nprobe,
+            dtype=meta.get("pack_dtype", "float32"),
+            compute_dtype="float32",
+            n_seeds=n_seeds,
+            workers=workers,
+        )
+
     def warm_vamana_index(self, prop: str) -> float:
         """Pre-warm the packed Vamana serving artifact so the FIRST real
         query batch serves at warm latency; returns the seconds spent.

@@ -672,9 +672,9 @@ class TextServePool:
 
     def __init__(self, index_path: str, num_docs: int, workers: int = 8,
                  start_method: str | None = None):
-        import multiprocessing
         import os
-        from concurrent.futures import ProcessPoolExecutor
+
+        from semadb_spark.operators._pool import make_worker_executor
 
         if not os.path.isdir(index_path):
             raise ValueError(f"no posting artifact at {index_path}")
@@ -683,34 +683,12 @@ class TextServePool:
         self.index_path = index_path
         self.num_docs = int(num_docs)
         self.workers = int(workers)
-        # Start-method choice, both defaults documented:
-        # - Prefer forkserver/spawn: the opening process often holds a live
-        #   JVM gateway (the SparkSession that built the index), and
-        #   fork()ing a multi-threaded JVM-attached interpreter can inherit
-        #   held locks. Workers need no parent state — the initializer
-        #   re-opens the artifact per process.
-        # - BUT forkserver/spawn both re-import the parent's __main__
-        #   (guarded by __mp_main__), which is impossible for stdin/REPL
-        #   parents (FileNotFoundError '<stdin>'). For those, fall back to
-        #   fork — acceptable because an interactive parent initiates the
-        #   fork from its only running thread.
-        if start_method is None:
-            import sys as _sys
-
-            main_file = getattr(_sys.modules.get("__main__"), "__file__", None)
-            importable_main = main_file is not None and os.path.exists(main_file)
-            avail = multiprocessing.get_all_start_methods()
-            if importable_main and "forkserver" in avail:
-                start_method = "forkserver"
-            elif importable_main:
-                start_method = "spawn"
-            else:
-                start_method = "fork"
-        self._pool = ProcessPoolExecutor(
-            self.workers,
-            mp_context=multiprocessing.get_context(start_method),
-            initializer=_pool_init,
-            initargs=(index_path, self.num_docs),
+        # start-method policy (forkserver/spawn preferred, fork for REPL
+        # parents) lives in operators/_pool.choose_start_method, shared
+        # with VectorServePool so the two serving tiers cannot drift
+        self._pool = make_worker_executor(
+            self.workers, _pool_init, (index_path, self.num_docs),
+            start_method,
         )
 
     def search(self, query: str, operator: str = "containsAny",

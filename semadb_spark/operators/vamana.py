@@ -2398,6 +2398,134 @@ def vamana_serve_local(
     return ranked[:k]
 
 
+# -- process-parallel vector point-read pool (r10) ---------------------------
+
+_VPOOL_PATH: str | None = None
+_VPOOL_KW: dict | None = None
+
+
+def _vpool_init(packed_path: str, kw: dict) -> None:
+    """Worker-process initializer: pin the artifact coordinates + serve
+    params and pre-warm the listing fingerprint so the first real query
+    pays no directory-walk latency."""
+    global _VPOOL_PATH, _VPOOL_KW
+    _VPOOL_PATH = packed_path
+    _VPOOL_KW = kw
+    _packed_artifact_fingerprint(packed_path)
+
+
+def _vpool_serve(args: tuple[list, int]):
+    vector, k = args
+    return vamana_serve_local(_VPOOL_PATH, vector, k, **_VPOOL_KW)
+
+
+class VectorServePool:
+    """Process-parallel ANN point-read serving over an IMMUTABLE packed
+    Vamana artifact — the vector twin of
+    :class:`~semadb_spark.operators.text_search.TextServePool`, and the
+    deployment shape of the reference's core serving loop: one goroutine
+    per request over shared shard state (shard/shard.go:329-472), shards
+    fanned across owners (cluster/actions.go:321-351).
+
+    Why processes, not threads: :func:`vamana_serve_local`'s beam is NumPy
+    (GIL-holding between BLAS calls), so in-process threads contend the
+    same way the text tier measured (~13 QPS @ 16 threads vs ~36 for one).
+    One worker process per core removes the contention.
+
+    **Cent-affinity dispatch** (the part the text pool doesn't need): a
+    vector query's cost is dominated by the decoded state of its routed
+    cent partitions (vectors cast to the compute dtype, padded adjacency,
+    id-sorted seed order — all built once per decode and cached). Random
+    dispatch would make every worker eventually decode every hot cent:
+    W× the warm-up time and W× the resident memory. Instead the parent
+    routes each query to ``primary_cent % workers`` — the same
+    shard-to-owner mapping the reference's cluster uses — so each worker's
+    cache holds only its ~1/W share of the cent partitions. With
+    ``nprobe > 1`` the non-primary probes may straddle owners; the owner
+    decodes those too (bounded overlap, same trade the reference makes
+    replicating hot shards).
+
+    Contract: the artifact must be immutable while the pool is open —
+    mutations are still DETECTED per worker (the decoded cache keys on the
+    artifact fingerprint), but rotate pools on reindex like Collection
+    rotates snapshots. Results are identical to :func:`vamana_serve_local`
+    (same function, parity-tested), which is itself pinned to
+    :func:`vamana_serve_packed`.
+
+    Usage::
+
+        with VectorServePool(path, centroids=cents, metric="cosine",
+                             search_size=75, workers=8) as pool:
+            hits = pool.search(qvec, k=10)
+            all_hits = pool.search_many(vectors, k=10)
+    """
+
+    def __init__(self, packed_path: str, centroids, metric: str = "euclidean",
+                 search_size: int = 75, nprobe: int = 1,
+                 dtype: str = "float32", compute_dtype: str = "float32",
+                 n_seeds: int = 0, workers: int = 8,
+                 start_method: str | None = None):
+        import os
+
+        from semadb_spark.operators._pool import make_worker_executor
+
+        if not os.path.isdir(packed_path):
+            raise ValueError(f"no packed vamana artifact at {packed_path}")
+        if centroids is None:
+            raise ValueError("VectorServePool requires the routing centroids")
+        if int(workers) < 1:
+            raise ValueError("VectorServePool requires workers >= 1")
+        self.packed_path = packed_path
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.workers = int(workers)
+        self._cent_norms = (self.centroids * self.centroids).sum(axis=1)
+        kw = dict(
+            metric=metric, search_size=int(search_size),
+            centroids=self.centroids, nprobe=int(nprobe), dtype=dtype,
+            compute_dtype=compute_dtype, n_seeds=int(n_seeds),
+        )
+        # one single-process executor per worker: dispatch must target the
+        # cent owner, which ProcessPoolExecutor's shared queue cannot do
+        self._pools = [
+            make_worker_executor(1, _vpool_init, (packed_path, kw), start_method)
+            for _ in range(self.workers)
+        ]
+
+    def _owner(self, vector) -> int:
+        q = np.asarray(vector, dtype=np.float64)
+        d = (q @ q) - 2.0 * (self.centroids @ q) + self._cent_norms
+        return int(np.argmin(d)) % self.workers
+
+    def search(self, vector, k: int = 10) -> list[tuple[str, float]]:
+        """One query -> [(id, distance)] * k, served by the cent owner."""
+        vec = [float(x) for x in vector]
+        return self._pools[self._owner(vec)].submit(
+            _vpool_serve, (vec, int(k))
+        ).result()
+
+    def search_many(self, vectors, k: int = 10) -> list[list[tuple[str, float]]]:
+        """Batch of query vectors -> results in input order, fanned to the
+        cent owners (queries for the same owner pipeline through its
+        process; distinct owners run fully parallel)."""
+        futs = []
+        for v in vectors:
+            vec = [float(x) for x in v]
+            futs.append(
+                self._pools[self._owner(vec)].submit(_vpool_serve, (vec, int(k)))
+            )
+        return [f.result() for f in futs]
+
+    def close(self) -> None:
+        for p in self._pools:
+            p.shutdown(wait=True)
+
+    def __enter__(self) -> "VectorServePool":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 # ---------------------------------------------------------------------------
 # Serving / validation helpers (driver-side, over the exported graph)
 

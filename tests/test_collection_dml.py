@@ -985,3 +985,39 @@ def test_vamana_search_local_point_read(spark, tmp_path):
     # the local route defaults to the same nprobe formula; distances are
     # exact in-metric so sets and values line up
     assert got_r == want
+
+
+def test_open_vector_pool_serves_local_identical_results(spark, tmp_path):
+    """Collection.open_vector_pool = the process-parallel vector serving
+    tier over the packed artifact: pool results match vamana_search_local
+    (which is itself parity-pinned to the Spark packed route); lifecycle
+    errors are clean."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    from semadb_spark import Collection
+
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2}}}
+    coll = Collection.create(spark, str(tmp_path / "vpool"), schema, num_buckets=4)
+    rng = np.random.RandomState(11)
+    X = np.repeat(rng.normal(size=(4, 8)), 40, axis=0) + rng.normal(
+        scale=0.1, size=(160, 8)
+    )
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]]) for i in range(160)]
+    ))
+    with pytest.raises(ValueError, match="no packed vamana artifact"):
+        coll.open_vector_pool("v")
+    coll.build_vamana_index("v", num_shards=2, seed=3)
+    qvs = [[float(x) for x in X[i]] for i in (9, 57, 120)]
+    want = [
+        [(i, round(d, 6)) for i, d in coll.vamana_search_local("v", qv, 5, n_seeds=8)]
+        for qv in qvs
+    ]
+    with coll.open_vector_pool("v", workers=2, n_seeds=8) as pool:
+        got = pool.search_many(qvs, 5)
+        assert [[(i, round(d, 6)) for i, d in one] for one in got] == want
+        assert got[0][0][0] == "p009"

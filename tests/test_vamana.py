@@ -920,3 +920,49 @@ def test_vamana_serve_local_matches_packed(spark, emb, tmp_path):
     index.edges.unpersist()
     index.shard_nodes.unpersist()
     index.shard_edges.unpersist()
+
+
+def test_vector_serve_pool_matches_local(spark, emb, tmp_path):
+    """VectorServePool (the process-parallel vector point-read tier, r10)
+    returns results identical to vamana_serve_local for every query —
+    cent-affinity dispatch included — and its lifecycle is clean: context
+    manager, search after close raises, bad paths/params error eagerly."""
+    import pytest
+
+    index = vm.vamana_build(
+        emb, "v", "_id", degree_bound=32, alpha=1.2, search_size=40,
+        num_shards=3, seed=7, keep_sharded=True,
+    )
+    d = str(tmp_path / "packed_pool")
+    vm.vamana_pack(index.shard_nodes, index.shard_edges, dtype="float32") \
+        .write.mode("overwrite").partitionBy("cent").parquet(d)
+    rows = emb.collect()
+    kw = dict(metric="euclidean", search_size=40, centroids=index.centroids,
+              nprobe=2, dtype="float32", n_seeds=8)
+    qvs = [[float(x) for x in rows[qi]["v"]] for qi in (0, 7, 42, 99, 3)]
+    want = [
+        [(i, round(dd, 6)) for i, dd in vm.vamana_serve_local(d, qv, 10, **kw)]
+        for qv in qvs
+    ]
+    with vm.VectorServePool(d, workers=2, **kw) as pool:
+        # single-query route: owner-dispatched, same results
+        got_one = [(i, round(dd, 6)) for i, dd in pool.search(qvs[0], 10)]
+        assert got_one == want[0]
+        # batch route: input order preserved across owners
+        got_many = pool.search_many(qvs, 10)
+        assert [
+            [(i, round(dd, 6)) for i, dd in one] for one in got_many
+        ] == want
+        # affinity is a pure function of the routed primary cent
+        owners = [pool._owner(qv) for qv in qvs]
+        assert all(0 <= o < 2 for o in owners)
+        assert owners == [pool._owner(qv) for qv in qvs]
+    with pytest.raises(RuntimeError):
+        pool.search(qvs[0], 5)  # closed pool rejects new work
+    with pytest.raises(ValueError, match="no packed vamana artifact"):
+        vm.VectorServePool(str(tmp_path / "missing"), centroids=index.centroids)
+    with pytest.raises(ValueError, match="centroids"):
+        vm.VectorServePool(d, centroids=None)
+    index.edges.unpersist()
+    index.shard_nodes.unpersist()
+    index.shard_edges.unpersist()
