@@ -90,8 +90,13 @@ def _timed(action) -> float:
     return _time.time() - t0
 
 
-def best_of(n, make, pin_sec=None):
+def best_of(n, make, pin_sec=None, pass_times=None):
     """Best-of-n runs of ``make() -> DataFrame``; returns (frame, best_sec).
+
+    ``pass_times``: optional list — every pass's seconds is appended, so a
+    row can publish its full measurement trace (VERDICT r9 directive #3:
+    a loose pin band can hide a real regression unless the per-pass times
+    are visible in the committed row).
 
     The first pass measures JIT warm-up, not throughput, and the host is
     shared, so min-of-N is the stable steady-state estimator. ``n`` is the
@@ -130,6 +135,8 @@ def best_of(n, make, pin_sec=None):
         cand.persist().count()
         dt = _time.time() - t0
         cand.unpersist(blocking=True)
+        if pass_times is not None:
+            pass_times.append(round(dt, 2))
         improving = best_dt is not None and dt < best_dt * 0.9
         if best_dt is None or dt < best_dt:
             best_dt = dt
@@ -782,12 +789,17 @@ def main() -> None:
                 )
 
             # session-cold first batch (see the vamana_1m cold note).
-            # Pinned band: isolation serves this batch in ~5.5-8 s/pass
-            # (712 QPS re-pinned r9, 749.8 committed r8); an in-bench
-            # window once recorded uniform ~20 s passes here (198.7 QPS)
-            # that the improving-only extension could not escape.
+            # Pinned band (tightened r10 per VERDICT r9 #1): the measured
+            # warm band is ~5.5-6.5 s/pass (712 QPS re-pinned r9, 749.8
+            # committed r8), so pin 6.0 -> miss threshold 12 s; the old
+            # 8 s pin accepted down to ~256 QPS, loose enough for a real
+            # ~20% regression to land silently. Per-pass seconds are
+            # published in the row so the trace is auditable either way.
             vam10_cold = _timed(lambda: _vam10_serve().count())
-            vam10_frame, vam10_dt = best_of(2, _vam10_serve, pin_sec=8.0)
+            vam10_passes: list = []
+            vam10_frame, vam10_dt = best_of(
+                2, _vam10_serve, pin_sec=6.0, pass_times=vam10_passes
+            )
             vam10_recall = recall_at_k(
                 vam10_frame.filter(F.col("query_id").isin(aq10_64)), exact10
             )
@@ -801,9 +813,10 @@ def main() -> None:
                 "nprobe": 1,
                 "pack_dtype": vam10_meta.get("pack_dtype", "float64"),
                 "serving": "disk-backed packed blobs, cent-partition routed",
+                "pass_sec": vam10_passes,
             }
-            if vam10_dt > 2.0 * 8.0:
-                vamana_10m["qps_note"] = "below_pinned_band:8s_per_pass"
+            if vam10_dt > 2.0 * 6.0:
+                vamana_10m["qps_note"] = "below_pinned_band:6s_per_pass"
             vam10_frame.unpersist()
 
             # CODE-DOMAIN candidate generation (rerank="none"): the
@@ -888,6 +901,29 @@ def main() -> None:
             }
             if point_note:
                 vamana_10m["point_read"]["note"] = point_note
+
+            # process-parallel point-read pool (VectorServePool, r10): 16
+            # worker processes with cent-affinity dispatch over the same
+            # immutable artifact — the reference's concurrent-search
+            # deployment (shard/shard.go:329-472 one goroutine/request,
+            # cluster/actions.go:321-351 shard-owner fan-out). Affinity
+            # means each cent partition is decoded by exactly ONE worker,
+            # so pool warm-up costs the same decode work as one client.
+            # Pin 400 QPS: TextServePool scaled its 1-client row ~12x at
+            # 16 workers; 80 QPS 1-client here puts the floor well above
+            # 400 unless dispatch overhead dominates.
+            from semadb_spark.operators.vamana import VectorServePool
+
+            mp_queries = [v for _qid, v in aq10[:256]]
+            with VectorServePool(VAM10_ART, workers=16, **pkw) as vpool:
+                vpool.search_many(mp_queries, 10)  # warm worker caches
+                mp_qps, _, mp_note = qps_best_of(
+                    len(mp_queries), lambda: vpool.search_many(mp_queries, 10),
+                    pin=400.0,
+                )
+            vamana_10m["point_read"]["qps_mp16"] = mp_qps
+            if mp_note:
+                vamana_10m["point_read"]["note_mp16"] = mp_note
         print(f"# vamana_10m: {vamana_10m}", file=sys.stderr)
         exact10.unpersist()
 

@@ -192,8 +192,9 @@ class Collection:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        # version-keyed serving-engine cache (shard/cache/manager.go analogue)
+        # version-keyed serving-engine caches (shard/cache/manager.go analogue)
         self._engine_cache: tuple[int, object] | None = None
+        self._local_engine_cache: tuple[tuple, object] | None = None
         with open(os.path.join(path, _SCHEMA_FILE)) as f:
             self.schema = IndexSchema.from_json(f.read())
         meta_path = os.path.join(path, _META_FILE)
@@ -1642,6 +1643,7 @@ class Collection:
         if cached is not None:
             cached[1].close()
         self._engine_cache = None
+        self._local_engine_cache = None
 
     def search(self, request: dict) -> DataFrame:
         """Run a JSON query-tree search request against the collection
@@ -1649,6 +1651,33 @@ class Collection:
         models/search.go:19-25). Uses the persisted text index for the
         current snapshot when one exists."""
         return self._open_engine().search(request)
+
+    def search_local(self, request: dict, vector_mode: str = "auto"):
+        """Driver-local search: the SAME JSON query tree as :meth:`search`,
+        served end-to-end in THIS process — filter legs via pyarrow
+        predicate scans over the bucketed snapshot, text legs via the
+        persisted posting index (text_serve_local), vector legs via the
+        exact NumPy scan (or the packed-graph beam with
+        ``vector_mode="graph"``), hybrid merge + shaping in pandas. The
+        reference's whole query lifecycle is exactly this one-process
+        point-read (shard/shard.go:329-472: filter -> rank -> hybrid merge
+        -> shape on the request thread); :meth:`search` remains the
+        analytics/batch route (a 1-task Spark job costs ~150 ms of
+        scheduler floor, capping engine point-reads at ~2-7 QPS).
+
+        Returns a pandas DataFrame with the engine's output shape and
+        ordering (parity-tested). Raises
+        :class:`~semadb_spark.plans.local_engine.LocalServeUnsupported`
+        for shapes only the distributed engine serves (IVF/quantized
+        vector routes, schemaless payload sort) — catch it and fall back
+        to :meth:`search`."""
+        from .plans.local_engine import LocalSearchEngine
+
+        key = (self._current_version(), vector_mode)
+        cached = getattr(self, "_local_engine_cache", None)
+        if cached is None or cached[0] != key:
+            self._local_engine_cache = (key, LocalSearchEngine(self, vector_mode))
+        return self._local_engine_cache[1].search(request)
 
     # -- W1: insert ---------------------------------------------------------
     def insert(self, points: DataFrame, id_col: str = "_id") -> int:

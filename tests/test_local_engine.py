@@ -1,0 +1,263 @@
+"""Collection.search_local parity: the driver-local point-read tier must
+reproduce Collection.search — same ids, same order, same scores — for every
+query-tree shape it claims (filters F1-F10, vector/text ranked legs with R4
+pre-filters, hybrid _and/_or merge B1-B3, shaping P1-P3), and refuse with
+LocalServeUnsupported where only the distributed engine serves. The
+reference's query lifecycle is one-process exactly like this
+(shard/shard.go:329-472)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from semadb_spark import Collection
+from semadb_spark.plans.local_engine import LocalServeUnsupported
+
+SCHEMA = {
+    "name": {"type": "string", "string": {"caseSensitive": False}},
+    "cat": {"type": "string", "string": {"caseSensitive": True}},
+    "n": {"type": "integer", "integer": {}},
+    "score": {"type": "float", "float": {}},
+    "tags": {"type": "stringArray", "stringArray": {"caseSensitive": False}},
+    "nested.lab": {"type": "string", "string": {"caseSensitive": True}},
+    "body": {"type": "text", "text": {"analyser": "standard"}},
+    "v": {"type": "vectorFlat", "vectorFlat": {
+        "vectorSize": 8, "distanceMetric": "euclidean"}},
+}
+
+WORDS = ["spark", "query", "shuffle", "merge", "window", "stream", "join",
+         "scan", "filter", "index"]
+
+
+@pytest.fixture(scope="module")
+def coll(spark, tmp_path_factory):
+    rng = np.random.RandomState(42)
+    rows = []
+    for i in range(160):
+        rows.append(Row(
+            _id=f"p{i:03d}",
+            name=f"Item {WORDS[i % 10].title()} {i}",
+            cat=["Alpha", "beta", "GAMMA", None][i % 4],
+            n=int(i % 13),
+            score=None if i % 11 == 0 else float(i) / 7.0,
+            tags=None if i % 9 == 0 else [WORDS[i % 10], WORDS[(i + 3) % 10]],
+            nested=Row(lab=["hot", "cold", "warm"][i % 3]),
+            body=" ".join(
+                WORDS[(i + j) % 10] for j in range(3 + i % 5)
+            ) if i % 7 else None,
+            v=[float(x) for x in rng.normal(size=8)],
+        ))
+    c = Collection.create(
+        spark, str(tmp_path_factory.mktemp("lec") / "coll"), SCHEMA,
+        num_buckets=4,
+    )
+    c.insert(spark.createDataFrame(rows))
+    c.build_text_index()
+    return c
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if v != v:  # NaN == engine NULL for score columns
+            return None
+        return round(v, 6)
+    if isinstance(v, Row):
+        return {k: _norm(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    if isinstance(v, (list, np.ndarray)):
+        return [_norm(x) for x in v]
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return _norm(float(v))
+    return v
+
+
+def assert_parity(coll, request, vector_mode="auto"):
+    want = [r.asDict(recursive=True) for r in coll.search(request).collect()]
+    got = coll.search_local(request, vector_mode=vector_mode)
+    got_records = got.to_dict("records")
+    assert len(got_records) == len(want), (
+        f"row count {len(got_records)} != {len(want)} for {request}"
+    )
+    want_cols = set(want[0]) if want else set()
+    for g, w in zip(got_records, want):
+        gn = {k: _norm(v) for k, v in g.items() if k in want_cols}
+        wn = {k: _norm(v) for k, v in w.items()}
+        assert gn == wn, f"row mismatch for {request}\nlocal={gn}\nspark={wn}"
+    return got
+
+
+F_SHAPES = [
+    {"property": "name", "string": {"operator": "startsWith", "value": "item sp"}},
+    {"property": "cat", "string": {"operator": "equals", "value": "Alpha"}},
+    {"property": "cat", "string": {"operator": "notEquals", "value": "beta"}},
+    {"property": "n", "integer": {"operator": "inRange", "value": 3, "endValue": 6}},
+    {"property": "n", "integer": {"operator": "greaterThan", "value": 10}},
+    {"property": "score", "float": {"operator": "lessThanOrEquals", "value": 2.0}},
+    {"property": "tags", "stringArray": {"operator": "containsAny",
+                                         "value": ["SPARK", "merge"]}},
+    {"property": "tags", "stringArray": {"operator": "containsAll",
+                                         "value": ["query", "window"]}},
+    {"property": "nested.lab", "string": {"operator": "equals", "value": "hot"}},
+    {"property": "_id", "stringArray": {"operator": "containsAny",
+                                        "value": ["p003", "p007", "nope"]}},
+    {"property": "_id", "string": {"operator": "equals", "value": "p010"}},
+]
+
+
+@pytest.mark.parametrize("i", range(len(F_SHAPES)))
+def test_filter_leaf_parity(coll, i):
+    q = F_SHAPES[i]
+    assert_parity(coll, {"query": q, "limit": 30})
+
+
+def test_bool_compose_pure_parity(coll):
+    assert_parity(coll, {"query": {"property": "_and", "_and": [
+        F_SHAPES[3], F_SHAPES[2],
+        {"property": "_or", "_or": [F_SHAPES[6], F_SHAPES[8]]},
+    ]}, "limit": 50})
+
+
+def test_vector_leaf_parity(coll):
+    qv = [0.2, -0.1, 0.4, 0.0, 1.0, -0.5, 0.3, 0.9]
+    got = assert_parity(coll, {"query": {"property": "v", "vectorFlat": {
+        "vector": qv, "operator": "near", "limit": 7}}, "limit": 7})
+    assert got["_distance"].notna().all() and (got["_hybridScore"] <= 0).all()
+
+
+def test_vector_filtered_parity(coll):
+    qv = [0.0] * 8
+    assert_parity(coll, {"query": {"property": "v", "vectorFlat": {
+        "vector": qv, "limit": 10, "weight": 2.5,
+        "filter": {"property": "n", "integer": {
+            "operator": "lessThan", "value": 5}}}}, "limit": 10})
+
+
+def test_text_leaf_parity(coll):
+    for op in ("containsAny", "containsAll"):
+        assert_parity(coll, {"query": {"property": "body", "text": {
+            "operator": op, "value": "spark query", "limit": 10}}, "limit": 10})
+
+
+def test_text_filtered_parity(coll):
+    assert_parity(coll, {"query": {"property": "body", "text": {
+        "operator": "containsAny", "value": "shuffle window", "limit": 10,
+        "filter": {"property": "cat", "string": {
+            "operator": "equals", "value": "GAMMA"}}}}, "limit": 10})
+
+
+def test_hybrid_or_parity(coll):
+    qv = [0.5] * 8
+    assert_parity(coll, {"query": {"property": "_or", "_or": [
+        {"property": "body", "text": {"operator": "containsAny",
+                                      "value": "merge stream", "limit": 10,
+                                      "weight": 3.0}},
+        {"property": "v", "vectorFlat": {"vector": qv, "limit": 10,
+                                         "weight": 0.5}},
+    ]}, "limit": 20})
+
+
+def test_hybrid_and_filter_vector_parity(coll):
+    qv = [-0.3] * 8
+    assert_parity(coll, {"query": {"property": "_and", "_and": [
+        {"property": "n", "integer": {"operator": "inRange",
+                                      "value": 2, "endValue": 9}},
+        {"property": "v", "vectorFlat": {"vector": qv, "limit": 15}},
+    ]}, "limit": 15})
+
+
+def test_hybrid_three_leg_parity(coll):
+    qv = [0.1] * 8
+    assert_parity(coll, {"query": {"property": "_or", "_or": [
+        {"property": "_and", "_and": [
+            {"property": "cat", "string": {"operator": "equals",
+                                           "value": "Alpha"}},
+            {"property": "v", "vectorFlat": {"vector": qv, "limit": 10}},
+        ]},
+        {"property": "body", "text": {"operator": "containsAny",
+                                      "value": "join scan", "limit": 10}},
+    ]}, "limit": 25})
+
+
+def test_shaping_sort_offset_limit_parity(coll):
+    base = {"property": "n", "integer": {"operator": "lessThan", "value": 11}}
+    assert_parity(coll, {"query": base, "limit": 12, "offset": 5,
+                         "sort": [{"property": "score", "descending": True},
+                                  {"property": "n"}]})
+    # missing-last: score has nulls; ascending keeps them last too
+    assert_parity(coll, {"query": base, "limit": 8,
+                         "sort": [{"property": "score"}]})
+
+
+def test_select_renest_parity(coll):
+    assert_parity(coll, {"query": {"property": "nested.lab", "string": {
+        "operator": "equals", "value": "cold"}}, "limit": 6,
+        "select": ["name", "nested.lab", "n"]})
+
+
+def test_unsupported_shapes_raise(coll, spark, tmp_path):
+    with pytest.raises(LocalServeUnsupported, match="sort property"):
+        coll.search_local({"query": F_SHAPES[0], "limit": 5,
+                           "sort": [{"property": "payload.x"}]})
+    # a text property without a persisted index refuses rather than
+    # re-tokenizing the corpus per query
+    c2 = Collection.create(
+        spark, str(tmp_path / "noidx"),
+        {"body": {"type": "text", "text": {}}}, num_buckets=2,
+    )
+    c2.insert(spark.createDataFrame([Row(_id="a", body="spark streams")]))
+    with pytest.raises(LocalServeUnsupported, match="build_text_index"):
+        c2.search_local({"query": {"property": "body", "text": {
+            "operator": "containsAny", "value": "spark", "limit": 5}}})
+
+
+def test_validation_parity(coll):
+    for bad in (
+        {"query": {"property": "ghost", "string": {"operator": "equals",
+                                                   "value": "x"}}},
+        {"query": {"property": "v", "vectorFlat": {"vector": [1.0] * 3,
+                                                   "limit": 5}}},
+        {"query": F_SHAPES[0], "limit": 1000},
+        {"query": F_SHAPES[0], "offset": -1},
+    ):
+        with pytest.raises(ValueError):
+            coll.search_local(bad)
+        with pytest.raises(ValueError):
+            coll.search(bad).collect()
+
+
+def test_graph_mode_and_route_guards(spark, tmp_path):
+    """vector_mode='graph' serves vectorVamana through the packed-artifact
+    beam (parity to vamana_search_local, the opt-in approximate tier);
+    'auto' stays exact = engine parity; IVF-built collections refuse."""
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2}}}
+    coll = Collection.create(spark, str(tmp_path / "graphm"), schema,
+                             num_buckets=4)
+    rng = np.random.RandomState(3)
+    X = rng.normal(size=(150, 8))
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]]) for i in range(150)]
+    ))
+    qv = [float(x) for x in X[17]]
+    req = {"query": {"property": "v", "vectorVamana": {
+        "vector": qv, "limit": 5}}, "limit": 5}
+    # engine parity while only the graph artifact exists (engine = exact)
+    assert_parity(coll, req)
+    coll.build_vamana_index("v", num_shards=2, seed=3)
+    assert_parity(coll, req)  # auto stays exact-parity with the engine
+    got = coll.search_local(req, vector_mode="graph")
+    want = coll.vamana_search_local("v", qv, 5, n_seeds=32)
+    assert [(r["_id"], round(r["_distance"], 6))
+            for r in got.to_dict("records")] == [
+        (i, round(d, 6)) for i, d in want
+    ]
+    # an IVF artifact flips the engine to the probe route -> local refuses
+    coll.build_vector_index("v")
+    with pytest.raises(LocalServeUnsupported, match="IVF"):
+        coll.search_local(req)
