@@ -1422,6 +1422,50 @@ def main() -> None:
                 text_10m[f"{key}_note"] = note
         print(f"# text_10m: {text_10m}", file=sys.stderr)
 
+    # hybrid point-read serving (Collection.search_local, r10): the whole
+    # compiled query lifecycle in ONE process — filter legs off resident
+    # columns, text legs off the persisted posting index, vector legs as a
+    # cached-matrix exact scan, hybrid merge + shaping in pandas (the
+    # reference's request lifecycle, shard/shard.go:329-472). Engine
+    # point-reads on the SAME tree pay the ~150 ms/job scheduler floor per
+    # leg (~0.3-2 QPS); this row is the structural answer. Build-once
+    # 200k-row collection sidecar (tools/build_hybrid_coll.py); request
+    # mix = text+vector _or, filter+vector _and, filter+text _and, and a
+    # three-leg kitchen sink, all derived deterministically from meta.
+    hybrid_local: dict = {}
+    from semadb_spark import Collection as SColl
+    from tools.build_hybrid_coll import bench_requests, ensure_hybrid_coll
+
+    hpath, hmeta = ensure_hybrid_coll(spark, sf_dir=sf_dir)
+    hcoll = SColl.open(spark, hpath)
+    hreqs = bench_requests(hmeta)
+    for r in hreqs[:8]:
+        hcoll.search_local(r)  # warm resident columns + vec matrix + index
+    # pin 25 QPS: isolation best-of-4 measured 30.8 QPS on this host
+    # (text legs read-bound); below half of pin keeps re-measuring + notes
+    hl_qps, hl_passes, hl_note = qps_best_of(
+        len(hreqs), lambda: [hcoll.search_local(r) for r in hreqs], pin=25.0
+    )
+    # the same tree through the Spark engine, for the ratio story (2
+    # requests, warm): this is the engine's documented point-read floor,
+    # not a regression — batches amortize it, point reads don't
+    hcoll.search(hreqs[0]).collect()
+    t0 = time.time()
+    for r in hreqs[:2]:
+        hcoll.search(r).collect()
+    engine_ms = (time.time() - t0) * 1000 / 2
+    hybrid_local = {
+        "rows": hmeta["rows"],
+        "qps_1client": hl_qps,
+        "ms_per_query": round(1000.0 / max(hl_qps, 0.001), 1),
+        "engine_ms_per_query": round(engine_ms, 1),
+        "speedup_vs_engine": round(engine_ms * hl_qps / 1000.0, 1),
+        "band_passes": hl_passes,
+    }
+    if hl_note:
+        hybrid_local["qps_note"] = hl_note
+    print(f"# hybrid_local: {hybrid_local}", file=sys.stderr)
+
     # Full detail (cold timings, all vector-block fields) goes to a file +
     # stderr; the FINAL stdout line is a compact summary kept well under the
     # driver's 2000-char tail window (round 2's full line overflowed it and
@@ -1448,6 +1492,7 @@ def main() -> None:
         "text_1m": text_1m,
         "docs_10m": docs_10m,
         "text_10m": text_10m,
+        "hybrid_local": hybrid_local,
         "cpus": cpus,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -1489,7 +1534,10 @@ def main() -> None:
             {
                 **_qr(vamana_10m["qps"], vamana_10m["recall_at10"]),
                 **(
-                    {"pt_qps": vamana_10m["point_read"]["qps_1client"]}
+                    {
+                        "pt_qps": vamana_10m["point_read"]["qps_1client"],
+                        "pt_mp16": vamana_10m["point_read"].get("qps_mp16"),
+                    }
                     if "point_read" in vamana_10m
                     else {}
                 ),
@@ -1530,6 +1578,11 @@ def main() -> None:
                 for k, v in text_10m.items()
                 if k.endswith("_note")
             },
+        },
+        "hybrid_local": {
+            k: v
+            for k, v in hybrid_local.items()
+            if k in ("qps_1client", "engine_ms_per_query", "qps_note")
         },
         "detail": "BENCH_DETAIL.json (committed)",
     }

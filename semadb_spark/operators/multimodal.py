@@ -426,6 +426,13 @@ def _jpeg_decode_block(
     return coef, pos, pred
 
 
+# Pixel budget for the pure-Python JPEG correctness tier (~1 s/megapixel):
+# blobs larger than this decline to the PIL tier / luma-NULL contract
+# rather than pinning an executor. Knob, not a constant — pipelines that
+# genuinely want pure-NumPy decode of big scans can raise it.
+JPEG_NP_MAX_PIXELS = 4_000_000
+
+
 def decode_jpeg_np(data: bytes) -> np.ndarray | None:
     """Pure NumPy baseline-JPEG decode -> (h, w) LUMA uint8, or None for
     variants outside scope (progressive/lossless/arithmetic SOFs, 12-bit
@@ -503,6 +510,13 @@ def decode_jpeg_np(data: bytes) -> np.ndarray | None:
                 return None
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8 or len(body) < 6 + 3 * nc or h == 0 or w == 0:
+                return None
+            if int(h) * int(w) > JPEG_NP_MAX_PIXELS:
+                # circuit breaker (r10): the huffman loop is per-bit Python
+                # (~1 s/megapixel) — on an untrusted 100 TB corpus a 50 MP
+                # bomb would pin an executor for a minute. Past the cap
+                # this tier declines (None -> PIL tier or the documented
+                # luma-NULL contract) instead of decoding.
                 return None
             comps = []
             for ci in range(nc):
@@ -1019,14 +1033,140 @@ def decode_wav_np(data: bytes) -> tuple[np.ndarray, int] | None:
         return None
 
 
+# MPEG audio frame-header tables (public spec, ISO/IEC 11172-3 + 13818-3).
+# Bitrate kbps by [version-group][layer][index 1..14]; 0 = "free", 15 = bad.
+_MP3_BITRATES = {
+    ("1", 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    ("1", 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    ("1", 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ("2", 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    ("2", 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    ("2", 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {"1": (44100, 48000, 32000), "2": (22050, 24000, 16000),
+              "2.5": (11025, 12000, 8000)}
+
+
+def _mp3_frame_at(data: bytes, pos: int) -> dict | None:
+    """Parse one MPEG audio frame header at ``pos``; None if not a valid
+    sync/field combination."""
+    if pos + 4 > len(data):
+        return None
+    b0, b1, b2, b3 = data[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b1 >> 3) & 0x3
+    version = {0: "2.5", 2: "2", 3: "1"}.get(ver_bits)
+    layer = {1: 3, 2: 2, 3: 1}.get((b1 >> 1) & 0x3)
+    if version is None or layer is None:
+        return None
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format / invalid
+    group = "1" if version == "1" else "2"
+    bitrate = _MP3_BITRATES[(group, layer)][br_idx - 1]
+    rate = _MP3_RATES[version][sr_idx]
+    padding = (b2 >> 1) & 0x1
+    mode = (b3 >> 6) & 0x3
+    spf = 384 if layer == 1 else (
+        1152 if layer == 2 or version == "1" else 576
+    )
+    if layer == 1:
+        flen = (12 * bitrate * 1000 // rate + padding) * 4
+    else:
+        flen = spf // 8 * bitrate * 1000 // rate + padding
+    return {
+        "version": version, "layer": layer, "bitrate_kbps": bitrate,
+        "sample_rate": rate, "channels": 1 if mode == 3 else 2,
+        "samples_per_frame": spf, "frame_len": flen, "mono": mode == 3,
+    }
+
+
+def parse_mp3_header(data: bytes) -> dict | None:
+    """Header-real MP3 metadata WITHOUT decoding audio — the audio twin of
+    :func:`parse_image_header`'s bytes-real image stats. Skips an ID3v2
+    tag, locates the first frame sync whose NEXT frame also syncs (the
+    standard false-sync guard), reads version/layer/bitrate/sample-rate/
+    channels from the 4-byte frame header, and derives duration: from the
+    Xing/Info frame count when the VBR header is present, else from the
+    CBR byte-length estimate (audio bytes x 8 / bitrate). Decode stays
+    NULL-tier (compressed codecs need a real library); never raises on
+    malformed bytes."""
+    try:
+        n = len(data)
+        pos = 0
+        if data[:3] == b"ID3" and n >= 10:
+            size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | (
+                (data[8] & 0x7F) << 7
+            ) | (data[9] & 0x7F)
+            pos = 10 + size + (10 if data[5] & 0x10 else 0)
+        first = None
+        limit = min(n - 4, pos + 65536)
+        while pos <= limit:
+            frame = _mp3_frame_at(data, pos)
+            if frame is not None and frame["frame_len"] >= 4:
+                nxt = pos + frame["frame_len"]
+                # false-sync guard: the NEXT frame must also sync; a frame
+                # ending exactly at EOF is a complete 1..N-frame file, but
+                # a first frame extending PAST EOF is random bytes
+                if (nxt <= n and nxt + 4 > n) or _mp3_frame_at(
+                    data, nxt
+                ) is not None:
+                    first = (pos, frame)
+                    break
+            pos += 1
+        if first is None:
+            return None
+        start, f = first
+        audio_bytes = n - start - (128 if data[-128:-125] == b"TAG" else 0)
+        frames = None
+        vbr = False
+        # Xing/Info VBR header sits after the Layer III side info
+        if f["layer"] == 3:
+            side = (17 if f["mono"] else 32) if f["version"] == "1" else (
+                9 if f["mono"] else 17
+            )
+            x = start + 4 + side
+            if data[x : x + 4] in (b"Xing", b"Info") and x + 12 <= n:
+                import struct
+
+                (flags,) = struct.unpack(">I", data[x + 4 : x + 8])
+                if flags & 0x1:
+                    (frames,) = struct.unpack(">I", data[x + 8 : x + 12])
+                    vbr = data[x : x + 4] == b"Xing"
+        if frames is not None:
+            duration_ms = int(
+                frames * f["samples_per_frame"] * 1000 // f["sample_rate"]
+            )
+        else:
+            duration_ms = int(audio_bytes * 8 // (f["bitrate_kbps"] * 1000) * 1000)
+        return {
+            "format": "mp3",
+            "mpeg_version": f["version"],
+            "layer": f["layer"],
+            "bitrate_kbps": f["bitrate_kbps"],
+            "sample_rate": f["sample_rate"],
+            "channels": f["channels"],
+            "vbr": vbr,
+            "frames": frames,
+            "duration_ms": duration_ms,
+            "audio_start": start,
+        }
+    except Exception:
+        return None
+
+
 def audio_features(
     df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
 ) -> DataFrame:
     """Real per-asset audio features from WAV bytes -> (id, n_bytes,
     sample_rate, n_samples, duration_ms, rms, peak). WAV/PCM is decoded
-    for real in any environment (:func:`decode_wav_np`); blobs that are
-    not decodable WAV report NULL feature columns (never fake audio) —
-    the same tier contract as image mean_luma. Arrow-batched mapInPandas,
+    for real in any environment (:func:`decode_wav_np`); MP3 blobs get
+    HEADER-real sample_rate/duration_ms from the frame header
+    (:func:`parse_mp3_header`, r10) with decode-derived columns NULL;
+    anything else reports NULL feature columns (never fake audio) — the
+    same tier contract as image mean_luma. Arrow-batched mapInPandas,
     blobs never touch the driver."""
     out_schema = (
         f"{id_col} string, n_bytes long, sample_rate int, n_samples long, "
@@ -1043,9 +1183,16 @@ def audio_features(
                 data = bytes(content)
                 dec = decode_wav_np(data)
                 if dec is None:
-                    rows.append(
-                        (str(aid), len(data), None, None, None, None, None)
-                    )
+                    mp3 = parse_mp3_header(data)
+                    if mp3 is not None:
+                        rows.append(
+                            (str(aid), len(data), mp3["sample_rate"], None,
+                             mp3["duration_ms"], None, None)
+                        )
+                    else:
+                        rows.append(
+                            (str(aid), len(data), None, None, None, None, None)
+                        )
                     continue
                 x, rate = dec
                 rows.append(

@@ -269,6 +269,26 @@ def text_serve(
 
 _LOCAL_DATASET_CACHE: dict[str, tuple[int, object]] = {}
 _LOCAL_RG_INDEX_CACHE: dict[str, tuple[int, object]] = {}
+_FP_AT: dict[str, tuple[float, int]] = {}
+_FP_TTL_SEC = 1.0
+
+
+def _artifact_fingerprint_cached(index_path: str, ttl: float) -> int:
+    """TTL-cached artifact fingerprint — same contract the vector tier
+    adopted in r9 (vamana._local_decoded_cents): a rebuild is picked up
+    within ``ttl`` seconds, far inside any artifact-rotation window, and
+    the listing walk (measured ~5 ms on a 64-bucket index, paid TWICE per
+    query via the dataset + row-group caches) amortizes instead of taxing
+    every point-read."""
+    import time as _time
+
+    now = _time.monotonic()
+    hit = _FP_AT.get(index_path)
+    if hit is not None and now - hit[0] < ttl:
+        return hit[1]
+    fp = _artifact_fingerprint(index_path)
+    _FP_AT[index_path] = (now, fp)
+    return fp
 
 
 def _artifact_fingerprint(index_path: str) -> int:
@@ -303,7 +323,7 @@ def _artifact_fingerprint(index_path: str) -> int:
     return h
 
 
-def _local_rowgroup_index(index_path: str):
+def _local_rowgroup_index(index_path: str, fp: int | None = None):
     """bucket -> [(ParquetFile, [(term_min, term_max) per row group])] for
     a term-bucket partitioned posting artifact, built once per (path,
     fingerprint) from parquet footers only (no data pages read). Row
@@ -313,7 +333,8 @@ def _local_rowgroup_index(index_path: str):
     postings). Returns None only when NO row group anywhere has stats
     (legacy unsorted artifact) — callers then fall back to the generic
     dataset scan."""
-    fp = _artifact_fingerprint(index_path)
+    if fp is None:
+        fp = _artifact_fingerprint(index_path)
     hit = _LOCAL_RG_INDEX_CACHE.get(index_path)
     if hit is not None and hit[0] == fp:
         return hit[1]
@@ -360,6 +381,7 @@ def text_serve_local(
     weight: float = 1.0,
     num_docs: int | None = None,
     candidate_ids=None,
+    fp_ttl_sec: float | None = None,
 ):
     """Driver-local single-query serving: score one bounded text query
     straight off the persisted posting artifact with pyarrow — NO Spark
@@ -411,7 +433,9 @@ def text_serve_local(
 
     from semadb_spark.functions.hashing import md5_hash64_py
 
-    fp = _artifact_fingerprint(index_path)
+    fp = _artifact_fingerprint_cached(
+        index_path, _FP_TTL_SEC if fp_ttl_sec is None else fp_ttl_sec
+    )
     hit = _LOCAL_DATASET_CACHE.get(index_path)
     if hit is not None and hit[0] == fp:
         dset = hit[1]
@@ -430,7 +454,7 @@ def text_serve_local(
         # via the dataset path vs ~20 ms via direct row-group reads).
         # Falls back to the dataset scan if stats are missing (unsorted
         # legacy artifact).
-        idx = _local_rowgroup_index(index_path)
+        idx = _local_rowgroup_index(index_path, fp=fp)
         if idx is not None:
             import pyarrow as pa
 
@@ -473,7 +497,9 @@ def text_serve_local(
         return empty
     ids = tbl.column("id").to_numpy(zero_copy_only=False)
     if candidate_ids is not None:
-        keep = np.isin(ids, np.asarray(list(candidate_ids), dtype=object))
+        # hash-based membership: np.isin on object arrays sort-merges (it
+        # argsorts string ids — measured dominant on 100k+ posting reads)
+        keep = pd.Series(ids).isin(candidate_ids).to_numpy()
         if not keep.any():
             return empty
         tbl = tbl.take(np.flatnonzero(keep))
@@ -482,16 +508,26 @@ def text_serve_local(
     dl = tbl.column("doc_len").to_numpy(zero_copy_only=False).astype(np.float64)
     dfv = tbl.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
     contrib = tf / dl * np.log10(float(num_docs) / (dfv + 1.0))
-    uids, inv = np.unique(ids, return_inverse=True)
-    score = np.zeros(len(uids))
-    np.add.at(score, inv, contrib)
+    # factorize (hash-based) instead of np.unique: unique argsorts the
+    # object id strings — measured 80% of query latency on common-term
+    # queries whose posting reads span 100k+ rows. bincount accumulates
+    # in the same row order np.add.at did, so scores are bit-identical.
+    inv, uids = pd.factorize(ids)
+    score = np.bincount(inv, weights=contrib, minlength=len(uids))
     if operator == "containsAll":
-        matched = np.zeros(len(uids), dtype=np.int64)
-        np.add.at(matched, inv, 1)  # (id, term) unique in the posting table
+        matched = np.bincount(inv, minlength=len(uids))
         keep = matched == len(terms)
         uids, score = uids[keep], score[keep]
         if not len(uids):
             return empty
+    # top-k selection before the sort: argpartition down to the score
+    # threshold, sort only the boundary set (ties at the threshold kept,
+    # so the (-score, id) order and truncation match the full sort)
+    k = int(limit)
+    if len(uids) > 4 * k and k > 0:
+        thr = score[np.argpartition(-score, k - 1)[:k]].min()
+        sel = score >= thr
+        uids, score = uids[sel], score[sel]
     out = pd.DataFrame(
         {"id": uids, "_score": score, "_hybridScore": float(weight) * score}
     )
@@ -499,7 +535,7 @@ def text_serve_local(
     # identical to the SQL path's ORDER BY _score DESC, id ASC LIMIT n
     return (
         out.sort_values(["_score", "id"], ascending=[False, True], kind="stable")
-        .head(int(limit))
+        .head(k)
         .reset_index(drop=True)
     )
 
@@ -646,6 +682,10 @@ def _pool_serve(args: tuple[str, str, int, float]):
     return text_serve_local(
         _POOL_INDEX_PATH, query, operator, limit=limit, weight=weight,
         num_docs=_POOL_NUM_DOCS,
+        # pool contract: artifact immutable while open — amortize the
+        # mutation-detecting listing walk over minutes (same trade as
+        # VectorServePool's workers)
+        fp_ttl_sec=300.0,
     )
 
 

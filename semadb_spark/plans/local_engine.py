@@ -79,12 +79,16 @@ def _leaf_series(pdf: pd.DataFrame, prop: str) -> pd.Series:
 
 @dataclass
 class _LocalCompiled:
-    """Local analogue of compiler.Compiled. Exactly one of ``pred`` / ``ids``
-    is the set authority: pure subtrees keep (pandas_fn, needed_cols,
-    pushdown_expr|None); ranked subtrees carry an id array + scored frame."""
+    """Local analogue of compiler.Compiled. Exactly one of ``pred`` /
+    ``mask`` is the set authority: pure subtrees keep (pandas_fn,
+    needed_cols, pushdown_expr|None); ranked/mixed subtrees carry a
+    boolean membership mask over the snapshot's canonical row order (set
+    algebra on masks is O(n) bitwise, where id-set intersections were
+    measured re-hashing 100k-element object sets per query) plus the
+    scored frame."""
 
     pred: tuple | None = None  # (fn(pdf)->bool ndarray, set[str] cols, pa_expr|None)
-    ids: np.ndarray | None = None
+    mask: np.ndarray | None = None  # bool over canonical row order
     ranked: pd.DataFrame | None = None  # id, _distance, _score, _hybridScore
 
     @property
@@ -194,6 +198,15 @@ class LocalSearchEngine:
         # holds the columns it filters on; re-decoding parquet per
         # point-read would put an IO floor under every filter leg)
         self._col_cache: dict[str, pd.Series] = {}
+        # assembled-frame + case-folded-column caches (requests repeat the
+        # same column sets; pandas frame assembly from cached Series costs
+        # ~20 ms/call at 200k rows, str.lower() ~30 ms — both per-snapshot
+        # facts, not per-query work)
+        self._frame_cache: dict[tuple, pd.DataFrame] = {}
+        self._fold_cache: dict[str, pd.Series] = {}
+        # canonical row order: id array / hash index / id-sorted permutation
+        # / pre-gathered sorted ids, built once per snapshot (lazy)
+        self._canon: tuple | None = None
 
     # -- snapshot scan --------------------------------------------------------
 
@@ -216,8 +229,15 @@ class LocalSearchEngine:
     def _col_frame(self, cols) -> pd.DataFrame:
         """id + requested root columns off the resident column cache (full
         snapshot order — pyarrow dataset scans are deterministic over the
-        pinned file list, so separately-scanned columns align)."""
-        wanted = [self.id_col, *[c for c in cols if c != self.id_col]]
+        pinned file list, so separately-scanned columns align). Assembled
+        frames are cached per column set: block-manager construction from
+        existing Series measured ~20 ms/call at 200k rows."""
+        wanted = tuple(
+            dict.fromkeys([self.id_col, *[c for c in cols if c != self.id_col]])
+        )
+        hit = self._frame_cache.get(wanted)
+        if hit is not None:
+            return hit
         missing = [
             c for c in wanted
             if c not in self._col_cache and c in self._frame_fields
@@ -226,23 +246,55 @@ class LocalSearchEngine:
             pdf = self._scan(missing)
             for c in missing:
                 self._col_cache[c] = pdf[c]
-        return pd.DataFrame(
+        frame = pd.DataFrame(
             {c: self._col_cache[c] for c in wanted if c in self._col_cache}
         )
+        self._frame_cache[wanted] = frame
+        return frame
+
+    def _folded(self, s: pd.Series, prop: str) -> pd.Series:
+        """Case-folded string series, cached per root column when the input
+        IS the resident column (full snapshot length) — folding 200k
+        strings per query measured ~30 ms."""
+        root = prop.split(".", 1)[0]
+        cached = self._col_cache.get(root)
+        # pure-leaf fns only ever evaluate over _col_frame's full canonical
+        # frames, so a length match means this IS the resident column
+        if "." not in prop and cached is not None and len(s) == len(cached):
+            hit = self._fold_cache.get(root)
+            if hit is None:
+                hit = cached.str.lower()
+                self._fold_cache[root] = hit
+            return hit
+        return s.str.lower()
+
+    def _canonical_ids(self) -> tuple[np.ndarray, pd.Index, np.ndarray]:
+        """(ids_all, hash index, argsort permutation) over the canonical
+        snapshot row order — the one-time state every mask operates in.
+        The argsort is what makes default-order paging O(page): filter-only
+        rows order by id asc, so 'sorted ids where mask' is a gather
+        through the precomputed permutation, never a per-query sort."""
+        if self._canon is None:
+            ids_all = self._col_frame([])[self.id_col].to_numpy(dtype=object)
+            order = np.argsort(ids_all, kind="stable")
+            self._canon = (ids_all, pd.Index(ids_all), order, ids_all[order])
+        return self._canon[:3]
 
     def _rows_for_ids(self, ids: np.ndarray) -> pd.DataFrame:
-        """Point-read full rows for a bounded id page. The snapshot is
-        written id-sorted within each bucket file (collection.py
-        _write_snapshot), so the isin pushdown prunes row groups by _id
-        min/max stats — the B+tree-order analogue."""
-        import pyarrow.dataset as pads
-
+        """Point-read full rows for a bounded id page — a positional gather
+        off the resident columns. The first call decodes each column once
+        (the reference's decode-once shard cache, cache/manager.go: a
+        serving node HOLDS its shard); per-query parquet point-reads were
+        measured at ~60 ms/page because a 10-id page touches ~10 bucket
+        files and parquet decodes whole row groups, body bytes included."""
         if len(ids) == 0:
             return pd.DataFrame(
                 {c: pd.Series([], dtype=object) for c in self._frame_fields}
             )
-        flt = pads.field(self.id_col).isin([str(i) for i in ids])
-        return self._scan(list(self._frame_fields), pa_filter=flt)
+        pdf = self._col_frame(self._frame_fields)
+        _, index, _ = self._canonical_ids()
+        pos = index.get_indexer(np.asarray(ids, dtype=object))
+        return pdf.iloc[pos[pos >= 0]].reset_index(drop=True)
 
     # -- public API -----------------------------------------------------------
 
@@ -379,7 +431,7 @@ class LocalSearchEngine:
         def fn(pdf, prop=prop, v=v, end=end, op=op, fold=fold):
             s = _leaf_series(pdf, prop)
             if fold:
-                s = s.str.lower()
+                s = self._folded(s, prop)
             if op == "startsWith":
                 return s.str.startswith(v).fillna(False).to_numpy()
             return self._range_mask(s, op, v, end)
@@ -429,16 +481,27 @@ class LocalSearchEngine:
 
     # -- ranked leaves ---------------------------------------------------------
 
+    def _mask_for_ids(self, ids) -> np.ndarray:
+        """Bounded id list -> membership mask over the canonical order."""
+        ids_all, index, _ = self._canonical_ids()
+        mask = np.zeros(len(ids_all), dtype=bool)
+        pos = index.get_indexer(np.asarray(ids, dtype=object))
+        mask[pos[pos >= 0]] = True
+        return mask
+
     def _candidate_ids(self, filter_query: dict | None) -> np.ndarray | None:
         """R4 pre-filter -> candidate id array (computed BEFORE ranking)."""
         if filter_query is None:
             return None
-        return self._ids_of(self.compile(filter_query))
+        ids_all, _, _ = self._canonical_ids()
+        return ids_all[self._mask_of(self.compile(filter_query))]
 
-    def _vec_matrix(self, prop: str) -> tuple[np.ndarray, np.ndarray]:
-        """(ids, X float64) for the exact scan, cached per snapshot — the
-        local analogue of the engine's one-scan-per-query over the parquet
-        (here the decode happens once and every query is a GEMM)."""
+    def _vec_matrix(self, prop: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(ids, X float64, row_norms²) for the exact scan, cached per
+        snapshot — the local analogue of the engine's one-scan-per-query
+        over the parquet (here the decode happens once and every query is
+        a GEMM). Row norms are precomputed: building the 200k x d squared
+        temp per query was the measured cost of the euclidean leg."""
         hit = self._vec_cache.get(prop)
         if hit is not None:
             return hit
@@ -452,8 +515,8 @@ class LocalSearchEngine:
         X = np.stack(
             [np.asarray(v, dtype=np.float64) for v in vals.to_numpy()[mask]]
         ) if mask.any() else np.zeros((0, 1))
-        self._vec_cache[prop] = (ids, X)
-        return ids, X
+        self._vec_cache[prop] = (ids, X, (X * X).sum(axis=1))
+        return self._vec_cache[prop]
 
     def _exact_topk(
         self, prop: str, vector, metric: str, limit: int,
@@ -465,10 +528,11 @@ class LocalSearchEngine:
         (shard/vectorstore/vectorstore.go:51-73)."""
         from semadb_spark.functions.distances import numpy_distance_matrix
 
-        ids, X = self._vec_matrix(prop)
+        ids, X, n2 = self._vec_matrix(prop)
         if candidates is not None:
-            keep = np.isin(ids, candidates)
-            ids, X = ids[keep], X[keep]
+            # hash-based membership (np.isin argsorts object ids)
+            keep = pd.Series(ids).isin(candidates).to_numpy()
+            ids, X, n2 = ids[keep], X[keep], n2[keep]
         if len(ids) == 0:
             return _empty_ranked().drop(columns=["_score", "_hybridScore"])
         q = np.asarray(vector, dtype=np.float64)
@@ -484,12 +548,29 @@ class LocalSearchEngine:
                 ids, codes = hit
             qc = encode_bits_np(q[None, :], np.asarray(0.5))
             d = numpy_distance_matrix(metric, codes, qc)[:, 0].astype(np.float64)
+        elif metric == "euclidean":
+            # inline with the cached row norms: one GEMV + saxpy, same
+            # ||x||² - 2x·q + ||q||² formula (and clamp) as the shared
+            # kernel, minus its per-call 200k x d squared temp
+            d = np.maximum(n2 - 2.0 * (X @ q) + (q @ q), 0.0)
+        elif metric == "dot":
+            d = -(X @ q)
+        elif metric == "cosine":
+            d = 1.0 - X @ q
         else:
             d = numpy_distance_matrix(metric, X, q[None, :])[:, 0]
+        # top-k selection before the sort: partition to the distance
+        # threshold, keep boundary ties so the (distance, id) order and
+        # truncation match a full sort exactly
+        k = int(limit)
+        if len(d) > 4 * k:
+            thr = d[np.argpartition(d, k - 1)[:k]].max()
+            sel = d <= thr
+            ids, d = ids[sel], d[sel]
         out = pd.DataFrame({"id": ids, "_distance": d})
         return (
             out.sort_values(["_distance", "id"], kind="stable")
-            .head(int(limit))
+            .head(k)
             .reset_index(drop=True)
         )
 
@@ -573,9 +654,7 @@ class LocalSearchEngine:
             _score=np.nan,
             _hybridScore=-1.0 * weight * topk["_distance"].to_numpy(),
         )
-        return _LocalCompiled(
-            ids=ranked["id"].to_numpy(dtype=object), ranked=ranked
-        )
+        return _LocalCompiled(mask=self._mask_for_ids(ranked["id"]), ranked=ranked)
 
     def _compile_text(self, prop: str, query: dict, value) -> _LocalCompiled:
         opts = query.get("text")
@@ -610,22 +689,20 @@ class LocalSearchEngine:
         ranked = scored.assign(_distance=np.nan)[
             ["id", "_distance", "_score", "_hybridScore"]
         ]
-        return _LocalCompiled(
-            ids=ranked["id"].to_numpy(dtype=object), ranked=ranked
-        )
+        return _LocalCompiled(mask=self._mask_for_ids(ranked["id"]), ranked=ranked)
 
     # -- boolean composition (B1-B3) -------------------------------------------
 
-    def _ids_of(self, c: _LocalCompiled) -> np.ndarray:
+    def _mask_of(self, c: _LocalCompiled) -> np.ndarray:
         if not c.is_pure:
-            return c.ids
+            return c.mask
         fn, cols, _expr = c.pred
         # resident columns beat re-scanning with pushdown on the serving
         # hot path; the pandas fn is the predicate authority either way
         pdf = self._col_frame(cols)
         if len(pdf) == 0:
-            return np.asarray([], dtype=object)
-        return pdf[self.id_col].to_numpy(dtype=object)[fn(pdf)]
+            return np.zeros(0, dtype=bool)
+        return np.asarray(fn(pdf), dtype=bool)
 
     def _compile_bool(
         self, children: list[_LocalCompiled], conjunction: bool
@@ -663,17 +740,16 @@ class LocalSearchEngine:
 
             return _LocalCompiled(pred=(fn, cols, expr))
 
-        # mixed/ranked: materialize id sets (shard/index/search.go:248-252)
-        id_arrays = [self._ids_of(c) for c in children]
-        if conjunction:
-            final = set(id_arrays[0])
-            for a in id_arrays[1:]:
-                final &= set(a)
-        else:
-            final = set()
-            for a in id_arrays:
-                final |= set(a)
-        final_set = np.asarray(sorted(final), dtype=object)
+        # mixed/ranked: materialize membership masks and combine bitwise
+        # (shard/index/search.go:248-252 materializes id bitmaps the same
+        # way; python id SETS re-hash every string per op — measured slow)
+        masks = [self._mask_of(c) for c in children]
+        final = masks[0].copy()
+        for m in masks[1:]:
+            if conjunction:
+                final &= m
+            else:
+                final |= m
 
         ranked_frames = [
             c.ranked.assign(_src=i)
@@ -703,42 +779,33 @@ class LocalSearchEngine:
             merged["_hybridScore"] = hybrid.to_numpy()
             if conjunction:
                 # _and drops ranked rows outside the intersection
-                merged = merged[merged["id"].isin(final)].reset_index(drop=True)
-        return _LocalCompiled(ids=final_set, ranked=merged)
+                _, index, _ = self._canonical_ids()
+                pos = index.get_indexer(merged["id"].to_numpy(dtype=object))
+                keep = (pos >= 0) & final[np.maximum(pos, 0)]
+                merged = merged[keep].reset_index(drop=True)
+        return _LocalCompiled(mask=final, ranked=merged)
 
     # -- assembly + shaping (P1-P3, B4) ----------------------------------------
 
     def _assemble_and_shape(
         self, compiled: _LocalCompiled, request: dict
     ) -> pd.DataFrame:
-        # 1) the scored/membership skeleton: id, scores, _rankedFirst
+        # 1) membership mask + ranked frame (ordered hybrid-desc/id-asc)
+        ids_all, index, id_order = self._canonical_ids()
         if compiled.is_pure:
-            ids = self._ids_of(compiled)
-            skel = pd.DataFrame({"id": ids})
-            skel["_distance"] = np.nan
-            skel["_score"] = np.nan
-            skel["_hybridScore"] = 0.0
-            skel["_rankedFirst"] = 1
-        elif compiled.ranked is None:
-            skel = pd.DataFrame({"id": compiled.ids})
-            skel["_distance"] = np.nan
-            skel["_score"] = np.nan
-            skel["_hybridScore"] = 0.0
-            skel["_rankedFirst"] = 1
+            mask = self._mask_of(compiled)
+            ranked = None
         else:
-            ranked = compiled.ranked.assign(_rankedFirst=0)
-            leftover_ids = np.asarray(
-                sorted(set(compiled.ids) - set(ranked["id"])), dtype=object
-            )
-            leftover = pd.DataFrame({"id": leftover_ids})
-            leftover["_distance"] = np.nan
-            leftover["_score"] = np.nan
-            leftover["_hybridScore"] = 0.0
-            leftover["_rankedFirst"] = 1
-            skel = pd.concat([ranked, leftover], ignore_index=True)
+            mask, ranked = compiled.mask, compiled.ranked
+        if ranked is not None and len(ranked):
+            ranked = ranked.sort_values(
+                ["_hybridScore", "id"], ascending=[False, True], kind="stable"
+            ).reset_index(drop=True)
+            leftover_mask = mask & ~self._mask_for_ids(ranked["id"])
+        else:
+            ranked = None
+            leftover_mask = mask
 
-        # 2) ordering: default ranked-first/hybrid-desc/id-asc; user sort
-        # keys take precedence with missing-last (utils/compare.go:56-89)
         sort_opts = request.get("sort") or []
         if len(sort_opts) > 10:
             raise ValueError("sort options exceed maximum of 10")
@@ -752,55 +819,79 @@ class LocalSearchEngine:
                     "cross-type sort is engine-only"
                 )
             user_cols.append((sp, bool(s.get("descending"))))
-        if user_cols:
-            roots = {sp.split(".", 1)[0] for sp, _ in user_cols}
-            import pyarrow.dataset as pads
 
-            sort_vals = (
-                self._scan(
-                    [self.id_col, *roots],
-                    pa_filter=pads.field(self.id_col).isin(
-                        [str(i) for i in skel["id"]]
-                    ),
-                )
-                if len(skel)
-                else pd.DataFrame({self.id_col: []})
-            )
-            key = skel.merge(
-                sort_vals, left_on="id", right_on=self.id_col, how="left"
-            )
-            by, asc, na_keys = [], [], []
+        offset = int(request.get("offset", 0))
+        limit = request["limit"] if "limit" in request else 10
+        if not user_cols:
+            # default order = ranked rows (already sorted), then filter-only
+            # rows id-asc; paging is a GATHER through the precomputed
+            # id-sorted permutation — no per-query sort of the filter set
+            # (the local analogue of TakeOrderedAndProject's bounded trim)
+            need = None if limit is None else offset + int(limit)
+            ids_sorted = self._canon[3]
+            sel = np.flatnonzero(leftover_mask[id_order])
+            n_ranked = 0 if ranked is None else len(ranked)
+            if need is not None:
+                sel = sel[: max(0, need - min(n_ranked, need))]
+            lo_sorted = ids_sorted[sel]
+            leftover = pd.DataFrame({"id": lo_sorted})
+            leftover["_distance"] = np.nan
+            leftover["_score"] = np.nan
+            leftover["_hybridScore"] = 0.0
+            parts = [ranked, leftover] if ranked is not None else [leftover]
+            ordered = pd.concat(parts, ignore_index=True)
+            if limit is not None:
+                ordered = ordered.iloc[offset : offset + int(limit)]
+            elif offset:
+                ordered = ordered.iloc[offset:]
+        else:
+            # user sort keys take precedence with missing-last
+            # (utils/compare.go:56-89); sort values come from the resident
+            # column cache by POSITION (no rescans). The full candidate
+            # set sorts here — the same work the engine's distributed sort
+            # does for a user-ordered result.
+            lo_pos = np.flatnonzero(leftover_mask)
+            skel_frames = []
+            if ranked is not None:
+                r = ranked.copy()
+                r["_rankedFirst"] = 0
+                r["__pos"] = index.get_indexer(r["id"].to_numpy(dtype=object))
+                skel_frames.append(r)
+            lo = pd.DataFrame({"id": ids_all[lo_pos]})
+            lo["_distance"] = np.nan
+            lo["_score"] = np.nan
+            lo["_hybridScore"] = 0.0
+            lo["_rankedFirst"] = 1
+            lo["__pos"] = lo_pos
+            skel_frames.append(lo)
+            key = pd.concat(skel_frames, ignore_index=True)
+            by, asc = [], []
             for sp, desc in user_cols:
-                sv = _leaf_series(key, sp) if "." in sp else key[sp]
-                kn = f"__k_{sp}"
+                root = sp.split(".", 1)[0]
+                self._col_frame([root])  # ensure residency
+                col = self._col_cache[root]
+                pos = key["__pos"].to_numpy()
+                sv = pd.Series(
+                    col.to_numpy()[np.maximum(pos, 0)], index=key.index
+                ).where(pos >= 0)
+                if "." in sp:
+                    sv = _leaf_series(pd.DataFrame({root: sv}), sp)
+                kn, mn = f"__k_{sp}", f"__m_{sp}"
                 key[kn] = sv
-                # nulls last regardless of direction: sort an explicit
-                # missing rank first (pandas na_position is global, the
-                # engine's is per-key)
-                mn = f"__m_{sp}"
+                # nulls last regardless of direction: explicit missing rank
+                # first (pandas na_position is global, the engine's per-key)
                 key[mn] = sv.isna().astype(int)
                 by.extend([mn, kn])
                 asc.extend([True, not desc])
             by.extend(["_rankedFirst", "_hybridScore", "id"])
             asc.extend([True, False, True])
             ordered = key.sort_values(by, ascending=asc, kind="stable")[
-                skel.columns
+                ["id", "_distance", "_score", "_hybridScore"]
             ]
-        else:
-            ordered = skel.sort_values(
-                ["_rankedFirst", "_hybridScore", "id"],
-                ascending=[True, False, True],
-                kind="stable",
-            )
-
-        # 3) offset/limit BEFORE fetching point data — the point-read
-        # analogue of the engine's TakeOrderedAndProject pre-trim
-        offset = int(request.get("offset", 0))
-        limit = request["limit"] if "limit" in request else 10
-        if limit is not None:
-            ordered = ordered.iloc[offset : offset + int(limit)]
-        elif offset:
-            ordered = ordered.iloc[offset:]
+            if limit is not None:
+                ordered = ordered.iloc[offset : offset + int(limit)]
+            elif offset:
+                ordered = ordered.iloc[offset:]
         ordered = ordered.reset_index(drop=True)
 
         # 4) backfill point data for the final page only

@@ -717,6 +717,12 @@ def test_text_serve_local_cache_invalidated_on_rebuild(products, tmp_path):
     # filesystem's mtime granularity makes both writes land on one tick
     os.utime(os.path.join(path, "_SUCCESS"))
     time.sleep(0.01)
+    # the fingerprint walk runs at most once per _FP_TTL_SEC (r10, the
+    # same trade the vector tier made in r9); a serve inside the TTL
+    # window may still see the old artifact — model the TTL elapsing
+    from semadb_spark.operators import text_search as ts
+
+    ts._FP_AT.pop(path, None)  # = TTL elapsed
     second = text_serve_local(path, "gandalf", "containsAny", num_docs=n2)
     assert len(second) == 0, "stale postings served after in-place rebuild"
     assert len(text_serve_local(path, "nobody", "containsAny", num_docs=n2)) > 0

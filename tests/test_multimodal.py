@@ -803,3 +803,102 @@ def test_decode_wav_np_roundtrip_and_features(spark):
     assert abs(w["peak"] - 0.5) < 1e-3
     assert rows["txt"]["sample_rate"] is None and rows["txt"]["rms"] is None
     assert rows["txt"]["n_bytes"] == 16
+
+
+def _mp3_frame(version="1", layer=3, br_idx=9, sr_idx=0, pad=0, mode=0,
+               fill=b"\x00"):
+    """Hand-rolled MPEG audio frame: 4-byte header + zero payload of the
+    spec frame length (the same tables parse_mp3_header reads)."""
+    from semadb_spark.operators import multimodal as mm
+
+    ver_bits = {"1": 3, "2": 2, "2.5": 0}[version]
+    layer_bits = {1: 3, 2: 2, 3: 1}[layer]
+    b1 = 0xE0 | (ver_bits << 3) | (layer_bits << 1) | 1
+    b2 = (br_idx << 4) | (sr_idx << 2) | (pad << 1)
+    b3 = mode << 6
+    hdr = bytes([0xFF, b1, b2, b3])
+    f = mm._mp3_frame_at(hdr, 0)
+    assert f is not None
+    return hdr + fill * (f["frame_len"] - 4), f
+
+
+def test_parse_mp3_header_cbr_and_tags():
+    from semadb_spark.operators import multimodal as mm
+
+    # MPEG1 Layer III, idx9=128 kbps, 44100 Hz, stereo; 40 frames CBR
+    frame, f = _mp3_frame()
+    assert f["bitrate_kbps"] == 128 and f["sample_rate"] == 44100
+    assert f["frame_len"] == 144 * 128000 // 44100  # 417, spec formula
+    data = frame * 40
+    got = mm.parse_mp3_header(data)
+    assert got["format"] == "mp3" and got["mpeg_version"] == "1"
+    assert got["sample_rate"] == 44100 and got["bitrate_kbps"] == 128
+    assert got["channels"] == 2 and got["frames"] is None and not got["vbr"]
+    # CBR duration estimate: bytes*8/bitrate (40 frames = ~1.04 s -> 1000ms
+    # after the whole-second floor of the estimate path)
+    want_ms = int(len(data) * 8 // 128000 * 1000)
+    assert got["duration_ms"] == want_ms
+    # ID3v2 prefix (syncsafe size) + trailing ID3v1 "TAG" block skipped
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0x02, 0x01]) + b"\x00" * 0x101
+    tagged = id3 + data + b"TAG" + b"\x00" * 125
+    got2 = mm.parse_mp3_header(tagged)
+    assert got2["audio_start"] == len(id3)
+    assert got2["duration_ms"] == want_ms  # ID3v1/v2 bytes excluded
+    # false sync inside garbage does not fool the next-frame guard
+    garbage = b"\xff\xfb" + b"\x12" * 100
+    assert mm.parse_mp3_header(garbage) is None
+    assert mm.parse_mp3_header(b"not audio at all") is None
+
+
+def test_parse_mp3_header_versions_and_xing():
+    import struct
+
+    from semadb_spark.operators import multimodal as mm
+
+    # MPEG2 Layer III mono 24 kHz idx4=32 kbps, 576 samples/frame
+    frame2, f2 = _mp3_frame(version="2", br_idx=4, sr_idx=1, mode=3)
+    assert f2["sample_rate"] == 24000 and f2["samples_per_frame"] == 576
+    got = mm.parse_mp3_header(frame2 * 10)
+    assert got["mpeg_version"] == "2" and got["channels"] == 1
+    # Xing VBR header: side info for MPEG1 stereo Layer III = 32 bytes
+    frames_n = 250
+    payload = bytearray(b"\x00" * 32 + b"Xing" + struct.pack(">I", 1)
+                        + struct.pack(">I", frames_n))
+    frame1, f1 = _mp3_frame()
+    body = bytearray(frame1)
+    body[4 : 4 + len(payload)] = payload
+    got = mm.parse_mp3_header(bytes(body) + frame1 * 3)
+    assert got["vbr"] and got["frames"] == frames_n
+    assert got["duration_ms"] == frames_n * 1152 * 1000 // 44100
+
+
+def test_audio_features_mp3_header_real(spark):
+    """audio_features fills sample_rate/duration_ms for MP3 from the frame
+    header (decode-derived columns stay NULL) — header-real tier."""
+    from semadb_spark.operators import multimodal as mm
+
+    frame, _ = _mp3_frame()
+    mp3 = frame * 40
+    rows = [("m1", bytearray(mp3)), ("x1", bytearray(b"\x01\x02\x03"))]
+    df = spark.createDataFrame(rows, "asset_id string, content binary")
+    got = {r["asset_id"]: r for r in mm.audio_features(df).collect()}
+    assert got["m1"]["sample_rate"] == 44100
+    assert got["m1"]["duration_ms"] == int(len(mp3) * 8 // 128000 * 1000)
+    assert got["m1"]["rms"] is None and got["m1"]["n_samples"] is None
+    assert got["x1"]["sample_rate"] is None
+
+
+def test_jpeg_np_max_pixels_breaker(monkeypatch):
+    """The pure-Python JPEG tier declines oversized frames instead of
+    decoding them (executor-pinning guard); the knob is a module global."""
+    import numpy as np
+
+    from semadb_spark.operators import multimodal as mm
+
+    y = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    data = _jpeg_bytes(y)
+    assert mm.decode_jpeg_np(data) is not None
+    monkeypatch.setattr(mm, "JPEG_NP_MAX_PIXELS", 63)
+    assert mm.decode_jpeg_np(data) is None  # 8x8 = 64 > 63: declined
+    # decode_image still degrades gracefully through the tier contract
+    assert mm.decode_image(data) is not None
