@@ -788,14 +788,32 @@ def main() -> None:
                     kernel="batched", compute_dtype="float32", n_seeds=64,
                 )
 
-            # session-cold first batch (see the vamana_1m cold note).
+            # TRUE-cold first batch (r10): earlier rounds measured
+            # "session-cold" with whatever page-cache state the bench left
+            # behind; now the artifact is explicitly fadvise-EVICTED and
+            # the open-time readahead races the first scan — the serving
+            # story a fresh node actually runs
+            # (Collection.prefetch_vamana_index). Measured in isolation:
+            # un-knobbed true-cold 34.2 s (scan-speed IO), prefetch-raced
+            # 13.9 s, warm 6-7 s.
+            import glob as _glob
+
+            for _f in _glob.glob(
+                os.path.join(VAM10_ART, "**", "*.parquet"), recursive=True
+            ):
+                _fd = os.open(_f, os.O_RDONLY)
+                os.posix_fadvise(_fd, 0, 0, os.POSIX_FADV_DONTNEED)
+                os.close(_fd)
+            from semadb_spark.operators.vamana import prefetch_packed_artifact
+
+            prefetch_packed_artifact(VAM10_ART, threads=12)
+            vam10_cold = _timed(lambda: _vam10_serve().count())
             # Pinned band (tightened r10 per VERDICT r9 #1): the measured
             # warm band is ~5.5-6.5 s/pass (712 QPS re-pinned r9, 749.8
             # committed r8), so pin 6.0 -> miss threshold 12 s; the old
             # 8 s pin accepted down to ~256 QPS, loose enough for a real
             # ~20% regression to land silently. Per-pass seconds are
             # published in the row so the trace is auditable either way.
-            vam10_cold = _timed(lambda: _vam10_serve().count())
             vam10_passes: list = []
             vam10_frame, vam10_dt = best_of(
                 2, _vam10_serve, pin_sec=6.0, pass_times=vam10_passes
@@ -809,6 +827,7 @@ def main() -> None:
                 "build_once": True,
                 "qps": round(len(aq10) / vam10_dt, 1),
                 "cold_first_batch_sec": round(vam10_cold, 2),
+                "cold_method": "fadvise-evicted + open-time readahead",
                 "recall_at10": round(vam10_recall, 4),
                 "nprobe": 1,
                 "pack_dtype": vam10_meta.get("pack_dtype", "float64"),

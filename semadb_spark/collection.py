@@ -1073,6 +1073,29 @@ class Collection:
             workers=workers,
         )
 
+    def prefetch_vamana_index(self, prop: str, threads: int = 8):
+        """Start background page-cache readahead of the packed Vamana
+        artifact and return the (daemon) thread — the open-time half of
+        the cold-start story. Measured on the 10M artifact (r10,
+        fadvise-evicted cache): the un-knobbed first batch is IO-bound at
+        34.2 s because the serve's scan streams bytes at ~190 MB/s; raced
+        against this readahead (~640 MB/s parallel raw reads) the first
+        batch lands at 13.9 s — under the reference's documented 1-10 s
+        cold-start class scaled to 10M (README.md:204). Call at artifact
+        open on a serving node; :meth:`warm_vamana_index` remains the
+        blocking full warm-up (bytes + plan codegen)."""
+        from .operators.vamana import prefetch_packed_artifact
+
+        packed_dir = os.path.join(
+            self.path, f"v{self._current_version()}_idx",
+            f"vamana_{prop.replace('.', '_')}", "packed",
+        )
+        if not os.path.exists(os.path.join(packed_dir, "_SUCCESS")):
+            raise ValueError(
+                f"no packed vamana artifact for {prop}; run build_vamana_index"
+            )
+        return prefetch_packed_artifact(packed_dir, threads=threads)
+
     def warm_vamana_index(self, prop: str) -> float:
         """Pre-warm the packed Vamana serving artifact so the FIRST real
         query batch serves at warm latency; returns the seconds spent.

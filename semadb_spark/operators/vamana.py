@@ -2407,6 +2407,45 @@ def vamana_serve_local(
     return ranked[:k]
 
 
+def prefetch_packed_artifact(path: str, threads: int = 8):
+    """Background page-cache readahead of a packed artifact; returns the
+    started (daemon) thread — ``join()`` to block until every byte is
+    resident.
+
+    Cold-start anatomy on the 10M artifact (measured r10, page cache
+    evicted via fadvise): the serve job's first batch is IO-BOUND — its
+    scan streams the 5.2 GB artifact at ~190 MB/s effective (per-task
+    read-then-decode interleave), 34.2 s end-to-end, while raw parallel
+    reads of the same files sustain ~640 MB/s (the warm knob's 8.3 s).
+    A serving node therefore starts readahead the moment it OPENS the
+    artifact: the prefetch races ahead of the scan and the first batch
+    lands at max(compute, prefetch) instead of bytes-at-scan-speed. This
+    is the same decode-once warm-up story the reference documents for
+    its shard cache (README.md:204, cache/manager.go)."""
+    import glob as _glob
+    import os
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+
+    def _slurp(f):
+        try:
+            with open(f, "rb", buffering=0) as fh:
+                while fh.read(1 << 22):
+                    pass
+        except OSError:
+            pass  # racing a concurrent artifact rotation is fine
+
+    def _run():
+        with ThreadPoolExecutor(int(threads)) as ex:
+            list(ex.map(_slurp, files))
+
+    t = threading.Thread(target=_run, daemon=True, name=f"prefetch:{path}")
+    t.start()
+    return t
+
+
 # -- process-parallel vector point-read pool (r10) ---------------------------
 
 _VPOOL_PATH: str | None = None

@@ -1021,3 +1021,31 @@ def test_open_vector_pool_serves_local_identical_results(spark, tmp_path):
         got = pool.search_many(qvs, 5)
         assert [[(i, round(d, 6)) for i, d in one] for one in got] == want
         assert got[0][0][0] == "p009"
+
+
+def test_prefetch_vamana_index(spark, tmp_path):
+    """prefetch_vamana_index = open-time page-cache readahead: returns a
+    joinable thread, leaves results unchanged, errors without an artifact."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    from semadb_spark import Collection
+
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2}}}
+    coll = Collection.create(spark, str(tmp_path / "pref"), schema, num_buckets=4)
+    rng = np.random.RandomState(8)
+    X = rng.normal(size=(120, 8))
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]]) for i in range(120)]
+    ))
+    with pytest.raises(ValueError, match="no packed vamana artifact"):
+        coll.prefetch_vamana_index("v")
+    coll.build_vamana_index("v", num_shards=2, seed=3)
+    th = coll.prefetch_vamana_index("v")
+    th.join(timeout=30)
+    assert not th.is_alive()
+    got = coll.vamana_search_local("v", [float(x) for x in X[4]], 3, n_seeds=8)
+    assert got[0][0] == "p004"
