@@ -236,6 +236,20 @@ class Collection:
             raise ValueError(f"no collection at {path}")
         return cls(spark, path)
 
+    @classmethod
+    def open_local(cls, path: str) -> "Collection":
+        """Open for DRIVER-LOCAL serving only — no SparkSession. The
+        point-read surfaces (:meth:`search_local`,
+        :meth:`vamana_search_local`, the serving pools) read snapshot
+        manifests and index artifacts straight off the filesystem; a
+        serving worker process therefore never starts a JVM (the
+        reference's serving node opens its shard files the same way,
+        shard/shard.go:57-96). Anything that compiles Spark plans
+        (:meth:`search`, DML, index builds) raises."""
+        if not os.path.exists(os.path.join(path, _SCHEMA_FILE)):
+            raise ValueError(f"no collection at {path}")
+        return cls(None, path)
+
     # -- snapshot bookkeeping ----------------------------------------------
     def _current_version(self) -> int:
         p = os.path.join(self.path, _CURRENT)
@@ -350,6 +364,12 @@ class Collection:
     def _read_buckets(self, buckets: list[int] | None = None) -> DataFrame:
         """Read the current snapshot, pruned to ``buckets`` when given —
         bucket pruning is directory pruning, the point of the layout."""
+        if self.spark is None:
+            raise ValueError(
+                "collection opened local-only (open_local): Spark surfaces "
+                "(search/DML/index builds) unavailable; use search_local / "
+                "the point-read tiers"
+            )
         manifest = self._manifest()
         if buckets is not None:
             wanted = set(buckets)
@@ -1639,6 +1659,12 @@ class Collection:
         so they invalidate explicitly via :meth:`_invalidate_engine`."""
         from .plans.compiler import SearchEngine
 
+        if self.spark is None:
+            raise ValueError(
+                "collection opened local-only (open_local): Spark surfaces "
+                "(search/DML/index builds) unavailable; use search_local / "
+                "the point-read tiers"
+            )
         v = self._current_version()
         cached = getattr(self, "_engine_cache", None)
         if cached is not None and cached[0] == v:
@@ -1701,6 +1727,25 @@ class Collection:
         if cached is None or cached[0] != key:
             self._local_engine_cache = (key, LocalSearchEngine(self, vector_mode))
         return self._local_engine_cache[1].search(request)
+
+    def open_search_pool(self, workers: int = 8, vector_mode: str = "auto",
+                         warm_requests=None):
+        """Open a process-parallel HYBRID serving pool over this
+        collection's current snapshot
+        (:class:`~semadb_spark.plans.local_engine.HybridServePool`): N
+        worker processes, each running the full compiled-query lifecycle
+        of :meth:`search_local` over its own resident snapshot state —
+        the reference's concurrent-search deployment for the composed
+        query tree (shard/shard.go:329-472). Workers open the collection
+        filesystem-only (no JVM) and pin the snapshot at spawn; rotate
+        the pool after DML. Results identical to :meth:`search_local`
+        (parity-tested). Use as a context manager."""
+        from .plans.local_engine import HybridServePool
+
+        return HybridServePool(
+            self.path, workers=workers, vector_mode=vector_mode,
+            warm_requests=warm_requests,
+        )
 
     # -- W1: insert ---------------------------------------------------------
     def insert(self, points: DataFrame, id_col: str = "_id") -> int:

@@ -931,3 +931,107 @@ class LocalSearchEngine:
                 final[c] = out[c]
             out = final
         return out
+
+
+# -- process-parallel hybrid serving pool (r10) -------------------------------
+
+_HPOOL_ENGINE: "LocalSearchEngine | None" = None
+
+
+def _hpool_init(collection_path: str, vector_mode: str, warm_requests) -> None:
+    """Worker initializer: open the collection WITHOUT a SparkSession
+    (Collection.open_local), build this worker's LocalSearchEngine, and
+    optionally pre-run warm requests so the resident caches (columns,
+    vector matrix, posting row-group index) are hot before real traffic."""
+    global _HPOOL_ENGINE
+    from semadb_spark.collection import Collection
+
+    coll = Collection.open_local(collection_path)
+    _HPOOL_ENGINE = LocalSearchEngine(coll, vector_mode=vector_mode)
+    for r in warm_requests or []:
+        _HPOOL_ENGINE.search(r)
+
+
+def _hpool_serve(requests: list[dict]):
+    return [_HPOOL_ENGINE.search(r) for r in requests]
+
+
+class HybridServePool:
+    """Process-parallel hybrid query serving over one Collection snapshot —
+    the pool tier of :meth:`Collection.search_local`, completing the
+    serving ladder (driver-local -> worker pool) for the COMPOSED query
+    tree the way TextServePool / VectorServePool complete it per modality.
+    The reference's deployment is exactly this: N request goroutines each
+    running the full filter -> rank -> merge -> shape lifecycle over
+    shared shard state (shard/shard.go:329-472).
+
+    Each worker opens the collection filesystem-only (no JVM,
+    Collection.open_local) and holds its own resident state: filter
+    columns, vector matrix + norms, posting row-group index. That is
+    whole-snapshot-resident per worker — the right trade for a serving
+    node (the reference's shard cache holds the decoded shard the same
+    way); size workers to snapshot-bytes x workers. Workers pin the
+    snapshot version at spawn: rotate the pool after DML, like the other
+    pools rotate on artifact rebuilds. Results are identical to
+    search_local (same engine class; parity-tested).
+
+    Usage::
+
+        with HybridServePool(coll.path, workers=8,
+                             warm_requests=reqs[:4]) as pool:
+            rows = pool.search(request)
+            all_rows = pool.search_many(requests)
+    """
+
+    def __init__(self, collection_path: str, workers: int = 8,
+                 vector_mode: str = "auto", warm_requests=None,
+                 start_method: str | None = None):
+        import os
+
+        from semadb_spark.operators._pool import make_worker_executor
+
+        if not os.path.exists(os.path.join(collection_path, "_schema.json")):
+            raise ValueError(f"no collection at {collection_path}")
+        if int(workers) < 1:
+            raise ValueError("HybridServePool requires workers >= 1")
+        self.workers = int(workers)
+        # one shared executor: unlike the vector pool there is no
+        # per-partition cache affinity to exploit (every worker holds the
+        # whole snapshot), so the shortest queue wins
+        self._pool = make_worker_executor(
+            self.workers, _hpool_init,
+            (collection_path, vector_mode, list(warm_requests or [])),
+            start_method,
+            # serving workers run single-threaded math: W full BLAS pools
+            # oversubscribe the host (operators/_pool.py, measured 4x)
+            blas_threads=1,
+        )
+
+    def search(self, request: dict):
+        """One request -> pandas DataFrame (search_local's output shape)."""
+        return self._pool.submit(_hpool_serve, [request]).result()[0]
+
+    def search_many(self, requests: list[dict]):
+        """Batch -> results in input order. Requests ship in ~2 chunks per
+        worker (per-request submits measured ~3 ms each of parent-side
+        executor overhead on the vector pool — same economics here)."""
+        reqs = list(requests)
+        if not reqs:
+            return []
+        n_chunks = min(len(reqs), self.workers * 2)
+        step = (len(reqs) + n_chunks - 1) // n_chunks
+        chunks = [reqs[i : i + step] for i in range(0, len(reqs), step)]
+        futs = [self._pool.submit(_hpool_serve, c) for c in chunks]
+        out = []
+        for f in futs:
+            out.extend(f.result())
+        return out
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=True)
+
+    def __enter__(self) -> "HybridServePool":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -261,3 +261,64 @@ def test_graph_mode_and_route_guards(spark, tmp_path):
     coll.build_vector_index("v")
     with pytest.raises(LocalServeUnsupported, match="IVF"):
         coll.search_local(req)
+
+
+def test_hybrid_serve_pool_matches_search_local(coll):
+    """HybridServePool (process-parallel search_local, r10): results are
+    identical to the in-process engine for every request shape; lifecycle
+    is clean; workers run without a SparkSession (open_local)."""
+    qv = [0.3] * 8
+    reqs = [
+        {"query": {"property": "_or", "_or": [
+            {"property": "body", "text": {"operator": "containsAny",
+                                          "value": "merge stream",
+                                          "limit": 10, "weight": 3.0}},
+            {"property": "v", "vectorFlat": {"vector": qv, "limit": 10}},
+        ]}, "limit": 15},
+        {"query": {"property": "_and", "_and": [
+            {"property": "n", "integer": {"operator": "inRange",
+                                          "value": 2, "endValue": 9}},
+            {"property": "v", "vectorFlat": {"vector": qv, "limit": 10}},
+        ]}, "limit": 10},
+        {"query": {"property": "cat", "string": {"operator": "equals",
+                                                 "value": "Alpha"}},
+         "limit": 8},
+    ]
+    def norm(pdf):
+        return [
+            (r["_id"],
+             None if r["_hybridScore"] != r["_hybridScore"]
+             else round(r["_hybridScore"], 8))
+            for r in pdf.to_dict("records")
+        ]
+    want = [norm(coll.search_local(r)) for r in reqs]
+    with coll.open_search_pool(workers=2, warm_requests=reqs[:1]) as pool:
+        got_one = norm(pool.search(reqs[0]))
+        assert got_one == want[0]
+        got_many = pool.search_many(reqs * 3)
+        assert [norm(p) for p in got_many] == want * 3
+        assert pool.search_many([]) == []
+    with pytest.raises(RuntimeError):
+        pool.search(reqs[0])  # closed pool rejects new work
+    from semadb_spark.plans.local_engine import HybridServePool
+
+    with pytest.raises(ValueError, match="no collection"):
+        HybridServePool("/tmp/definitely_missing_coll_xyz")
+    with pytest.raises(ValueError, match="workers"):
+        HybridServePool(coll.path, workers=0)
+
+
+def test_open_local_collection_serves_without_spark(coll):
+    """Collection.open_local: filesystem-only open — search_local works,
+    Spark surfaces raise the documented error."""
+    from semadb_spark import Collection
+
+    lc = Collection.open_local(coll.path)
+    req = {"query": F_SHAPES[1], "limit": 5}
+    want = coll.search_local(req)
+    got = lc.search_local(req)
+    assert list(got["_id"]) == list(want["_id"])
+    with pytest.raises(ValueError, match="local-only"):
+        lc.search(req)
+    with pytest.raises(ValueError, match="no collection"):
+        Collection.open_local("/tmp/definitely_missing_coll_xyz")
