@@ -941,38 +941,7 @@ class Collection:
             # no-op in filtered mode (reference fans to every shard).
             from .operators.vamana import vamana_serve_packed
 
-            thresholds = books = None
-            qmeta = self._frozen_quantizer_meta(prop)
-            if meta.get("packed_codes"):
-                # codes were baked with a specific fit — the quantizer this
-                # serve resolves MUST be that fit, or the ADC beam would
-                # score garbage silently (fingerprint check, ADVICE r8).
-                # Legacy artifacts without a recorded fp skip the check.
-                want_fp = meta.get("quantizer_fp")
-                if qmeta is None:
-                    raise ValueError(
-                        f"packed graph for {prop} bakes "
-                        f"{meta['packed_codes']} codes but no frozen "
-                        "quantizer meta resolves; rebuild the index"
-                    )
-                if want_fp is not None:
-                    got_fp = _quantizer_fingerprint(qmeta)
-                    if got_fp != want_fp:
-                        raise ValueError(
-                            f"quantizer drift for {prop}: packed codes were "
-                            f"baked with fit {want_fp} but the resolved "
-                            f"frozen quantizer is {got_fp}; rebuild the "
-                            "index (build_vamana_index) to re-bake codes"
-                        )
-            if meta.get("packed_codes") == "bq" and qmeta is not None:
-                thresholds = np.asarray(qmeta["thresholds"])
-            elif meta.get("packed_codes") == "pq" and qmeta is not None:
-                from .operators.quantize import PQCodebooks
-
-                books = PQCodebooks(
-                    centroids=np.asarray(qmeta["centroids"], dtype=np.float64),
-                    metric=qmeta["pq_metric"],
-                )
+            thresholds, books = self._resolve_packed_quantizer(prop, meta)
             return vamana_serve_packed(
                 self.spark.read.parquet(packed_dir),
                 queries, k,
@@ -1006,6 +975,45 @@ class Collection:
             n_seeds=n_seeds,
         )
 
+    def _resolve_packed_quantizer(self, prop: str, meta: dict):
+        """(thresholds, books) for a packed graph's baked codes, with the
+        fit-fingerprint drift check (ADVICE r8): codes were baked with a
+        specific fit — the quantizer a serve resolves MUST be that fit or
+        the ADC beam would score garbage silently. Legacy artifacts
+        without a recorded fp skip the check. (None, None) when the
+        artifact bakes no codes."""
+        import numpy as np
+
+        thresholds = books = None
+        qmeta = self._frozen_quantizer_meta(prop)
+        if meta.get("packed_codes"):
+            want_fp = meta.get("quantizer_fp")
+            if qmeta is None:
+                raise ValueError(
+                    f"packed graph for {prop} bakes "
+                    f"{meta['packed_codes']} codes but no frozen "
+                    "quantizer meta resolves; rebuild the index"
+                )
+            if want_fp is not None:
+                got_fp = _quantizer_fingerprint(qmeta)
+                if got_fp != want_fp:
+                    raise ValueError(
+                        f"quantizer drift for {prop}: packed codes were "
+                        f"baked with fit {want_fp} but the resolved "
+                        f"frozen quantizer is {got_fp}; rebuild the "
+                        "index (build_vamana_index) to re-bake codes"
+                    )
+        if meta.get("packed_codes") == "bq" and qmeta is not None:
+            thresholds = np.asarray(qmeta["thresholds"])
+        elif meta.get("packed_codes") == "pq" and qmeta is not None:
+            from .operators.quantize import PQCodebooks
+
+            books = PQCodebooks(
+                centroids=np.asarray(qmeta["centroids"], dtype=np.float64),
+                metric=qmeta["pq_metric"],
+            )
+        return thresholds, books
+
     def vamana_search_local(
         self, prop: str, vector: list[float], k: int,
         nprobe: int | None = None, n_seeds: int = 0,
@@ -1038,6 +1046,9 @@ class Collection:
         cents = np.asarray(meta["centroids"], dtype=np.float64)
         if nprobe is None:
             nprobe = max(1, min(len(cents), int(meta["search_size"]) // 8))
+        # baked quantizer codes engage the local bq_adc / pq beam with
+        # exact rerank, same route selection as the Spark packed serve
+        thresholds, books = self._resolve_packed_quantizer(prop, meta)
         return vamana_serve_local(
             packed_dir, vector, k,
             metric=meta["metric"],
@@ -1047,6 +1058,8 @@ class Collection:
             dtype=meta.get("pack_dtype", "float32"),
             compute_dtype="float32",
             n_seeds=n_seeds,
+            thresholds=thresholds,
+            books=books,
         )
 
     def open_vector_pool(self, prop: str, workers: int = 8,
@@ -1081,6 +1094,7 @@ class Collection:
         cents = np.asarray(meta["centroids"], dtype=np.float64)
         if nprobe is None:
             nprobe = max(1, min(len(cents), int(meta["search_size"]) // 8))
+        thresholds, books = self._resolve_packed_quantizer(prop, meta)
         return VectorServePool(
             packed_dir,
             centroids=cents,
@@ -1091,6 +1105,8 @@ class Collection:
             compute_dtype="float32",
             n_seeds=n_seeds,
             workers=workers,
+            thresholds=thresholds,
+            books=books,
         )
 
     def prefetch_vamana_index(self, prop: str, threads: int = 8):

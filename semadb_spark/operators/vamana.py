@@ -2293,7 +2293,8 @@ def _local_decoded_cents(path: str, cents_needed: list[int], np_dtype,
     if missing:
         dset = pads.dataset(path, partitioning="hive")
         cols = [
-            c for c in ("shard", "n", "ids", "vecs", "indptr", "indices", "start")
+            c for c in ("shard", "n", "ids", "vecs", "indptr", "indices",
+                        "start", "codes", "code_words", "pq_codes", "pq_m")
             if c in dset.schema.names
         ]
         tbl = dset.to_table(columns=cols, filter=pads.field("cent").isin(missing) if "cent" in dset.schema.names else None)
@@ -2325,8 +2326,30 @@ def _local_decoded_cents(path: str, cents_needed: list[int], np_dtype,
                 cols_rep = np.arange(len(indices)) - np.repeat(indptr[:-1], deg)
                 adj_pad[rows_rep, cols_rep] = indices
             id_order = np.argsort(ids.astype(str), kind="stable")
+            # baked quantizer codes (vamana_pack_add_codes/_pq_codes):
+            # decoded once alongside the floats so the local tier can run
+            # the quantized beams (vamana.go:257-259) without Spark
+            code_state: dict = {}
+            if row.get("codes") is not None and row.get("code_words"):
+                words = int(row["code_words"])
+                code_state["bq_words"] = words
+                code_state["bq_bytes"] = np.frombuffer(
+                    row["codes"], dtype=np.uint8
+                ).reshape(n, words * 8)
+                code_state["bq_codes"] = (
+                    np.frombuffer(row["codes"], dtype=np.int64)
+                    .reshape(n, words)
+                    .view(np.uint64)
+                )
+            if row.get("pq_codes") is not None and row.get("pq_m"):
+                pq_m = int(row["pq_m"])
+                code_state["pq_m"] = pq_m
+                code_state["pq_bytes"] = np.frombuffer(
+                    row["pq_codes"], dtype=np.uint8
+                ).reshape(n, pq_m)
             by_cent.setdefault(cent, []).append(
-                (ids, X, indptr, indices, int(row["start"]), adj_pad, id_order)
+                (ids, X, indptr, indices, int(row["start"]), adj_pad,
+                 id_order, code_state)
             )
         for c, shards in by_cent.items():
             cache[c] = shards
@@ -2347,6 +2370,10 @@ def vamana_serve_local(
     compute_dtype: str = "float32",
     n_seeds: int = 0,
     fp_ttl_sec: float | None = None,
+    thresholds: np.ndarray | None = None,
+    books=None,
+    beam_on: str = "auto",
+    oversample: int = 4,
 ) -> list[tuple[str, float]]:
     """Driver-local SINGLE-query Vamana serving straight off the persisted
     :func:`vamana_pack` artifact with pyarrow + the NumPy beam kernel — NO
@@ -2367,9 +2394,28 @@ def vamana_serve_local(
     route amortizes its floor across thousands of queries and wins past
     ~50 queries/batch; this path is the latency tier. Process-parallel
     scaling works exactly like the text pool (read-only artifact, one
-    process per client)."""
+    process per client).
+
+    Quantized artifacts (codes baked by ``vamana_pack_add_codes`` /
+    ``_pq_codes``) serve the reference's quantized-through-graph design
+    locally too (vamana.go:257-259): pass the fitted ``thresholds``
+    (binary) or ``books`` (product) and ``beam_on="auto"`` resolves to
+    the bq_adc byte-LUT / PQ-ADC beam over the stored codes with an
+    exact float rerank of the final pool — same pool sizing and rerank
+    as :func:`vamana_serve_packed` (parity-tested)."""
     if centroids is None:
         raise ValueError("vamana_serve_local requires the routing centroids")
+    if beam_on == "auto":
+        beam_on = (
+            "bq_adc" if thresholds is not None
+            else ("pq" if books is not None else "float")
+        )
+    if beam_on not in ("float", "bq", "bq_adc", "pq"):
+        raise ValueError(f"unknown beam_on: {beam_on}")
+    if beam_on in ("bq", "bq_adc") and thresholds is None:
+        raise ValueError(f"beam_on='{beam_on}' requires the fitted thresholds")
+    if beam_on == "pq" and books is None:
+        raise ValueError("beam_on='pq' requires the fitted PQ books")
     np_dtype = np.dtype(dtype)
     c_dtype = np.dtype(compute_dtype)
     q = np.asarray(query, dtype=np.float64)
@@ -2384,19 +2430,98 @@ def vamana_serve_local(
         packed_path, routed, np_dtype, c_dtype, fp_ttl_sec=fp_ttl_sec
     )
     Qc = q[None, :].astype(c_dtype)
+    # per-query beam tables (global facts, cheap at nq=1)
+    q_lut = None
+    q_code = None
+    if beam_on == "bq_adc":
+        thr = np.asarray(thresholds, dtype=np.float64)
+        q_lut = _bq_margin_luts(q[None, :], thr, (len(q) + 63) // 64)
+    elif beam_on == "pq":
+        q_lut = _pq_adc_luts(books, q[None, :])
+    elif beam_on == "bq":
+        from semadb_spark.operators.quantize import encode_bits_np
+
+        q_code = encode_bits_np(
+            q[None, :], np.asarray(thresholds, dtype=np.float64)
+        ).view(np.uint64)
     results: dict[str, float] = {}
     for c in routed:
-        for ids, X, indptr, indices, start, adj_pad, id_order in shards.get(c, []):
+        for ids, X, indptr, indices, start, adj_pad, id_order, code_state in (
+            shards.get(c, [])
+        ):
             seeds = None
             n = len(ids)
             if n_seeds > 0 and n:
                 seeds = id_order[:: max(n // min(n_seeds, n), 1)][:n_seeds]
                 seeds = seeds.astype(np.int64)
-            top_i, top_d = _batched_greedy_topk(
-                X, indptr, indices,
-                start, Qc, search_size, k, metric, seed_ids=seeds,
-                adj_pad=adj_pad,
-            )
+            if beam_on != "float":
+                # quantized beam + exact rerank, mirroring
+                # vamana_serve_packed's pool sizing
+                code_kw: dict = {}
+                if beam_on == "bq":
+                    if "bq_codes" not in code_state:
+                        raise ValueError(
+                            "artifact has no baked binary codes; rebuild "
+                            "with vamana_pack_add_codes"
+                        )
+                    code_kw = {"X_codes": code_state["bq_codes"],
+                               "Q_codes": q_code}
+                elif beam_on == "bq_adc":
+                    if "bq_bytes" not in code_state:
+                        raise ValueError(
+                            "artifact has no baked binary codes; rebuild "
+                            "with vamana_pack_add_codes"
+                        )
+                    if code_state["bq_words"] * 8 != q_lut.shape[1]:
+                        raise ValueError(
+                            "bq_adc artifact/threshold mismatch: stored "
+                            f"{code_state['bq_words']} code words but the "
+                            f"query LUT is {q_lut.shape[1]} bytes wide"
+                        )
+                    code_kw = {"X_bytes": code_state["bq_bytes"],
+                               "Q_luts": q_lut}
+                else:  # pq
+                    if "pq_bytes" not in code_state:
+                        raise ValueError(
+                            "artifact has no baked PQ codes; rebuild with "
+                            "vamana_pack_add_pq_codes"
+                        )
+                    if code_state["pq_m"] != q_lut.shape[1]:
+                        raise ValueError(
+                            "pq artifact/books mismatch: stored "
+                            f"{code_state['pq_m']} subvector codes but the "
+                            f"books define {q_lut.shape[1]} subvectors"
+                        )
+                    code_kw = {"X_bytes": code_state["pq_bytes"],
+                               "Q_luts": q_lut}
+                pool = min(max(k * oversample, k), search_size)
+                top_i, _approx = _batched_greedy_topk(
+                    None, indptr, indices, start, None,
+                    search_size, pool, metric, seed_ids=seeds,
+                    adj_pad=adj_pad, **code_kw,
+                )
+                gi = np.where(top_i >= 0, top_i, 0)
+                G = X[gi[0]]
+                dots = G @ Qc[0]
+                if metric == "euclidean":
+                    rd = np.maximum(
+                        (G * G).sum(axis=1) - 2.0 * dots + (Qc[0] * Qc[0]).sum(),
+                        0.0,
+                    )
+                elif metric == "cosine":
+                    rd = 1.0 - dots
+                else:
+                    rd = -dots
+                rd = np.where(top_i[0] >= 0, rd, np.inf)
+                order = np.argsort(rd, kind="stable")[:k]
+                top_i = top_i[0][order][None, :]
+                top_d = rd[order][None, :]
+            else:
+                top_i, top_d = _batched_greedy_topk(
+                    X, indptr, indices,
+                    start, Qc, search_size, k, metric, seed_ids=seeds,
+                    adj_pad=adj_pad,
+                )
             for j, dd in zip(top_i[0], top_d[0]):
                 if j < 0 or not np.isfinite(dd):
                     continue
@@ -2519,7 +2644,9 @@ class VectorServePool:
                  search_size: int = 75, nprobe: int = 1,
                  dtype: str = "float32", compute_dtype: str = "float32",
                  n_seeds: int = 0, workers: int = 8,
-                 start_method: str | None = None):
+                 start_method: str | None = None,
+                 thresholds: np.ndarray | None = None, books=None,
+                 beam_on: str = "auto"):
         import os
 
         from semadb_spark.operators._pool import make_worker_executor
@@ -2538,6 +2665,11 @@ class VectorServePool:
             metric=metric, search_size=int(search_size),
             centroids=self.centroids, nprobe=int(nprobe), dtype=dtype,
             compute_dtype=compute_dtype, n_seeds=int(n_seeds),
+            # quantized artifacts serve the ADC beams in the workers too
+            # (thresholds/books are global facts, shipped once at init)
+            thresholds=None if thresholds is None else np.asarray(thresholds),
+            books=books,
+            beam_on=beam_on,
             # pool contract: the artifact is immutable while open, so the
             # mutation-detecting listing walk amortizes over minutes, not
             # seconds (at the 1 s default a worker re-walks every ~55

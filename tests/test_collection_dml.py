@@ -1049,3 +1049,57 @@ def test_prefetch_vamana_index(spark, tmp_path):
     assert not th.is_alive()
     got = coll.vamana_search_local("v", [float(x) for x in X[4]], 3, n_seeds=8)
     assert got[0][0] == "p004"
+
+
+def test_vamana_search_local_quantized_route(spark, tmp_path):
+    """Collection.vamana_search_local on a QUANTIZED packed graph: the
+    local tier resolves the frozen fit (same drift-checked path as the
+    Spark serve), beams on the baked codes with exact rerank, and matches
+    coll.vamana_search on the same artifact."""
+    import numpy as np
+
+    schema = {
+        "v": {"type": "vectorVamana",
+              "vectorVamana": {"vectorSize": 8, "distanceMetric": "euclidean",
+                               "searchSize": 40, "degreeBound": 32,
+                               "alpha": 1.2,
+                               "quantizer": {"type": "binary", "binary": {
+                                   "distanceMetric": "hamming",
+                                   "triggerThreshold": 10}}}},
+    }
+    coll = Collection.create(spark, str(tmp_path / "qlocal"), schema,
+                             num_buckets=4)
+    rng = np.random.RandomState(12)
+    X = np.repeat(rng.normal(size=(4, 8)), 40, axis=0) + rng.normal(
+        scale=0.1, size=(160, 8)
+    )
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]]) for i in range(160)]
+    ))
+    coll.build_vamana_index("v", num_shards=2, seed=3)
+    import json as _json
+    import os as _os
+
+    idx_path = _os.path.join(
+        coll.path, f"v{coll._current_version()}_idx", "vamana_v"
+    )
+    with open(_os.path.join(idx_path, "_graph.json")) as f:
+        assert _json.load(f)["packed_codes"] == "bq"  # codes really baked
+    for qi in (9, 77, 130):
+        qv = [float(x) for x in X[qi]]
+        want = [
+            (r["_id"], round(r["_distance"], 5))
+            for r in coll.vamana_search("v", [("q", qv)], 5, n_seeds=8)
+            .orderBy(F.round("_distance", 4).asc(), F.col("_id").asc())
+            .collect()
+        ]
+        got = [
+            (i, round(d, 5))
+            for i, d in coll.vamana_search_local("v", qv, 5, n_seeds=8)
+        ]
+        assert got == want, qi
+        # quantized beams can't separate the 40 identical-code replicas in
+        # a cluster, so the top hit is a same-cluster point, not the exact
+        # self point — assert cluster membership via the true distance
+        top_idx = int(got[0][0][1:])
+        assert ((X[top_idx] - X[qi]) ** 2).sum() < 1.0, (qi, got[0])

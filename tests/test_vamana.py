@@ -966,3 +966,66 @@ def test_vector_serve_pool_matches_local(spark, emb, tmp_path):
     index.edges.unpersist()
     index.shard_nodes.unpersist()
     index.shard_edges.unpersist()
+
+
+def test_vamana_serve_local_quantized_beams(spark, emb, tmp_path):
+    """The driver-local point-read path serves QUANTIZED packed artifacts
+    (vamana.go:257-259 locally): bq_adc / pq / bq beams over the baked
+    codes with exact float rerank — same ids and distances as
+    vamana_serve_packed's quantized route on the same artifact."""
+    from semadb_spark.operators.quantize import pq_fit
+
+    index = vm.vamana_build(
+        emb, "v", "_id", degree_bound=32, alpha=1.2, search_size=40,
+        num_shards=2, seed=7, keep_sharded=True,
+    )
+    packed = vm.vamana_pack(index.shard_nodes, index.shard_edges, dtype="float32")
+    rows = emb.collect()
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    thr = X.mean(axis=0)
+    books = pq_fit(emb, "v", num_subvectors=4, num_centroids=16, seed=3)
+    d_bq = str(tmp_path / "local_bq")
+    d_pq = str(tmp_path / "local_pq")
+    vm.vamana_pack_add_codes(packed, thr, dtype="float32").write \
+        .mode("overwrite").partitionBy("cent").parquet(d_bq)
+    vm.vamana_pack_add_pq_codes(packed, books, dtype="float32").write \
+        .mode("overwrite").partitionBy("cent").parquet(d_pq)
+    nc = len(index.centroids)
+    base = dict(metric="euclidean", search_size=40,
+                centroids=index.centroids, n_seeds=16, oversample=4)
+    for path, kw in (
+        (d_bq, {"beam_on": "bq_adc", "thresholds": thr}),
+        (d_bq, {"beam_on": "bq", "thresholds": thr}),
+        (d_pq, {"beam_on": "pq", "books": books}),
+    ):
+        disk = spark.read.parquet(path)
+        for qi in (0, 11, 42):
+            qv = [float(x) for x in rows[qi]["v"]]
+            want = [
+                (r["_id"], r["_distance"])
+                for r in vm.vamana_serve_packed(
+                    disk, [("q", qv)], 10, search_size=40, n_seeds=16,
+                    oversample=4, metric="euclidean", dtype="float32",
+                    compute_dtype="float32", kernel="batched",
+                    centroids=index.centroids, nprobe=nc, **kw,
+                )
+                .orderBy(F.round("_distance", 4).asc(), F.col("_id").asc())
+                .collect()
+            ]
+            got = vm.vamana_serve_local(
+                path, qv, 10, nprobe=nc, dtype="float32", **base, **kw
+            )
+            assert [i for i, _ in got] == [i for i, _ in want], (kw, qi)
+            for (gi_, gd), (_, wd) in zip(got, want):
+                assert abs(gd - wd) <= 1e-5 * max(abs(wd), 1.0), (kw, qi, gi_)
+    # guard rails: missing fit params / artifact-fit mismatch error clean
+    with pytest.raises(ValueError, match="thresholds"):
+        vm.vamana_serve_local(d_bq, [0.0] * X.shape[1], 5, beam_on="bq_adc",
+                              centroids=index.centroids, dtype="float32")
+    with pytest.raises(ValueError, match="baked binary codes"):
+        vm.vamana_serve_local(d_pq, [0.0] * X.shape[1], 5,
+                              thresholds=thr, centroids=index.centroids,
+                              dtype="float32")
+    index.edges.unpersist()
+    index.shard_nodes.unpersist()
+    index.shard_edges.unpersist()
