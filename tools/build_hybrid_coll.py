@@ -198,6 +198,14 @@ def main() -> None:
         dt = _t.time() - t0
         best = dt if best is None else min(best, dt)
     print(f"search_local: {len(reqs) / best:.1f} QPS ({1000 * best / len(reqs):.1f} ms/q)")
+    with coll.open_search_pool(workers=8, warm_requests=reqs[:4]) as pool:
+        pool.search_many(reqs)
+        best = None
+        for _ in range(3):
+            t0 = _t.time()
+            pool.search_many(reqs)
+            best = min(best or 9e9, _t.time() - t0)
+    print(f"search pool(8): {len(reqs) / best:.1f} QPS")
     t0 = _t.time()
     coll.search(reqs[0]).collect()
     coll.search(reqs[1]).collect()
