@@ -322,3 +322,39 @@ def test_open_local_collection_serves_without_spark(coll):
         lc.search(req)
     with pytest.raises(ValueError, match="no collection"):
         Collection.open_local("/tmp/definitely_missing_coll_xyz")
+
+
+def test_edge_shapes(coll, spark, tmp_path):
+    """Edge shapes stay engine-parity: offset beyond the result set,
+    duplicate ranked legs in one _or (hybrid scores SUM), explicit null
+    limit (all rows), and an empty collection serving empty frames."""
+    # offset beyond the result set -> empty, same columns
+    req = {"query": F_SHAPES[10], "limit": 5, "offset": 3}
+    assert_parity(coll, req)
+    # the same vector leg twice in one _or: duplicate ids sum hybrid
+    qv = [0.7] * 8
+    leg = {"property": "v", "vectorFlat": {"vector": qv, "limit": 5}}
+    got = assert_parity(
+        coll, {"query": {"property": "_or", "_or": [leg, leg]}, "limit": 5}
+    )
+    single = coll.search_local({"query": leg, "limit": 5})
+    assert np.allclose(
+        got["_hybridScore"].to_numpy(),
+        2.0 * single["_hybridScore"].to_numpy(),
+    )
+    # explicit null limit = all rows (engine extension)
+    assert_parity(coll, {"query": F_SHAPES[3], "limit": None})
+    # empty collection: every shape serves an empty frame, no errors
+    c2 = Collection.create(
+        spark, str(tmp_path / "empty"),
+        {"n": {"type": "integer", "integer": {}},
+         "v": {"type": "vectorFlat", "vectorFlat": {
+             "vectorSize": 4, "distanceMetric": "euclidean"}}},
+        num_buckets=2,
+    )
+    for q in (
+        {"property": "n", "integer": {"operator": "equals", "value": 1}},
+        {"property": "v", "vectorFlat": {"vector": [0.0] * 4, "limit": 5}},
+    ):
+        out = c2.search_local({"query": q, "limit": 5})
+        assert len(out) == 0
