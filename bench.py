@@ -950,6 +950,31 @@ def main() -> None:
                 vamana_10m["point_read"]["note_mp16"] = (
                     f"pool_error:{type(e).__name__}"
                 )
+
+            # QUANTIZED point-read (r10): the same driver-local path over
+            # the BQ-coded artifact — bq_adc byte-LUT beam on the baked
+            # codes + exact float rerank, no Spark job (the reference's
+            # vamana.go:257-259 lifecycle in one process). Isolation
+            # measured 38.6 QPS / 25.9 ms/q; pin 20.
+            try:
+                bq_kw = dict(pkw, thresholds=side10["thresholds"])
+                for _qid, v in point_queries[:16]:
+                    vamana_serve_local(VAM10_BQ, v, 10, **bq_kw)  # warm
+                bq_pt_qps, _, bq_pt_note = qps_best_of(
+                    len(point_queries),
+                    lambda: [
+                        vamana_serve_local(VAM10_BQ, v, 10, **bq_kw)
+                        for _qid, v in point_queries
+                    ],
+                    pin=20.0,
+                )
+                vamana_10m["point_read"]["qps_1client_bq_adc"] = bq_pt_qps
+                if bq_pt_note:
+                    vamana_10m["point_read"]["note_bq_adc"] = bq_pt_note
+            except Exception as e:
+                vamana_10m["point_read"]["note_bq_adc"] = (
+                    f"error:{type(e).__name__}"
+                )
         print(f"# vamana_10m: {vamana_10m}", file=sys.stderr)
         exact10.unpersist()
 
