@@ -1420,9 +1420,14 @@ def main() -> None:
         # tools/repro_text_multiproc.py (250.8 @ 8 procs, 401.5 @ 16). A
         # best pass >2x below a pin keeps re-measuring and, failing that,
         # lands with an explicit note instead of silently.
-        TEXT10M_PIN_1C = 37.0
-        TEXT10M_PIN_16C = 37.0
-        TEXT10M_PIN_MP16 = 250.0
+        # r10 re-pin: the factorize + fingerprint-TTL fixes nearly doubled
+        # the 1-client point-read path (committed 59.7-68.7 vs r9's 37.9),
+        # so the old 37-QPS pin would let a real regression back to r9
+        # levels land silently. 16c stays lower (the Spark-SQL thread path
+        # didn't change); mp16 follows the 373-401 committed band.
+        TEXT10M_PIN_1C = 55.0
+        TEXT10M_PIN_16C = 40.0
+        TEXT10M_PIN_MP16 = 320.0
         for q in text_queries:
             _serve10(q)  # warm file listing + codegen
         with ThreadPoolExecutor(16) as ex:
