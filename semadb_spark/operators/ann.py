@@ -1087,9 +1087,17 @@ def rplsh_search(
     queries: Sequence[tuple],
     metric: str,
     k: int,
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Batch ANN via bucket-match candidates + exact rerank.
-    -> (query_id, id, _distance, _rank)."""
+    -> (query_id, id, _distance, _rank).
+
+    ``candidate_ids`` (one-column DataFrame) applies the R4 pre-filter
+    BEFORE the rerank join — optimistic filtered-ANN semantics, the same
+    left-semi shape as ``ivf_search`` (keeps the four ANN routes
+    API-symmetric; results are a subset of the unfiltered search and every
+    row satisfies the filter, but fewer than k rows may return when the
+    filter thins the probed buckets)."""
     queries = list(queries)
     if not queries:
         raise ValueError("rplsh_search requires at least one query")
@@ -1111,6 +1119,11 @@ def rplsh_search(
         .select("query_id", id_col)
         .distinct()
     )
+    if candidate_ids is not None:
+        flt = candidate_ids.select(
+            F.col(candidate_ids.columns[0]).cast("string").alias(id_col)
+        )
+        cand_ids = cand_ids.join(flt, id_col, "left_semi")
     cand = cand_ids.join(
         index.df.select(F.col(id_col).cast("string").alias(id_col), index.vec_col),
         id_col,

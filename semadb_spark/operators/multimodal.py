@@ -1140,7 +1140,10 @@ def parse_mp3_header(data: bytes) -> dict | None:
                 frames * f["samples_per_frame"] * 1000 // f["sample_rate"]
             )
         else:
-            duration_ms = int(audio_bytes * 8 // (f["bitrate_kbps"] * 1000) * 1000)
+            # multiply by 1000 BEFORE the integer division: dividing first
+            # truncates to whole seconds and quantizes duration_ms to
+            # second granularity (a 2.9 s file would report 2000 ms)
+            duration_ms = int(audio_bytes * 8 * 1000 // (f["bitrate_kbps"] * 1000))
         return {
             "format": "mp3",
             "mpeg_version": f["version"],

@@ -16,11 +16,11 @@ through the local tiers and does the hybrid merge in pandas.
 Semantics are pinned to the compiler (parity-tested per leaf kind and per
 composed shape):
 
-- pure-filter subtrees -> one pyarrow dataset scan of the bucketed snapshot.
-  Pushdown-expressible leaves become a dataset filter (parquet row-group
-  stats + dictionary pruning, the same pruning Catalyst's PushedFilters
-  buys); every leaf is ALSO re-applied exactly in pandas, so the pushdown
-  is a strict optimization, never the authority.
+- pure-filter subtrees -> an exact pandas predicate over resident columns.
+  Filter columns are decoded from the bucketed snapshot ONCE per engine
+  (the reference keeps its inverted indexes resident in the shard process
+  the same way), so per-request parquet pushdown would only help the very
+  first request — the resident-column evaluate is the serving hot path.
 - text leaves -> :func:`~semadb_spark.operators.text_search.text_serve_local`
   over the persisted posting index (required — build_text_index first),
   with R4 pre-filters applied before scoring/truncation.
@@ -58,6 +58,11 @@ import pandas as pd
 
 RANKED_COLS = ("_distance", "_score", "_hybridScore")
 
+# internal ranked-frame id column. Deliberately NOT "id": nothing reserves
+# "id" as a property name, so a collection may legally define one — the
+# helper must never collide with a user column in the final backfill merge.
+RID = "__rid"
+
 
 class LocalServeUnsupported(ValueError):
     """Query shape or collection state this point-read tier cannot serve
@@ -81,15 +86,14 @@ def _leaf_series(pdf: pd.DataFrame, prop: str) -> pd.Series:
 class _LocalCompiled:
     """Local analogue of compiler.Compiled. Exactly one of ``pred`` /
     ``mask`` is the set authority: pure subtrees keep (pandas_fn,
-    needed_cols, pushdown_expr|None); ranked/mixed subtrees carry a
-    boolean membership mask over the snapshot's canonical row order (set
-    algebra on masks is O(n) bitwise, where id-set intersections were
-    measured re-hashing 100k-element object sets per query) plus the
-    scored frame."""
+    needed_cols); ranked/mixed subtrees carry a boolean membership mask
+    over the snapshot's canonical row order (set algebra on masks is O(n)
+    bitwise, where id-set intersections were measured re-hashing
+    100k-element object sets per query) plus the scored frame."""
 
-    pred: tuple | None = None  # (fn(pdf)->bool ndarray, set[str] cols, pa_expr|None)
+    pred: tuple | None = None  # (fn(pdf)->bool ndarray, set[str] cols)
     mask: np.ndarray | None = None  # bool over canonical row order
-    ranked: pd.DataFrame | None = None  # id, _distance, _score, _hybridScore
+    ranked: pd.DataFrame | None = None  # RID, _distance, _score, _hybridScore
 
     @property
     def is_pure(self) -> bool:
@@ -99,7 +103,7 @@ class _LocalCompiled:
 def _empty_ranked() -> pd.DataFrame:
     return pd.DataFrame(
         {
-            "id": pd.Series([], dtype=object),
+            RID: pd.Series([], dtype=object),
             "_distance": pd.Series([], dtype=float),
             "_score": pd.Series([], dtype=float),
             "_hybridScore": pd.Series([], dtype=float),
@@ -217,13 +221,14 @@ class LocalSearchEngine:
             self._dset = pads.dataset(self.files, format="parquet")
         return self._dset
 
-    def _scan(self, columns: list[str], pa_filter=None) -> pd.DataFrame:
-        """Columnar snapshot read: requested root columns only, optional
-        pushdown filter (strict superset of the pandas predicate)."""
+    def _scan(self, columns: list[str]) -> pd.DataFrame:
+        """Columnar snapshot read: requested root columns only, full
+        canonical row order (columns decode once into the resident cache;
+        see the module note on why there is no per-request pushdown)."""
         cols = [c for c in dict.fromkeys(columns) if c in self._frame_fields]
         if not self.files:
             return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
-        tbl = self._dataset().to_table(columns=cols, filter=pa_filter)
+        tbl = self._dataset().to_table(columns=cols)
         return tbl.to_pandas()
 
     def _col_frame(self, cols) -> pd.DataFrame:
@@ -349,8 +354,6 @@ class LocalSearchEngine:
     # -- leaf filters (F1-F10), each: exact pandas fn + optional pushdown -----
 
     def _compile_id(self, query: dict) -> tuple:
-        import pyarrow.dataset as pads
-
         if "string" in query and query["string"] is not None:
             opts = query["string"]
             if opts["operator"] != "equals":
@@ -359,7 +362,6 @@ class LocalSearchEngine:
             return (
                 lambda pdf: (pdf[self.id_col] == v).to_numpy(),
                 {self.id_col},
-                pads.field(self.id_col) == v,
             )
         if "stringArray" in query and query["stringArray"] is not None:
             opts = query["stringArray"]
@@ -369,7 +371,6 @@ class LocalSearchEngine:
             return (
                 lambda pdf: pdf[self.id_col].isin(vals).to_numpy(),
                 {self.id_col},
-                pads.field(self.id_col).isin(vals),
             )
         raise ValueError("invalid query for _id, expected string or stringArray")
 
@@ -395,29 +396,6 @@ class LocalSearchEngine:
             return ((s >= v) & (s <= end)).to_numpy() & notnull
         raise ValueError(f"invalid operator {op}")
 
-    @staticmethod
-    def _range_expr(field, op: str, v, end):
-        if op == "equals":
-            return field == v
-        if op == "notEquals":
-            return field != v
-        if op == "greaterThan":
-            return field > v
-        if op == "greaterThanOrEquals":
-            return field >= v
-        if op == "lessThan":
-            return field < v
-        if op == "lessThanOrEquals":
-            return field <= v
-        if op == "inRange":
-            return (field >= v) & (field <= end)
-        return None
-
-    def _pa_field(self, prop: str):
-        import pyarrow.dataset as pads
-
-        return pads.field(*prop.split("."))
-
     def _compile_string(self, prop: str, opts: dict, value) -> tuple:
         v = opts["value"]
         end = opts.get("endValue")
@@ -436,10 +414,7 @@ class LocalSearchEngine:
                 return s.str.startswith(v).fillna(False).to_numpy()
             return self._range_mask(s, op, v, end)
 
-        expr = None
-        if not fold and "." not in prop and op != "startsWith":
-            expr = self._range_expr(self._pa_field(prop), op, v, end)
-        return (fn, {root}, expr)
+        return (fn, {root})
 
     def _compile_numeric(self, prop: str, opts: dict) -> tuple:
         v, end, op = opts["value"], opts.get("endValue"), opts["operator"]
@@ -448,10 +423,7 @@ class LocalSearchEngine:
         def fn(pdf, prop=prop, v=v, end=end, op=op):
             return self._range_mask(_leaf_series(pdf, prop), op, v, end)
 
-        expr = None
-        if "." not in prop:
-            expr = self._range_expr(self._pa_field(prop), op, v, end)
-        return (fn, {root}, expr)
+        return (fn, {root})
 
     def _compile_string_array(self, prop: str, opts: dict, value) -> tuple:
         vals = list(dict.fromkeys(opts["value"]))
@@ -477,7 +449,7 @@ class LocalSearchEngine:
 
             return _leaf_series(pdf, prop).map(one).to_numpy(dtype=bool)
 
-        return (fn, {root}, None)
+        return (fn, {root})
 
     # -- ranked leaves ---------------------------------------------------------
 
@@ -567,9 +539,9 @@ class LocalSearchEngine:
             thr = d[np.argpartition(d, k - 1)[:k]].max()
             sel = d <= thr
             ids, d = ids[sel], d[sel]
-        out = pd.DataFrame({"id": ids, "_distance": d})
+        out = pd.DataFrame({RID: ids, "_distance": d})
         return (
-            out.sort_values(["_distance", "id"], kind="stable")
+            out.sort_values(["_distance", RID], kind="stable")
             .head(k)
             .reset_index(drop=True)
         )
@@ -642,7 +614,7 @@ class LocalSearchEngine:
             )
             topk = pd.DataFrame(
                 {
-                    "id": [i for i, _ in hits],
+                    RID: [i for i, _ in hits],
                     "_distance": [float(dd) for _, dd in hits],
                 }
             )
@@ -654,7 +626,7 @@ class LocalSearchEngine:
             _score=np.nan,
             _hybridScore=-1.0 * weight * topk["_distance"].to_numpy(),
         )
-        return _LocalCompiled(mask=self._mask_for_ids(ranked["id"]), ranked=ranked)
+        return _LocalCompiled(mask=self._mask_for_ids(ranked[RID]), ranked=ranked)
 
     def _compile_text(self, prop: str, query: dict, value) -> _LocalCompiled:
         opts = query.get("text")
@@ -686,19 +658,19 @@ class LocalSearchEngine:
             weight=weight, num_docs=num_docs,
             candidate_ids=None if cand is None else cand,
         )
-        ranked = scored.assign(_distance=np.nan)[
-            ["id", "_distance", "_score", "_hybridScore"]
+        ranked = scored.rename(columns={"id": RID}).assign(_distance=np.nan)[
+            [RID, "_distance", "_score", "_hybridScore"]
         ]
-        return _LocalCompiled(mask=self._mask_for_ids(ranked["id"]), ranked=ranked)
+        return _LocalCompiled(mask=self._mask_for_ids(ranked[RID]), ranked=ranked)
 
     # -- boolean composition (B1-B3) -------------------------------------------
 
     def _mask_of(self, c: _LocalCompiled) -> np.ndarray:
         if not c.is_pure:
             return c.mask
-        fn, cols, _expr = c.pred
-        # resident columns beat re-scanning with pushdown on the serving
-        # hot path; the pandas fn is the predicate authority either way
+        fn, cols = c.pred
+        # resident columns are the serving hot path; the pandas fn is the
+        # predicate authority
         pdf = self._col_frame(cols)
         if len(pdf) == 0:
             return np.zeros(0, dtype=bool)
@@ -710,15 +682,9 @@ class LocalSearchEngine:
         if len(children) == 1:
             return children[0]
         if all(c.is_pure for c in children):
-            fns, colsets, exprs = zip(*[c.pred for c in children])
+            fns, colsets = zip(*[c.pred for c in children])
             cols = set().union(*colsets)
             if conjunction:
-                # AND may push any subset of the children's exprs — the
-                # pandas re-application stays the authority
-                avail = [e for e in exprs if e is not None]
-                expr = None
-                for e in avail:
-                    expr = e if expr is None else (expr & e)
 
                 def fn(pdf, fns=fns):
                     m = fns[0](pdf)
@@ -726,11 +692,6 @@ class LocalSearchEngine:
                         m = m & f(pdf)
                     return m
             else:
-                # OR is only pushable when EVERY child is
-                expr = None
-                if all(e is not None for e in exprs):
-                    for e in exprs:
-                        expr = e if expr is None else (expr | e)
 
                 def fn(pdf, fns=fns):
                     m = fns[0](pdf)
@@ -738,7 +699,7 @@ class LocalSearchEngine:
                         m = m | f(pdf)
                     return m
 
-            return _LocalCompiled(pred=(fn, cols, expr))
+            return _LocalCompiled(pred=(fn, cols))
 
         # mixed/ranked: materialize membership masks and combine bitwise
         # (shard/index/search.go:248-252 materializes id bitmaps the same
@@ -762,25 +723,25 @@ class LocalSearchEngine:
             # duplicate ids: sum hybrid scores; first (lowest child index)
             # non-null distance/score wins (search.go:255-289)
             u = u.sort_values("_src", kind="stable")
-            hybrid = u.groupby("id", sort=False)["_hybridScore"].sum()
+            hybrid = u.groupby(RID, sort=False)["_hybridScore"].sum()
             dist = (
                 u.dropna(subset=["_distance"])
-                .groupby("id", sort=False)["_distance"]
+                .groupby(RID, sort=False)["_distance"]
                 .first()
             )
             score = (
                 u.dropna(subset=["_score"])
-                .groupby("id", sort=False)["_score"]
+                .groupby(RID, sort=False)["_score"]
                 .first()
             )
-            merged = pd.DataFrame({"id": hybrid.index.to_numpy(dtype=object)})
+            merged = pd.DataFrame({RID: hybrid.index.to_numpy(dtype=object)})
             merged["_distance"] = dist.reindex(hybrid.index).to_numpy()
             merged["_score"] = score.reindex(hybrid.index).to_numpy()
             merged["_hybridScore"] = hybrid.to_numpy()
             if conjunction:
                 # _and drops ranked rows outside the intersection
                 _, index, _ = self._canonical_ids()
-                pos = index.get_indexer(merged["id"].to_numpy(dtype=object))
+                pos = index.get_indexer(merged[RID].to_numpy(dtype=object))
                 keep = (pos >= 0) & final[np.maximum(pos, 0)]
                 merged = merged[keep].reset_index(drop=True)
         return _LocalCompiled(mask=final, ranked=merged)
@@ -799,9 +760,9 @@ class LocalSearchEngine:
             mask, ranked = compiled.mask, compiled.ranked
         if ranked is not None and len(ranked):
             ranked = ranked.sort_values(
-                ["_hybridScore", "id"], ascending=[False, True], kind="stable"
+                ["_hybridScore", RID], ascending=[False, True], kind="stable"
             ).reset_index(drop=True)
-            leftover_mask = mask & ~self._mask_for_ids(ranked["id"])
+            leftover_mask = mask & ~self._mask_for_ids(ranked[RID])
         else:
             ranked = None
             leftover_mask = mask
@@ -834,7 +795,7 @@ class LocalSearchEngine:
             if need is not None:
                 sel = sel[: max(0, need - min(n_ranked, need))]
             lo_sorted = ids_sorted[sel]
-            leftover = pd.DataFrame({"id": lo_sorted})
+            leftover = pd.DataFrame({RID: lo_sorted})
             leftover["_distance"] = np.nan
             leftover["_score"] = np.nan
             leftover["_hybridScore"] = 0.0
@@ -855,9 +816,9 @@ class LocalSearchEngine:
             if ranked is not None:
                 r = ranked.copy()
                 r["_rankedFirst"] = 0
-                r["__pos"] = index.get_indexer(r["id"].to_numpy(dtype=object))
+                r["__pos"] = index.get_indexer(r[RID].to_numpy(dtype=object))
                 skel_frames.append(r)
-            lo = pd.DataFrame({"id": ids_all[lo_pos]})
+            lo = pd.DataFrame({RID: ids_all[lo_pos]})
             lo["_distance"] = np.nan
             lo["_score"] = np.nan
             lo["_hybridScore"] = 0.0
@@ -883,10 +844,10 @@ class LocalSearchEngine:
                 key[mn] = sv.isna().astype(int)
                 by.extend([mn, kn])
                 asc.extend([True, not desc])
-            by.extend(["_rankedFirst", "_hybridScore", "id"])
+            by.extend(["_rankedFirst", "_hybridScore", RID])
             asc.extend([True, False, True])
             ordered = key.sort_values(by, ascending=asc, kind="stable")[
-                ["id", "_distance", "_score", "_hybridScore"]
+                [RID, "_distance", "_score", "_hybridScore"]
             ]
             if limit is not None:
                 ordered = ordered.iloc[offset : offset + int(limit)]
@@ -894,13 +855,15 @@ class LocalSearchEngine:
                 ordered = ordered.iloc[offset:]
         ordered = ordered.reset_index(drop=True)
 
-        # 4) backfill point data for the final page only
-        rows = self._rows_for_ids(ordered["id"].to_numpy(dtype=object))
+        # 4) backfill point data for the final page only. The join key is
+        # the reserved RID helper, so a user property legally named "id"
+        # (or anything else in the frame) can never be shadowed by
+        # engine-internal values in the output.
+        rows = self._rows_for_ids(ordered[RID].to_numpy(dtype=object))
         out = ordered.merge(
-            rows, left_on="id", right_on=self.id_col, how="left",
-            suffixes=("", "__pt"),
+            rows, left_on=RID, right_on=self.id_col, how="left",
         )
-        # engine column order: point columns, then ranked cols
+        # engine column order: point columns, then ranked cols (RID dropped)
         cols = [c for c in self._frame_fields] + list(RANKED_COLS)
         out = out[[c for c in cols if c in out.columns]]
 
@@ -949,7 +912,13 @@ def _hpool_init(collection_path: str, vector_mode: str, warm_requests) -> None:
     coll = Collection.open_local(collection_path)
     _HPOOL_ENGINE = LocalSearchEngine(coll, vector_mode=vector_mode)
     for r in warm_requests or []:
-        _HPOOL_ENGINE.search(r)
+        # warms are an optimization, never a correctness requirement: one
+        # bad warm request (e.g. LocalServeUnsupported) must not brick
+        # every worker's init as an opaque BrokenProcessPool later
+        try:
+            _HPOOL_ENGINE.search(r)
+        except Exception:
+            pass
 
 
 def _hpool_serve(requests: list[dict]):

@@ -358,3 +358,40 @@ def test_edge_shapes(coll, spark, tmp_path):
     ):
         out = c2.search_local({"query": q, "limit": 5})
         assert len(out) == 0
+
+
+def test_property_named_id_parity(spark, tmp_path):
+    """Nothing reserves "id" as a property name, so the local tier's
+    internal ranked-frame helper must never shadow a user column named
+    "id" in the output (it is a reserved "__rid" column internally).
+    Covers filter output, ranked output, sort-on-id and select-of-id."""
+    schema = {
+        "id": {"type": "string", "string": {"caseSensitive": True}},
+        "n": {"type": "integer", "integer": {}},
+        "v": {"type": "vectorFlat", "vectorFlat": {
+            "vectorSize": 4, "distanceMetric": "euclidean"}},
+    }
+    coll = Collection.create(spark, str(tmp_path / "idprop"), schema,
+                             num_buckets=2)
+    rows = [
+        Row(_id=f"p{i}", id=f"userid-{i}", n=i,
+            v=[float(i), 0.0, 1.0, float(i % 3)])
+        for i in range(12)
+    ]
+    coll.insert(spark.createDataFrame(rows))
+    # pure filter: the user's id values must come through verbatim
+    got = assert_parity(coll, {"query": {
+        "property": "n", "integer": {"operator": "lessThan", "value": 5}},
+        "limit": 10})
+    assert set(got["id"]) == {f"userid-{i}" for i in range(5)}
+    assert set(got["_id"]) == {f"p{i}" for i in range(5)}
+    # ranked leg (vector) + user property in output
+    got = assert_parity(coll, {"query": {
+        "property": "v", "vectorFlat": {"vector": [2.0, 0.0, 1.0, 2.0],
+                                        "limit": 4}}, "limit": 4})
+    assert all(v.startswith("userid-") for v in got["id"])
+    # sort on the user property named id, and select it
+    assert_parity(coll, {"query": {
+        "property": "n", "integer": {"operator": "greaterThan", "value": 3}},
+        "limit": 6, "sort": [{"property": "id", "descending": True}],
+        "select": ["id", "n"]})

@@ -834,9 +834,10 @@ def test_parse_mp3_header_cbr_and_tags():
     assert got["format"] == "mp3" and got["mpeg_version"] == "1"
     assert got["sample_rate"] == 44100 and got["bitrate_kbps"] == 128
     assert got["channels"] == 2 and got["frames"] is None and not got["vbr"]
-    # CBR duration estimate: bytes*8/bitrate (40 frames = ~1.04 s -> 1000ms
-    # after the whole-second floor of the estimate path)
-    want_ms = int(len(data) * 8 // 128000 * 1000)
+    # CBR duration estimate: bytes*8*1000/bitrate — MILLISECOND granular
+    # (40 frames = 16680 bytes -> 1042 ms, not a 1000 ms whole-second floor)
+    want_ms = int(len(data) * 8 * 1000 // 128000)
+    assert want_ms % 1000 != 0, "fixture must exercise sub-second precision"
     assert got["duration_ms"] == want_ms
     # ID3v2 prefix (syncsafe size) + trailing ID3v1 "TAG" block skipped
     id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0x02, 0x01]) + b"\x00" * 0x101
@@ -883,7 +884,7 @@ def test_audio_features_mp3_header_real(spark):
     df = spark.createDataFrame(rows, "asset_id string, content binary")
     got = {r["asset_id"]: r for r in mm.audio_features(df).collect()}
     assert got["m1"]["sample_rate"] == 44100
-    assert got["m1"]["duration_ms"] == int(len(mp3) * 8 // 128000 * 1000)
+    assert got["m1"]["duration_ms"] == int(len(mp3) * 8 * 1000 // 128000)
     assert got["m1"]["rms"] is None and got["m1"]["n_samples"] is None
     assert got["x1"]["sample_rate"] is None
 

@@ -241,3 +241,38 @@ def test_text_batch_broadcasts_query_terms(spark, tmp_path_factory):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_rplsh_filtered_candidate_ids(spark):
+    """R4 pre-filter on the RP-LSH route: filtered results are a subset of
+    the unfiltered search, every row satisfies the filter, and the
+    candidate restriction happens BEFORE the rerank join (left-semi on the
+    bucket-candidate ids — the same optimistic filtered-ANN shape as
+    ivf_search). Keeps the four ANN routes API-symmetric."""
+    import numpy as np
+
+    from semadb_spark.operators.ann import rplsh_build, rplsh_search
+
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(300, 8))
+    df = spark.createDataFrame(
+        [(str(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "_id string, v array<float>",
+    )
+    idx = rplsh_build(df, "v", 8, "_id", tables=8, bits=4, seed=3)
+    qlist = [(str(i), [float(x) for x in vecs[i]]) for i in range(5)]
+    # filter: even ids only
+    allowed = {str(i) for i in range(0, 300, 2)}
+    cand = df.select("_id").filter(F.col("_id").cast("long") % 2 == 0)
+    unfiltered = rplsh_search(idx, qlist, "euclidean", 10).collect()
+    filtered = rplsh_search(idx, qlist, "euclidean", 10,
+                            candidate_ids=cand).collect()
+    assert filtered, "filtered search returned nothing"
+    f_pairs = {(r["query_id"], r["_id"]) for r in filtered}
+    u_pairs = {(r["query_id"], r["_id"]) for r in unfiltered}
+    assert all(r["_id"] in allowed for r in filtered)
+    # subset of the unfiltered candidates restricted to allowed ids
+    u_allowed = {(q, i) for q, i in u_pairs if i in allowed}
+    # every unfiltered hit that satisfies the filter must survive (the
+    # pre-filter only removes candidates, never adds or reorders the rest)
+    assert u_allowed <= f_pairs
