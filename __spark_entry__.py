@@ -1105,10 +1105,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact = _exact_topk_sets(spark, sf_dir)
         rows = []
         for qid, qv in _qlist(spark, sf_dir):
+            # route="auto" — the engine surface picks the local quantized
+            # ADC beam (r11; parity-tested against the Spark route in
+            # test_quantized_graph_local_route), the reference's actual
+            # one-process point-read lifecycle. Returns pandas.
             res = coll.search({"query": {"property": "embedding", "vectorVamana": {
                 "vector": qv, "operator": "near", "limit": 10,
-                "searchSize": 75}}})
-            got = {r["_id"] for r in res.collect()}
+                "searchSize": 75}}}, route="auto")
+            got = set(res["_id"])
             rows.append(
                 (qid, bool(route_ok), len(got & exact[qid]) / 10.0 >= 0.5)
             )

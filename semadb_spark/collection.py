@@ -1710,12 +1710,35 @@ class Collection:
         self._engine_cache = None
         self._local_engine_cache = None
 
-    def search(self, request: dict) -> DataFrame:
+    def search(self, request: dict, route: str = "spark"):
         """Run a JSON query-tree search request against the collection
         (shard/shard.go:329-472 via the compiler; request shape
         models/search.go:19-25). Uses the persisted text index for the
-        current snapshot when one exists."""
-        return self._open_engine().search(request)
+        current snapshot when one exists.
+
+        ``route`` picks the execution tier:
+
+        - ``"spark"`` (default) — the distributed engine; returns a Spark
+          DataFrame. The analytics/batch route.
+        - ``"auto"`` — the point-read route (returns a PANDAS DataFrame,
+          same columns/ordering — parity-tested): serve via
+          :meth:`search_local` whenever every leg of the compiled tree is
+          local-servable, else fall back to the Spark engine and
+          ``toPandas()`` the page. This is the reference's serving shape —
+          the whole query lifecycle in one process
+          (shard/shard.go:329-472) — without callers having to know the
+          tier names; the engine's ~150 ms-per-job scheduler floor only
+          applies on the fallback."""
+        if route == "spark":
+            return self._open_engine().search(request)
+        if route != "auto":
+            raise ValueError(f"unknown route {route!r}, expected spark|auto")
+        from .plans.local_engine import LocalServeUnsupported
+
+        try:
+            return self.search_local(request)
+        except LocalServeUnsupported:
+            return self._open_engine().search(request).toPandas()
 
     def search_local(self, request: dict, vector_mode: str = "auto"):
         """Driver-local search: the SAME JSON query tree as :meth:`search`,

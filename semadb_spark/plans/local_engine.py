@@ -188,11 +188,52 @@ class LocalSearchEngine:
                         "metric": meta["metric"],
                         "pack_dtype": meta.get("pack_dtype", "float32"),
                         "packed_codes": meta.get("packed_codes"),
+                        "thresholds": None,
+                        "books": None,
                     }
-                    if meta.get("packed_codes") and p not in self.unsupported_vec:
-                        self.unsupported_vec[p] = (
-                            "quantized packed graph (ADC beam route)"
+                    if meta.get("packed_codes"):
+                        # quantized-THROUGH-graph: when the ENGINE would
+                        # take the quantized-graph route (packed codes +
+                        # resolvable frozen quantizer + supported metric,
+                        # compiler.py quantized_graph predicate), the local
+                        # tier serves the SAME ADC beam kernel
+                        # (vamana_serve_local, parity-pinned to
+                        # vamana_serve_packed) — that IS engine parity for
+                        # these collections, so it is NOT opt-in. Every
+                        # other quantized shape stays a refusal (the engine
+                        # serves code-scan / fused routes there).
+                        q_ok = (
+                            meta["metric"] in ("euclidean", "cosine", "dot")
+                            and v.quantizer is not None
+                            and os.path.exists(os.path.join(
+                                collection._qindex_path(p), "_quantizer.json"
+                            ))
                         )
+                        if q_ok:
+                            try:
+                                thr, books = (
+                                    collection._resolve_packed_quantizer(
+                                        p, meta
+                                    )
+                                )
+                            except ValueError as e:
+                                # fingerprint drift: the Spark engine raises
+                                # the rebuild error — route there
+                                self.unsupported_vec.setdefault(
+                                    p, f"quantizer drift ({e})"
+                                )
+                            else:
+                                self.graph[p]["thresholds"] = thr
+                                self.graph[p]["books"] = books
+                                # clears any code-scan refusal set above:
+                                # the engine's route precedence puts the
+                                # quantized graph FIRST (compiler.py:402)
+                                self.unsupported_vec.pop(p, None)
+                        else:
+                            self.unsupported_vec.setdefault(
+                                p, "quantized packed graph without a "
+                                   "resolvable frozen quantizer",
+                            )
         self._dset = None
         self._vec_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._d8_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -583,7 +624,55 @@ class LocalSearchEngine:
             )
         candidates = self._candidate_ids(opts.get("filter"))
         graph = self.graph.get(prop)
-        if (
+        quantized_graph = (
+            key == "vectorVamana"
+            and graph is not None
+            and (
+                graph.get("thresholds") is not None
+                or graph.get("books") is not None
+            )
+        )
+        if quantized_graph:
+            if candidates is not None:
+                # the engine's filtered quantized-graph route picks seeded
+                # beam vs exact fallback by candidate breadth
+                # (compiler.py:363-375) — a driver-side re-implementation
+                # would drift; route filtered requests to the engine
+                raise LocalServeUnsupported(
+                    f"filtered query on quantized-graph property {prop}; "
+                    "use Collection.search"
+                )
+            # ENGINE route served locally: the same quantized ADC beam +
+            # exact float rerank as the compiler's quantized-graph route
+            # (identical kernel + params; vamana_serve_local is
+            # parity-pinned to vamana_serve_packed)
+            from semadb_spark.operators.vamana import vamana_serve_local
+
+            search_size = int(
+                opts.get("searchSize")
+                or value.params.get("searchSize")
+                or graph["search_size"]
+            )
+            nprobe = max(1, min(len(graph["centroids"]), search_size // 8))
+            hits = vamana_serve_local(
+                graph["packed"], vector, limit,
+                metric=value.distance_metric,
+                search_size=search_size,
+                centroids=graph["centroids"],
+                nprobe=nprobe,
+                dtype=graph["pack_dtype"],
+                compute_dtype="float32",
+                n_seeds=32,
+                thresholds=graph["thresholds"],
+                books=graph["books"],
+            )
+            topk = pd.DataFrame(
+                {
+                    RID: [i for i, _ in hits],
+                    "_distance": [float(dd) for _, dd in hits],
+                }
+            )
+        elif (
             self.vector_mode == "graph"
             and key == "vectorVamana"
             and graph is not None

@@ -395,3 +395,83 @@ def test_property_named_id_parity(spark, tmp_path):
         "property": "n", "integer": {"operator": "greaterThan", "value": 3}},
         "limit": 6, "sort": [{"property": "id", "descending": True}],
         "select": ["id", "n"]})
+
+
+def test_route_auto_parity_and_fallback(coll):
+    """Collection.search(request, route='auto'): point-read requests serve
+    via the local tier with engine parity (same ids + scores as the Spark
+    engine, pandas shape); unsupported shapes transparently fall back to
+    the Spark engine (toPandas page) instead of raising."""
+    reqs = [
+        # hybrid _or over text + vector — the composed shape the verdict
+        # asks parity for
+        {"query": {"property": "_or", "_or": [
+            {"property": "body", "text": {
+                "operator": "containsAny", "value": "spark join",
+                "limit": 8, "weight": 2.0}},
+            {"property": "v", "vectorFlat": {
+                "vector": [0.2] * 8, "limit": 8}},
+        ]}, "limit": 8},
+        # pure filter page
+        {"query": {"property": "n", "integer": {
+            "operator": "inRange", "value": 2, "endValue": 9}},
+            "limit": 7, "offset": 2},
+    ]
+    for req in reqs:
+        want = [r.asDict(recursive=True) for r in coll.search(req).collect()]
+        got = coll.search(req, route="auto")
+        assert not hasattr(got, "rdd"), "route=auto must return pandas"
+        assert [
+            (g["_id"], _norm(g["_hybridScore"]))
+            for g in got.to_dict("records")
+        ] == [(w["_id"], _norm(w["_hybridScore"])) for w in want]
+    # (the Spark-fallback leg of route=auto is covered on a genuinely
+    # local-unsupported shape in test_quantized_graph_local_route)
+    with pytest.raises(ValueError, match="unknown route"):
+        coll.search(reqs[0], route="bogus")
+
+
+def test_quantized_graph_local_route(spark, tmp_path):
+    """A schema-declared vectorVamana + binary quantizer collection whose
+    packed artifact bakes codes serves POINT-READS locally through the
+    same quantized ADC beam the Spark engine uses (compiler quantized-
+    graph route) — engine parity, not opt-in. Filtered requests fall
+    back to the engine (candidate-breadth routing is engine-only)."""
+    import os as _os
+
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 16, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2,
+        "quantizer": {"type": "binary", "binary": {
+            "distanceMetric": "hamming", "triggerThreshold": 10}}}},
+        "n": {"type": "integer", "integer": {}}}
+    coll = Collection.create(spark, str(tmp_path / "qg"), schema,
+                             num_buckets=4)
+    rng = np.random.RandomState(9)
+    X = rng.normal(size=(300, 16))
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]], n=i)
+         for i in range(300)]
+    ))
+    assert set(coll._quantized_indexes()) == {"v"}
+    coll.build_vamana_index("v", num_shards=2, seed=5)
+    assert coll._graph_indexes()["v"].get("packed_codes") == "bq"
+    qv = [float(x) for x in X[42]]
+    req = {"query": {"property": "v", "vectorVamana": {
+        "vector": qv, "limit": 6, "searchSize": 40}}, "limit": 6}
+    # engine parity through the SAME quantized beam (ids + distances)
+    assert_parity(coll, req)
+    # route=auto serves this locally (engine cache untouched on repeat)
+    got = coll.search(req, route="auto")
+    assert not hasattr(got, "rdd")
+    assert len(got) == 6
+    # filtered -> LocalServeUnsupported from search_local, auto falls back
+    freq = {"query": {"property": "v", "vectorVamana": {
+        "vector": qv, "limit": 6, "searchSize": 40,
+        "filter": {"property": "n", "integer": {
+            "operator": "lessThan", "value": 150}}}}, "limit": 6}
+    with pytest.raises(LocalServeUnsupported, match="filtered query"):
+        coll.search_local(freq)
+    want = [r["_id"] for r in coll.search(freq).collect()]
+    got = coll.search(freq, route="auto")
+    assert list(got["_id"]) == want
