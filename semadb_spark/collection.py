@@ -832,6 +832,10 @@ class Collection:
                     "pack_dtype": pack_dtype,
                     "packed_codes": packed_codes,
                     "quantizer_fp": quantizer_fp,
+                    # build provenance: lets maintenance rebuild with the
+                    # SAME recipe when the delta outgrows roll-forward
+                    "num_shards": int(len(index.centroids)),
+                    "build_seed": int(seed),
                 },
                 f,
             )
@@ -1182,7 +1186,7 @@ class Collection:
         self.vamana_search(prop, [("_warm", qv)], k=1, nprobe=1).collect()
         return time.time() - t0
 
-    def refresh_vamana_index(self, prop: str) -> int:
+    def refresh_vamana_index(self, prop: str, mode: str = "auto") -> int:
         """W8 maintain-on-write for the PERSISTED Vamana artifact: apply the
         snapshot delta to the merged graph with the reference's
         delete-repair + re-insert (vamana.go:136-263 semantics via
@@ -1191,11 +1195,24 @@ class Collection:
 
         The bucket manifests name the changed data; within the dirty
         buckets the actual delta (deleted / changed / new ids) is joined
-        out, and — reference parity — the batch is bounded by the update
-        request limit (MAX_UPDATE_BATCH=100, httpapi/v2/handlers.go:314):
-        past a few percent of the corpus a rebuild is both cheaper and
-        better, exactly the tradeoff the reference's maintenance path
-        takes. Shard roll-forward: departed nodes leave their shards'
+        out. ``mode`` routes the maintenance COST decision (r11 — the
+        reference repairs any batch in place, vamana.go:136-263; here the
+        two strategies have crossing cost curves, so the router picks):
+
+        - ``"auto"`` (default): roll forward when the delta fits the
+          bounded repair — at most MAX_UPDATE_BATCH changed points (the
+          reference's own update-request bound, httpapi/v2/handlers.go:314
+          — the roll-forward cost is delta x searchSize driver-pooled beam
+          repairs, linear in the batch) and the entry node untouched;
+          otherwise REBUILD with the artifact's recorded build recipe
+          (num_shards/seed/pack_dtype/replicas) — past a few percent of
+          the corpus the distributed rebuild is both cheaper per change
+          and better (it re-optimizes what local repair only patches).
+        - ``"roll_forward"``: bounded repair only; raises past the bound
+          or on entry-node changes (the pre-r11 behavior).
+        - ``"rebuild"``: force the full rebuild.
+
+        Shard roll-forward: departed nodes leave their shards'
         node/edge tables; upserted nodes join their ``replicas`` nearest
         build-centroid shards carrying their repaired merged-graph edges
         (restricted to in-shard endpoints) plus one bidirectional tether to
@@ -1216,6 +1233,10 @@ class Collection:
             vamana_update,
         )
 
+        if mode not in ("auto", "roll_forward", "rebuild"):
+            raise ValueError(
+                f"unknown mode {mode!r}, expected auto|roll_forward|rebuild"
+            )
         if self.schema[prop].type != "vectorVamana":
             raise ValueError(f"property {prop} is not a vectorVamana index")
         cur = self._current_version()
@@ -1272,17 +1293,32 @@ class Collection:
             .select(F.col("_id").alias("id"), F.col(prop).alias("nv"))
             .filter(F.col("nv").isNotNull())
         )
-        delta_rows = (
-            old_nodes.join(cur_dirty, "id", "full_outer")
-            .filter(
-                F.col("ov").isNull()
-                | F.col("nv").isNull()
-                | (F.col("ov") != F.col("nv"))
-            )
-            .limit(MAX_UPDATE_BATCH + 1)
-            .collect()
+        delta = old_nodes.join(cur_dirty, "id", "full_outer").filter(
+            F.col("ov").isNull()
+            | F.col("nv").isNull()
+            | (F.col("ov") != F.col("nv"))
         )
+
+        def _rebuild() -> int:
+            # the routed rebuild: same recipe as the original build (the
+            # recorded provenance), full re-optimization — the cost winner
+            # once the delta outgrows the bounded repair
+            n = delta.count()
+            self.build_vamana_index(
+                prop,
+                num_shards=meta.get("num_shards"),
+                replicas=int(meta.get("replicas", 2)),
+                seed=int(meta.get("build_seed", 42)),
+                pack_dtype=meta.get("pack_dtype", "float32"),
+            )
+            return n
+
+        if mode == "rebuild":
+            return _rebuild()
+        delta_rows = delta.limit(MAX_UPDATE_BATCH + 1).collect()
         if len(delta_rows) > MAX_UPDATE_BATCH:
+            if mode == "auto":
+                return _rebuild()
             raise ValueError(
                 f"vamana refresh delta exceeds {MAX_UPDATE_BATCH} changed "
                 f"points; rebuild the index (build_vamana_index) instead"
@@ -1293,6 +1329,11 @@ class Collection:
             r["id"] for r in delta_rows if r["ov"] is not None and r["nv"] is not None
         ]
         if meta["entry_id"] in deleted or meta["entry_id"] in changed:
+            if mode == "auto":
+                # in-place entry-node relink is the one repair the bounded
+                # path refuses (policy note in operators/vamana.py) — the
+                # router sends it to the rebuild instead of erroring
+                return _rebuild()
             raise ValueError(
                 "vamana refresh touches the entry node; rebuild instead"
             )

@@ -1103,3 +1103,79 @@ def test_vamana_search_local_quantized_route(spark, tmp_path):
         # self point — assert cluster membership via the true distance
         top_idx = int(got[0][0][1:])
         assert ((X[top_idx] - X[qi]) ** 2).sum() < 1.0, (qi, got[0])
+
+
+def test_refresh_vamana_auto_routes_bulk_to_rebuild(spark, tmp_path):
+    """Cost-based maintenance routing (r11): a delta past MAX_UPDATE_BATCH
+    is no longer a hard refusal — mode='auto' (the default) lands on the
+    partition REBUILD with the artifact's recorded build recipe, and the
+    post state holds the same invariants as a fresh build (reference bar:
+    vamana.go:136-263 repairs any batch in place; here the router decides
+    repair-vs-rebuild by the crossing cost curves). mode='roll_forward'
+    keeps the bounded pre-r11 contract and raises."""
+    import json
+    import os
+
+    import numpy as np
+
+    from semadb_spark.operators import vamana as vm
+    from semadb_spark.operators.vamana import MAX_UPDATE_BATCH
+
+    rng = np.random.RandomState(23)
+    X = rng.normal(size=(240, 4)).astype(np.float64)
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 4, "distanceMetric": "euclidean",
+        "searchSize": 32, "degreeBound": 32, "alpha": 1.2}}}
+    coll = Collection.create(spark, str(tmp_path / "bulk"), schema,
+                             num_buckets=4)
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i}", v=[float(x) for x in X[i]]) for i in range(240)]
+    ))
+    coll.build_vamana_index("v", num_shards=2, seed=7)
+
+    # bulk update: move 120 points (> MAX_UPDATE_BATCH=100) to a new region
+    n_bulk = MAX_UPDATE_BATCH + 20
+    Y = rng.normal(size=(n_bulk, 4)) * 0.2 + 7.0
+    coll.update(spark.createDataFrame(
+        [Row(_id=f"p{i}", v=[float(x) for x in Y[i]]) for i in range(n_bulk)]
+    ))
+
+    # roll_forward keeps the bounded refusal
+    with pytest.raises(ValueError, match="exceeds"):
+        coll.refresh_vamana_index("v", mode="roll_forward")
+    # auto routes to the rebuild and reports the true delta size
+    n = coll.refresh_vamana_index("v")
+    assert n == n_bulk
+
+    # post-state: fresh-build invariants on the rebuilt artifact
+    path = os.path.join(
+        coll.path, f"v{coll._current_version()}_idx", "vamana_v")
+    with open(os.path.join(path, "_graph.json")) as f:
+        meta = json.load(f)
+    assert meta.get("num_shards") == 2 and meta.get("build_seed") == 7
+    edges = spark.read.parquet(os.path.join(path, "edges"))
+    deg = edges.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    assert deg <= 32
+    adj: dict = {}
+    for r in edges.collect():
+        adj.setdefault(r["src"], []).append(r["dst"])
+    reachable = vm.bfs_reachable(adj, meta["entry_id"])
+    assert len(reachable) == 240  # connectivity: every point searchable
+
+    # serving reflects the moved vectors; recall bar vs exact scan
+    res = coll.vamana_search("v", [("q", [7.0, 7.0, 7.0, 7.0])], 10)
+    got = {r["_id"] for r in res.collect()}
+    assert got <= {f"p{i}" for i in range(n_bulk)}, got
+    d2 = ((Y - np.asarray([7.0] * 4)) ** 2).sum(axis=1)
+    exact = {f"p{i}" for i in np.argsort(d2, kind="stable")[:10]}
+    assert len(got & exact) >= 5  # reference limit/2 bar
+
+    # entry-node DML also routes to rebuild under auto
+    coll.update(spark.createDataFrame(
+        [Row(_id=meta["entry_id"], v=[float(x) for x in rng.normal(size=4)])]
+    ))
+    with pytest.raises(ValueError, match="entry node"):
+        coll.refresh_vamana_index("v", mode="roll_forward")
+    assert coll.refresh_vamana_index("v") == 1
+    with pytest.raises(ValueError, match="unknown mode"):
+        coll.refresh_vamana_index("v", mode="bogus")
