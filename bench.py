@@ -90,7 +90,30 @@ def _timed(action) -> float:
     return _time.time() - t0
 
 
-def best_of(n, make, pin_sec=None, pass_times=None):
+def _below_band(best_dt, pin_sec=None, ref_sec=None, min_ratio=None):
+    """Band decision shared by the measurement loops (unit-tested in
+    tests/test_invariants.py). Two pin styles:
+
+    - absolute (``pin_sec``): best pass must be within 2x of the pinned
+      seconds. Catches collapses, but a uniformly-noisy window (this
+      host's documented 2x whole-window mode, COVERAGE.md r10 ledger)
+      trips it and forces re-measure churn even though nothing regressed.
+    - ratio (``ref_sec``/``min_ratio``, r11): best pass must keep at least
+      ``min_ratio`` of a SAME-RUN reference row's throughput
+      (ratio = ref_sec / best_dt for equal query counts). A noisy window
+      slows both sides, so the ratio band passes without churn; a REAL
+      kernel regression moves only the measured row and still trips it.
+    """
+    if min_ratio is not None and ref_sec is not None:
+        if (ref_sec / best_dt) < min_ratio:
+            return True
+    if pin_sec is not None and best_dt > 2.0 * pin_sec:
+        return True
+    return False
+
+
+def best_of(n, make, pin_sec=None, pass_times=None, ref_sec=None,
+            min_ratio=None, band_backoff_sec=0.0):
     """Best-of-n runs of ``make() -> DataFrame``; returns (frame, best_sec).
 
     ``pass_times``: optional list — every pass's seconds is appended, so a
@@ -115,6 +138,12 @@ def best_of(n, make, pin_sec=None, pass_times=None):
     later; all its passes were ~20 s, so no pass "improved"). A row still
     above the band after the cap should carry an explicit note.
 
+    ``ref_sec``/``min_ratio`` (r11) is the NOISE-NORMALIZED band: the best
+    pass must keep ``min_ratio`` of a same-run reference row's throughput
+    (see :func:`_below_band`). Prefer it for rows whose absolute QPS
+    swings with the host's whole-window noise mode. ``band_backoff_sec``
+    sleeps between band-miss re-measures (same rationale as qps_best_of).
+
     CRITICAL measurement honesty: each timed pass must unpersist before the
     next starts. Spark's CacheManager matches cache entries by analyzed
     PLAN, so persisting an identical plan while a prior pass's cache entry
@@ -130,6 +159,8 @@ def best_of(n, make, pin_sec=None, pass_times=None):
     improving = False
     below_band = False
     while passes < n or (passes < 8 and (improving or below_band)):
+        if below_band and band_backoff_sec:
+            _time.sleep(band_backoff_sec)
         cand = make()
         t0 = _time.time()
         cand.persist().count()
@@ -140,7 +171,7 @@ def best_of(n, make, pin_sec=None, pass_times=None):
         improving = best_dt is not None and dt < best_dt * 0.9
         if best_dt is None or dt < best_dt:
             best_dt = dt
-        below_band = pin_sec is not None and best_dt > 2.0 * pin_sec
+        below_band = _below_band(best_dt, pin_sec, ref_sec, min_ratio)
         passes += 1
     frame = make()
     frame.persist().count()
@@ -586,6 +617,21 @@ def main() -> None:
 
     qg_side = ensure_code_artifacts(spark, ang_path, vam_meta)
     quant_graph_1m = {}
+    # RATIO-pinned bands (r11, VERDICT r10 directive #1 + #6): the r10 dip
+    # (bq_adc 1509->1339, pq 1290->1022 across committed runs) bisected to
+    # NO code change — r9 code reproduced 734 QPS in the same r11 window
+    # where r11 code measured 854-940 (tools/repro_quantized_graph.py,
+    # same artifact, recalls bit-identical). The quantized beams are
+    # byte-LUT-gather (memory-latency) bound, so noisy-neighbor windows
+    # hit them HARDER than the GEMM-bound float beam — an absolute pin
+    # here would force 8-pass churn every noisy window. The pinned signal
+    # is the ratio to the float row measured seconds earlier in the SAME
+    # window: committed history bq_adc/float 0.88 (r9) / 0.84 (r10 run2)
+    # / 0.73 (r10 driver) / 0.60 (r11 isolation, both code versions);
+    # pq/float 0.75 / 0.64 / 0.59 / 0.63. Band 0.45 tolerates the
+    # measured window spread and still trips on any real kernel
+    # regression (which would move ONLY the quantized legs).
+    QG_MIN_RATIO = 0.45
     for qg_name, qg_path, qg_kw, qg_base in (
         (
             "bq_adc",
@@ -601,6 +647,7 @@ def main() -> None:
         ),
     ):
         qg_disk = spark.read.parquet(qg_path)
+        qg_passes: list = []
         qg_frame, qg_dt = best_of(
             3,
             lambda: vamana_serve_packed(
@@ -610,15 +657,27 @@ def main() -> None:
                 kernel="batched", compute_dtype="float32", n_seeds=64,
                 oversample=4, **qg_kw,
             ),
+            pass_times=qg_passes,
+            ref_sec=vam_dt, min_ratio=QG_MIN_RATIO, band_backoff_sec=2.0,
         )
         qg_recall = recall_at_k(
             qg_frame.filter(F.col("query_id").isin(aq64)), ang_exact
         )
+        qg_ratio = round(vam_dt / qg_dt, 3)
         quant_graph_1m[qg_name] = {
             "qps": round(len(aq) / qg_dt, 1),
             "recall_at10": round(qg_recall, 4),
             "baseline": qg_base,
+            "ratio_band": [QG_MIN_RATIO, "vs vamana_1m float row, same run"],
+            "ratio_vs_float": qg_ratio,
+            "band_passes": len(qg_passes),
+            "pass_sec": qg_passes,
         }
+        if qg_ratio < QG_MIN_RATIO:
+            quant_graph_1m[qg_name]["qps_note"] = (
+                f"below_ratio_band:{QG_MIN_RATIO}x_float_after_"
+                f"{len(qg_passes)}_passes"
+            )
         qg_frame.unpersist()
     print(f"# quant_graph_1m: {quant_graph_1m}", file=sys.stderr)
 

@@ -262,3 +262,29 @@ def test_idx_cache_lru_evicts_and_rebuilds(spark):
         em._IDX_CACHE.clear()
         em._IDX_CACHE.update(saved_cache)
         em._IDX_CACHE_MAX = saved_max
+
+
+def test_ratio_band_survives_uniform_noise_window():
+    """Noise-normalized pin bands (r11): in a synthetic 2x-slowdown window
+    that shifts EVERY row uniformly (this host's documented whole-window
+    noise mode, COVERAGE.md r10 ledger), an absolute pin trips and forces
+    re-measure churn, while the ratio band — measured against a same-run
+    reference row that slowed by the same factor — passes. A REAL kernel
+    regression (only the measured row slows) still trips the ratio band."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _below_band
+
+    # calm window: quantized leg 2.7s, float reference 2.4s (ratio 0.89)
+    assert not _below_band(2.7, pin_sec=3.0)
+    assert not _below_band(2.7, ref_sec=2.4, min_ratio=0.45)
+    # uniform 2x window: both rows slow together
+    assert _below_band(5.4, pin_sec=2.5)  # abs pin (2x rule) churns
+    assert not _below_band(5.4, ref_sec=4.8, min_ratio=0.45)  # ratio passes
+    # uniform 4x window: ratio still passes, churn-free
+    assert not _below_band(10.8, ref_sec=9.6, min_ratio=0.45)
+    # real regression: only the measured row slows 3x -> ratio trips
+    assert _below_band(8.1, ref_sec=2.4, min_ratio=0.45)
+    # both styles combined: either tripping re-measures
+    assert _below_band(8.1, pin_sec=10.0, ref_sec=2.4, min_ratio=0.45)
+    assert _below_band(25.0, pin_sec=10.0, ref_sec=24.0, min_ratio=0.45)
