@@ -778,7 +778,10 @@ class Collection:
     # -- W7: persisted Vamana graph artifact ---------------------------------
     def build_vamana_index(self, prop: str, num_shards: int | None = None,
                            replicas: int = 2, seed: int = 42,
-                           pack_dtype: str = "float32") -> str:
+                           pack_dtype: str = "float32",
+                           max_shard_rows: int = 400,
+                           build_mode: str = "auto",
+                           build_passes: int = 2) -> str:
         """Build the DiskANN-style graph for a vectorVamana property as a
         distributed job (operators/vamana.py merged build) and persist the
         edge table + entry metadata beside the snapshot. This is the EXPORT
@@ -803,6 +806,11 @@ class Collection:
             search_size=int(value.params.get("searchSize", 75)),
             num_shards=num_shards, replicas=replicas, seed=seed,
             metric=value.distance_metric, keep_sharded=True,
+            # serving-vs-build shard sizing + kernel choice pass straight
+            # through to the operator (vamana_build docstring): SERVING
+            # artifacts want max_shard_rows in the low thousands
+            max_shard_rows=int(max_shard_rows),
+            build_mode=build_mode, build_passes=int(build_passes),
         )
         v = self._current_version()
         path = os.path.join(self.path, f"v{v}_idx", f"vamana_{prop.replace('.', '_')}")
@@ -836,6 +844,9 @@ class Collection:
                     # SAME recipe when the delta outgrows roll-forward
                     "num_shards": int(len(index.centroids)),
                     "build_seed": int(seed),
+                    "max_shard_rows": int(max_shard_rows),
+                    "build_mode": build_mode,
+                    "build_passes": int(build_passes),
                 },
                 f,
             )
@@ -1310,6 +1321,9 @@ class Collection:
                 replicas=int(meta.get("replicas", 2)),
                 seed=int(meta.get("build_seed", 42)),
                 pack_dtype=meta.get("pack_dtype", "float32"),
+                max_shard_rows=int(meta.get("max_shard_rows", 400)),
+                build_mode=meta.get("build_mode", "auto"),
+                build_passes=int(meta.get("build_passes", 2)),
             )
             return n
 
@@ -1781,7 +1795,8 @@ class Collection:
         except LocalServeUnsupported:
             return self._open_engine().search(request).toPandas()
 
-    def search_local(self, request: dict, vector_mode: str = "auto"):
+    def search_local(self, request: dict, vector_mode: str = "auto",
+                     graph_nprobe: int | None = None):
         """Driver-local search: the SAME JSON query tree as :meth:`search`,
         served end-to-end in THIS process — filter legs via pyarrow
         predicate scans over the bucketed snapshot, text legs via the
@@ -1802,14 +1817,19 @@ class Collection:
         to :meth:`search`."""
         from .plans.local_engine import LocalSearchEngine
 
-        key = (self._current_version(), vector_mode)
+        key = (self._current_version(), vector_mode, graph_nprobe)
         cached = getattr(self, "_local_engine_cache", None)
         if cached is None or cached[0] != key:
-            self._local_engine_cache = (key, LocalSearchEngine(self, vector_mode))
+            self._local_engine_cache = (
+                key,
+                LocalSearchEngine(self, vector_mode,
+                                  graph_nprobe=graph_nprobe),
+            )
         return self._local_engine_cache[1].search(request)
 
     def open_search_pool(self, workers: int = 8, vector_mode: str = "auto",
-                         warm_requests=None):
+                         warm_requests=None,
+                         graph_nprobe: int | None = None):
         """Open a process-parallel HYBRID serving pool over this
         collection's current snapshot
         (:class:`~semadb_spark.plans.local_engine.HybridServePool`): N
@@ -1824,7 +1844,7 @@ class Collection:
 
         return HybridServePool(
             self.path, workers=workers, vector_mode=vector_mode,
-            warm_requests=warm_requests,
+            warm_requests=warm_requests, graph_nprobe=graph_nprobe,
         )
 
     # -- W1: insert ---------------------------------------------------------

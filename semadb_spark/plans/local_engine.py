@@ -116,12 +116,21 @@ class LocalSearchEngine:
     entirely driver-local. Version-pinned: build one per snapshot (the
     Collection caches it exactly like its Spark engine cache)."""
 
-    def __init__(self, collection, vector_mode: str = "auto"):
+    def __init__(self, collection, vector_mode: str = "auto",
+                 graph_nprobe: int | None = None):
         if vector_mode not in ("auto", "graph"):
             raise ValueError(f"unknown vector_mode {vector_mode}")
         self.schema = collection.schema
         self.id_col = "_id"
         self.vector_mode = vector_mode
+        # serving knob for the OPT-IN graph mode only: beams per vector leg
+        # are the point-read cost unit (~5 ms each on 16k-row sub-shards),
+        # and the compiler's analytics formula (search_size // 8 cents)
+        # probes 5x what a latency-tier point-read needs — the proven
+        # vector point-read rows serve nprobe=1 (bench vamana_10m
+        # point_read). None keeps the compiler formula. The ENGINE-parity
+        # quantized-graph route ignores this (parity pins its params).
+        self.graph_nprobe = None if graph_nprobe is None else int(graph_nprobe)
         self.base = collection.path
         # pin the snapshot ONCE: manifest -> concrete parquet file list
         import glob
@@ -249,6 +258,13 @@ class LocalSearchEngine:
         # facts, not per-query work)
         self._frame_cache: dict[tuple, pd.DataFrame] = {}
         self._fold_cache: dict[str, pd.Series] = {}
+        # factorized string columns for equality predicates: comparing a
+        # 1M-row OBJECT array to a scalar measured 46 ms/query (pandas
+        # comp_method_OBJECT_ARRAY); int32 code compare is ~1 ms. Built
+        # once per (root, fold) — the local analogue of the reference's
+        # per-value posting lists (string equality IS a posting lookup
+        # there, inverted.go)
+        self._code_cache: dict[tuple, tuple] = {}
         # canonical row order: id array / hash index / id-sorted permutation
         # / pre-gathered sorted ids, built once per snapshot (lazy)
         self._canon: tuple | None = None
@@ -313,6 +329,23 @@ class LocalSearchEngine:
                 self._fold_cache[root] = hit
             return hit
         return s.str.lower()
+
+    def _codes_of(self, root: str, fold: bool) -> tuple | None:
+        """(int codes ndarray, value->code mapping) for a resident root
+        string column, factorized once per snapshot (nulls = -1)."""
+        key = (root, fold)
+        hit = self._code_cache.get(key)
+        if hit is None:
+            col = self._col_cache.get(root)
+            if col is None:
+                return None
+            base = self._folded(col, root) if fold else col
+            codes, uniques = pd.factorize(
+                base.to_numpy(dtype=object), use_na_sentinel=True
+            )
+            hit = (codes, {v: i for i, v in enumerate(uniques)})
+            self._code_cache[key] = hit
+        return hit
 
     def _canonical_ids(self) -> tuple[np.ndarray, pd.Index, np.ndarray]:
         """(ids_all, hash index, argsort permutation) over the canonical
@@ -447,8 +480,21 @@ class LocalSearchEngine:
             v = v.lower()
             end = end.lower() if end is not None else None
 
-        def fn(pdf, prop=prop, v=v, end=end, op=op, fold=fold):
+        def fn(pdf, prop=prop, v=v, end=end, op=op, fold=fold, root=root):
             s = _leaf_series(pdf, prop)
+            # equality over a resident root column goes through the
+            # factorized codes (int compare, null-safe via the -1
+            # sentinel) instead of a 1M-row object-array compare
+            if op in ("equals", "notEquals") and "." not in prop:
+                cached = self._col_cache.get(root)
+                if cached is not None and len(s) == len(cached):
+                    ch = self._codes_of(root, fold)
+                    if ch is not None:
+                        codes, mapping = ch
+                        c = mapping.get(v, -2)
+                        if op == "equals":
+                            return codes == c
+                        return (codes != c) & (codes != -1)
             if fold:
                 s = self._folded(s, prop)
             if op == "startsWith":
@@ -690,7 +736,9 @@ class LocalSearchEngine:
                 or value.params.get("searchSize")
                 or graph["search_size"]
             )
-            nprobe = max(1, min(len(graph["centroids"]), search_size // 8))
+            nprobe = self.graph_nprobe or max(
+                1, min(len(graph["centroids"]), search_size // 8)
+            )
             hits = vamana_serve_local(
                 graph["packed"], vector, limit,
                 metric=value.distance_metric,
@@ -990,7 +1038,8 @@ class LocalSearchEngine:
 _HPOOL_ENGINE: "LocalSearchEngine | None" = None
 
 
-def _hpool_init(collection_path: str, vector_mode: str, warm_requests) -> None:
+def _hpool_init(collection_path: str, vector_mode: str, warm_requests,
+                graph_nprobe=None) -> None:
     """Worker initializer: open the collection WITHOUT a SparkSession
     (Collection.open_local), build this worker's LocalSearchEngine, and
     optionally pre-run warm requests so the resident caches (columns,
@@ -999,7 +1048,8 @@ def _hpool_init(collection_path: str, vector_mode: str, warm_requests) -> None:
     from semadb_spark.collection import Collection
 
     coll = Collection.open_local(collection_path)
-    _HPOOL_ENGINE = LocalSearchEngine(coll, vector_mode=vector_mode)
+    _HPOOL_ENGINE = LocalSearchEngine(coll, vector_mode=vector_mode,
+                                      graph_nprobe=graph_nprobe)
     for r in warm_requests or []:
         # warms are an optimization, never a correctness requirement: one
         # bad warm request (e.g. LocalServeUnsupported) must not brick
@@ -1043,7 +1093,8 @@ class HybridServePool:
 
     def __init__(self, collection_path: str, workers: int = 8,
                  vector_mode: str = "auto", warm_requests=None,
-                 start_method: str | None = None):
+                 start_method: str | None = None,
+                 graph_nprobe: int | None = None):
         import os
 
         from semadb_spark.operators._pool import make_worker_executor
@@ -1058,7 +1109,8 @@ class HybridServePool:
         # whole snapshot), so the shortest queue wins
         self._pool = make_worker_executor(
             self.workers, _hpool_init,
-            (collection_path, vector_mode, list(warm_requests or [])),
+            (collection_path, vector_mode, list(warm_requests or []),
+             graph_nprobe),
             start_method,
             # serving workers run single-threaded math: W full BLAS pools
             # oversubscribe the host (operators/_pool.py, measured 4x)

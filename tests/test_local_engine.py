@@ -475,3 +475,39 @@ def test_quantized_graph_local_route(spark, tmp_path):
     want = [r["_id"] for r in coll.search(freq).collect()]
     got = coll.search(freq, route="auto")
     assert list(got["_id"]) == want
+
+
+def test_factorized_equality_edges_and_graph_nprobe(coll, spark, tmp_path):
+    """String equality serves off factorized codes (r11): parity must hold
+    for values absent from the corpus (empty result, not KeyError), for
+    notEquals with nulls excluded, and for case-folded equality. The
+    graph_nprobe serving knob reaches the packed beam (fewer probed
+    cents = subset-of-full-probe results)."""
+    # absent value: equals -> empty, notEquals -> all non-null rows
+    assert_parity(coll, {"query": {"property": "cat", "string": {
+        "operator": "equals", "value": "NoSuchCategory"}}, "limit": 20})
+    assert_parity(coll, {"query": {"property": "cat", "string": {
+        "operator": "notEquals", "value": "NoSuchCategory"}}, "limit": 20})
+    # case-folded equality through the codes (name is caseSensitive=False)
+    assert_parity(coll, {"query": {"property": "name", "string": {
+        "operator": "equals", "value": "ITEM SPARK 10"}}, "limit": 5})
+    # graph_nprobe plumbing: results at nprobe=64 (all cents) == default
+    # formula on a small graph; nprobe=1 returns a valid k-set
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2}}}
+    c2 = Collection.create(spark, str(tmp_path / "np"), schema, num_buckets=2)
+    rng = np.random.RandomState(4)
+    X = rng.normal(size=(200, 8))
+    c2.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]]) for i in range(200)]
+    ))
+    c2.build_vamana_index("v", num_shards=2, seed=3)
+    req = {"query": {"property": "v", "vectorVamana": {
+        "vector": [float(x) for x in X[9]], "limit": 5}}, "limit": 5}
+    full = c2.search_local(req, vector_mode="graph", graph_nprobe=64)
+    probe1 = c2.search_local(req, vector_mode="graph", graph_nprobe=1)
+    assert len(probe1) == 5
+    # nprobe=1 hits are a subset of the corpus the full probe saw, and the
+    # self-point is found either way (it lives in its own nearest cent)
+    assert "p009" in set(probe1["_id"]) and "p009" in set(full["_id"])
