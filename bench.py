@@ -873,9 +873,16 @@ def main() -> None:
             # 8 s pin accepted down to ~256 QPS, loose enough for a real
             # ~20% regression to land silently. Per-pass seconds are
             # published in the row so the trace is auditable either way.
+            # r11: the absolute pin alone let a 10.25 s/pass slow-IO
+            # window land at 399 QPS without a note (isolation minutes
+            # later: 823, r10 band) — 10.25 sits inside the 2x miss
+            # threshold. The RATIO band vs the same-run 1M float row
+            # catches exactly this: committed history 10M/1M qps ratio
+            # 0.52 (r10) / 0.42 (r9); the 399-QPS window measured 0.225.
             vam10_passes: list = []
             vam10_frame, vam10_dt = best_of(
-                2, _vam10_serve, pin_sec=6.0, pass_times=vam10_passes
+                2, _vam10_serve, pin_sec=6.0, pass_times=vam10_passes,
+                ref_sec=vam_dt, min_ratio=0.3, band_backoff_sec=3.0,
             )
             vam10_recall = recall_at_k(
                 vam10_frame.filter(F.col("query_id").isin(aq10_64)), exact10
@@ -892,9 +899,13 @@ def main() -> None:
                 "pack_dtype": vam10_meta.get("pack_dtype", "float64"),
                 "serving": "disk-backed packed blobs, cent-partition routed",
                 "pass_sec": vam10_passes,
+                "ratio_band": [0.3, "vs vamana_1m float row, same run"],
+                "ratio_vs_1m": round(vam_dt / vam10_dt, 3),
             }
             if vam10_dt > 2.0 * 6.0:
                 vamana_10m["qps_note"] = "below_pinned_band:6s_per_pass"
+            elif (vam_dt / vam10_dt) < 0.3:
+                vamana_10m["qps_note"] = "below_ratio_band:0.3x_1m_row"
             vam10_frame.unpersist()
 
             # CODE-DOMAIN candidate generation (rerank="none"): the
