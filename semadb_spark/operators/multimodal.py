@@ -1160,14 +1160,192 @@ def parse_mp3_header(data: bytes) -> dict | None:
         return None
 
 
+def parse_flac_header(data: bytes) -> dict | None:
+    """Header-real FLAC metadata from the STREAMINFO block (RFC 9639 /
+    xiph FLAC format §metadata_block_streaminfo) — no decode. Walks the
+    metadata blocks after the "fLaC" magic until STREAMINFO (type 0, and
+    in a conformant stream the FIRST block), unpacks the bit-packed
+    sample rate (20 bits) / channels-1 (3) / bits-per-sample-1 (5) /
+    total samples (36), and derives the EXACT duration. Never raises."""
+    try:
+        if data[:4] != b"fLaC":
+            return None
+        pos = 4
+        while pos + 4 <= len(data):
+            hdr = data[pos]
+            btype = hdr & 0x7F
+            blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+            body = data[pos + 4 : pos + 4 + blen]
+            if btype == 0:
+                if len(body) < 18:
+                    return None
+                # bytes 10..18: 20-bit rate | 3-bit chans-1 | 5-bit bps-1
+                # | 36-bit total samples, MSB-first
+                bits = int.from_bytes(body[10:18], "big")
+                rate = bits >> 44
+                channels = ((bits >> 41) & 0x7) + 1
+                bps = ((bits >> 36) & 0x1F) + 1
+                total = bits & ((1 << 36) - 1)
+                if rate == 0:
+                    return None
+                return {
+                    "format": "flac",
+                    "sample_rate": int(rate),
+                    "channels": int(channels),
+                    "bits_per_sample": int(bps),
+                    "total_samples": int(total) or None,
+                    "duration_ms": (
+                        int(total * 1000 // rate) if total else None
+                    ),
+                }
+            if hdr & 0x80:  # last-metadata-block flag, STREAMINFO absent
+                return None
+            pos += 4 + blen
+        return None
+    except Exception:
+        return None
+
+
+def parse_ogg_vorbis_header(data: bytes) -> dict | None:
+    """Header-real Ogg/Vorbis metadata — no decode. Reads the Vorbis
+    identification header (Vorbis I spec §4.2.2: packet type 1 +
+    "vorbis", channels u8, sample rate u32le) from the first Ogg page
+    ("OggS" capture pattern, RFC 3533 §6) and derives duration from the
+    LAST page's granule position of the same logical stream (granule =
+    total PCM samples for Vorbis, spec §A.2). Never raises."""
+    import struct
+
+    try:
+        if data[:4] != b"OggS" or len(data) < 58:
+            return None
+        serial = struct.unpack_from("<I", data, 14)[0]
+        n_segs = data[26]
+        payload = 27 + n_segs
+        pkt = data[payload : payload + 30]
+        if len(pkt) < 16 or pkt[0] != 1 or pkt[1:7] != b"vorbis":
+            return None
+        channels = pkt[11]
+        rate = struct.unpack_from("<I", pkt, 12)[0]
+        nominal = struct.unpack_from("<i", pkt, 20)[0] if len(pkt) >= 24 else 0
+        if rate == 0 or channels == 0:
+            return None
+        # last granule of THIS stream: scan pages from the end (a capture
+        # pattern inside packet bytes fails the version/serial checks)
+        granule = None
+        pos = len(data)
+        while granule is None and pos > 4:
+            pos = data.rfind(b"OggS", 0, pos)
+            if pos < 0:
+                break
+            if (
+                pos + 27 <= len(data)
+                and data[pos + 4] == 0  # stream_structure_version
+                and struct.unpack_from("<I", data, pos + 14)[0] == serial
+            ):
+                g = struct.unpack_from("<q", data, pos + 6)[0]
+                if g >= 0:
+                    granule = g
+        return {
+            "format": "ogg",
+            "codec": "vorbis",
+            "sample_rate": int(rate),
+            "channels": int(channels),
+            "bitrate_nominal": int(nominal) or None,
+            "total_samples": None if granule is None else int(granule),
+            "duration_ms": (
+                None if granule is None else int(granule * 1000 // rate)
+            ),
+        }
+    except Exception:
+        return None
+
+
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350)
+
+
+def parse_adts_header(data: bytes) -> dict | None:
+    """Header-real ADTS AAC metadata — no decode. Validates the 12-bit
+    sync + fixed-header fields (ISO/IEC 14496-3 §1.A.2.2), requires the
+    next frame to sync too (the same false-sync guard as MP3), then walks
+    the frame chain: each AAC frame carries 1024 PCM samples per channel,
+    so duration = frames x 1024 / rate. Never raises."""
+    try:
+        n = len(data)
+
+        def frame_at(p):
+            if p + 7 > n or data[p] != 0xFF or (data[p + 1] & 0xF6) != 0xF0:
+                return None
+            sr_idx = (data[p + 2] >> 2) & 0xF
+            if sr_idx >= len(_ADTS_RATES):
+                return None
+            chan = ((data[p + 2] & 0x1) << 2) | (data[p + 3] >> 6)
+            flen = ((data[p + 3] & 0x3) << 11) | (data[p + 4] << 3) | (
+                data[p + 5] >> 5
+            )
+            if flen < 7:
+                return None
+            return {
+                "profile": (data[p + 2] >> 6) + 1,
+                "sample_rate": _ADTS_RATES[sr_idx],
+                "channels": chan,
+                "frame_len": flen,
+            }
+
+        first = frame_at(0)
+        if first is None:
+            return None
+        nxt = first["frame_len"]
+        if not ((nxt <= n and nxt + 7 > n) or frame_at(nxt) is not None):
+            return None
+        frames, pos = 0, 0
+        while pos + 7 <= n:
+            f = frame_at(pos)
+            if f is None:
+                break
+            frames += 1
+            pos += f["frame_len"]
+        rate = first["sample_rate"]
+        return {
+            "format": "aac_adts",
+            "profile": first["profile"],
+            "sample_rate": rate,
+            "channels": first["channels"],
+            "frames": frames,
+            "duration_ms": int(frames * 1024 * 1000 // rate),
+        }
+    except Exception:
+        return None
+
+
+def parse_audio_header(data: bytes) -> dict | None:
+    """Sniff + parse header-real metadata for the compressed audio
+    formats (MP3 / FLAC / Ogg-Vorbis / ADTS-AAC) — the dispatch
+    :func:`audio_features` uses for non-WAV blobs. Returns None for
+    unrecognized bytes; decode-derived columns stay NULL-tier for all of
+    these (compressed codecs need a real decoder library)."""
+    flac = parse_flac_header(data)
+    if flac is not None:
+        return flac
+    ogg = parse_ogg_vorbis_header(data)
+    if ogg is not None:
+        return ogg
+    adts = parse_adts_header(data)
+    if adts is not None:
+        return adts
+    return parse_mp3_header(data)
+
+
 def audio_features(
     df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
 ) -> DataFrame:
     """Real per-asset audio features from WAV bytes -> (id, n_bytes,
     sample_rate, n_samples, duration_ms, rms, peak). WAV/PCM is decoded
-    for real in any environment (:func:`decode_wav_np`); MP3 blobs get
-    HEADER-real sample_rate/duration_ms from the frame header
-    (:func:`parse_mp3_header`, r10) with decode-derived columns NULL;
+    for real in any environment (:func:`decode_wav_np`); compressed
+    blobs (MP3 r10; FLAC / Ogg-Vorbis / ADTS-AAC r11) get HEADER-real
+    sample_rate/duration_ms (+ exact n_samples where the container
+    records it: FLAC total-samples, Ogg granule) via
+    :func:`parse_audio_header` with decode-derived columns NULL;
     anything else reports NULL feature columns (never fake audio) — the
     same tier contract as image mean_luma. Arrow-batched mapInPandas,
     blobs never touch the driver."""
@@ -1186,11 +1364,12 @@ def audio_features(
                 data = bytes(content)
                 dec = decode_wav_np(data)
                 if dec is None:
-                    mp3 = parse_mp3_header(data)
-                    if mp3 is not None:
+                    hdr = parse_audio_header(data)
+                    if hdr is not None:
                         rows.append(
-                            (str(aid), len(data), mp3["sample_rate"], None,
-                             mp3["duration_ms"], None, None)
+                            (str(aid), len(data), hdr["sample_rate"],
+                             hdr.get("total_samples"),
+                             hdr["duration_ms"], None, None)
                         )
                     else:
                         rows.append(

@@ -903,3 +903,137 @@ def test_jpeg_np_max_pixels_breaker(monkeypatch):
     assert mm.decode_jpeg_np(data) is None  # 8x8 = 64 > 63: declined
     # decode_image still degrades gracefully through the tier contract
     assert mm.decode_image(data) is not None
+
+
+def test_parse_flac_header():
+    """STREAMINFO bit unpacking (RFC 9639): 44100 Hz stereo 16-bit,
+    88200 total samples -> exactly 2000 ms; skip-to-STREAMINFO past a
+    leading PADDING block; garbage and truncated blocks -> None."""
+    import struct
+
+    from semadb_spark.operators import multimodal as mm
+
+    def streaminfo(rate, chans, bps, total):
+        bits = (rate << 44) | ((chans - 1) << 41) | ((bps - 1) << 36) | total
+        body = b"\x00" * 10 + struct.pack(">Q", bits) + b"\x00" * 16
+        return bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    flac = b"fLaC" + streaminfo(44100, 2, 16, 88200)
+    got = mm.parse_flac_header(flac)
+    assert got == {"format": "flac", "sample_rate": 44100, "channels": 2,
+                   "bits_per_sample": 16, "total_samples": 88200,
+                   "duration_ms": 2000}
+    # PADDING (type 1) before STREAMINFO still resolves (lenient walk)
+    pad = bytes([0x01]) + (4).to_bytes(3, "big") + b"\x00" * 4
+    got2 = mm.parse_flac_header(b"fLaC" + pad + streaminfo(48000, 1, 24, 0))
+    assert got2["sample_rate"] == 48000 and got2["channels"] == 1
+    assert got2["total_samples"] is None and got2["duration_ms"] is None
+    assert mm.parse_flac_header(b"fLaCxx") is None
+    assert mm.parse_flac_header(b"not flac at all") is None
+
+
+def _ogg_page(serial, granule, payload, seq=0, htype=2):
+    import struct
+
+    segs = []
+    rest = len(payload)
+    while rest >= 255:
+        segs.append(255)
+        rest -= 255
+    segs.append(rest)
+    return (b"OggS" + bytes([0, htype]) + struct.pack("<q", granule)
+            + struct.pack("<III", serial, seq, 0) + bytes([len(segs)])
+            + bytes(segs) + payload)
+
+
+def test_parse_ogg_vorbis_header():
+    """Vorbis ident header on page 0 + duration from the LAST page's
+    granule of the same serial (Vorbis I spec §A.2); a second logical
+    stream's pages are ignored; non-vorbis Ogg -> None."""
+    import struct
+
+    from semadb_spark.operators import multimodal as mm
+
+    ident = (bytes([1]) + b"vorbis" + struct.pack("<I", 0) + bytes([2])
+             + struct.pack("<I", 22050) + struct.pack("<iii", 0, 64000, 0)
+             + bytes([0xB8, 0x01]))
+    data = (_ogg_page(7, 0, ident, seq=0)
+            + _ogg_page(99, 999999, b"\x00" * 10, seq=0)   # other stream
+            + _ogg_page(7, 44100, b"\x00" * 20, seq=1, htype=4))
+    got = mm.parse_ogg_vorbis_header(data)
+    assert got["format"] == "ogg" and got["codec"] == "vorbis"
+    assert got["sample_rate"] == 22050 and got["channels"] == 2
+    assert got["bitrate_nominal"] == 64000
+    assert got["total_samples"] == 44100 and got["duration_ms"] == 2000
+    # opus (non-vorbis first packet) -> None, garbage -> None
+    assert mm.parse_ogg_vorbis_header(
+        _ogg_page(7, 0, b"OpusHead" + b"\x00" * 10)) is None
+    assert mm.parse_ogg_vorbis_header(b"OggSnope") is None
+
+
+def _adts_frame(sr_idx=4, chan=2, profile_bits=1, payload=100):
+    flen = 7 + payload
+    b = bytearray(7 + payload)
+    b[0] = 0xFF
+    b[1] = 0xF1  # MPEG-4, layer 00, no CRC
+    b[2] = (profile_bits << 6) | (sr_idx << 2) | ((chan >> 2) & 1)
+    b[3] = ((chan & 3) << 6) | ((flen >> 11) & 3)
+    b[4] = (flen >> 3) & 0xFF
+    b[5] = ((flen & 7) << 5) | 0x1F
+    b[6] = 0xFC
+    return bytes(b)
+
+
+def test_parse_adts_header():
+    """ADTS fixed-header fields + frame-chain walk (ISO/IEC 14496-3
+    §1.A.2.2): 43 frames @ 44100 -> 43*1024/44100 s; false-sync guard
+    rejects a lone sync in garbage; MP3 bytes do not sniff as ADTS."""
+    from semadb_spark.operators import multimodal as mm
+
+    data = _adts_frame() * 43
+    got = mm.parse_adts_header(data)
+    assert got["format"] == "aac_adts" and got["profile"] == 2
+    assert got["sample_rate"] == 44100 and got["channels"] == 2
+    assert got["frames"] == 43
+    assert got["duration_ms"] == int(43 * 1024 * 1000 // 44100)
+    assert mm.parse_adts_header(b"\xff\xf1" + b"\x00" * 40) is None
+    # an MP3 frame header must not parse as ADTS (disjoint sync layers)
+    frame, _ = _mp3_frame()
+    assert mm.parse_adts_header(frame * 3) is None
+    # and vice versa: ADTS must not parse as MP3
+    assert mm.parse_mp3_header(data) is None
+
+
+def test_audio_features_header_real_formats(spark):
+    """audio_features fills sample_rate/duration_ms (and exact n_samples
+    for FLAC/Ogg) for every header-real compressed format, decode columns
+    NULL — one dispatch through the real Spark kernel."""
+    import struct
+
+    from semadb_spark.operators import multimodal as mm
+
+    def streaminfo(rate, chans, bps, total):
+        bits = (rate << 44) | ((chans - 1) << 41) | ((bps - 1) << 36) | total
+        body = b"\x00" * 10 + struct.pack(">Q", bits) + b"\x00" * 16
+        return bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    flac = b"fLaC" + streaminfo(48000, 2, 16, 96000)
+    ident = (bytes([1]) + b"vorbis" + struct.pack("<I", 0) + bytes([1])
+             + struct.pack("<I", 16000) + struct.pack("<iii", 0, 0, 0)
+             + bytes([0xB8, 0x01]))
+    ogg = _ogg_page(5, 0, ident) + _ogg_page(5, 8000, b"\x00" * 8, seq=1,
+                                             htype=4)
+    aac = _adts_frame() * 10
+    rows = [("f1", bytearray(flac)), ("o1", bytearray(ogg)),
+            ("a1", bytearray(aac)), ("x1", bytearray(b"\x00\x01"))]
+    df = spark.createDataFrame(rows, "asset_id string, content binary")
+    got = {r["asset_id"]: r for r in mm.audio_features(df).collect()}
+    assert (got["f1"]["sample_rate"], got["f1"]["n_samples"],
+            got["f1"]["duration_ms"]) == (48000, 96000, 2000)
+    assert (got["o1"]["sample_rate"], got["o1"]["n_samples"],
+            got["o1"]["duration_ms"]) == (16000, 8000, 500)
+    assert got["a1"]["sample_rate"] == 44100
+    assert got["a1"]["duration_ms"] == int(10 * 1024 * 1000 // 44100)
+    assert got["a1"]["n_samples"] is None  # ADTS records no sample total
+    assert all(got[k]["rms"] is None for k in ("f1", "o1", "a1"))
+    assert got["x1"]["sample_rate"] is None
