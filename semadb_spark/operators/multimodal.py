@@ -630,6 +630,82 @@ def decode_jpeg_np(data: bytes) -> np.ndarray | None:
 # -- GIF (GIF87a/89a), pure NumPy -------------------------------------------
 
 
+def _gif_lzw(data: bytes, pos: int, npix: int, min_size: int):
+    """Decode one GIF image's LZW sub-block stream (spec appendix F:
+    variable-width codes LSB-first, clear/EOI, width growth at table-size
+    powers of two, 12-bit cap) -> (palette-index bytes, pos after the
+    block terminator), or (None, pos) on malformed input."""
+    chunks = []
+    while pos < len(data):
+        ln = data[pos]
+        pos += 1
+        if ln == 0:
+            break
+        chunks.append(data[pos : pos + ln])
+        pos += ln
+    stream = b"".join(chunks)
+    bits = np.unpackbits(
+        np.frombuffer(stream, dtype=np.uint8), bitorder="little"
+    )
+    clear = 1 << min_size
+    eoi = clear + 1
+    out = bytearray()
+    width = min_size + 1
+    table: list[bytes | None] = [bytes([i]) for i in range(clear)] + [None, None]
+    prev: bytes | None = None
+    bp = 0
+    nb = len(bits)
+    try:
+        while len(out) < npix:
+            if bp + width > nb:
+                return None, pos  # truncated stream
+            code = 0
+            for i in range(width):
+                code |= int(bits[bp + i]) << i
+            bp += width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [None, None]
+                width = min_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= clear:
+                    return None, pos
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if entry is None:
+                    return None, pos
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None, pos
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            out += entry
+            prev = entry
+    except IndexError:
+        return None, pos
+    if len(out) < npix:
+        return None, pos
+    return bytes(out[:npix]), pos
+
+
+def _gif_deinterlace(idx: np.ndarray) -> np.ndarray:
+    """Reverse the 4-pass GIF row interleave (spec appendix E)."""
+    h = idx.shape[0]
+    de = np.empty_like(idx)
+    rows = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        rows.extend(range(start, h, step))
+    de[np.asarray(rows, dtype=np.int64)] = idx
+    return de
+
+
 def decode_gif_np(data: bytes) -> np.ndarray | None:
     """Pure NumPy+Python GIF decode of the FIRST image frame -> (h, w)
     grayscale uint8, or None for malformed/truncated streams.
@@ -640,7 +716,8 @@ def decode_gif_np(data: bytes) -> np.ndarray | None:
     interlace option. Local color tables override the global one.
     Animation frames beyond the first and extension blocks (GCE
     transparency etc.) are skipped — mean_luma/resize semantics here are
-    single-image."""
+    single-image; :func:`decode_gif_frames_np` composites the full
+    animation."""
     if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
         return None
     import struct
@@ -696,76 +773,139 @@ def decode_gif_np(data: bytes) -> np.ndarray | None:
     pos += 1
     if not (2 <= min_size <= 11):
         return None
-    # concatenate the LZW sub-blocks
-    chunks = []
-    while pos < len(data):
-        ln = data[pos]
-        pos += 1
-        if ln == 0:
-            break
-        chunks.append(data[pos : pos + ln])
-        pos += ln
-    stream = b"".join(chunks)
-    bits = np.unpackbits(
-        np.frombuffer(stream, dtype=np.uint8), bitorder="little"
-    )
-    clear = 1 << min_size
-    eoi = clear + 1
-    npix = w * h
-    out = bytearray()
-    width = min_size + 1
-    table: list[bytes | None] = [bytes([i]) for i in range(clear)] + [None, None]
-    prev: bytes | None = None
-    bp = 0
-    nb = len(bits)
-    try:
-        while len(out) < npix:
-            if bp + width > nb:
-                return None  # truncated stream
-            code = 0
-            for i in range(width):
-                code |= int(bits[bp + i]) << i
-            bp += width
-            if code == clear:
-                table = [bytes([i]) for i in range(clear)] + [None, None]
-                width = min_size + 1
-                prev = None
-                continue
-            if code == eoi:
-                break
-            if prev is None:
-                if code >= clear:
-                    return None
-                entry = table[code]
-            elif code < len(table):
-                entry = table[code]
-                if entry is None:
-                    return None
-                table.append(prev + entry[:1])
-            elif code == len(table):
-                entry = prev + prev[:1]
-                table.append(entry)
-            else:
-                return None
-            if len(table) == (1 << width) and width < 12:
-                width += 1
-            out += entry
-            prev = entry
-    except IndexError:
+    out, pos = _gif_lzw(data, pos, w * h, min_size)
+    if out is None:
         return None
-    if len(out) < npix:
-        return None
-    idx = np.frombuffer(bytes(out[:npix]), dtype=np.uint8).reshape(h, w)
+    idx = np.frombuffer(out, dtype=np.uint8).reshape(h, w)
     if idx.size and int(idx.max()) >= len(pal):
         return None
     if interlaced:
-        de = np.empty_like(idx)
-        rows = []
-        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
-            rows.extend(range(start, h, step))
-        de[np.asarray(rows, dtype=np.int64)] = idx
-        idx = de
+        idx = _gif_deinterlace(idx)
     return _luma(pal[idx])
+
+
+def decode_gif_frames_np(
+    data: bytes, max_frames: int = 256
+) -> list[tuple[int, np.ndarray]] | None:
+    """Pure NumPy+Python ANIMATED GIF decode -> list of (delay_ms,
+    full-logical-screen luma uint8) composited frames, or None if no
+    frame decodes. The full GIF89a animation model (public spec §23):
+
+    - Graphic Control Extension per frame: delay (1/100 s units ->
+      delay_ms = x10), transparency index (transparent pixels keep the
+      canvas), disposal method.
+    - Compositing canvas at the logical-screen size, initialized to the
+      background color (or black without a GCT); each sub-image draws at
+      its (left, top) offset.
+    - Disposal 0/1 leave the canvas; 2 restores the frame's REGION to
+      background; 3 restores the pre-frame canvas.
+
+    Frames past ``max_frames`` (or a malformed tail) are dropped — the
+    frames already decoded still return, matching the lenient
+    header-tier contract. A single-image GIF returns one frame whose
+    luma equals :func:`decode_gif_np` composited at its offset."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        return None
+    import struct
+
+    sw, sh, flags = struct.unpack("<HHB", data[6:11])
+    bg_index = data[11]
+    if sw == 0 or sh == 0:
+        return None
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(data):
+            return None
+        gct = np.frombuffer(
+            data, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(-1, 3)
+        pos += 3 * n
+    if gct is not None and bg_index < len(gct):
+        bg_rgb = gct[bg_index]
+    else:
+        bg_rgb = np.zeros(3, dtype=np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[tuple[int, np.ndarray]] = []
+    delay_ms = 0
+    transparent = None
+    disposal = 0
+    while pos < len(data) and len(frames) < max_frames:
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos + 2 > len(data):
+                break
+            label = data[pos + 1]
+            if label == 0xF9 and pos + 7 <= len(data) and data[pos + 2] >= 4:
+                packed = data[pos + 3]
+                disposal = (packed >> 2) & 0x7
+                delay_ms = struct.unpack_from("<H", data, pos + 4)[0] * 10
+                transparent = data[pos + 6] if packed & 0x1 else None
+            # skip label + sub-blocks
+            p = pos + 2
+            while p < len(data):
+                ln = data[p]
+                p += 1
+                if ln == 0:
+                    break
+                p += ln
+            pos = p
+            continue
+        if b != 0x2C or pos + 10 > len(data):
+            break
+        left, top, w, h, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(data):
+                break
+            pal = np.frombuffer(
+                data, dtype=np.uint8, count=3 * n, offset=pos
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None or w == 0 or h == 0 or pos >= len(data):
+            break
+        min_size = data[pos]
+        pos += 1
+        if not (2 <= min_size <= 11):
+            break
+        out, pos = _gif_lzw(data, pos, w * h, min_size)
+        if out is None:
+            break
+        idx = np.frombuffer(out, dtype=np.uint8).reshape(h, w)
+        if idx.size and int(idx.max()) >= len(pal):
+            break
+        if iflags & 0x40:
+            idx = _gif_deinterlace(idx)
+        # clip the sub-image to the logical screen (malformed offsets)
+        y1, x1 = min(top + h, sh), min(left + w, sw)
+        if top >= sh or left >= sw:
+            region = None
+        else:
+            region = (top, y1, left, x1)
+        before = canvas.copy() if disposal == 3 else None
+        if region is not None:
+            t, y1, l_, x1 = region
+            sub = pal[idx[: y1 - t, : x1 - l_]]
+            if transparent is not None:
+                opaque = idx[: y1 - t, : x1 - l_] != transparent
+                np.copyto(canvas[t:y1, l_:x1], sub, where=opaque[..., None])
+            else:
+                canvas[t:y1, l_:x1] = sub
+        frames.append((delay_ms, _luma(canvas)))
+        # dispose AFTER the frame is emitted (spec: disposal says what
+        # happens to the region before the NEXT frame draws)
+        if disposal == 2 and region is not None:
+            t, y1, l_, x1 = region
+            canvas[t:y1, l_:x1] = bg_rgb
+        elif disposal == 3 and before is not None:
+            canvas = before
+        delay_ms, transparent, disposal = 0, None, 0
+    return frames or None
 
 
 def try_decode_image_np(content: bytes) -> np.ndarray | None:
@@ -954,6 +1094,56 @@ def sample_frames(
 
     src = df.select(id_col, content_col, F.col(duration_col).alias("_dur"))
     return src.mapInPandas(frames, out_schema)
+
+
+def gif_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+    max_frames: int = 256,
+) -> DataFrame:
+    """REAL animated-GIF frame explode: 1 asset row -> N composited
+    frame rows (id, frame_idx, delay_ms, width, height, mean_luma,
+    frame_md5) via :func:`decode_gif_frames_np` — full GIF89a animation
+    semantics (GCE delay/transparency, disposal 0-3) composited on the
+    logical-screen canvas, pure NumPy, no decoder library. Non-GIF and
+    malformed blobs emit no rows (same lenient contract as the other
+    decode kernels); frame_md5 fingerprints the composited luma bytes so
+    downstream frame-level dedup is content-addressed, not
+    container-addressed. Arrow-batched mapInPandas; blobs never touch
+    the driver."""
+    out_schema = (
+        f"{id_col} string, frame_idx int, delay_ms long, width int, "
+        "height int, mean_luma double, frame_md5 string"
+    )
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf[content_col].notna()]
+            if pdf.empty:
+                continue
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                decoded = decode_gif_frames_np(bytes(content), max_frames)
+                if not decoded:
+                    continue
+                for i, (delay, luma) in enumerate(decoded):
+                    rows.append(
+                        (
+                            str(aid), i, int(delay),
+                            int(luma.shape[1]), int(luma.shape[0]),
+                            float(luma.mean()) / 255.0,
+                            hashlib.md5(luma.tobytes()).hexdigest(),
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[id_col, "frame_idx", "delay_ms", "width",
+                             "height", "mean_luma", "frame_md5"],
+                )
+
+    return df.select(id_col, content_col).mapInPandas(explode, out_schema)
 
 
 def decode_wav_np(data: bytes) -> tuple[np.ndarray, int] | None:
@@ -1206,13 +1396,15 @@ def parse_flac_header(data: bytes) -> dict | None:
         return None
 
 
-def parse_ogg_vorbis_header(data: bytes) -> dict | None:
-    """Header-real Ogg/Vorbis metadata — no decode. Reads the Vorbis
-    identification header (Vorbis I spec §4.2.2: packet type 1 +
-    "vorbis", channels u8, sample rate u32le) from the first Ogg page
-    ("OggS" capture pattern, RFC 3533 §6) and derives duration from the
-    LAST page's granule position of the same logical stream (granule =
-    total PCM samples for Vorbis, spec §A.2). Never raises."""
+def parse_ogg_header(data: bytes) -> dict | None:
+    """Header-real Ogg metadata for the two common codecs — no decode.
+    Reads the first page's ("OggS" capture pattern, RFC 3533 §6) first
+    packet: a Vorbis identification header (Vorbis I spec §4.2.2: packet
+    type 1 + "vorbis", channels u8, sample rate u32le) or an OpusHead
+    (RFC 7845 §5.1: channels u8, pre-skip u16le, input rate u32le), and
+    derives duration from the LAST page's granule position of the same
+    logical stream — total PCM samples for Vorbis (spec §A.2), a 48 kHz
+    count minus pre-skip for Opus (RFC 7845 §4). Never raises."""
     import struct
 
     try:
@@ -1222,12 +1414,24 @@ def parse_ogg_vorbis_header(data: bytes) -> dict | None:
         n_segs = data[26]
         payload = 27 + n_segs
         pkt = data[payload : payload + 30]
-        if len(pkt) < 16 or pkt[0] != 1 or pkt[1:7] != b"vorbis":
-            return None
-        channels = pkt[11]
-        rate = struct.unpack_from("<I", pkt, 12)[0]
-        nominal = struct.unpack_from("<i", pkt, 20)[0] if len(pkt) >= 24 else 0
-        if rate == 0 or channels == 0:
+        codec = rate = channels = None
+        nominal = pre_skip = 0
+        gran_rate = None  # the clock the granule counts in
+        if len(pkt) >= 16 and pkt[0] == 1 and pkt[1:7] == b"vorbis":
+            codec = "vorbis"
+            channels = pkt[11]
+            rate = struct.unpack_from("<I", pkt, 12)[0]
+            nominal = (
+                struct.unpack_from("<i", pkt, 20)[0] if len(pkt) >= 24 else 0
+            )
+            gran_rate = rate
+        elif len(pkt) >= 19 and pkt[:8] == b"OpusHead":
+            codec = "opus"
+            channels = pkt[9]
+            pre_skip = struct.unpack_from("<H", pkt, 10)[0]
+            rate = struct.unpack_from("<I", pkt, 12)[0]  # INPUT rate, info
+            gran_rate = 48000  # Opus granules always count 48 kHz samples
+        if codec is None or not channels or not rate:
             return None
         # last granule of THIS stream: scan pages from the end (a capture
         # pattern inside packet bytes fails the version/serial checks)
@@ -1245,15 +1449,19 @@ def parse_ogg_vorbis_header(data: bytes) -> dict | None:
                 g = struct.unpack_from("<q", data, pos + 6)[0]
                 if g >= 0:
                     granule = g
+        total = None
+        if granule is not None:
+            total = max(0, int(granule) - pre_skip)
         return {
             "format": "ogg",
-            "codec": "vorbis",
+            "codec": codec,
             "sample_rate": int(rate),
             "channels": int(channels),
             "bitrate_nominal": int(nominal) or None,
-            "total_samples": None if granule is None else int(granule),
+            "pre_skip": int(pre_skip) if codec == "opus" else None,
+            "total_samples": total,
             "duration_ms": (
-                None if granule is None else int(granule * 1000 // rate)
+                None if total is None else int(total * 1000 // gran_rate)
             ),
         }
     except Exception:
@@ -1327,7 +1535,7 @@ def parse_audio_header(data: bytes) -> dict | None:
     flac = parse_flac_header(data)
     if flac is not None:
         return flac
-    ogg = parse_ogg_vorbis_header(data)
+    ogg = parse_ogg_header(data)
     if ogg is not None:
         return ogg
     adts = parse_adts_header(data)

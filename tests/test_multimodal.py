@@ -946,7 +946,7 @@ def _ogg_page(serial, granule, payload, seq=0, htype=2):
             + bytes(segs) + payload)
 
 
-def test_parse_ogg_vorbis_header():
+def test_parse_ogg_header():
     """Vorbis ident header on page 0 + duration from the LAST page's
     granule of the same serial (Vorbis I spec §A.2); a second logical
     stream's pages are ignored; non-vorbis Ogg -> None."""
@@ -960,15 +960,26 @@ def test_parse_ogg_vorbis_header():
     data = (_ogg_page(7, 0, ident, seq=0)
             + _ogg_page(99, 999999, b"\x00" * 10, seq=0)   # other stream
             + _ogg_page(7, 44100, b"\x00" * 20, seq=1, htype=4))
-    got = mm.parse_ogg_vorbis_header(data)
+    got = mm.parse_ogg_header(data)
     assert got["format"] == "ogg" and got["codec"] == "vorbis"
     assert got["sample_rate"] == 22050 and got["channels"] == 2
     assert got["bitrate_nominal"] == 64000
     assert got["total_samples"] == 44100 and got["duration_ms"] == 2000
-    # opus (non-vorbis first packet) -> None, garbage -> None
-    assert mm.parse_ogg_vorbis_header(
-        _ogg_page(7, 0, b"OpusHead" + b"\x00" * 10)) is None
-    assert mm.parse_ogg_vorbis_header(b"OggSnope") is None
+    # Opus (RFC 7845): 48 kHz granule clock minus pre-skip, input rate
+    # is informational
+    opus_head = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+                 + struct.pack("<I", 16000) + struct.pack("<h", 0)
+                 + bytes([0]))
+    odata = (_ogg_page(9, 0, opus_head)
+             + _ogg_page(9, 48000 + 312, b"\x00" * 6, seq=1, htype=4))
+    og = mm.parse_ogg_header(odata)
+    assert og["codec"] == "opus" and og["channels"] == 2
+    assert og["pre_skip"] == 312 and og["total_samples"] == 48000
+    assert og["duration_ms"] == 1000  # granule clock is 48 kHz, not 16k
+    # unknown first packet -> None, garbage -> None
+    assert mm.parse_ogg_header(
+        _ogg_page(7, 0, b"Speex   " + b"\x00" * 10)) is None
+    assert mm.parse_ogg_header(b"OggSnope") is None
 
 
 def _adts_frame(sr_idx=4, chan=2, profile_bits=1, payload=100):
@@ -1037,3 +1048,153 @@ def test_audio_features_header_real_formats(spark):
     assert got["a1"]["n_samples"] is None  # ADTS records no sample total
     assert all(got[k]["rms"] is None for k in ("f1", "o1", "a1"))
     assert got["x1"]["sample_rate"] is None
+
+
+def _agif_bytes(sw, sh, pal, frames, bg_index=0):
+    """Hand-rolled ANIMATED GIF89a: logical screen + GCT + per-frame GCE
+    (delay/transparency/disposal) + sub-image descriptors, literal-only
+    LZW per frame (same valid-stream trick as _gif_bytes)."""
+    import struct
+
+    n_pal = len(pal)
+    s = n_pal.bit_length() - 2
+    min_size = max(2, n_pal.bit_length() - 1)
+    clear, eoi = 1 << min_size, (1 << min_size) + 1
+
+    def lzw(idx):
+        bits = []
+
+        def emit(code, width):
+            for i in range(width):
+                bits.append((code >> i) & 1)
+
+        width = min_size + 1
+        table_len = clear + 2
+        emit(clear, width)
+        prevset = False
+        for v in idx.ravel():
+            emit(int(v), width)
+            if prevset:
+                table_len += 1
+                if table_len == (1 << width) and width < 12:
+                    width += 1
+            prevset = True
+        emit(eoi, width)
+        by = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j, bit in enumerate(bits[i : i + 8]):
+                b |= bit << j
+            by.append(b)
+        out = bytes([min_size])
+        for i in range(0, len(by), 255):
+            chunk = by[i : i + 255]
+            out += bytes([len(chunk)]) + bytes(chunk)
+        return out + b"\x00"
+
+    pal_bytes = bytes(int(x) for x in np.asarray(pal, dtype=np.uint8).ravel())
+    out = b"GIF89a" + struct.pack("<HHBBB", sw, sh, 0x80 | s, bg_index, 0)
+    out += pal_bytes
+    for f in frames:
+        trans = f.get("transparent")
+        packed = (f.get("disposal", 0) << 2) | (1 if trans is not None else 0)
+        out += (b"\x21\xf9\x04" + bytes([packed])
+                + struct.pack("<H", f.get("delay_cs", 0))
+                + bytes([trans if trans is not None else 0]) + b"\x00")
+        idx = f["idx"]
+        h, w = idx.shape
+        out += b"\x2c" + struct.pack(
+            "<HHHH", f.get("left", 0), f.get("top", 0), w, h) + bytes([0])
+        out += lzw(idx)
+    return out + b"\x3b"
+
+
+def test_decode_gif_frames_np_compositing():
+    """Full GIF89a animation semantics: GCE delays (x10 ms), sub-image
+    offsets onto the logical-screen canvas, transparency keeping the
+    canvas, disposal 2 restoring the region to background, disposal 3
+    restoring the prior canvas."""
+    from semadb_spark.operators import multimodal as mm
+
+    pal = np.array([[0, 0, 0], [255, 255, 255], [255, 0, 0], [0, 255, 0]],
+                   dtype=np.uint8)
+    L = {i: int((pal[i][0] * 299 + pal[i][1] * 587 + pal[i][2] * 114) // 1000)
+         for i in range(4)}
+    frames = [
+        # frame 0: full screen white, 100 ms, disposal 1 (leave)
+        {"idx": np.full((6, 6), 1, dtype=np.uint8), "delay_cs": 10,
+         "disposal": 1},
+        # frame 1: 2x2 red patch at (2,2), 200 ms, disposal 2 (restore bg)
+        {"idx": np.full((2, 2), 2, dtype=np.uint8), "left": 2, "top": 2,
+         "delay_cs": 20, "disposal": 2},
+        # frame 2: 2x2 at origin, green diagonal, index 0 TRANSPARENT
+        {"idx": np.array([[3, 0], [0, 3]], dtype=np.uint8),
+         "transparent": 0},
+    ]
+    data = _agif_bytes(6, 6, pal, frames)
+    got = mm.decode_gif_frames_np(data)
+    assert got is not None and len(got) == 3
+    delays = [d for d, _ in got]
+    assert delays == [100, 200, 0]
+    f0, f1, f2 = (luma for _, luma in got)
+    assert f0.shape == (6, 6) and (f0 == L[1]).all()
+    assert (f1[2:4, 2:4] == L[2]).all()           # red patch composited
+    assert (f1[0, 0] == L[1]) and (f1[5, 5] == L[1])  # rest still white
+    # frame 2: disposal-2 restored (2:4,2:4) to background black before
+    # drawing; transparent 0s keep the canvas (white at (0,1)/(1,0))
+    assert (f2[2:4, 2:4] == L[0]).all()
+    assert f2[0, 0] == L[3] and f2[1, 1] == L[3]
+    assert f2[0, 1] == L[1] and f2[1, 0] == L[1]
+    # disposal 3: frame draws, then the canvas reverts for the next frame
+    frames3 = [
+        {"idx": np.full((4, 4), 1, dtype=np.uint8), "disposal": 1},
+        {"idx": np.full((4, 4), 2, dtype=np.uint8), "disposal": 3},
+        {"idx": np.array([[3]], dtype=np.uint8)},
+    ]
+    g3 = mm.decode_gif_frames_np(_agif_bytes(4, 4, pal, frames3))
+    assert len(g3) == 3
+    assert (g3[1][1] == L[2]).all()               # frame 1 shows red
+    assert g3[2][1][0, 0] == L[3]                 # frame 2 drew its pixel
+    assert (g3[2][1][1:, 1:] == L[1]).all()       # rest REVERTED to white
+    # single-frame GIFs from the existing builder still decode (1 frame)
+    idx = (np.add.outer(np.arange(5), np.arange(7)) % 4).astype(np.uint8)
+    one = mm.decode_gif_frames_np(_gif_bytes(idx, pal))
+    assert len(one) == 1
+    np.testing.assert_array_equal(one[0][1], mm.decode_gif_np(_gif_bytes(idx, pal)))
+    # malformed tail: decoded prefix returns, garbage returns None
+    trunc = data[: len(data) - 8]
+    assert 1 <= len(mm.decode_gif_frames_np(trunc)) <= 3
+    assert mm.decode_gif_frames_np(b"not a gif") is None
+
+
+def test_gif_frames_operator(spark):
+    """gif_frames explodes REAL composited animation frames through the
+    Spark kernel: per-frame delay/dims/mean_luma/md5; non-GIF blobs emit
+    nothing; frame_md5 is content-addressed (identical composited frames
+    in different containers hash equal)."""
+    from semadb_spark.operators import multimodal as mm
+
+    pal = np.array([[0, 0, 0], [255, 255, 255], [255, 0, 0], [0, 255, 0]],
+                   dtype=np.uint8)
+    anim = _agif_bytes(6, 6, pal, [
+        {"idx": np.full((6, 6), 1, dtype=np.uint8), "delay_cs": 5,
+         "disposal": 1},
+        {"idx": np.full((3, 3), 2, dtype=np.uint8), "left": 3, "top": 3,
+         "delay_cs": 7},
+    ])
+    rows = [("g1", bytearray(anim)), ("x1", bytearray(b"not a gif")),
+            ("g2", bytearray(anim))]
+    df = spark.createDataFrame(rows, "asset_id string, content binary")
+    got = mm.gif_frames(df).collect()
+    by_asset: dict = {}
+    for r in got:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert "x1" not in by_asset
+    g1 = sorted(by_asset["g1"], key=lambda r: r["frame_idx"])
+    assert [r["delay_ms"] for r in g1] == [50, 70]
+    assert all((r["width"], r["height"]) == (6, 6) for r in g1)
+    assert abs(g1[0]["mean_luma"] - 1.0) < 1e-9  # all-white frame
+    assert g1[1]["mean_luma"] < 1.0
+    # content-addressed: the same animation under another id hashes equal
+    g2 = sorted(by_asset["g2"], key=lambda r: r["frame_idx"])
+    assert [r["frame_md5"] for r in g1] == [r["frame_md5"] for r in g2]
