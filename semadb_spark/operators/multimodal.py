@@ -13,22 +13,26 @@ these are the training-data-pipeline operators a 100 TB corpus needs. Design:
   (set ``media.target_batch_rows`` lower for large blobs so a batch fits in
   worker memory).
 - **Codec tiers**: PIL/ffmpeg/librosa are not in this environment, but
-  the pixel layers of PNG (zlib scanlines), BMP (raw rows), and baseline
-  JPEG (huffman + DCT, ITU-T T.81) are public spec — decoded for real by
-  the pure-NumPy ``decode_png_np``/``decode_bmp_np``/``decode_jpeg_np``
-  (PNG: all five scanline filters, color types 0/2/3/4/6 at bit depth 8;
-  BMP: 8/24/32bpp with palette + padding + row order; JPEG: baseline
-  sequential incl. subsampling + restart intervals, Y plane as luma).
-  ``decode_image`` tries PIL, then the NumPy decoders, and only then
-  falls back to a *deterministic fake* derived from the content hash
-  (flagged by ``USING_FAKE_DECODE``) for formats no local code can
-  decode (GIF's LZW, progressive/arithmetic JPEG). Audio: WAV/PCM is raw
-  samples behind a chunked RIFF header — ``decode_wav_np`` decodes PCM
-  8/16/24/32 + IEEE float for real and ``audio_features`` reports
-  rate/duration/rms/peak from bytes; compressed codecs (MP3/AAC/OGG)
-  report NULL features. Every surrounding piece — schema, null handling,
-  batch shapes, 1->N frame explode, partition sizing — is real and
-  tested.
+  the pixel layers of PNG (zlib scanlines), BMP (raw rows), baseline
+  JPEG (huffman + DCT, ITU-T T.81), and GIF (LZW palette indexes, incl.
+  the FULL animation model — GCE delays/transparency/disposal composited
+  on the logical screen, ``decode_gif_frames_np`` + the ``gif_frames``
+  explode operator) are public spec — decoded for real by the pure-NumPy
+  decoders (PNG: all five scanline filters, color types 0/2/3/4/6 at bit
+  depth 8; BMP: 8/24/32bpp with palette + padding + row order; JPEG:
+  baseline sequential incl. subsampling + restart intervals, Y plane as
+  luma). ``decode_image`` tries PIL, then the NumPy decoders, and only
+  then falls back to a *deterministic fake* derived from the content
+  hash (flagged by ``USING_FAKE_DECODE``) for formats no local code can
+  decode (progressive/arithmetic JPEG). Audio: WAV/PCM is raw samples
+  behind a chunked RIFF header — ``decode_wav_np`` decodes PCM 8/16/24/32
+  + IEEE float for real and ``audio_features`` reports
+  rate/duration/rms/peak from bytes; compressed codecs are HEADER-real
+  (``parse_audio_header``: MP3 frame headers + Xing, FLAC STREAMINFO,
+  Ogg Vorbis/Opus ident + granule duration, ADTS-AAC frame chain) with
+  decode-derived columns NULL. Every surrounding piece — schema, null
+  handling, batch shapes, 1->N frame explode, partition sizing — is real
+  and tested.
 """
 
 from __future__ import annotations
