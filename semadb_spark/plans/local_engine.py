@@ -425,7 +425,7 @@ class LocalSearchEngine:
             )
         raise ValueError(f"unknown index type {value.type}")
 
-    # -- leaf filters (F1-F10), each: exact pandas fn + optional pushdown -----
+    # -- leaf filters (F1-F10), each compiled to an exact pandas fn -----------
 
     def _compile_id(self, query: dict) -> tuple:
         if "string" in query and query["string"] is not None:

@@ -1198,3 +1198,296 @@ def test_gif_frames_operator(spark):
     # content-addressed: the same animation under another id hashes equal
     g2 = sorted(by_asset["g2"], key=lambda r: r["frame_idx"])
     assert [r["frame_md5"] for r in g1] == [r["frame_md5"] for r in g2]
+
+
+# -- FLAC: hand-rolled encoder (RFC 9639) + lossless round-trip --------------
+
+
+class _FlacW:
+    """MSB-first bit writer for the FLAC test encoder."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def w(self, value, nbits):
+        v = int(value) & ((1 << nbits) - 1)
+        for i in range(nbits - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def unary(self, q):
+        self.bits.extend([0] * q + [1])
+
+    def rice(self, v, param):
+        u = (v << 1) if v >= 0 else (-v << 1) - 1
+        self.unary(u >> param)
+        self.w(u, param)
+
+    def tobytes(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        return np.packbits(np.asarray(self.bits, dtype=np.uint8)).tobytes()
+
+
+def _flac_crc8(data):
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _flac_crc16(data):
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+    return c
+
+
+def _flac_subframe_bits(w, x, bps, kind, order=0, param=10, po=0,
+                        wasted=0, escape_width=None):
+    """Encode one subframe. kind: constant | verbatim | fixed | lpc."""
+    x = np.asarray(x, dtype=np.int64)
+    if wasted:
+        assert not np.any(x & ((1 << wasted) - 1))
+        x = x >> wasted
+    ebps = bps - wasted
+    if kind == "constant":
+        w.w(0, 1); w.w(0, 6)
+    elif kind == "verbatim":
+        w.w(0, 1); w.w(1, 6)
+    elif kind == "fixed":
+        w.w(0, 1); w.w(8 + order, 6)
+    else:
+        w.w(0, 1); w.w(32 | (order - 1), 6)
+    if wasted:
+        w.w(1, 1)
+        w.unary(wasted - 1)
+    else:
+        w.w(0, 1)
+    if kind == "constant":
+        w.w(int(x[0]), ebps)
+        return
+    if kind == "verbatim":
+        for v in x.tolist():
+            w.w(v, ebps)
+        return
+    coefs, shift = None, 0
+    if kind == "fixed":
+        res = np.diff(x, n=order) if order else x.copy()
+        for v in x[:order].tolist():
+            w.w(v, ebps)
+    else:  # lpc: fixed-order-2-as-LPC coefficients through the real formula
+        coefs = {1: [1], 2: [2, -1], 3: [3, -3, 1]}[order]
+        shift = 0
+        res = np.array(
+            [int(x[i]) - (sum(c * int(x[i - 1 - j]) for j, c in enumerate(coefs))
+                          >> shift)
+             for i in range(order, len(x))], dtype=np.int64)
+        for v in x[:order].tolist():
+            w.w(v, ebps)
+        prec = 15
+        w.w(prec - 1, 4)
+        w.w(shift, 5)
+        for c in coefs:
+            w.w(c, prec)
+    # residual: method 0 (4-bit rice params), partition order po
+    w.w(0, 2)
+    w.w(po, 4)
+    nparts = 1 << po
+    bs = len(x)
+    assert bs % nparts == 0
+    k = 0
+    for part in range(nparts):
+        cnt = (bs >> po) - (order if part == 0 else 0)
+        if escape_width is not None:
+            w.w(0xF, 4)
+            w.w(escape_width, 5)
+            for v in res[k:k + cnt].tolist():
+                w.w(v, escape_width)
+        else:
+            w.w(param, 4)
+            for v in res[k:k + cnt].tolist():
+                w.rice(v, param)
+        k += cnt
+
+
+def _flac_frame(chans, bps, frame_idx, chan_mode="independent", **sub_kw):
+    """One frame: header (+CRC8), per-channel subframes, CRC16."""
+    bs = len(chans[0])
+    hw = _FlacW()
+    hw.w(0x3FFE, 14); hw.w(0, 1); hw.w(0, 1)
+    hw.w(7, 4)           # block size: 16-bit value-1 follows coded number
+    hw.w(0, 4)           # sample rate: from STREAMINFO
+    code = {"independent": len(chans) - 1, "left_side": 8,
+            "right_side": 9, "mid_side": 10}[chan_mode]
+    hw.w(code, 4)
+    hw.w({8: 1, 16: 4, 24: 6}[bps], 3); hw.w(0, 1)
+    assert frame_idx < 0x80
+    hw.w(frame_idx, 8)   # coded number, single byte
+    hw.w(bs - 1, 16)
+    hdr = hw.tobytes()
+    hdr += bytes([_flac_crc8(hdr)])
+    bw = _FlacW()
+    if chan_mode == "independent":
+        subs = [(c, bps) for c in chans]
+    else:
+        l, r = np.asarray(chans[0], np.int64), np.asarray(chans[1], np.int64)
+        if chan_mode == "left_side":
+            subs = [(l, bps), (l - r, bps + 1)]
+        elif chan_mode == "right_side":
+            subs = [(l - r, bps + 1), (r, bps)]
+        else:
+            subs = [((l + r) >> 1, bps), (l - r, bps + 1)]
+    kinds = sub_kw.pop("kinds", ["fixed"] * len(subs))
+    orders = sub_kw.pop("orders", [2] * len(subs))
+    for (x, sbps), kind, order in zip(subs, kinds, orders):
+        _flac_subframe_bits(bw, x, sbps, kind, order=order, **sub_kw)
+    body = bw.tobytes()
+    return hdr + body + _flac_crc16(hdr + body).to_bytes(2, "big")
+
+
+def _flac_file(chans, rate, bps, frames_of=4096, **frame_kw):
+    """Full FLAC stream: STREAMINFO + frames of `frames_of` samples."""
+    chans = [np.asarray(c, dtype=np.int64) for c in chans]
+    total = len(chans[0])
+    si = _FlacW()
+    si.w(frames_of, 16); si.w(frames_of, 16)
+    si.w(0, 24); si.w(0, 24)
+    si.w(rate, 20); si.w(len(chans) - 1, 3); si.w(bps - 1, 5)
+    si.w(total, 36)
+    body = si.tobytes() + b"\x00" * 16  # md5 unset
+    out = b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    idx = 0
+    for start in range(0, total, frames_of):
+        blk = [c[start:start + frames_of] for c in chans]
+        out += _flac_frame(blk, bps, idx, **frame_kw)
+        idx += 1
+    return out
+
+
+def _walk(n, step=60, seed=0, bits=16):
+    rng = np.random.default_rng(seed)
+    x = np.cumsum(rng.integers(-step, step + 1, size=n))
+    lim = (1 << (bits - 1)) - 1
+    return np.clip(x, -lim, lim).astype(np.int64)
+
+
+def _flac_expected_mono(chans, bps):
+    full = np.stack([np.asarray(c, dtype=np.int64) for c in chans])
+    return full.mean(axis=0) / float(1 << (bps - 1))
+
+
+def test_decode_flac_np_fixed_orders_lossless():
+    """Every fixed predictor order 0-4 + constant + verbatim round-trips
+    BIT-EXACT (FLAC is lossless): mono, multiple frames."""
+    from semadb_spark.operators import multimodal as mm
+
+    x = _walk(1000, seed=1)
+    for kind, order in [("fixed", 0), ("fixed", 1), ("fixed", 2),
+                        ("fixed", 3), ("fixed", 4), ("verbatim", 0)]:
+        data = _flac_file([x], 44100, 16, frames_of=250,
+                          kinds=["fixed"], orders=[order]
+                          ) if kind == "fixed" else _flac_file(
+            [x], 44100, 16, frames_of=250, kinds=["verbatim"], orders=[0])
+        got = mm.decode_flac_np(data)
+        assert got is not None, (kind, order)
+        mono, rate = got
+        assert rate == 44100
+        np.testing.assert_array_equal(mono, _flac_expected_mono([x], 16)), (
+            kind, order)
+    const = np.full(600, -1234, dtype=np.int64)
+    data = _flac_file([const], 8000, 16, frames_of=300, kinds=["constant"])
+    mono, rate = mm.decode_flac_np(data)
+    assert rate == 8000
+    np.testing.assert_array_equal(mono, _flac_expected_mono([const], 16))
+
+
+def test_decode_flac_np_lpc_and_partitions():
+    """LPC subframes (real coefficient formula, shift inside recursion),
+    partition order > 0, and the escaped raw-width partition encoding."""
+    from semadb_spark.operators import multimodal as mm
+
+    x = _walk(800, seed=2)
+    for order in (1, 2, 3):
+        data = _flac_file([x], 32000, 16, frames_of=400,
+                          kinds=["lpc"], orders=[order])
+        got = mm.decode_flac_np(data)
+        assert got is not None, order
+        np.testing.assert_array_equal(got[0], _flac_expected_mono([x], 16))
+    # rice partitions: po=2 over a 400-sample block
+    data = _flac_file([x], 32000, 16, frames_of=400, po=2)
+    np.testing.assert_array_equal(
+        mm.decode_flac_np(data)[0], _flac_expected_mono([x], 16))
+    # escape partitions: raw 18-bit residuals
+    data = _flac_file([x], 32000, 16, frames_of=400, escape_width=18)
+    np.testing.assert_array_equal(
+        mm.decode_flac_np(data)[0], _flac_expected_mono([x], 16))
+
+
+def test_decode_flac_np_stereo_decorrelation_and_wasted():
+    """left/side, right/side, mid/side reconstruct EXACT channels (the
+    side channel carries bps+1 bits); wasted-bits subframes shift back."""
+    from semadb_spark.operators import multimodal as mm
+
+    l, r = _walk(500, seed=3), _walk(500, seed=4)
+    want = _flac_expected_mono([l, r], 16)
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        data = _flac_file([l, r], 48000, 16, frames_of=250, chan_mode=mode)
+        got = mm.decode_flac_np(data)
+        assert got is not None, mode
+        mono, rate = got
+        assert rate == 48000
+        np.testing.assert_array_equal(mono, want), mode
+    # wasted bits: all samples share 3 low zero bits
+    xw = (_walk(400, seed=5, bits=12) << 3)
+    data = _flac_file([xw], 16000, 16, frames_of=200, wasted=3)
+    np.testing.assert_array_equal(
+        mm.decode_flac_np(data)[0], _flac_expected_mono([xw], 16))
+
+
+def test_decode_flac_np_declines_out_of_scope(monkeypatch):
+    """Byte budget declines (header metadata still reports); truncated
+    stream -> None; STREAMINFO total shorter than frames trims exactly."""
+    from semadb_spark.operators import multimodal as mm
+
+    x = _walk(300, seed=6)
+    data = _flac_file([x], 44100, 16, frames_of=300)
+    monkeypatch.setattr(mm, "FLAC_NP_MAX_BYTES", 10)
+    assert mm.decode_flac_np(data) is None
+    assert mm.parse_flac_header(data)["total_samples"] == 300
+    monkeypatch.undo()
+    assert mm.decode_flac_np(data[:60]) is None
+    assert mm.decode_flac_np(b"fLaC") is None
+    assert mm.decode_flac_np(b"garbage bytes") is None
+
+
+def test_audio_features_flac_real_pcm(spark):
+    """audio_features decodes FLAC to REAL PCM: rms/peak are exact
+    (lossless), n_samples from the stream, duration from rate — while an
+    Ogg blob in the same batch stays header-real (rms NULL)."""
+    from semadb_spark.operators import multimodal as mm
+    import struct
+
+    l, r = _walk(441, seed=7), _walk(441, seed=8)
+    flac = _flac_file([l, r], 44100, 16, frames_of=441, chan_mode="mid_side")
+    ident = (bytes([1]) + b"vorbis" + struct.pack("<I", 0) + bytes([2])
+             + struct.pack("<I", 22050) + struct.pack("<iii", 0, 64000, 0)
+             + bytes([0xB8, 0x01]))
+    ogg = _ogg_page(7, 0, ident, seq=0) + _ogg_page(
+        7, 22050, b"\x00" * 20, seq=1, htype=4)
+    df = spark.createDataFrame(
+        [("f1", bytearray(flac)), ("o1", bytearray(ogg))],
+        "asset_id string, content binary")
+    rows = {row["asset_id"]: row for row in mm.audio_features(df).collect()}
+    mono = _flac_expected_mono([l, r], 16)
+    f = rows["f1"]
+    assert f["sample_rate"] == 44100 and f["n_samples"] == 441
+    assert f["duration_ms"] == 10
+    assert abs(f["rms"] - float(np.sqrt(np.mean(mono * mono)))) < 1e-12
+    assert abs(f["peak"] - float(np.abs(mono).max())) < 1e-12
+    o = rows["o1"]
+    assert o["sample_rate"] == 22050 and o["rms"] is None
+    assert o["duration_ms"] == 1000
