@@ -20,11 +20,12 @@ these are the training-data-pipeline operators a 100 TB corpus needs. Design:
   explode operator) are public spec — decoded for real by the pure-NumPy
   decoders (PNG: all five scanline filters, color types 0/2/3/4/6 at bit
   depth 8; BMP: 8/24/32bpp with palette + padding + row order; JPEG:
-  baseline sequential incl. subsampling + restart intervals, Y plane as
-  luma). ``decode_image`` tries PIL, then the NumPy decoders, and only
-  then falls back to a *deterministic fake* derived from the content
-  hash (flagged by ``USING_FAKE_DECODE``) for formats no local code can
-  decode (progressive/arithmetic JPEG). Audio: WAV/PCM is raw samples
+  baseline sequential AND progressive (T.81 Annex G multi-scan), incl.
+  subsampling + restart intervals, Y plane as luma). ``decode_image``
+  tries PIL, then the NumPy decoders, and only then falls back to a
+  *deterministic fake* derived from the content hash (flagged by
+  ``USING_FAKE_DECODE``) for formats no local code can
+  decode (arithmetic/lossless JPEG). Audio: WAV/PCM is raw samples
   behind a chunked RIFF header — ``decode_wav_np`` decodes PCM 8/16/24/32
   + IEEE float for real and ``audio_features`` reports
   rate/duration/rms/peak from bytes; FLAC is LOSSLESS public spec
@@ -440,9 +441,10 @@ JPEG_NP_MAX_PIXELS = 4_000_000
 
 
 def decode_jpeg_np(data: bytes) -> np.ndarray | None:
-    """Pure NumPy baseline-JPEG decode -> (h, w) LUMA uint8, or None for
-    variants outside scope (progressive/lossless/arithmetic SOFs, 12-bit
-    precision, 16-bit quant tables, truncated streams).
+    """Pure NumPy JPEG decode -> (h, w) LUMA uint8, or None for variants
+    outside scope (lossless/arithmetic SOFs, 12-bit precision, 16-bit
+    quant tables, truncated streams). Baseline sequential decodes here;
+    progressive (SOF2) dispatches to :func:`_decode_jpeg_progressive`.
 
     Baseline JPEG's pixel layer is fully public spec (ITU-T T.81): marker
     segments carry the quant + huffman tables, the scan is huffman-coded
@@ -1294,10 +1296,11 @@ def decode_gif_frames_np(
 
 def try_decode_image_np(content: bytes) -> np.ndarray | None:
     """Library-free real pixel decode for the formats whose pixel layer is
-    public-spec: zlib scanlines (PNG), raw rows (BMP), baseline
-    huffman+DCT (JPEG, :func:`decode_jpeg_np`), and LZW palette indexes
-    (GIF, :func:`decode_gif_np`); None only for out-of-scope variants
-    (progressive/arithmetic JPEG, 16-bit PNG, compressed BMP).
+    public-spec: zlib scanlines (PNG), raw rows (BMP), baseline AND
+    progressive huffman+DCT (JPEG, :func:`decode_jpeg_np`), and LZW
+    palette indexes (GIF, :func:`decode_gif_np`); None only for
+    out-of-scope variants (arithmetic/lossless JPEG, 16-bit PNG,
+    compressed BMP).
 
     Never raises: an untrusted corpus WILL contain blobs that pass the
     magic-byte check but are malformed inside (bad filter bytes, palette

@@ -1491,3 +1491,308 @@ def test_audio_features_flac_real_pcm(spark):
     o = rows["o1"]
     assert o["sample_rate"] == 22050 and o["rms"] is None
     assert o["duration_ms"] == 1000
+
+
+# -- progressive JPEG: hand-rolled multi-scan encoder (T.81 Annex G) ---------
+
+
+class _ProgScanEnc:
+    """Event-stream encoder for one progressive scan: collects huffman
+    symbols on pass 1, emits bits on pass 2. Events: ("sym", s),
+    ("bits", v, n), ("RST",). EOB runs and refinement correction bits
+    follow the spec's deferral rules (figures G.4/G.7): the EOB symbol
+    carries bits buffered since the run began; within-block correction
+    bits flush right after each emitted symbol."""
+
+    def __init__(self):
+        self.events = []
+        self.eobrun = 0
+        self.carried = []  # bits that flush with the EOB symbol
+        self.current = []  # bits that flush after a within-block symbol
+
+    def sym(self, s):
+        self.events.append(("sym", s))
+
+    def bits(self, v, n):
+        if n:
+            self.events.append(("bits", v, n))
+
+    def flush_current(self):
+        for b in self.current:
+            self.bits(b, 1)
+        self.current = []
+
+    def flush_eob(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            self.bits(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+            for b in self.carried:
+                self.bits(b, 1)
+            self.carried = []
+
+    def restart(self):
+        self.flush_eob()
+        self.events.append(("RST",))
+
+    def end_block(self, r):
+        if r > 0 or self.current:
+            self.eobrun += 1
+            self.carried.extend(self.current)
+            self.current = []
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+
+
+def _prog_field(v, size):
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _prog_ac_first(enc, block, ss, se, al):
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(block[k])
+        t = (v >> al) if v >= 0 else -((-v) >> al)
+        if t == 0:
+            r += 1
+            continue
+        enc.flush_eob()
+        while r > 15:
+            enc.sym(0xF0)
+            r -= 16
+        size = abs(t).bit_length()
+        enc.sym((r << 4) | size)
+        enc.bits(_prog_field(t, size), size)
+        r = 0
+    enc.end_block(r)
+
+
+def _prog_ac_refine(enc, block, ss, se, al):
+    absval = [abs(int(block[k])) >> al for k in range(ss, se + 1)]
+    eob_k = max((k for k, t in zip(range(ss, se + 1), absval) if t == 1),
+                default=ss - 1)
+    r = 0
+    for k in range(ss, se + 1):
+        t = absval[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_k:
+            enc.flush_eob()
+            enc.sym(0xF0)
+            r -= 16
+            enc.flush_current()
+        if t > 1:  # nonzero history: one correction bit
+            enc.current.append(t & 1)
+            continue
+        enc.flush_eob()
+        enc.sym((r << 4) | 1)
+        enc.bits(1 if int(block[k]) > 0 else 0, 1)
+        enc.flush_current()
+        r = 0
+    enc.end_block(r)
+
+
+def _prog_units(comps, planes_coef, mcux, mcuy):
+    units = []
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci, (cid, hc, vc) in enumerate(comps):
+            for vy in range(vc):
+                for hx in range(hc):
+                    units.append((ci, my * vc + vy, mx * hc + hx))
+    return units
+
+
+def _jpeg_bytes_progressive(y, cbcr=None, restart=0, y_bands=((1, 5), (6, 63))):
+    """Hand-rolled PROGRESSIVE JPEG (T.81 Annex G) with the standard scan
+    script: interleaved DC at Al=1 then a DC refinement to Al=0; per
+    component, first AC scans of each spectral band at Al=1, then an AC
+    refinement of the full band to Al=0. All-ones quant, per-scan
+    fixed-length huffman tables (redefined between scans), optional
+    restart interval in the DC scan."""
+    import struct
+
+    h, w = y.shape
+    if cbcr is None:
+        comps = [(1, 1, 1)]
+        planes = [y]
+    else:
+        comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+        planes = [y, cbcr[0], cbcr[1]]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    assert h % (8 * vmax) == 0 and w % (8 * hmax) == 0, "test image dims"
+    mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
+    # coefficient planes, block-indexed, zigzag order
+    pc = []
+    for ci, (cid, hc, vc) in enumerate(comps):
+        p = planes[ci]
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        arr = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                arr[by, bx] = _fdct_zz(p[by * 8 : by * 8 + 8,
+                                         bx * 8 : bx * 8 + 8])
+        pc.append(arr)
+
+    scans = []  # (scan_comps, ss, se, ah, al, events, needs_dc, needs_ac)
+
+    # scan 1: interleaved DC, Al=1 (with optional restart interval)
+    enc = _ProgScanEnc()
+    preds = [0] * len(comps)
+    units = _prog_units(comps, pc, mcux, mcuy)
+    per_mcu = sum(hc * vc for _, hc, vc in comps)
+    for ui, (ci, by, bx) in enumerate(units):
+        if restart and ui and ui % (restart * per_mcu) == 0:
+            enc.restart()
+            preds = [0] * len(comps)
+        t = int(pc[ci][by, bx][0]) >> 1
+        diff = t - preds[ci]
+        preds[ci] = t
+        size = abs(diff).bit_length()
+        enc.sym(size)
+        enc.bits(_prog_field(diff, size), size)
+    scans.append((list(range(len(comps))), 0, 0, 0, 1, enc, True, False))
+
+    # scan 2: DC refinement to Al=0 — raw bits, no huffman (DRI still
+    # applies: restart markers split the segments here too)
+    enc = _ProgScanEnc()
+    for ui, (ci, by, bx) in enumerate(units):
+        if restart and ui and ui % (restart * per_mcu) == 0:
+            enc.restart()
+        enc.bits((int(pc[ci][by, bx][0]) >> 0) & 1, 1)
+    scans.append((list(range(len(comps))), 0, 0, 1, 0, enc, False, False))
+
+    # per component: AC first scans per band at Al=1, then refinement.
+    # Non-interleaved scans count the restart interval in BLOCKS of the
+    # scanned component (T.81 §C.4 MCU=1 data unit), resetting the EOB run.
+    for ci in range(len(comps)):
+        bh, bw = pc[ci].shape[:2]
+        bands = y_bands if ci == 0 else ((1, 63),)
+        for ss, se in bands:
+            enc = _ProgScanEnc()
+            for bi in range(bh * bw):
+                if restart and bi and bi % restart == 0:
+                    enc.restart()
+                _prog_ac_first(enc, pc[ci][bi // bw, bi % bw], ss, se, 1)
+            enc.flush_eob()
+            scans.append(([ci], ss, se, 0, 1, enc, False, True))
+        enc = _ProgScanEnc()
+        for bi in range(bh * bw):
+            if restart and bi and bi % restart == 0:
+                enc.restart()
+            _prog_ac_refine(enc, pc[ci][bi // bw, bi % bw], 1, 63, 0)
+        enc.flush_eob()
+        scans.append(([ci], 1, 63, 1, 0, enc, False, True))
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, b"\x00" + b"\x01" * 64)
+    sofb = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hc, vc in comps:
+        sofb += bytes([cid, (hc << 4) | vc, 0])
+    out += seg(0xC2, sofb)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    for scomps, ss, se, ah, al, enc, needs_dc, needs_ac in scans:
+        syms = [e[1] for e in enc.events if e[0] == "sym"]
+        codes = None
+        if needs_dc or needs_ac:
+            bits_spec, vals, codes = _jpeg_huff_spec(syms or [0x00])
+            cls = 0x10 if needs_ac else 0x00
+            out += seg(0xC4, bytes([cls] + bits_spec) + bytes(vals))
+        sosb = bytes([len(scomps)])
+        for ci in scomps:
+            sosb += bytes([comps[ci][0], 0x00])
+        sosb += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sosb)
+        segs = [_BitWriter()]
+        for e in enc.events:
+            if e[0] == "RST":
+                segs.append(_BitWriter())
+            elif e[0] == "sym":
+                ln, code = codes[e[1]]
+                segs[-1].write(code, ln)
+            else:
+                segs[-1].write(e[1], e[2])
+        for i, bwr in enumerate(segs):
+            if i:
+                out += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+            out += bwr.tobytes_stuffed()
+    return out + b"\xff\xd9"
+
+
+def test_decode_jpeg_progressive_matches_baseline():
+    """Progressive decode == baseline decode of the SAME coefficients,
+    bit-for-bit: the successive-approximation ladder (DC Al=1 -> refine;
+    AC bands at Al=1 -> full-band refinement with EOB runs + correction
+    bits) reconstructs every coefficient exactly."""
+    rng = np.random.default_rng(21)
+    # block-constant: sparse ACs -> long EOB runs across blocks
+    vals = rng.integers(0, 256, size=(3, 4), dtype=np.uint8)
+    y_flat = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    base = mm.decode_jpeg_np(_jpeg_bytes(y_flat))
+    prog = mm.decode_jpeg_np(_jpeg_bytes_progressive(y_flat))
+    np.testing.assert_array_equal(prog, base)
+    # dense random: every refinement path (ZRL runs, correction bits)
+    y2 = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    base2 = mm.decode_jpeg_np(_jpeg_bytes(y2))
+    prog2 = mm.decode_jpeg_np(_jpeg_bytes_progressive(y2))
+    np.testing.assert_array_equal(prog2, base2)
+    assert int(np.abs(prog2.astype(int) - y2.astype(int)).max()) <= 3
+
+
+def test_decode_jpeg_progressive_color_subsampled_and_restart():
+    """4:2:0 progressive: interleaved DC walks MCU geometry while the
+    per-component AC scans walk each component's OWN block grid; restart
+    markers in the DC scan reset predictors; a single-band script
+    (no split) also reconstructs."""
+    rng = np.random.default_rng(22)
+    y = rng.integers(0, 256, size=(32, 48), dtype=np.uint8)
+    cb = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    cr = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    base = mm.decode_jpeg_np(_jpeg_bytes(y, cbcr=(cb, cr)))
+    prog = mm.decode_jpeg_np(_jpeg_bytes_progressive(y, cbcr=(cb, cr)))
+    np.testing.assert_array_equal(prog, base)
+    prog_r = mm.decode_jpeg_np(
+        _jpeg_bytes_progressive(y, cbcr=(cb, cr), restart=2))
+    np.testing.assert_array_equal(prog_r, base)
+    prog_one = mm.decode_jpeg_np(
+        _jpeg_bytes_progressive(y, y_bands=((1, 63),)))
+    np.testing.assert_array_equal(
+        prog_one, mm.decode_jpeg_np(_jpeg_bytes(y)))
+
+
+def test_decode_jpeg_progressive_declines_out_of_scope(monkeypatch):
+    """Truncated progressive scans, DC scans with Se>0, and the pixel
+    circuit breaker all decline to None instead of raising."""
+    rng = np.random.default_rng(23)
+    y = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    good = _jpeg_bytes_progressive(y)
+    assert mm.decode_jpeg_np(good) is not None
+    assert mm.decode_jpeg_np(good[: len(good) * 2 // 3]) is None
+    monkeypatch.setattr(mm, "JPEG_NP_MAX_PIXELS", 64)
+    assert mm.decode_jpeg_np(good) is None
+    monkeypatch.undo()
+    # baseline relabeled as SOF2 (DC scan with Se=63) stays out of scope
+    flipped = _jpeg_bytes(y).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert mm.decode_jpeg_np(flipped) is None
+
+
+def test_image_features_progressive_jpeg_real_luma(spark):
+    """image_features reports REAL mean_luma for progressive JPEG blobs
+    through the Spark kernel — the fake-decode carve-out now applies only
+    to arithmetic/lossless JPEG."""
+    rng = np.random.default_rng(24)
+    vals = rng.integers(0, 256, size=(2, 2), dtype=np.uint8)
+    y = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    blob = _jpeg_bytes_progressive(y)
+    df = spark.createDataFrame([("p1", bytearray(blob))],
+                               "asset_id string, content binary")
+    row = mm.image_features(df).collect()[0]
+    assert row["width"] == 16 and row["height"] == 16
+    assert abs(row["mean_luma"] - float(y.mean()) / 255.0) < 0.02
