@@ -18,8 +18,9 @@ these are the training-data-pipeline operators a 100 TB corpus needs. Design:
   the FULL animation model — GCE delays/transparency/disposal composited
   on the logical screen, ``decode_gif_frames_np`` + the ``gif_frames``
   explode operator) are public spec — decoded for real by the pure-NumPy
-  decoders (PNG: all five scanline filters, color types 0/2/3/4/6 at bit
-  depth 8; BMP: 8/24/32bpp with palette + padding + row order; JPEG:
+  decoders (PNG: all five scanline filters, color types 0/2/3/4/6 at
+  every legal bit depth 1/2/4/8/16 + Adam7 interlace; BMP: 8/24/32bpp
+  with palette + padding + row order; JPEG:
   baseline sequential AND progressive (T.81 Annex G multi-scan), incl.
   subsampling + restart intervals, Y plane as luma). ``decode_image``
   tries PIL, then the NumPy decoders, and only then falls back to a
@@ -217,17 +218,50 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# legal (color type -> bit depths) combinations, PNG spec table 11.1
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+# Adam7 pass grids: (x_start, y_start, x_step, y_step), spec §8.2
+_PNG_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_pass_samples(
+    chunk: bytes, ph: int, pw: int, ch: int, depth: int
+) -> np.ndarray:
+    """Unfilter + unpack one (sub-)image's scanlines -> (ph, pw, ch) uint8
+    samples. Sub-byte depths unpack bit-planes row-wise (single-channel
+    only, per spec); depth 16 keeps the most-significant byte (the
+    standard 8-bit reduction)."""
+    bits_px = ch * depth
+    stride = (pw * bits_px + 7) // 8
+    fbpp = max(1, bits_px // 8)  # filters act on whole bytes below depth 8
+    arr = _png_unfilter(chunk, ph, stride, fbpp)
+    if depth == 8:
+        return arr.reshape(ph, pw, ch)
+    if depth == 16:
+        return arr.reshape(ph, pw, ch, 2)[..., 0]
+    bits = np.unpackbits(arr, axis=1)[:, : pw * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+    return vals.astype(np.uint8)[..., None]
+
 
 def decode_png_np(data: bytes) -> np.ndarray | None:
     """Pure NumPy+zlib PNG decode -> (h, w) grayscale uint8, or None for
-    variants outside scope (bit depth != 8, interlaced, truncated).
+    out-of-scope variants (truncated streams, illegal depth/color combos).
 
     PNG's pixel layer is just zlib over filtered scanlines (public spec,
     RFC 2083) — no codec library needed: parse the chunk stream, inflate
     the concatenated IDATs, reverse the scanline filters, then map color
     type to luma (0 gray, 2 RGB, 3 palette via PLTE, 4 gray+alpha,
-    6 RGBA). This is what makes mean_luma REAL bytes in this container,
-    where PIL is absent."""
+    6 RGBA). All legal bit depths decode: 1/2/4 unpack bit-planes and
+    scale gray to 8-bit (palette indexes stay raw), 16 reduces to the
+    most-significant byte. Adam7 interlacing reassembles the seven
+    per-pass sub-images, each filtered independently (spec §8.2). This is
+    what makes mean_luma REAL bytes in this container, where PIL is
+    absent."""
     import struct
     import zlib
 
@@ -237,6 +271,8 @@ def decode_png_np(data: bytes) -> np.ndarray | None:
     n = len(data)
     w = h = None
     color_type = None
+    depth = None
+    interlace = 0
     plte = None
     idat = []
     while pos + 8 <= n:
@@ -248,10 +284,12 @@ def decode_png_np(data: bytes) -> np.ndarray | None:
         if ctype == b"IHDR":
             if length < 13:
                 return None
-            w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body[:13]
             )
-            if bit_depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
+                return None
+            if depth not in _PNG_DEPTHS.get(color_type, ()):
                 return None
         elif ctype == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
@@ -269,20 +307,37 @@ def decode_png_np(data: bytes) -> np.ndarray | None:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * ch
-    if len(raw) < h * (1 + stride):
-        return None
-    px = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
-    if color_type == 0:
-        return px[..., 0]
-    if color_type == 4:
-        return px[..., 0]  # gray, alpha dropped (PIL convert("L") parity)
+    samples = np.zeros((h, w, ch), dtype=np.uint8)
+    passes = _PNG_ADAM7 if interlace else ((0, 0, 1, 1),)
+    off = 0
+    try:
+        for x0, y0, xs, ys in passes:
+            pw = -(-(w - x0) // xs) if w > x0 else 0
+            ph = -(-(h - y0) // ys) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty pass emits no scanlines (spec §8.2)
+            stride = (pw * ch * depth + 7) // 8
+            nbytes = ph * (1 + stride)
+            if off + nbytes > len(raw):
+                return None
+            samples[y0::ys, x0::xs] = _png_pass_samples(
+                raw[off : off + nbytes], ph, pw, ch, depth
+            )
+            off += nbytes
+    except ValueError:
+        return None  # unknown filter type inside a pass
     if color_type == 3:
-        idx = px[..., 0]
+        idx = samples[..., 0]
         if idx.size and int(idx.max()) >= len(plte):
             return None  # palette index out of range — corrupt PLTE/IDAT
         return _luma(plte[idx])
-    return _luma(px)  # 2 (RGB) / 6 (RGBA, alpha dropped)
+    if depth in (1, 2, 4):  # gray: scale to full 8-bit range
+        samples = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )
+    if color_type in (0, 4):
+        return samples[..., 0]  # gray(, alpha dropped: convert("L") parity)
+    return _luma(samples)  # 2 (RGB) / 6 (RGBA, alpha dropped)
 
 
 def decode_bmp_np(data: bytes) -> np.ndarray | None:

@@ -1796,3 +1796,137 @@ def test_image_features_progressive_jpeg_real_luma(spark):
     row = mm.image_features(df).collect()[0]
     assert row["width"] == 16 and row["height"] == 16
     assert abs(row["mean_luma"] - float(y.mean()) / 255.0) < 0.02
+
+
+# -- PNG: sub-byte depths, 16-bit, Adam7 interlace ---------------------------
+
+
+def _png_filter_fwd(packed, bpp, filters):
+    """Forward-filter packed rows (byte domain, spec §9) -> scanline bytes."""
+    ph, stride = packed.shape
+    lines = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(ph):
+        ft = filters[y % len(filters)]
+        cur = packed[y].astype(np.int32)
+        a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]]) if (
+            stride > bpp) else np.zeros(stride, np.int32)
+        c = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]]) if (
+            stride > bpp) else np.zeros(stride, np.int32)
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = (cur - a) % 256
+        elif ft == 2:
+            enc = (cur - prev) % 256
+        elif ft == 3:
+            enc = (cur - ((a + prev) >> 1)) % 256
+        else:
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a,
+                            np.where(pb <= pc, prev, c))
+            enc = (cur - pred) % 256
+        lines.append(bytes([ft]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    return b"".join(lines)
+
+
+def _png_pack(samp, depth):
+    """(ph, pw, ch) samples -> (ph, stride) packed bytes at ``depth``."""
+    ph, pw, ch = samp.shape
+    if depth == 8:
+        return samp.astype(np.uint8).reshape(ph, pw * ch)
+    if depth == 16:
+        v = samp.astype(np.uint16)
+        out = np.empty((ph, pw * ch * 2), dtype=np.uint8)
+        out[:, 0::2] = (v >> 8).reshape(ph, -1)
+        out[:, 1::2] = (v & 0xFF).reshape(ph, -1)
+        return out
+    assert ch == 1
+    bits = ((samp[..., 0:1].astype(np.uint8)[..., None]
+             >> np.arange(depth - 1, -1, -1)) & 1).reshape(ph, pw * depth)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.concatenate(
+            [bits, np.zeros((ph, pad), dtype=np.uint8)], axis=1)
+    return np.packbits(bits, axis=1)
+
+
+def _png_bytes_ext(samp, color_type, depth, interlace=0,
+                   filters=(0, 1, 2, 3, 4), plte=None):
+    """PNG encoder covering every legal depth + Adam7: per-pass forward
+    filtering over packed rows (samples uint8, or uint16 at depth 16)."""
+    import struct
+    import zlib
+
+    if samp.ndim == 2:
+        samp = samp[..., None]
+    h, w, ch = samp.shape
+    bpp = max(1, ch * depth // 8)
+    passes = mm._PNG_ADAM7 if interlace else ((0, 0, 1, 1),)
+    raw = b""
+    for x0, y0, xs, ys in passes:
+        sub = samp[y0::ys, x0::xs]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += _png_filter_fwd(_png_pack(sub, depth), bpp, filters)
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(raw))
+    return out + chunk(b"IEND", b"")
+
+
+def test_decode_png_np_sub_byte_and_16bit_depths():
+    """Bit depths 1/2/4 (gray scaled to 8-bit, palette raw indexes) and
+    16 (MSB reduction) decode exactly, filters exercised on packed rows."""
+    rng = np.random.default_rng(31)
+    for d in (1, 2, 4):
+        g = rng.integers(0, 1 << d, size=(7, 13), dtype=np.uint8)
+        got = mm.decode_png_np(_png_bytes_ext(g, 0, d))
+        want = (g.astype(np.uint16) * 255 // ((1 << d) - 1)).astype(np.uint8)
+        np.testing.assert_array_equal(got, want), d
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    for d in (2, 4):
+        idx = rng.integers(0, 1 << d, size=(6, 9), dtype=np.uint8)
+        got = mm.decode_png_np(_png_bytes_ext(idx, 3, d, plte=plte))
+        np.testing.assert_array_equal(got, mm._luma(plte[idx])), d
+    g16 = rng.integers(0, 1 << 16, size=(5, 8), dtype=np.uint16)
+    np.testing.assert_array_equal(
+        mm.decode_png_np(_png_bytes_ext(g16, 0, 16)),
+        (g16 >> 8).astype(np.uint8))
+    rgb16 = rng.integers(0, 1 << 16, size=(4, 6, 3), dtype=np.uint16)
+    np.testing.assert_array_equal(
+        mm.decode_png_np(_png_bytes_ext(rgb16, 2, 16)),
+        mm._luma((rgb16 >> 8).astype(np.uint8)))
+
+
+def test_decode_png_np_adam7_interlace():
+    """Adam7 reassembles the seven per-pass sub-images (each filtered
+    independently): odd dims, sub-byte palette, tiny images with empty
+    passes, and truncated interlaced streams."""
+    rng = np.random.default_rng(32)
+    g = rng.integers(0, 256, size=(9, 13), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        mm.decode_png_np(_png_bytes_ext(g, 0, 8, interlace=1)), g)
+    rgba = rng.integers(0, 256, size=(10, 11, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        mm.decode_png_np(_png_bytes_ext(rgba, 6, 8, interlace=1)),
+        mm._luma(rgba))
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(12, 7), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        mm.decode_png_np(_png_bytes_ext(idx, 3, 4, interlace=1, plte=plte)),
+        mm._luma(plte[idx]))
+    tiny = rng.integers(0, 256, size=(3, 2), dtype=np.uint8)  # empty passes
+    np.testing.assert_array_equal(
+        mm.decode_png_np(_png_bytes_ext(tiny, 0, 8, interlace=1)), tiny)
+    blob = _png_bytes_ext(g, 0, 8, interlace=1)
+    assert mm.decode_png_np(blob[: len(blob) - 30]) is None
