@@ -100,6 +100,12 @@ def parse_image_header(data: bytes) -> dict | None:
       and width are big-endian u16 at frame offset 3 and 5.
     - BMP: "BM", width/height as little-endian i32 at bytes 18 and 22
       (height may be negative for top-down rows; dimensions are abs).
+    - WebP (RFC 9649): RIFF container; dimensions from the first
+      bitstream chunk (VP8 lossy keyframe 14-bit fields, VP8L lossless
+      bit-packed 14+14, VP8X 24-bit canvas). Pixels stay header-real
+      (VP8 entropy decode needs a real codec).
+    - TIFF 6.0: endian magic, then ImageWidth/ImageLength (tags 256/257,
+      SHORT or LONG) from the first IFD.
     """
     import struct
 
@@ -147,6 +153,53 @@ def parse_image_header(data: bytes) -> dict | None:
         if dib in (40, 108, 124):
             w, h = struct.unpack("<ii", data[18:26])
             return {"format": "bmp", "width": abs(int(w)), "height": abs(int(h))}
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and len(data) >= 30:
+        # WebP (RFC 9649): dimensions live in the first bitstream chunk
+        fourcc = data[12:16]
+        p = 20  # chunk payload start
+        if fourcc == b"VP8 " and data[p + 3 : p + 6] == b"\x9d\x01\x2a":
+            # lossy keyframe: 14-bit width/height after the start code
+            w = struct.unpack("<H", data[p + 6 : p + 8])[0] & 0x3FFF
+            h = struct.unpack("<H", data[p + 8 : p + 10])[0] & 0x3FFF
+            return {"format": "webp", "width": int(w), "height": int(h)}
+        if fourcc == b"VP8L" and data[p] == 0x2F:
+            # lossless: 14+14 bits LSB-first after the 0x2F signature
+            b = struct.unpack("<I", data[p + 1 : p + 5])[0]
+            return {"format": "webp", "width": int((b & 0x3FFF) + 1),
+                    "height": int(((b >> 14) & 0x3FFF) + 1)}
+        if fourcc == b"VP8X":
+            # extended: 24-bit canvas width/height minus one
+            w = int.from_bytes(data[p + 4 : p + 7], "little") + 1
+            h = int.from_bytes(data[p + 7 : p + 10], "little") + 1
+            return {"format": "webp", "width": w, "height": h}
+        return None
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF 6.0: walk the first IFD for ImageWidth(256)/ImageLength(257)
+        end = "<" if data[:2] == b"II" else ">"
+        try:
+            (ifd,) = struct.unpack(end + "I", data[4:8])
+            (cnt,) = struct.unpack(end + "H", data[ifd : ifd + 2])
+            w = h = None
+            for i in range(cnt):
+                e = ifd + 2 + 12 * i
+                tag, typ = struct.unpack(end + "HH", data[e : e + 4])
+                if tag not in (256, 257):
+                    continue
+                if typ == 3:  # SHORT, value inline left-justified
+                    (v,) = struct.unpack(end + "H", data[e + 8 : e + 10])
+                elif typ == 4:  # LONG
+                    (v,) = struct.unpack(end + "I", data[e + 8 : e + 12])
+                else:
+                    return None
+                if tag == 256:
+                    w = int(v)
+                else:
+                    h = int(v)
+            if w and h:
+                return {"format": "tiff", "width": w, "height": h}
+        except struct.error:
+            return None
+        return None
     return None
 
 
@@ -2293,11 +2346,94 @@ def parse_adts_header(data: bytes) -> dict | None:
         return None
 
 
+def parse_mp4_header(data: bytes) -> dict | None:
+    """Header-real ISO-BMFF (MP4 / M4A) audio metadata — no decode.
+    Walks the box tree (ISO/IEC 14496-12: u32 size + fourcc, u64
+    largesize when size == 1): duration from ``moov/mvhd``
+    (timescale + duration, version 0/1 layouts), channels + sample rate
+    from the first ``mp4a`` sample entry under ``stbl/stsd``
+    (AudioSampleEntry: channelcount at payload offset 16, 16.16-fixed
+    samplerate at 24). Never raises on malformed bytes."""
+    import struct
+
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+    found: dict = {}
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        pos = lo
+        while pos + 8 <= hi and depth < 8:
+            size = struct.unpack(">I", data[pos : pos + 8][:4])[0]
+            btype = data[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > hi:
+                    return
+                (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+                body = pos + 16
+            elif size == 0:
+                size = hi - pos  # box extends to end of file
+            if size < 8 or pos + size > hi:
+                return
+            if btype in containers:
+                walk(body, pos + size, depth + 1)
+            elif btype == b"mvhd" and "duration" not in found:
+                v = data[body]
+                if v == 1 and body + 32 <= hi:
+                    (ts,) = struct.unpack(">I", data[body + 20 : body + 24])
+                    (dur,) = struct.unpack(">Q", data[body + 24 : body + 32])
+                elif v == 0 and body + 20 <= hi:
+                    ts, dur = struct.unpack(
+                        ">II", data[body + 12 : body + 20]
+                    )
+                else:
+                    return
+                if ts:
+                    found["duration"] = (int(dur), int(ts))
+            elif btype == b"stsd" and "rate" not in found:
+                # version+flags(4) + entry_count(4), then sample entries
+                e = body + 8
+                while e + 8 <= pos + size:
+                    (esz,) = struct.unpack(">I", data[e : e + 4])
+                    if esz < 8:
+                        break
+                    if data[e + 4 : e + 8] == b"mp4a" and e + 36 <= hi:
+                        (chans,) = struct.unpack(
+                            ">H", data[e + 24 : e + 26]
+                        )
+                        (rate_fx,) = struct.unpack(
+                            ">I", data[e + 32 : e + 36]
+                        )
+                        found["rate"] = rate_fx >> 16
+                        found["channels"] = chans
+                    e += esz
+            pos += size
+
+    try:
+        walk(0, len(data), 0)
+        if "duration" not in found:
+            return None
+        dur, ts = found["duration"]
+        rate = found.get("rate")
+        return {
+            "format": "mp4",
+            "sample_rate": int(rate) if rate else None,
+            "channels": int(found["channels"]) if rate else None,
+            "duration_ms": int(dur * 1000 // ts),
+            "total_samples": (
+                int(dur * rate // ts) if rate else None
+            ),
+        }
+    except Exception:
+        return None
+
+
 def parse_audio_header(data: bytes) -> dict | None:
     """Sniff + parse header-real metadata for the compressed audio
-    formats (MP3 / FLAC / Ogg-Vorbis / ADTS-AAC) — the dispatch
-    :func:`audio_features` uses for non-WAV blobs. Returns None for
-    unrecognized bytes. FLAC additionally decodes to real PCM through
+    formats (MP3 / FLAC / Ogg-Vorbis / ADTS-AAC / ISO-BMFF M4A) — the
+    dispatch :func:`audio_features` uses for non-WAV blobs. Returns None
+    for unrecognized bytes. FLAC additionally decodes to real PCM through
     :func:`decode_flac_np`; the lossy codecs' decode-derived columns stay
     NULL-tier (MP3/Vorbis/AAC synthesis needs a real decoder library)."""
     flac = parse_flac_header(data)
@@ -2306,6 +2442,9 @@ def parse_audio_header(data: bytes) -> dict | None:
     ogg = parse_ogg_header(data)
     if ogg is not None:
         return ogg
+    mp4 = parse_mp4_header(data)
+    if mp4 is not None:
+        return mp4
     adts = parse_adts_header(data)
     if adts is not None:
         return adts

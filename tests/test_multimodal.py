@@ -1930,3 +1930,116 @@ def test_decode_png_np_adam7_interlace():
         mm.decode_png_np(_png_bytes_ext(tiny, 0, 8, interlace=1)), tiny)
     blob = _png_bytes_ext(g, 0, 8, interlace=1)
     assert mm.decode_png_np(blob[: len(blob) - 30]) is None
+
+
+# -- WebP / TIFF image headers, ISO-BMFF audio headers -----------------------
+
+
+def test_parse_image_header_webp_and_tiff():
+    """Header-real dimensions for WebP (VP8 lossy keyframe, VP8L
+    lossless bit-packed, VP8X extended canvas) and TIFF (both endians,
+    SHORT and LONG tag types)."""
+    import struct
+    from semadb_spark.operators import multimodal as mm
+
+    def riff(fourcc, payload):
+        chunk = fourcc + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a"
+               + struct.pack("<HH", 320, 240) + b"\x00" * 8)
+    assert mm.parse_image_header(vp8) == {
+        "format": "webp", "width": 320, "height": 240}
+    bits = (99 & 0x3FFF) | ((49 & 0x3FFF) << 14)
+    vp8l = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits) + b"\x00" * 6)
+    assert mm.parse_image_header(vp8l) == {
+        "format": "webp", "width": 100, "height": 50}
+    vp8x = riff(b"VP8X", b"\x00" * 4 + (799).to_bytes(3, "little")
+                + (599).to_bytes(3, "little") + b"\x00" * 4)
+    assert mm.parse_image_header(vp8x) == {
+        "format": "webp", "width": 800, "height": 600}
+    assert mm.parse_image_header(riff(b"ALPH", b"\x00" * 12)) is None
+
+    def tiff(end, typ, w, h):
+        fmt = "<" if end == b"II" else ">"
+        magic = b"II*\x00" if end == b"II" else b"MM\x00*"
+        out = magic + struct.pack(fmt + "I", 8) + struct.pack(fmt + "H", 2)
+        for tag, v in ((256, w), (257, h)):
+            if typ == 3:
+                out += struct.pack(fmt + "HHIHH", tag, 3, 1, v, 0)
+            else:
+                out += struct.pack(fmt + "HHII", tag, 4, 1, v)
+        return out + struct.pack(fmt + "I", 0)
+
+    assert mm.parse_image_header(tiff(b"II", 3, 640, 480)) == {
+        "format": "tiff", "width": 640, "height": 480}
+    assert mm.parse_image_header(tiff(b"MM", 4, 123, 45)) == {
+        "format": "tiff", "width": 123, "height": 45}
+    assert mm.parse_image_header(b"II*\x00\xff\xff\xff\xff") is None
+
+
+def _mp4_box(btype, payload):
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def _m4a_bytes(rate=44100, chans=2, timescale=1000, duration=2500,
+               mvhd_v=0):
+    import struct
+
+    if mvhd_v:
+        mvhd = _mp4_box(b"mvhd", bytes([1, 0, 0, 0]) + b"\x00" * 16
+                        + struct.pack(">IQ", timescale, duration)
+                        + b"\x00" * 80)
+    else:
+        mvhd = _mp4_box(b"mvhd", bytes([0, 0, 0, 0]) + b"\x00" * 8
+                        + struct.pack(">II", timescale, duration)
+                        + b"\x00" * 80)
+    mp4a = _mp4_box(b"mp4a", b"\x00" * 16 + struct.pack(">HH", chans, 16)
+                    + b"\x00" * 4 + struct.pack(">I", rate << 16))
+    stsd = _mp4_box(b"stsd", b"\x00" * 4 + (1).to_bytes(4, "big") + mp4a)
+    trak = _mp4_box(b"trak", _mp4_box(b"mdia", _mp4_box(
+        b"minf", _mp4_box(b"stbl", stsd))))
+    moov = _mp4_box(b"moov", mvhd + trak)
+    ftyp = _mp4_box(b"ftyp", b"M4A \x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def test_parse_mp4_header_and_audio_features(spark):
+    """ISO-BMFF duration from mvhd (both versions) + channels/rate from
+    the mp4a sample entry; audio_features reports header-real columns
+    with decode-derived NULL; moov-less files decline."""
+    from semadb_spark.operators import multimodal as mm
+
+    got = mm.parse_mp4_header(_m4a_bytes())
+    assert got == {"format": "mp4", "sample_rate": 44100, "channels": 2,
+                   "duration_ms": 2500,
+                   "total_samples": 2500 * 44100 // 1000}
+    v1 = mm.parse_mp4_header(_m4a_bytes(rate=48000, chans=1,
+                                        timescale=48000, duration=96000,
+                                        mvhd_v=1))
+    assert v1["duration_ms"] == 2000 and v1["sample_rate"] == 48000
+    assert v1["channels"] == 1
+    assert mm.parse_mp4_header(_mp4_box(b"ftyp", b"M4A ")) is None
+    assert mm.parse_mp4_header(b"not a box") is None
+    df = spark.createDataFrame([("m1", bytearray(_m4a_bytes()))],
+                               "asset_id string, content binary")
+    row = mm.audio_features(df).collect()[0]
+    assert row["sample_rate"] == 44100 and row["duration_ms"] == 2500
+    assert row["n_samples"] == 110250 and row["rms"] is None
+
+
+def test_image_features_webp_tiff_header_real(spark):
+    """image_features: WebP/TIFF blobs report bytes-real format/dims with
+    mean_luma NULL (pixels need a real codec) — never the hash-fake."""
+    import struct
+    from semadb_spark.operators import multimodal as mm
+
+    payload = (b"VP8 " + struct.pack("<I", 16) + b"\x00\x00\x00"
+               + b"\x9d\x01\x2a" + struct.pack("<HH", 64, 32) + b"\x00" * 6)
+    webp = b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" + payload
+    df = spark.createDataFrame([("w1", bytearray(webp))],
+                               "asset_id string, content binary")
+    row = mm.image_features(df).collect()[0]
+    assert row["format"] == "webp"
+    assert (row["width"], row["height"]) == (64, 32)
+    assert row["mean_luma"] is None
