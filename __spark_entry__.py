@@ -810,6 +810,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_scrub"] = pii_scrub
 
+    def c4_line_filter(spark, sf_dir):
+        # the corpus text is single-line, so the gate builds a 5-line page
+        # per doc that exercises every rule: kept (punct + words), dropped
+        # for word count, dropped for blocklist, dropped for no terminal
+        # punctuation, kept with doc-unique tail — both engines construct
+        # the identical input, then clean
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        nl = F.lit("\n")
+        synth = docs.select(
+            "_id",
+            F.concat(
+                F.substring("text", 1, 40), F.lit("."), nl,
+                F.lit("Buy now."), nl,
+                F.lit("Please enable javascript to continue."), nl,
+                F.substring("text", 41, 35), nl,
+                F.lit("All rights reserved to doc "), F.col("_id"),
+                F.lit("."),
+            ).alias("t"),
+        )
+        lf = ts_ops.line_filter("t")
+        return synth.select(
+            "_id",
+            lf["cleaned"].alias("cleaned"),
+            lf["n_lines"].alias("n_lines"),
+            lf["n_kept"].alias("n_kept"),
+        )
+
+    q["c4_line_filter"] = c4_line_filter
+
+    def dedup_paragraphs(spark, sf_dir):
+        # paragraph-level boilerplate detection: every doc shares one
+        # literal licence paragraph (max duplication), a 25-char text
+        # prefix (small-vocab corpus -> real cross-doc collisions), and a
+        # doc-unique tail (never reported at min_count=2)
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        synth = docs.select(
+            "_id",
+            F.concat(
+                F.lit("Shared boilerplate licence notice"), F.lit("\n\n"),
+                F.substring("text", 1, 25), F.lit("\n\n"),
+                F.lit("unique tail "), F.col("_id"),
+            ).alias("body"),
+        )
+        return dedup_ops.duplicate_paragraphs(synth, "body", "_id", min_count=2)
+
+    q["dedup_paragraphs"] = dedup_paragraphs
+
     def pack_sequences(spark, sf_dir):
         from semadb_spark.operators import packing as pk_ops
 
@@ -1856,6 +1903,50 @@ def oracle_sql() -> dict[str, str]:
                       || '?q=1 end' AS t
           FROM documents WHERE text IS NOT NULL)
         SELECT _id, {_pii} AS cleaned FROM s
+    """
+
+    o["c4_line_filter"] = """
+        WITH s AS (
+          SELECT CAST(doc_id AS VARCHAR) AS _id,
+                 substr(text, 1, 40) || '.' || chr(10)
+                 || 'Buy now.' || chr(10)
+                 || 'Please enable javascript to continue.' || chr(10)
+                 || substr(text, 41, 35) || chr(10)
+                 || 'All rights reserved to doc ' || doc_id || '.' AS t
+          FROM documents WHERE text IS NOT NULL),
+        l AS (SELECT _id, string_split(t, chr(10)) AS ls FROM s),
+        k AS (
+          SELECT _id, len(ls) AS n_lines,
+                 list_filter(ls, x ->
+                   regexp_matches(trim(x), '[.!?"]$')
+                   AND len(list_filter(string_split_regex(trim(x), ' +'),
+                                       w -> w <> '')) >= 3
+                   AND NOT contains(lower(x), 'javascript')
+                   AND NOT contains(lower(x), 'cookie policy')
+                   AND NOT contains(lower(x), 'lorem ipsum')) AS ks
+          FROM l)
+        SELECT _id, array_to_string(ks, chr(10)) AS cleaned,
+               n_lines, len(ks) AS n_kept
+        FROM k
+    """
+
+    o["dedup_paragraphs"] = """
+        WITH s AS (
+          SELECT CAST(doc_id AS VARCHAR) AS _id,
+                 'Shared boilerplate licence notice' || chr(10) || chr(10)
+                 || substr(text, 1, 25) || chr(10) || chr(10)
+                 || 'unique tail ' || doc_id AS body
+          FROM documents WHERE text IS NOT NULL),
+        p AS (
+          SELECT _id,
+                 lower(regexp_replace(trim(para), '\\s+', ' ', 'g')) AS norm
+          FROM s, LATERAL (
+            SELECT unnest(string_split(body, chr(10) || chr(10))) AS para) u
+          WHERE trim(para) <> '')
+        SELECT md5(norm) AS para_md5, count(*) AS n_total,
+               count(DISTINCT _id) AS n_docs,
+               min(substr(norm, 1, 40)) AS sample
+        FROM p GROUP BY 1 HAVING count(*) >= 2
     """
 
     o["pack_sequences"] = f"""

@@ -71,6 +71,40 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     )
 
 
+def duplicate_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_count: int = 2,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup (the RefinedWeb/FineWeb boilerplate
+    pass): split each document on ``sep``, normalize (trim, collapse
+    whitespace, casefold), and count corpus-wide occurrences per distinct
+    paragraph. -> (para_md5, n_total, n_docs, sample) for paragraphs seen
+    at least ``min_count`` times — repeated navigation/footer/licence
+    paragraphs, the units page-level exact dedup can't see.
+
+    Scale shape: explode + one groupBy on the paragraph hash — the same
+    single-shuffle plan as :func:`exact_dedup`, O(paragraphs) not
+    O(pairs); ``sample`` is the min-normalized-text per hash, so the
+    output is deterministic under any partitioning."""
+    para = F.explode(F.split(F.col(text_col), sep)).alias("para")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("para")), r"\s+", " "))
+    return (
+        df.select(F.col(id_col).alias("_did"), para)
+        .select("_did", norm.alias("norm"))
+        .filter(F.col("norm") != "")
+        .groupBy(F.md5("norm").alias("para_md5"))
+        .agg(
+            F.count("*").alias("n_total"),
+            F.countDistinct("_did").alias("n_docs"),
+            F.min(F.substring("norm", 1, 40)).alias("sample"),
+        )
+        .filter(F.col("n_total") >= min_count)
+    )
+
+
 # -- substring (window) dedup -------------------------------------------------
 
 

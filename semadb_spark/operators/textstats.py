@@ -211,3 +211,48 @@ def pii_scrub(c: Column | str) -> Column:
     for pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+# C4's line-level blocklist terms (Raffel et al. 2020 §2.2): lines carrying
+# these are web boilerplate, not prose. Lowercase substrings.
+LINE_BLOCKLIST: tuple[str, ...] = ("javascript", "cookie policy", "lorem ipsum")
+
+
+def line_filter(
+    c: Column | str,
+    min_words: int = 3,
+    blocklist: tuple[str, ...] = LINE_BLOCKLIST,
+) -> dict[str, Column]:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, public
+    heuristics) -> {"cleaned", "n_lines", "n_kept"}.
+
+    A line survives iff it ends in a terminal punctuation mark
+    (``. ! ? "``), carries at least ``min_words`` whitespace-separated
+    words, and contains no blocklist phrase (case-insensitive). The
+    survivors re-join with newlines; n_lines/n_kept feed page-level
+    drop rules (C4 discards pages with too few surviving sentences).
+
+    Pure higher-order Column expressions (filter/size/array_join over the
+    split lines), so the pass runs inside whole-stage codegen with zero
+    shuffles at any corpus size — the 100 TB shape for a per-document
+    cleaning operator.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    lines = F.split(c, "\n")
+
+    def keep(x: Column) -> Column:
+        t = F.trim(x)
+        ends = t.rlike('[.!?"]$')
+        words = F.size(F.filter(F.split(t, " +"), lambda w: w != ""))
+        ok = ends & (words >= F.lit(min_words))
+        low = F.lower(x)
+        for term in blocklist:
+            ok = ok & ~low.contains(term)
+        return ok
+
+    kept = F.filter(lines, keep)
+    return {
+        "cleaned": F.array_join(kept, "\n"),
+        "n_lines": F.size(lines),
+        "n_kept": F.size(kept),
+    }

@@ -525,3 +525,50 @@ def test_ivfbq_threshold_provenance(spark):
     idx_e = ivfbq_build(df, "v", nlist=4, seed=7, thresholds=[0.0] * 4)
     assert idx_e.threshold_source == "explicit"
     np.testing.assert_allclose(idx_e.thresholds, np.zeros(4))
+
+
+def test_line_filter_c4_rules(spark):
+    """C4 line cleaning: terminal punctuation + min-words + blocklist,
+    empty lines dropped, counts feed page-level rules."""
+    from semadb_spark.operators import textstats as ts
+
+    page = "\n".join([
+        "This is a good sentence.",     # kept
+        "Buy now.",                     # < 3 words
+        "Enable JavaScript to view this page.",  # blocklist (case-insensitive)
+        "no terminal punctuation here", # no punct
+        "",                             # empty
+        'He said "stop right there."',  # kept (quote counts as terminal)
+        "Accept our Cookie Policy to proceed.",  # blocklist phrase
+    ])
+    df = spark.createDataFrame([("d1", page), ("d2", "One two three!")],
+                               "_id string, t string")
+    lf = ts.line_filter("t")
+    rows = {r["_id"]: r for r in df.select(
+        "_id", lf["cleaned"].alias("c"), lf["n_lines"].alias("nl"),
+        lf["n_kept"].alias("nk")).collect()}
+    d1 = rows["d1"]
+    assert d1["c"] == ("This is a good sentence.\n"
+                       'He said "stop right there."')
+    assert d1["nl"] == 7 and d1["nk"] == 2
+    d2 = rows["d2"]
+    assert d2["c"] == "One two three!" and d2["nk"] == 1
+
+
+def test_duplicate_paragraphs_counts(spark):
+    """Paragraph dedup: whitespace/case-normalized paragraphs count
+    across docs; min_count filters; n_docs < n_total when one doc
+    repeats a paragraph internally."""
+    from semadb_spark.operators import dedup as dd
+
+    rows = [
+        ("a", "Shared  notice\n\nunique a\n\nShared notice"),
+        ("b", "shared notice\n\nunique b"),
+        ("c", "something else\n\n  SHARED NOTICE  "),
+    ]
+    df = spark.createDataFrame(rows, "_id string, body string")
+    got = dd.duplicate_paragraphs(df, "body", "_id", min_count=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_total"] == 4 and r["n_docs"] == 3
+    assert r["sample"] == "shared notice"
