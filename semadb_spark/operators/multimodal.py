@@ -21,12 +21,13 @@ these are the training-data-pipeline operators a 100 TB corpus needs. Design:
   decoders (PNG: all five scanline filters, color types 0/2/3/4/6 at
   every legal bit depth 1/2/4/8/16 + Adam7 interlace; BMP: 8/24/32bpp
   with palette + padding + row order; JPEG:
-  baseline sequential AND progressive (T.81 Annex G multi-scan), incl.
-  subsampling + restart intervals, Y plane as luma). ``decode_image``
+  baseline sequential, progressive (T.81 Annex G multi-scan), AND
+  lossless predictive (SOF3, Annex H), incl. subsampling + restart
+  intervals, Y plane as luma). ``decode_image``
   tries PIL, then the NumPy decoders, and only then falls back to a
   *deterministic fake* derived from the content hash (flagged by
   ``USING_FAKE_DECODE``) for formats no local code can
-  decode (arithmetic/lossless JPEG). Audio: WAV/PCM is raw samples
+  decode (arithmetic-coded JPEG). Audio: WAV/PCM is raw samples
   behind a chunked RIFF header — ``decode_wav_np`` decodes PCM 8/16/24/32
   + IEEE float for real and ``audio_features`` reports
   rate/duration/rms/peak from bytes; FLAC is LOSSLESS public spec
@@ -550,9 +551,10 @@ JPEG_NP_MAX_PIXELS = 4_000_000
 
 def decode_jpeg_np(data: bytes) -> np.ndarray | None:
     """Pure NumPy JPEG decode -> (h, w) LUMA uint8, or None for variants
-    outside scope (lossless/arithmetic SOFs, 12-bit precision, 16-bit
+    outside scope (arithmetic-coded SOFs, 12-bit DCT precision, 16-bit
     quant tables, truncated streams). Baseline sequential decodes here;
-    progressive (SOF2) dispatches to :func:`_decode_jpeg_progressive`.
+    progressive (SOF2) dispatches to :func:`_decode_jpeg_progressive`,
+    lossless (SOF3) to :func:`_decode_jpeg_lossless`.
 
     Baseline JPEG's pixel layer is fully public spec (ITU-T T.81): marker
     segments carry the quant + huffman tables, the scan is huffman-coded
@@ -644,9 +646,11 @@ def decode_jpeg_np(data: bytes) -> np.ndarray | None:
             sof = (int(h), int(w), comps)
         elif marker == 0xC2:  # progressive DCT: the multi-scan path
             return _decode_jpeg_progressive(data)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC3:  # lossless sequential: the predictive path
+            return _decode_jpeg_lossless(data)
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # lossless / arithmetic: out of scope
+            return None  # arithmetic / differential: out of scope
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 return None
@@ -1121,6 +1125,153 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray | None:
         return None
 
 
+def _decode_jpeg_lossless(data: bytes) -> np.ndarray | None:
+    """Pure NumPy lossless-JPEG decode (SOF3, ITU-T T.81 Annex H) ->
+    (h, w) LUMA uint8, or None outside scope. Lossless JPEG is huffman-
+    coded PREDICTION residuals, no DCT: each sample's difference from one
+    of seven neighbor predictors (left / above / above-left combinations,
+    H.1.2.1) is coded with the DC size-category tables; the first sample
+    of the scan and of each restart interval predicts 2^(P-Pt-1), the
+    rest of that line falls back to the left-neighbor predictor (H.1.2.2);
+    reconstruction is modulo 2^16. This is the DNG / medical-imagery
+    variant. Scope: sampling factors 1 (interleaved multi-component OK),
+    precision 2-16 scaled to 8-bit luma, point transform applied as the
+    spec's left shift. Same per-bit correctness-tier contract and
+    ``JPEG_NP_MAX_PIXELS`` breaker as the DCT paths."""
+    import struct
+
+    n = len(data)
+    pos = 2
+    huff: dict[tuple[int, int], _JpegHuff] = {}
+    sof = None
+    dri = 0
+    try:
+        while pos + 2 <= n:
+            if data[pos] != 0xFF:
+                return None
+            marker = data[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                pos += 2
+                continue
+            if marker == 0xD9:
+                break
+            if pos + 4 > n:
+                return None
+            (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            body = data[pos + 4 : pos + 2 + seglen]
+            if len(body) != seglen - 2:
+                return None
+            if marker == 0xC4:
+                b = 0
+                while b < len(body):
+                    if b + 17 > len(body):
+                        return None
+                    tc, th = body[b] >> 4, body[b] & 0x0F
+                    counts = list(body[b + 1 : b + 17])
+                    nv = sum(counts)
+                    huff[(tc, th)] = _JpegHuff(
+                        counts, list(body[b + 17 : b + 17 + nv])
+                    )
+                    b += 17 + nv
+            elif marker == 0xC3:
+                if len(body) < 6:
+                    return None
+                prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+                if not 2 <= prec <= 16 or h == 0 or w == 0:
+                    return None
+                if int(h) * int(w) > JPEG_NP_MAX_PIXELS:
+                    return None
+                comps = []
+                for ci in range(nc):
+                    hv = body[7 + 3 * ci]
+                    if hv != 0x11:
+                        return None  # subsampled lossless: out of scope
+                    comps.append(body[6 + 3 * ci])
+                sof = (int(prec), int(h), int(w), comps)
+            elif marker == 0xDD:
+                (dri,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:
+                if sof is None or not body:
+                    return None
+                prec, h, w, comps = sof
+                ns = body[0]
+                if len(body) < 1 + 2 * ns + 3 or ns != len(comps):
+                    return None
+                tabs = []
+                for si in range(ns):
+                    td = body[2 + 2 * si] >> 4
+                    if (0, td) not in huff:
+                        return None
+                    tabs.append(huff[(0, td)])
+                psel = body[1 + 2 * ns]  # Ss = predictor selector
+                pt = body[3 + 2 * ns] & 0x0F  # Al = point transform
+                if not 1 <= psel <= 7 or pt >= prec:
+                    return None
+                segments, _ = _jpeg_entropy_segments(data, pos + 2 + seglen)
+                planes = [
+                    np.zeros((h, w), dtype=np.int64) for _ in range(ns)
+                ]
+                default = 1 << (prec - pt - 1)
+                total = h * w
+                idx = 0
+                for seg in segments:
+                    if idx >= total:
+                        break
+                    bits = np.unpackbits(np.asarray(seg, dtype=np.uint8))
+                    bpos = 0
+                    seg_start = idx
+                    count = dri if dri else total - idx
+                    for _ in range(min(count, total - idx)):
+                        y, x = divmod(idx, w)
+                        sy, sx = divmod(seg_start, w)
+                        for ci in range(ns):
+                            p = planes[ci]
+                            if idx == seg_start:
+                                pred = default
+                            elif y == sy:
+                                # rest of the scan's / restart interval's
+                                # first line: 1-D left predictor (H.1.2.2)
+                                pred = int(p[y, x - 1])
+                            elif x == 0:
+                                pred = int(p[y - 1, 0])
+                            else:
+                                a = int(p[y, x - 1])
+                                b = int(p[y - 1, x])
+                                c = int(p[y - 1, x - 1])
+                                pred = (
+                                    a, b, c, a + b - c,
+                                    a + ((b - c) >> 1),
+                                    b + ((a - c) >> 1),
+                                    (a + b) >> 1,
+                                )[psel - 1]
+                            s, bpos = _jpeg_huff_decode(
+                                tabs[ci], bits, bpos
+                            )
+                            if s == 16:
+                                diff = 32768
+                            else:
+                                diff, bpos = _jpeg_receive_extend(
+                                    bits, bpos, s
+                                )
+                            p[y, x] = (pred + diff) & 0xFFFF
+                        idx += 1
+                if idx < total:
+                    return None
+                out = planes[0] << pt
+                if prec > 8:
+                    out = out >> (prec - 8)
+                elif prec < 8:
+                    out = out * 255 // ((1 << prec) - 1)
+                return np.clip(out, 0, 255).astype(np.uint8)
+            pos += 2 + seglen
+        return None
+    except (ValueError, IndexError):
+        return None
+
+
 # -- GIF (GIF87a/89a), pure NumPy -------------------------------------------
 
 
@@ -1407,7 +1558,7 @@ def try_decode_image_np(content: bytes) -> np.ndarray | None:
     public-spec: zlib scanlines (PNG), raw rows (BMP), baseline AND
     progressive huffman+DCT (JPEG, :func:`decode_jpeg_np`), and LZW
     palette indexes (GIF, :func:`decode_gif_np`); None only for
-    out-of-scope variants (arithmetic/lossless JPEG, 16-bit PNG,
+    out-of-scope variants (arithmetic-coded JPEG, 16-bit PNG,
     compressed BMP).
 
     Never raises: an untrusted corpus WILL contain blobs that pass the

@@ -2043,3 +2043,129 @@ def test_image_features_webp_tiff_header_real(spark):
     assert row["format"] == "webp"
     assert (row["width"], row["height"]) == (64, 32)
     assert row["mean_luma"] is None
+
+
+# -- lossless JPEG (SOF3, T.81 Annex H) --------------------------------------
+
+
+def _jpeg_bytes_lossless(planes, prec=8, psel=1, pt=0, restart=0):
+    """Hand-rolled lossless JPEG: per-sample prediction residuals coded
+    with DC size-category huffman; planes are coded-domain ints (already
+    point-transformed when pt > 0), interleaved one sample per component."""
+    import struct
+
+    planes = [np.asarray(p, dtype=np.int64) for p in planes]
+    h, w = planes[0].shape
+    ns = len(planes)
+    default = 1 << (prec - pt - 1)
+    total = h * w
+
+    syms = []  # (size, diff) stream, restart-aware
+
+    def diffs():
+        idx = 0
+        while idx < total:
+            seg_start = idx
+            count = restart if restart else total
+            out = []
+            for _ in range(min(count, total - idx)):
+                y, x = divmod(idx, w)
+                sy = seg_start // w
+                for p in planes:
+                    if idx == seg_start:
+                        pred = default
+                    elif y == sy:
+                        pred = int(p[y, x - 1])
+                    elif x == 0:
+                        pred = int(p[y - 1, 0])
+                    else:
+                        a, b, c = (int(p[y, x - 1]), int(p[y - 1, x]),
+                                   int(p[y - 1, x - 1]))
+                        pred = (a, b, c, a + b - c, a + ((b - c) >> 1),
+                                b + ((a - c) >> 1), (a + b) >> 1)[psel - 1]
+                    d = ((int(p[y, x]) - pred + 32768) & 0xFFFF) - 32768
+                    if d == -32768:
+                        out.append((16, None))  # diff 32768, no extra bits
+                    else:
+                        out.append((abs(d).bit_length(), d))
+                idx += 1
+            yield out
+
+    stream = list(diffs())
+    for seg in stream:
+        syms.extend(s for s, _ in seg)
+    bits_spec, vals, codes = _jpeg_huff_spec(syms or [0])
+
+    def seg_marker(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    sofb = struct.pack(">BHHB", prec, h, w, ns)
+    for ci in range(ns):
+        sofb += bytes([ci + 1, 0x11, 0])
+    out += seg_marker(0xC3, sofb)
+    out += seg_marker(0xC4, bytes([0x00] + bits_spec) + bytes(vals))
+    if restart:
+        out += seg_marker(0xDD, struct.pack(">H", restart))
+    sosb = bytes([ns])
+    for ci in range(ns):
+        sosb += bytes([ci + 1, 0x00])
+    sosb += bytes([psel, 0, pt])
+    out += seg_marker(0xDA, sosb)
+    for i, seg in enumerate(stream):
+        if i:
+            out += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+        bw = _BitWriter()
+        for s, d in seg:
+            ln, code = codes[s]
+            bw.write(code, ln)
+            if s and s != 16:
+                bw.write(d if d >= 0 else d + (1 << s) - 1, s)
+        out += bw.tobytes_stuffed()
+    return out + b"\xff\xd9"
+
+
+def test_decode_jpeg_lossless_all_predictors():
+    """SOF3 is LOSSLESS: every predictor 1-7 round-trips an arbitrary
+    8-bit image EXACTLY; restart intervals (mid-line) reset prediction."""
+    rng = np.random.default_rng(41)
+    y = rng.integers(0, 256, size=(9, 13), dtype=np.uint8).astype(np.int64)
+    for psel in range(1, 8):
+        got = mm.decode_jpeg_np(_jpeg_bytes_lossless([y], psel=psel))
+        assert got is not None, psel
+        np.testing.assert_array_equal(got, y.astype(np.uint8)), psel
+    got_r = mm.decode_jpeg_np(_jpeg_bytes_lossless([y], psel=4, restart=5))
+    np.testing.assert_array_equal(got_r, y.astype(np.uint8))
+
+
+def test_decode_jpeg_lossless_precision_and_multicomp():
+    """16-bit precision reduces to the high byte (incl. the SSSS=16 /
+    diff=32768 no-extra-bits path); 12-bit with a point transform shifts
+    back; interleaved 3-component scans return the first plane."""
+    rng = np.random.default_rng(42)
+    g16 = rng.integers(0, 1 << 16, size=(6, 7)).astype(np.int64)
+    g16[0, 0], g16[0, 1] = 0, 32768  # force the SSSS=16 escape
+    got = mm.decode_jpeg_np(_jpeg_bytes_lossless([g16], prec=16))
+    np.testing.assert_array_equal(got, (g16 >> 8).astype(np.uint8))
+    # 12-bit, point transform 2: coded domain shifts back then reduces
+    g12 = rng.integers(0, 1 << 10, size=(5, 8)).astype(np.int64)
+    got12 = mm.decode_jpeg_np(_jpeg_bytes_lossless([g12], prec=12, pt=2))
+    np.testing.assert_array_equal(
+        got12, np.clip((g12 << 2) >> 4, 0, 255).astype(np.uint8))
+    # interleaved RGB-ish: first component is the reported luma plane
+    planes = [rng.integers(0, 256, size=(4, 6)).astype(np.int64)
+              for _ in range(3)]
+    got3 = mm.decode_jpeg_np(_jpeg_bytes_lossless(planes, psel=7))
+    np.testing.assert_array_equal(got3, planes[0].astype(np.uint8))
+
+
+def test_decode_jpeg_lossless_declines_out_of_scope():
+    """Truncated lossless scans and subsampled lossless decline to None."""
+    rng = np.random.default_rng(43)
+    y = rng.integers(0, 256, size=(8, 8)).astype(np.int64)
+    good = _jpeg_bytes_lossless([y])
+    assert mm.decode_jpeg_np(good[: len(good) - 12]) is None
+    sub = bytearray(good)
+    i = sub.index(b"\xff\xc3")
+    sub[i + 11] = 0x22  # sampling factors != 1x1
+    assert mm.decode_jpeg_np(bytes(sub)) is None
