@@ -857,6 +857,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_paragraphs"] = dedup_paragraphs
 
+    def contamination_flags(spark, sf_dir):
+        # decontamination against an in-corpus "benchmark" slice (docs
+        # 0-19): the small-vocab corpus guarantees 5-gram collisions
+        # beyond the benchmark docs themselves; frac is floor-quantized
+        # from the raw int counts so both engines hash identically
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        bench = docs.filter(F.col("_id").cast("long") < 20)
+        res = dedup_ops.ngram_contamination(docs, bench, "text", "_id", n=5)
+        return res.select(
+            "_id", "n_grams", "n_hits",
+            F.floor(F.col("n_hits") * 1e6 / F.col("n_grams"))
+            .cast("long").alias("frac_q6"),
+        )
+
+    q["contamination_flags"] = contamination_flags
+
     def pack_sequences(spark, sf_dir):
         from semadb_spark.operators import packing as pk_ops
 
@@ -1947,6 +1963,25 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT _id) AS n_docs,
                min(substr(norm, 1, 40)) AS sample
         FROM p GROUP BY 1 HAVING count(*) >= 2
+    """
+
+    o["contamination_flags"] = f"""
+        WITH toks AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, {TOK_ALL} AS t
+          FROM documents WHERE text IS NOT NULL),
+        sh AS (SELECT id,
+                      list_distinct(CASE WHEN len(t) >= 5
+                        THEN list_transform(generate_series(1, len(t) - 4),
+                                            i -> array_to_string(t[i:i+4], ' '))
+                        ELSE [array_to_string(t, ' ')] END) AS s
+               FROM toks),
+        bg AS (SELECT DISTINCT unnest(s) AS g FROM sh
+               WHERE CAST(id AS BIGINT) < 20),
+        ex AS (SELECT id, len(s) AS n_grams, unnest(s) AS g FROM sh)
+        SELECT ex.id AS _id, ex.n_grams, count(*) AS n_hits,
+               CAST(floor(count(*) * 1e6 / ex.n_grams) AS BIGINT) AS frac_q6
+        FROM ex JOIN bg USING (g)
+        GROUP BY ex.id, ex.n_grams
     """
 
     o["pack_sequences"] = f"""

@@ -105,6 +105,47 @@ def duplicate_paragraphs(
     )
 
 
+def ngram_contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Pile eval-overlap
+    pass): flag corpus documents sharing any token ``n``-gram with an
+    evaluation set. -> (id, n_grams, n_hits, contaminated_frac) for
+    documents with at least one hit; n=13 is the published default.
+
+    Scale shape: the benchmark side reduces to DISTINCT n-grams and
+    BROADCASTS (eval sets are thousands of rows against a 100 TB corpus);
+    the corpus side explodes each document's distinct n-grams —
+    O(corpus tokens) rows into a map-side hash join, then one groupBy on
+    the document id. No corpus-vs-corpus pairing anywhere. Both sides use
+    :func:`shingles` (documents shorter than ``n`` tokens collapse to a
+    whole-document gram on both sides, so short eval items still match
+    verbatim copies)."""
+    bench_g = (
+        bench.select(F.explode(shingles(bench_text_col, n)).alias("g"))
+        .distinct()
+    )
+    corpus = df.select(
+        F.col(id_col).alias("_did"), shingles(text_col, n).alias("gs")
+    ).select("_did", F.size("gs").alias("n_grams"), F.explode("gs").alias("g"))
+    hits = (
+        corpus.join(F.broadcast(bench_g), "g")
+        .groupBy("_did", "n_grams")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return hits.select(
+        F.col("_did").alias(id_col),
+        "n_grams",
+        "n_hits",
+        (F.col("n_hits") / F.col("n_grams")).alias("contaminated_frac"),
+    )
+
+
 # -- substring (window) dedup -------------------------------------------------
 
 

@@ -572,3 +572,31 @@ def test_duplicate_paragraphs_counts(spark):
     r = got[0]
     assert r["n_total"] == 4 and r["n_docs"] == 3
     assert r["sample"] == "shared notice"
+
+
+def test_ngram_contamination_overlap_and_plan(spark):
+    """Decontamination: docs sharing an n-gram with the benchmark flag
+    with exact hit counts; short eval items match via the whole-doc
+    fallback; the benchmark side broadcasts (no corpus-side shuffle
+    join)."""
+    from semadb_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([
+        ("a", "alpha beta gamma delta epsilon zeta"),  # contains bench gram
+        ("b", "zeta eta theta iota kappa"),            # clean
+        ("c", "tiny doc"),                             # whole-doc fallback hit
+        ("d", "alpha beta gamma delta epsilon"),       # exactly one gram
+    ], "_id string, text string")
+    bench = spark.createDataFrame(
+        [("q1", "alpha beta gamma delta epsilon"), ("q2", "tiny doc")],
+        "_id string, text string")
+    got = {r["_id"]: r for r in dd.ngram_contamination(
+        docs, bench, "text", "_id", n=5).collect()}
+    assert set(got) == {"a", "c", "d"}
+    # doc a: grams (a..e), (b..z) -> 1 hit of 2; doc d: 1 of 1
+    assert got["a"]["n_grams"] == 2 and got["a"]["n_hits"] == 1
+    assert got["d"]["n_hits"] == 1 and got["d"]["contaminated_frac"] == 1.0
+    assert got["c"]["n_hits"] == 1  # whole-doc gram matched q2
+    plan = dd.ngram_contamination(docs, bench, "text", "_id", n=5)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
