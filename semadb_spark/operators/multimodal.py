@@ -19,8 +19,8 @@ these are the training-data-pipeline operators a 100 TB corpus needs. Design:
   on the logical screen, ``decode_gif_frames_np`` + the ``gif_frames``
   explode operator) are public spec — decoded for real by the pure-NumPy
   decoders (PNG: all five scanline filters, color types 0/2/3/4/6 at
-  every legal bit depth 1/2/4/8/16 + Adam7 interlace; BMP: 8/24/32bpp
-  with palette + padding + row order; JPEG:
+  every legal bit depth 1/2/4/8/16 + Adam7 interlace; BMP:
+  1/4/8/24/32bpp incl. RLE8/RLE4, palette + padding + row order; JPEG:
   baseline sequential, progressive (T.81 Annex G multi-scan), AND
   lossless predictive (SOF3, Annex H), incl. subsampling + restart
   intervals, Y plane as luma). ``decode_image``
@@ -29,7 +29,8 @@ these are the training-data-pipeline operators a 100 TB corpus needs. Design:
   ``USING_FAKE_DECODE``) for formats no local code can
   decode (arithmetic-coded JPEG). Audio: WAV/PCM is raw samples
   behind a chunked RIFF header — ``decode_wav_np`` decodes PCM 8/16/24/32
-  + IEEE float for real and ``audio_features`` reports
+  + IEEE float for real (``decode_aiff_np`` likewise for the big-endian
+  AIFF twin incl. AIFC 'sowt') and ``audio_features`` reports
   rate/duration/rms/peak from bytes; FLAC is LOSSLESS public spec
   (RFC 9639) and ``decode_flac_np`` reconstructs exact PCM (Rice
   residuals + fixed/LPC predictors + stereo decorrelation) within a byte
@@ -394,10 +395,73 @@ def decode_png_np(data: bytes) -> np.ndarray | None:
     return _luma(samples)  # 2 (RGB) / 6 (RGBA, alpha dropped)
 
 
+def _bmp_rle(
+    data: bytes, offset: int, w: int, h: int, nibble: bool
+) -> np.ndarray | None:
+    """Decode BI_RLE8/BI_RLE4 (Windows BMP spec): (count, value) runs,
+    0-count escapes for end-of-line / end-of-bitmap / position delta, and
+    word-aligned absolute mode. RLE bitmaps are stored bottom-up; returns
+    the palette-index grid top-down. None on truncated streams."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0  # y counts stored rows (bottom-up)
+    i = offset
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt:
+            if y >= h:
+                return None
+            if nibble:
+                pix = (val >> 4, val & 0xF)
+                end = min(x + cnt, w)
+                for k in range(end - x):
+                    idx[y, x + k] = pix[k & 1]
+            else:
+                idx[y, x : min(x + cnt, w)] = val
+            x += cnt
+        elif val == 0:  # end of line
+            y += 1
+            x = 0
+        elif val == 1:  # end of bitmap
+            return idx[::-1]
+        elif val == 2:  # delta
+            if i + 2 > n:
+                return None
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: val literal pixels, word-aligned
+            if y >= h:
+                return None
+            if nibble:
+                nb = (val + 1) // 2
+                if i + nb > n:
+                    return None
+                for k in range(val):
+                    b = data[i + (k >> 1)]
+                    v = (b >> 4) if k % 2 == 0 else b & 0xF
+                    if x + k < w:
+                        idx[y, x + k] = v
+                i += nb + (nb & 1)
+            else:
+                if i + val > n:
+                    return None
+                end = min(x + val, w)
+                idx[y, x:end] = np.frombuffer(
+                    data, dtype=np.uint8, count=end - x, offset=i
+                )
+                i += val + (val & 1)
+            x += val
+    return None  # ran out of bytes before the end-of-bitmap escape
+
+
 def decode_bmp_np(data: bytes) -> np.ndarray | None:
     """Pure NumPy BMP decode -> (h, w) grayscale uint8, or None outside
-    scope (compressed, bpp not in {8, 24, 32}). Handles 4-byte row
-    padding, bottom-up vs top-down row order, and the 8-bit palette."""
+    scope (bitfields/embedded-codec compressions). Handles bpp
+    1/4/8/24/32, BI_RLE8/BI_RLE4 run-length compression, 4-byte row
+    padding, bottom-up vs top-down row order, and sub-byte palette
+    index unpacking."""
     import struct
 
     if data[:2] != b"BM" or len(data) < 30:
@@ -409,10 +473,32 @@ def decode_bmp_np(data: bytes) -> np.ndarray | None:
     w, h_signed = struct.unpack("<ii", data[18:26])
     (bpp,) = struct.unpack("<H", data[28:30])
     compression = struct.unpack("<I", data[30:34])[0] if len(data) >= 34 else 0
-    if compression != 0 or bpp not in (8, 24, 32) or w <= 0 or h_signed == 0:
+    if w <= 0 or h_signed == 0:
+        return None
+    ok = (
+        (compression == 0 and bpp in (1, 4, 8, 24, 32))
+        or (compression == 1 and bpp == 8)
+        or (compression == 2 and bpp == 4)
+    )
+    if not ok:
         return None
     h = abs(h_signed)
-    row_bytes = (w * bpp // 8 + 3) & ~3
+    if bpp <= 8:
+        pal_off = 14 + dib
+        n_entries = min(1 << bpp, (offset - pal_off) // 4)
+        if n_entries <= 0:
+            return None  # pixel offset at/inside the palette — corrupt header
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=n_entries * 4, offset=pal_off
+        ).reshape(-1, 4)  # BGRX
+    if compression:  # RLE is bottom-up by definition
+        if h_signed < 0:
+            return None
+        idx = _bmp_rle(data, offset, w, h, nibble=(compression == 2))
+        if idx is None or (idx.size and int(idx.max()) >= len(pal)):
+            return None
+        return _luma(pal[idx][..., :3][..., ::-1])
+    row_bytes = ((w * bpp + 31) // 32) * 4
     if len(data) < offset + row_bytes * h:
         return None
     rows = np.frombuffer(
@@ -420,15 +506,18 @@ def decode_bmp_np(data: bytes) -> np.ndarray | None:
     ).reshape(h, row_bytes)
     if h_signed > 0:  # bottom-up storage
         rows = rows[::-1]
-    if bpp == 8:
-        pal_off = 14 + dib
-        n_entries = min(256, (offset - pal_off) // 4)
-        if n_entries <= 0:
-            return None  # pixel offset at/inside the palette — corrupt header
-        pal = np.frombuffer(
-            data, dtype=np.uint8, count=n_entries * 4, offset=pal_off
-        ).reshape(-1, 4)  # BGRX
-        idx = rows[:, :w]
+    if bpp <= 8:
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:  # 1/4-bit: MSB-first bit-plane unpack per row
+            bits = np.unpackbits(rows, axis=1)[:, : w * bpp]
+            if bpp == 1:
+                idx = bits
+            else:
+                weights = np.array([8, 4, 2, 1], dtype=np.uint8)
+                idx = (bits.reshape(h, w, 4) * weights).sum(axis=2).astype(
+                    np.uint8
+                )
         if idx.size and int(idx.max()) >= len(pal):
             return None  # pixel indexes past the stored palette
         bgr = pal[idx][..., :3]
@@ -1869,6 +1958,93 @@ def decode_wav_np(data: bytes) -> tuple[np.ndarray, int] | None:
         return None
 
 
+def decode_aiff_np(data: bytes) -> tuple[np.ndarray, int] | None:
+    """Pure NumPy AIFF decode -> (mono float64 samples in [-1, 1],
+    sample_rate), or None outside scope (AIFC compressed variants,
+    truncated chunks). AIFF is WAV's big-endian twin (public spec,
+    Apple 1989): an IFF ``FORM``/``AIFF`` container whose ``COMM`` chunk
+    carries channels / frames / bits and the sample rate as an 80-bit
+    IEEE-754 extended float, and whose ``SSND`` chunk is big-endian
+    integer PCM after an 8-byte offset/blocksize prefix. AIFC passes
+    only when the compression type is ``NONE``; ``sowt``
+    (little-endian 16-bit, the common Mac variant) byte-swaps.
+    Multi-channel downmixes by mean. Never raises on malformed bytes."""
+    import struct
+
+    try:
+        if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+            return None
+        is_aifc = data[8:12] == b"AIFC"
+        pos = 12
+        comm = None
+        ssnd = None
+        compress = b"NONE"
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (clen,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + clen]
+            if cid == b"COMM" and len(body) >= 18:
+                channels, frames, bits = struct.unpack(">HIH", body[:8])
+                # 80-bit extended float: 1+15 bit sign/exponent, 64-bit
+                # explicit-leading-one mantissa
+                (se,) = struct.unpack(">H", body[8:10])
+                (mant,) = struct.unpack(">Q", body[10:18])
+                exp = (se & 0x7FFF) - 16383
+                rate = mant * 2.0 ** (exp - 63)
+                if se & 0x8000:
+                    rate = -rate
+                comm = (channels, frames, bits, int(round(rate)))
+                if is_aifc and len(body) >= 22:
+                    compress = body[18:22]
+            elif cid == b"SSND" and len(body) >= 8:
+                (off,) = struct.unpack(">I", body[:4])
+                ssnd = body[8 + off :]
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if comm is None or ssnd is None:
+            return None
+        channels, frames, bits, rate = comm
+        if channels < 1 or rate <= 0 or frames == 0:
+            return None
+        if compress not in (b"NONE", b"sowt"):
+            return None  # compressed AIFC needs a real codec
+        bswap = compress == b"sowt"
+        if bits <= 8:
+            x = np.frombuffer(ssnd, dtype=np.int8).astype(np.float64) / 128.0
+        elif bits <= 16:
+            dt = "<i2" if bswap else ">i2"
+            x = np.frombuffer(ssnd, dtype=dt, count=len(ssnd) // 2).astype(
+                np.float64
+            ) / 32768.0
+        elif bits <= 24:
+            n24 = len(ssnd) // 3
+            raw = np.frombuffer(ssnd, dtype=np.uint8, count=n24 * 3)
+            hi, mid, lo = (
+                (raw[2::3], raw[1::3], raw[0::3]) if bswap
+                else (raw[0::3], raw[1::3], raw[2::3])
+            )
+            x = (
+                (hi.astype(np.int32) << 16)
+                | (mid.astype(np.int32) << 8)
+                | lo.astype(np.int32)
+            )
+            x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.float64)
+            x /= float(1 << 23)
+        elif bits <= 32:
+            dt = "<i4" if bswap else ">i4"
+            x = np.frombuffer(ssnd, dtype=dt, count=len(ssnd) // 4).astype(
+                np.float64
+            ) / float(1 << 31)
+        else:
+            return None
+        nfr = min(frames, len(x) // channels)
+        if nfr == 0:
+            return None
+        x = x[: nfr * channels].reshape(nfr, channels).mean(axis=1)
+        return x, int(rate)
+    except Exception:
+        return None
+
+
 # MPEG audio frame-header tables (public spec, ISO/IEC 11172-3 + 13818-3).
 # Bitrate kbps by [version-group][layer][index 1..14]; 0 = "free", 15 = bad.
 _MP3_BITRATES = {
@@ -2631,6 +2807,8 @@ def audio_features(
             for aid, content in zip(pdf[id_col], pdf[content_col]):
                 data = bytes(content)
                 dec = decode_wav_np(data)
+                if dec is None:
+                    dec = decode_aiff_np(data)
                 if dec is None:
                     dec = decode_flac_np(data)
                 if dec is None:

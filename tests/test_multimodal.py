@@ -2169,3 +2169,134 @@ def test_decode_jpeg_lossless_declines_out_of_scope():
     i = sub.index(b"\xff\xc3")
     sub[i + 11] = 0x22  # sampling factors != 1x1
     assert mm.decode_jpeg_np(bytes(sub)) is None
+
+
+# -- AIFF (big-endian PCM) + BMP low-depth / RLE -----------------------------
+
+
+def _aiff_bytes(x, rate, bits=16, channels=1, compress=None):
+    """AIFF/AIFC encoder: COMM with the 80-bit extended-float rate, SSND
+    big-endian PCM (or little-endian for 'sowt')."""
+    import struct
+
+    x = np.asarray(x)
+    frames = x.shape[0]
+    flat = x.reshape(-1)
+    # 80-bit extended float from an int rate
+    e = rate.bit_length() - 1
+    mant = rate << (63 - e)
+    f80 = struct.pack(">HQ", 16383 + e, mant)
+    comm_body = struct.pack(">HIH", channels, frames, bits) + f80
+    form_type = b"AIFF"
+    if compress:
+        comm_body += compress + b"\x00"  # pstring name (empty)
+        form_type = b"AIFC"
+    if bits == 16:
+        dt = "<i2" if compress == b"sowt" else ">i2"
+        pcm = flat.astype(dt).tobytes()
+    elif bits == 8:
+        pcm = flat.astype(np.int8).tobytes()
+    else:
+        raise AssertionError
+    chunks = b""
+    for cid, body in ((b"COMM", comm_body),
+                      (b"SSND", struct.pack(">II", 0, 0) + pcm)):
+        chunks += cid + struct.pack(">I", len(body)) + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + form_type + chunks
+
+
+def test_decode_aiff_np_roundtrip(spark):
+    """AIFF decodes REAL big-endian PCM: 80-bit rate parse, stereo
+    downmix, signed 8-bit, AIFC 'sowt' byte-swap; compressed AIFC
+    declines; audio_features reports exact rms."""
+    from semadb_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(51)
+    st = rng.integers(-30000, 30000, size=(200, 2)).astype(np.int64)
+    mono, rate = mm.decode_aiff_np(_aiff_bytes(st, 44100, channels=2))
+    assert rate == 44100
+    np.testing.assert_allclose(mono, st.mean(axis=1) / 32768.0, rtol=0, atol=0)
+    x8 = rng.integers(-128, 128, size=100).astype(np.int64)
+    m8, r8 = mm.decode_aiff_np(_aiff_bytes(x8, 8000, bits=8))
+    assert r8 == 8000
+    np.testing.assert_allclose(m8, x8 / 128.0)
+    xs = rng.integers(-30000, 30000, size=150).astype(np.int64)
+    ms, rs = mm.decode_aiff_np(_aiff_bytes(xs, 22050, compress=b"sowt"))
+    assert rs == 22050
+    np.testing.assert_allclose(ms, xs / 32768.0)
+    assert mm.decode_aiff_np(_aiff_bytes(xs, 22050, compress=b"ima4")) is None
+    assert mm.decode_aiff_np(b"FORMxxxxAIFF") is None
+    df = spark.createDataFrame(
+        [("a1", bytearray(_aiff_bytes(st, 44100, channels=2)))],
+        "asset_id string, content binary")
+    row = mm.audio_features(df).collect()[0]
+    assert row["sample_rate"] == 44100 and row["n_samples"] == 200
+    want = st.mean(axis=1) / 32768.0
+    assert abs(row["rms"] - float(np.sqrt(np.mean(want * want)))) < 1e-12
+
+
+def _bmp_raw(w, h, bpp, rows_packed, pal, compression=0, rle=b""):
+    import struct
+
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal)
+    offset = 14 + 40 + len(pal_bytes)
+    body = rle if compression else rows_packed
+    hdr = (b"BM" + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                         len(body), 0, 0, len(pal), 0))
+    return hdr + pal_bytes + body
+
+
+def test_decode_bmp_np_low_depth_and_rle():
+    """1/4-bit palette rows (MSB-first, padded) and BI_RLE8/BI_RLE4
+    (runs, absolute mode, EOL/EOB/delta escapes) decode exactly."""
+    from semadb_spark.operators import multimodal as mm
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    # 4-bit, 3x2, bottom-up: rows pack two nibbles/byte, padded to 4
+    want_idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    rows = bytes([0x01, 0x20, 0, 0]) + bytes([0x32, 0x10, 0, 0])
+    packed = rows[4:8] + rows[0:4]  # bottom-up storage
+    got = mm.decode_bmp_np(_bmp_raw(3, 2, 4, packed, pal))
+    np.testing.assert_array_equal(
+        got, mm._luma(np.array(pal, dtype=np.uint8)[want_idx]))
+    # 1-bit, 10x1: bits MSB-first across two bytes
+    bits_row = bytes([0b10110001, 0b01000000, 0, 0])
+    got1 = mm.decode_bmp_np(_bmp_raw(10, 1, 1, bits_row, pal[:2]))
+    idx1 = np.array([[1, 0, 1, 1, 0, 0, 0, 1, 0, 1]], dtype=np.uint8)
+    np.testing.assert_array_equal(
+        got1, mm._luma(np.array(pal[:2], dtype=np.uint8)[idx1]))
+    # RLE8 4x3: run, EOL, absolute(3)+pad, delta skip, EOB
+    rle8 = bytes([4, 2,            # row0 (bottom): 2 2 2 2
+                  0, 0,            # EOL
+                  0, 3, 1, 0, 3, 0,  # absolute: 1 0 3 (+pad)
+                  1, 1,            # then one pixel of 1
+                  0, 0,            # EOL
+                  0, 2, 1, 0,      # delta: skip 1 px
+                  3, 3,            # 3 pixels of 3
+                  0, 1])           # EOB
+    got8 = mm.decode_bmp_np(_bmp_raw(4, 3, 8, b"", pal, compression=1,
+                                     rle=rle8))
+    idx8 = np.array([[0, 3, 3, 3],
+                     [1, 0, 3, 1],
+                     [2, 2, 2, 2]], dtype=np.uint8)
+    np.testing.assert_array_equal(
+        got8, mm._luma(np.array(pal, dtype=np.uint8)[idx8]))
+    # RLE4 5x2: alternating-nibble run + odd absolute
+    rle4 = bytes([4, 0x12,         # 1 2 1 2
+                  1, 0x30,         # 3
+                  0, 0,            # EOL
+                  0, 3, 0x01, 0x20,  # absolute 0 1 2 (word-aligned)
+                  2, 0x33,         # 3 3
+                  0, 1])           # EOB
+    got4 = mm.decode_bmp_np(_bmp_raw(5, 2, 4, b"", pal, compression=2,
+                                     rle=rle4))
+    idx4 = np.array([[0, 1, 2, 3, 3],
+                     [1, 2, 1, 2, 3]], dtype=np.uint8)
+    np.testing.assert_array_equal(
+        got4, mm._luma(np.array(pal, dtype=np.uint8)[idx4]))
+    # truncated RLE (no EOB) declines
+    assert mm.decode_bmp_np(_bmp_raw(4, 3, 8, b"", pal, compression=1,
+                                     rle=bytes([4, 2]))) is None
