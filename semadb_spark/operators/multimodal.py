@@ -2674,13 +2674,15 @@ def parse_adts_header(data: bytes) -> dict | None:
 
 
 def parse_mp4_header(data: bytes) -> dict | None:
-    """Header-real ISO-BMFF (MP4 / M4A) audio metadata — no decode.
+    """Header-real ISO-BMFF (MP4 / M4A / MOV) metadata — no decode.
     Walks the box tree (ISO/IEC 14496-12: u32 size + fourcc, u64
     largesize when size == 1): duration from ``moov/mvhd``
     (timescale + duration, version 0/1 layouts), channels + sample rate
     from the first ``mp4a`` sample entry under ``stbl/stsd``
     (AudioSampleEntry: channelcount at payload offset 16, 16.16-fixed
-    samplerate at 24). Never raises on malformed bytes."""
+    samplerate at 24), and presentation width/height from the first
+    ``tkhd`` with nonzero dims (16.16-fixed, the video-track signal
+    :func:`video_features` reports). Never raises on malformed bytes."""
     import struct
 
     if len(data) < 12 or data[4:8] != b"ftyp":
@@ -2718,6 +2720,16 @@ def parse_mp4_header(data: bytes) -> dict | None:
                     return
                 if ts:
                     found["duration"] = (int(dur), int(ts))
+            elif btype == b"tkhd" and "width" not in found:
+                # track width/height: 16.16 fixed at the end of the box
+                # (v0 payload offset 76, v1 offset 88 per ISO 14496-12)
+                v = data[body]
+                woff = body + (88 if v == 1 else 76)
+                if woff + 8 <= pos + size:
+                    tw, th = struct.unpack(">II", data[woff : woff + 8])
+                    if tw and th:
+                        found["width"] = tw >> 16
+                        found["height"] = th >> 16
             elif btype == b"stsd" and "rate" not in found:
                 # version+flags(4) + entry_count(4), then sample entries
                 e = body + 8
@@ -2751,6 +2763,8 @@ def parse_mp4_header(data: bytes) -> dict | None:
             "total_samples": (
                 int(dur * rate // ts) if rate else None
             ),
+            "width": found.get("width"),
+            "height": found.get("height"),
         }
     except Exception:
         return None
@@ -2868,6 +2882,50 @@ def audio_stats(
             implied_samples.cast("double") / (sr.cast("double") * dur / 1000.0),
         ).alias("fill_ratio"),
     )
+
+
+def video_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
+) -> DataFrame:
+    """Container-real per-asset video metadata -> (id, n_bytes, format,
+    width, height, duration_ms). ISO-BMFF blobs (MP4/MOV) report bytes-
+    derived dims (first tkhd with nonzero presentation size) and mvhd
+    duration via :func:`parse_mp4_header`; unrecognized blobs report NULL
+    metadata columns. Frame DECODE stays a declared stub
+    (:func:`sample_frames` — H.264/VP9 entropy decode needs a real
+    codec); the Spark-side plumbing (schema, Arrow batches, 1->N
+    explode) is real and tested. Arrow-batched mapInPandas, blobs never
+    touch the driver."""
+    out_schema = (
+        f"{id_col} string, n_bytes long, format string, width int, "
+        "height int, duration_ms long"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf[content_col].notna()]
+            if pdf.empty:
+                continue
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(content)
+                hdr = parse_mp4_header(data)
+                if hdr is not None and hdr.get("width"):
+                    rows.append(
+                        (str(aid), len(data), hdr["format"], hdr["width"],
+                         hdr["height"], hdr["duration_ms"])
+                    )
+                else:
+                    rows.append(
+                        (str(aid), len(data), None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_bytes", "format", "width", "height",
+                         "duration_ms"],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(extract, out_schema)
 
 
 def repartition_for_media(

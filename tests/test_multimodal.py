@@ -2013,7 +2013,8 @@ def test_parse_mp4_header_and_audio_features(spark):
     got = mm.parse_mp4_header(_m4a_bytes())
     assert got == {"format": "mp4", "sample_rate": 44100, "channels": 2,
                    "duration_ms": 2500,
-                   "total_samples": 2500 * 44100 // 1000}
+                   "total_samples": 2500 * 44100 // 1000,
+                   "width": None, "height": None}
     v1 = mm.parse_mp4_header(_m4a_bytes(rate=48000, chans=1,
                                         timescale=48000, duration=96000,
                                         mvhd_v=1))
@@ -2406,3 +2407,35 @@ def test_png_roundtrip_property():
         np.testing.assert_array_equal(got, want)
 
     check()
+
+
+def test_video_features_isobmff_dims(spark):
+    """video_features: ISO-BMFF blobs with a video tkhd report
+    container-real dims + duration; audio-only MP4 and junk report NULL
+    metadata. Audio features stay unaffected by the tkhd addition."""
+    import struct
+    from semadb_spark.operators import multimodal as mm
+
+    def m4v_bytes(w, h, timescale=600, duration=1200):
+        mvhd = _mp4_box(b"mvhd", bytes([0, 0, 0, 0]) + b"\x00" * 8
+                        + struct.pack(">II", timescale, duration)
+                        + b"\x00" * 80)
+        tkhd = _mp4_box(b"tkhd", bytes([0, 0, 0, 7]) + b"\x00" * 72
+                        + struct.pack(">II", w << 16, h << 16))
+        moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+        return _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+    got = mm.parse_mp4_header(m4v_bytes(1920, 1080))
+    assert got["width"] == 1920 and got["height"] == 1080
+    assert got["duration_ms"] == 2000 and got["sample_rate"] is None
+    df = spark.createDataFrame(
+        [("v1", bytearray(m4v_bytes(640, 360))),
+         ("a1", bytearray(_m4a_bytes())),
+         ("x1", bytearray(b"not video"))],
+        "asset_id string, content binary")
+    rows = {r["asset_id"]: r for r in mm.video_features(df).collect()}
+    v = rows["v1"]
+    assert (v["width"], v["height"]) == (640, 360)
+    assert v["format"] == "mp4" and v["duration_ms"] == 2000
+    assert rows["a1"]["width"] is None  # audio-only: no video dims
+    assert rows["x1"]["format"] is None
