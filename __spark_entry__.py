@@ -873,6 +873,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contamination_flags"] = contamination_flags
 
+    def gopher_quality(spark, sf_dir):
+        # Gopher rule battery over a synthesized page: doc text + a
+        # doc-varying '#' run (symbol ratio), one bullet line, one
+        # ellipsis line — every rule measured, floats floor-quantized
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        synth = docs.select(
+            "_id",
+            F.concat(
+                F.col("text"), F.lit(" "),
+                F.expr("repeat('#', CAST(_id AS INT) % 8)"),
+                F.lit("\n- bullet point one\n"),
+                F.lit("trailing thought..."),
+            ).alias("t"),
+        )
+        g = ts_ops.gopher_quality_flags("t", min_words=40)
+        return synth.select(
+            "_id",
+            g["n_words"].alias("n_words"),
+            g["stop_hits"].alias("stop_hits"),
+            F.floor(g["mean_word_len"] * 1e6).cast("long").alias("mean_wlen_q6"),
+            F.floor(g["symbol_ratio"] * 1e6).cast("long").alias("symbol_q6"),
+            F.floor(g["bullet_frac"] * 1e6).cast("long").alias("bullet_q6"),
+            F.floor(g["ellipsis_frac"] * 1e6).cast("long").alias("ellipsis_q6"),
+            F.floor(g["alpha_word_frac"] * 1e6).cast("long").alias("alpha_q6"),
+            g["word_count_ok"].alias("word_count_ok"),
+            g["mean_word_len_ok"].alias("mean_word_len_ok"),
+            g["symbol_ratio_ok"].alias("symbol_ratio_ok"),
+            g["bullet_ok"].alias("bullet_ok"),
+            g["ellipsis_ok"].alias("ellipsis_ok"),
+            g["alpha_ok"].alias("alpha_ok"),
+            g["stopword_ok"].alias("stopword_ok"),
+            g["keep"].alias("keep"),
+        )
+
+    q["gopher_quality"] = gopher_quality
+
     def pack_sequences(spark, sf_dir):
         from semadb_spark.operators import packing as pk_ops
 
@@ -1963,6 +1999,70 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT _id) AS n_docs,
                min(substr(norm, 1, 40)) AS sample
         FROM p GROUP BY 1 HAVING count(*) >= 2
+    """
+
+    TOK_T = duckdb_tokenize_sql("t", remove_stopwords=False)
+    _gopher_stop = "'the','be','to','of','and','that','have','with'"
+    o["gopher_quality"] = f"""
+        WITH s AS (
+          SELECT CAST(doc_id AS VARCHAR) AS _id,
+                 text || ' ' || repeat('#', doc_id % 8) || chr(10)
+                      || '- bullet point one' || chr(10)
+                      || 'trailing thought...' AS t
+          FROM documents WHERE text IS NOT NULL),
+        w AS (
+          SELECT _id, t,
+                 list_filter(string_split_regex(t, '\\s+'),
+                             x -> x <> '') AS ws,
+                 list_filter(string_split(t, chr(10)),
+                             x -> trim(x) <> '') AS ls
+          FROM s),
+        m AS (
+          SELECT _id,
+                 len(ws) AS n_words,
+                 greatest(len(ws), 1) AS safe_n,
+                 greatest(len(ls), 1) AS n_lines,
+                 length(t) - length(replace(t, '#', '')) AS n_hash,
+                 (length(t) - length(replace(t, '...', ''))) / 3
+                   + (length(t) - length(replace(t, '…', ''))) AS n_ell,
+                 len(list_filter(ls,
+                     x -> regexp_matches(trim(x), '^[-*•]'))) AS n_bullet,
+                 len(list_filter(ls,
+                     x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$'))) AS n_eline,
+                 len(list_filter(ws,
+                     x -> regexp_matches(lower(x), '[a-z]'))) AS n_alpha,
+                 len(list_intersect(list_distinct({TOK_T}),
+                                    [{_gopher_stop}])) AS stop_hits,
+                 CAST(list_sum(list_transform(ws, x -> length(x)))
+                      AS DOUBLE) AS sum_len
+          FROM w),
+        r AS (
+          SELECT _id, n_words, stop_hits,
+                 sum_len / safe_n AS mean_wlen,
+                 (n_hash + n_ell) / safe_n AS symbol_ratio,
+                 CAST(n_bullet AS DOUBLE) / n_lines AS bullet_frac,
+                 CAST(n_eline AS DOUBLE) / n_lines AS ellipsis_frac,
+                 CAST(n_alpha AS DOUBLE) / safe_n AS alpha_frac
+          FROM m)
+        SELECT _id, n_words, stop_hits,
+               CAST(floor(mean_wlen * 1e6) AS BIGINT) AS mean_wlen_q6,
+               CAST(floor(symbol_ratio * 1e6) AS BIGINT) AS symbol_q6,
+               CAST(floor(bullet_frac * 1e6) AS BIGINT) AS bullet_q6,
+               CAST(floor(ellipsis_frac * 1e6) AS BIGINT) AS ellipsis_q6,
+               CAST(floor(alpha_frac * 1e6) AS BIGINT) AS alpha_q6,
+               (n_words >= 40 AND n_words <= 100000) AS word_count_ok,
+               (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS mean_word_len_ok,
+               (symbol_ratio <= 0.1) AS symbol_ratio_ok,
+               (bullet_frac <= 0.9) AS bullet_ok,
+               (ellipsis_frac <= 0.3) AS ellipsis_ok,
+               (alpha_frac >= 0.8) AS alpha_ok,
+               (stop_hits >= 2) AS stopword_ok,
+               ((n_words >= 40 AND n_words <= 100000)
+                AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
+                AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                AND stop_hits >= 2) AS keep
+        FROM r
     """
 
     o["contamination_flags"] = f"""

@@ -256,3 +256,93 @@ def line_filter(
         "n_lines": F.size(lines),
         "n_kept": F.size(kept),
     }
+
+
+# Gopher quality-filter function words (Rae et al. 2021, table A1 rule set:
+# "contains at least 2 of ..."): the published list.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(
+    c: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> dict[str, Column]:
+    """The Gopher repetition-free quality rules (Rae et al. 2021 §A.1.1,
+    public) as pure Column expressions -> per-rule boolean flags, the
+    measured values, and the conjunctive ``keep``.
+
+    Rules: whitespace word count within bounds; mean word length within
+    [3, 10]; symbol-to-word ratio (# and ellipsis) <= 0.1; <= 90% of
+    lines starting with a bullet; <= 30% ending with an ellipsis; >= 80%
+    of words containing an alphabetic character; >= 2 distinct hits from
+    the published stop-list. Zero shuffles — per-document codegen at any
+    corpus size, like :func:`line_filter`.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    safe_n = F.greatest(n_words, F.lit(1))
+    mean_wlen = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ).cast("double") / safe_n
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / 3 + (F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit(""))))
+    symbol_ratio = (n_hash + n_ell).cast("double") / safe_n
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.size(
+        F.filter(
+            lines,
+            lambda x: F.trim(x).rlike(r"^[-*•]"),
+        )
+    ).cast("double") / n_lines
+    ellipsis_frac = F.size(
+        F.filter(
+            lines,
+            lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"),
+        )
+    ).cast("double") / n_lines
+    alpha_frac = F.size(
+        F.filter(words, lambda w: F.lower(w).rlike("[a-z]"))
+    ).cast("double") / safe_n
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tokenize(c, remove_stopwords=False)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "n_words": n_words,
+        "mean_word_len": mean_wlen,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "stop_hits": stop_hits,
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mean_wlen >= min_mean_word_len)
+        & (mean_wlen <= max_mean_word_len),
+        "symbol_ratio_ok": symbol_ratio <= max_symbol_ratio,
+        "bullet_ok": bullet_frac <= max_bullet_frac,
+        "ellipsis_ok": ellipsis_frac <= max_ellipsis_frac,
+        "alpha_ok": alpha_frac >= min_alpha_word_frac,
+        "stopword_ok": stop_hits >= min_stop_hits,
+    }
+    keep = F.lit(True)
+    for k in ("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+              "bullet_ok", "ellipsis_ok", "alpha_ok", "stopword_ok"):
+        keep = keep & flags[k]
+    flags["keep"] = keep
+    return flags

@@ -600,3 +600,32 @@ def test_ngram_contamination_overlap_and_plan(spark):
     plan = dd.ngram_contamination(docs, bench, "text", "_id", n=5)._jdf \
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Gopher rule battery: each rule trips on a crafted page and the
+    conjunctive keep reflects it; a clean page keeps."""
+    from semadb_spark.operators import textstats as ts
+
+    clean = ("the quick brown fox jumps over and over again to be sure "
+             "that everyone can have fun with plain words here today "
+             * 3)
+    symbolic = clean + " " + "#" * 40
+    bullety = "the and of that\n" + "\n".join("- item %d here" % i
+                                              for i in range(20))
+    sparse = "word " * 10  # too few words at min_words=40
+    df = spark.createDataFrame(
+        [("clean", clean), ("sym", symbolic), ("bul", bullety),
+         ("few", sparse)], "_id string, t string")
+    g = ts.gopher_quality_flags("t", min_words=40)
+    rows = {r["_id"]: r for r in df.select(
+        "_id", g["keep"].alias("keep"),
+        g["symbol_ratio_ok"].alias("sym_ok"),
+        g["bullet_ok"].alias("bul_ok"),
+        g["word_count_ok"].alias("wc_ok"),
+        g["stop_hits"].alias("stop_hits")).collect()}
+    assert rows["clean"]["keep"] is True
+    assert rows["sym"]["sym_ok"] is False and rows["sym"]["keep"] is False
+    assert rows["bul"]["bul_ok"] is False and rows["bul"]["keep"] is False
+    assert rows["few"]["wc_ok"] is False and rows["few"]["keep"] is False
+    assert rows["clean"]["stop_hits"] >= 2
