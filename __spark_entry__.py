@@ -909,6 +909,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gopher_quality"] = gopher_quality
 
+    def warc_ingest(spark, sf_dir):
+        # Full WARC round-trip through the distributed sink + source: every
+        # document becomes one HTTP-response record (body = text behind a
+        # fixed HTTP head) and one WET conversion record; the sink writes
+        # member-gzipped files from the executors, read_warc parses them
+        # back, and the oracle derives the identical rows straight from the
+        # documents table — so the parser's byte accounting (Content-Length,
+        # HTTP head split, status extraction) is value-hashed, not assumed.
+        import tempfile
+
+        from semadb_spark.sources.warc import read_warc, write_warc
+
+        head = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\nServer: gate\r\n\r\n"
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        uri = F.concat(F.lit("http://corpus.invalid/doc/"), F.col("_id"))
+        resp = docs.select(
+            F.lit("response").alias("warc_type"),
+            uri.alias("target_uri"),
+            F.lit("application/http; msgtype=response").alias("content_type"),
+            F.encode(F.concat(F.lit(head), F.col("text")), "utf-8").alias("block"),
+            F.lit(None).cast("string").alias("text"),
+        )
+        conv = docs.select(
+            F.lit("conversion").alias("warc_type"),
+            uri.alias("target_uri"),
+            F.lit("text/plain").alias("content_type"),
+            F.lit(None).cast("binary").alias("block"),
+            F.concat(F.lit("extracted "), F.col("text")).alias("text"),
+        )
+        d = tempfile.mkdtemp(prefix="warc_gate_")
+        write_warc(resp.unionByName(conv).repartition(4), d)
+        out = read_warc(spark, d)
+        return out.select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).alias("_id"),
+            "warc_type",
+            "content_length",
+            "http_status",
+            "text",
+        )
+
+    q["warc_ingest"] = warc_ingest
+
     def pack_sequences(spark, sf_dir):
         from semadb_spark.operators import packing as pk_ops
 
@@ -2063,6 +2105,28 @@ def oracle_sql() -> dict[str, str]:
                 AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
                 AND stop_hits >= 2) AS keep
         FROM r
+    """
+
+    # the gate's fixed HTTP head: 15 (status line) + 26 (Content-Type) +
+    # 14 (Server) + 2 (blank), CRLF-terminated = 57 bytes ahead of the body
+    _warc_head_len = len(
+        "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\nServer: gate\r\n\r\n"
+    )
+    o["warc_ingest"] = f"""
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS _id, text
+          FROM documents WHERE text IS NOT NULL)
+        SELECT _id, 'response' AS warc_type,
+               {_warc_head_len} + octet_length(encode(text)) AS content_length,
+               CAST(200 AS INTEGER) AS http_status,
+               text
+        FROM d
+        UNION ALL
+        SELECT _id, 'conversion' AS warc_type,
+               octet_length(encode('extracted ' || text)) AS content_length,
+               CAST(NULL AS INTEGER) AS http_status,
+               'extracted ' || text AS text
+        FROM d
     """
 
     o["contamination_flags"] = f"""
