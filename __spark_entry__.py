@@ -951,6 +951,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_ingest"] = warc_ingest
 
+    def _synth_urls(spark, sf_dir):
+        # deterministic URL per doc exercising every decomposition path:
+        # 3 schemes (one uppercased), IP hosts every 7th, mixed-case
+        # subdomain hosts otherwise, explicit default + non-default ports,
+        # empty paths, utm_ tracking params, dangling k=, fragments
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        i = F.col("doc_id").cast("long")
+        scheme = (
+            F.when(i % 3 == 0, "http").when(i % 3 == 1, "HTTPS").otherwise("ftp")
+        )
+        host = F.when(
+            i % 7 == 0, F.concat(F.lit("10.0.0."), (i % 200).cast("string"))
+        ).otherwise(
+            F.concat(F.lit("WWW."), F.col("source"), F.lit(".Example"),
+                     (i % 50).cast("string"), F.lit(".COM"))
+        )
+        port = (
+            F.when(i % 4 == 0, ":8080").when(i % 4 == 1, ":443").otherwise("")
+        )
+        path = F.when(i % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/"), F.col("lang"), F.lit("/page/"), i.cast("string"))
+        )
+        query = (
+            F.when(i % 4 == 1, "?x=1")
+            .when(i % 4 == 2, "?x=1&utm_source=ad&y=")
+            .when(i % 4 == 3, "?a=b&c=d&e=f")
+            .otherwise("")
+        )
+        frag = F.when(i % 2 == 1, F.concat(F.lit("#sec"), i.cast("string"))).otherwise(
+            F.lit("")
+        )
+        return docs.select(
+            "_id",
+            F.concat(scheme, F.lit("://"), host, port, path, query, frag).alias("url"),
+        )
+
+    def url_features(spark, sf_dir):
+        synth = _synth_urls(spark, sf_dir)
+        f = ts_ops.url_features("url")
+        return synth.select(
+            "_id",
+            f["scheme"].alias("scheme"),
+            f["host"].alias("host"),
+            f["port"].alias("port"),
+            f["path"].alias("path"),
+            f["path_depth"].alias("path_depth"),
+            f["n_query_params"].alias("n_query_params"),
+            f["registered_domain"].alias("registered_domain"),
+            f["is_ip_host"].alias("is_ip_host"),
+            f["has_tracking_params"].alias("has_tracking_params"),
+            ts_ops.normalize_url("url").alias("normalized"),
+        )
+
+    q["url_features"] = url_features
+
+    def host_stats(spark, sf_dir):
+        synth = _synth_urls(spark, sf_dir)
+        return ts_ops.host_stats(synth, "url").select(
+            "registered_domain", "n_pages", "n_hosts", "n_tracking",
+            F.floor(F.col("mean_path_depth") * 1e6).cast("long").alias("mean_depth_q6"),
+        )
+
+    q["host_stats"] = host_stats
+
     def pack_sequences(spark, sf_dir):
         from semadb_spark.operators import packing as pk_ops
 
@@ -2127,6 +2191,85 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS INTEGER) AS http_status,
                'extracted ' || text AS text
         FROM d
+    """
+
+    # shared URL synthesis for the url_features / host_stats oracles —
+    # mirrors _synth_urls, then decomposes independently with RE2 regexes
+    _url_synth = """
+        WITH s AS (
+          SELECT CAST(doc_id AS VARCHAR) AS _id,
+            (CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTPS'
+                  ELSE 'ftp' END)
+            || '://'
+            || (CASE WHEN doc_id % 7 = 0 THEN '10.0.0.' || (doc_id % 200)
+                ELSE 'WWW.' || source || '.Example' || (doc_id % 50)
+                     || '.COM' END)
+            || (CASE doc_id % 4 WHEN 0 THEN ':8080' WHEN 1 THEN ':443'
+                     ELSE '' END)
+            || (CASE WHEN doc_id % 5 = 0 THEN ''
+                ELSE '/' || lang || '/page/' || doc_id END)
+            || (CASE doc_id % 4 WHEN 1 THEN '?x=1'
+                     WHEN 2 THEN '?x=1&utm_source=ad&y='
+                     WHEN 3 THEN '?a=b&c=d&e=f' ELSE '' END)
+            || (CASE WHEN doc_id % 2 = 1 THEN '#sec' || doc_id
+                     ELSE '' END) AS url
+          FROM documents WHERE text IS NOT NULL),
+        f AS (
+          SELECT _id, url,
+            lower(regexp_extract(url,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+            regexp_extract(url, '://(?:[^/?#@]*@)?([^/?#]+)', 1) AS hostport,
+            regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+            regexp_extract(url, '\\?([^#]*)', 1) AS query
+          FROM s),
+        g AS (
+          SELECT _id, url, scheme, path, query,
+            lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host,
+            CAST(nullif(regexp_extract(hostport, ':([0-9]+)$', 1), '')
+                 AS INTEGER) AS port
+          FROM f),
+        h AS (
+          SELECT *,
+            regexp_matches(host, '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$') AS is_ip,
+            len(list_filter(string_split(path, '/'), x -> x <> ''))
+              AS path_depth,
+            CASE WHEN regexp_matches(host,
+                        '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$')
+                      OR NOT contains(host, '.') THEN host
+                 ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+            END AS reg_domain
+          FROM g)
+    """
+    o["url_features"] = _url_synth + """
+        SELECT _id, scheme, host, port, path, path_depth,
+               len(regexp_extract_all(query, '[^&=]+=[^&]*'))
+                 AS n_query_params,
+               reg_domain AS registered_domain,
+               is_ip AS is_ip_host,
+               regexp_matches(url, '[?&]utm_[a-zA-Z]+=')
+                 AS has_tracking_params,
+               CASE WHEN scheme <> '' AND host <> '' THEN
+                 scheme || '://' || host
+                 || (CASE WHEN port IS NOT NULL AND NOT (
+                         (scheme = 'http' AND port = 80)
+                         OR (scheme = 'https' AND port = 443)
+                         OR (scheme = 'ftp' AND port = 21))
+                     THEN ':' || port ELSE '' END)
+                 || (CASE WHEN path = '' THEN '/' ELSE path END)
+                 || (CASE WHEN query <> '' THEN '?' || query ELSE '' END)
+               END AS normalized
+        FROM h
+    """
+    o["host_stats"] = _url_synth + """
+        SELECT reg_domain AS registered_domain,
+               count(*) AS n_pages,
+               count(DISTINCT host) AS n_hosts,
+               CAST(sum(CASE WHEN regexp_matches(url, '[?&]utm_[a-zA-Z]+=')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_tracking,
+               CAST(floor(avg(path_depth) * 1e6) AS BIGINT) AS mean_depth_q6
+        FROM h WHERE reg_domain <> ''
+        GROUP BY 1
     """
 
     o["contamination_flags"] = f"""

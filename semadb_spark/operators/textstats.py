@@ -346,3 +346,108 @@ def gopher_quality_flags(
         keep = keep & flags[k]
     flags["keep"] = keep
     return flags
+
+
+# -- URL analysis (CCNet / RefinedWeb-style provenance features) -------------
+#
+# Training-data pipelines filter and deduplicate by URL before they ever
+# touch page text (CCNet partitions by domain; RefinedWeb's first stage is
+# URL filtering). These are pure Column expressions — zero shuffles, engine-
+# portable regexes (same semantics in Java regex and RE2: no-match
+# regexp_extract returns '') — so Catalyst keeps them inside the scan's
+# codegen stage. The registered-domain heuristic is last-two-labels: the
+# public-suffix list is a moving external artifact, so ccTLD second-level
+# registries (e.g. .co.uk) group at the ccTLD — documented, deterministic,
+# and oracle-checkable.
+
+_SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_HOSTPORT_RE = "://(?:[^/?#@]*@)?([^/?#]+)"
+_PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = "\\?([^#]*)"
+_PARAM_RE = "[^&=]+=[^&]*"
+_IP_RE = "^[0-9]{1,3}(\\.[0-9]{1,3}){3}$"
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+
+def url_features(c: Column | str) -> dict[str, Column]:
+    """Decompose an absolute URL column into provenance features:
+    scheme/host/port/path plus depth, query-param count, last-two-label
+    registered domain, IP-literal flag, and a ``utm_`` tracking flag.
+    Userinfo is stripped from the authority; '' (not NULL) marks absent
+    parts, matching regexp_extract's no-match value in both engines."""
+    c = F.col(c) if isinstance(c, str) else c
+    scheme = F.lower(F.regexp_extract(c, _SCHEME_RE, 1))
+    hostport = F.regexp_extract(c, _HOSTPORT_RE, 1)
+    host = F.lower(F.regexp_replace(hostport, ":[0-9]+$", ""))
+    port = F.nullif(
+        F.regexp_extract(hostport, ":([0-9]+)$", 1), F.lit("")
+    ).cast("int")
+    path = F.regexp_extract(c, _PATH_RE, 1)
+    path_depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    query = F.regexp_extract(c, _QUERY_RE, 1)
+    n_params = F.size(F.regexp_extract_all(query, F.lit(_PARAM_RE), 0))
+    is_ip = host.rlike(_IP_RE)
+    reg_domain = F.when(is_ip | ~host.contains("."), host).otherwise(
+        F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    )
+    return {
+        "scheme": scheme,
+        "host": host,
+        "port": port,
+        "path": path,
+        "path_depth": path_depth,
+        "query": query,
+        "n_query_params": n_params,
+        "registered_domain": reg_domain,
+        "is_ip_host": is_ip,
+        "has_tracking_params": c.rlike("[?&]utm_[a-zA-Z]+="),
+    }
+
+
+def normalize_url(c: Column | str) -> Column:
+    """Canonical URL for exact URL-level dedup: lowercased scheme + host,
+    default port stripped (http:80 / https:443 / ftp:21), empty path
+    becomes '/', query kept verbatim, fragment dropped. Rows without a
+    scheme://host shape normalize to NULL (not comparable)."""
+    c = F.col(c) if isinstance(c, str) else c
+    f = url_features(c)
+    keep_port = f["port"].isNotNull()
+    for sch, dp in sorted(_DEFAULT_PORTS.items()):
+        keep_port = keep_port & ~(
+            (f["scheme"] == sch) & (f["port"] == int(dp))
+        )
+    out = F.concat(
+        f["scheme"], F.lit("://"), f["host"],
+        F.when(keep_port, F.concat(F.lit(":"), f["port"].cast("string"))
+               ).otherwise(F.lit("")),
+        F.when(f["path"] == "", F.lit("/")).otherwise(f["path"]),
+        F.when(f["query"] != "", F.concat(F.lit("?"), f["query"])
+               ).otherwise(F.lit("")),
+    )
+    return F.when((f["scheme"] != "") & (f["host"] != ""), out)
+
+
+def host_stats(df, url_col: str):
+    """Per-registered-domain corpus stats: page count, distinct hosts,
+    tracking-URL count, mean path depth. One groupBy on the domain — the
+    CCNet shard-by-domain shape, scale-safe at any corpus size (domain
+    cardinality is orders of magnitude below page count; a pathological
+    single-domain crawl skews one reducer, which AQE splits)."""
+    f = url_features(url_col)
+    return (
+        df.select(
+            f["registered_domain"].alias("registered_domain"),
+            f["host"].alias("host"),
+            f["path_depth"].alias("path_depth"),
+            f["has_tracking_params"].cast("int").alias("trk"),
+        )
+        .where(F.col("registered_domain") != "")
+        .groupBy("registered_domain")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum("trk").alias("n_tracking"),
+            F.avg("path_depth").alias("mean_path_depth"),
+        )
+    )

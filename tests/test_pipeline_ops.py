@@ -629,3 +629,63 @@ def test_gopher_quality_flags_rules(spark):
     assert rows["bul"]["bul_ok"] is False and rows["bul"]["keep"] is False
     assert rows["few"]["wc_ok"] is False and rows["few"]["keep"] is False
     assert rows["clean"]["stop_hits"] >= 2
+
+
+# -- URL analysis ------------------------------------------------------------
+
+
+def test_url_features_decomposition(spark):
+    from semadb_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            ("https://User:p@WWW.Example.CO.uk:443/a/b/c?x=1&utm_source=ad#f",),
+            ("HTTP://10.0.0.5:8080//double//slash?a=b&c=d",),
+            ("ftp://Files.example.org",),
+            ("http://localhost/x",),
+            ("not a url",),
+        ],
+        "url string",
+    )
+    f = ts.url_features("url")
+    rows = df.select(
+        *[v.alias(k) for k, v in f.items()],
+        ts.normalize_url("url").alias("norm"),
+    ).collect()
+    r0 = rows[0]
+    assert r0["scheme"] == "https" and r0["host"] == "www.example.co.uk"
+    assert r0["port"] == 443 and r0["path_depth"] == 3
+    assert r0["n_query_params"] == 2 and r0["has_tracking_params"]
+    # default https port stripped, fragment dropped, userinfo stripped
+    assert r0["norm"] == "https://www.example.co.uk/a/b/c?x=1&utm_source=ad"
+    r1 = rows[1]
+    assert r1["scheme"] == "http" and r1["is_ip_host"]
+    assert r1["registered_domain"] == "10.0.0.5"  # IP keeps whole literal
+    assert r1["norm"] == "http://10.0.0.5:8080//double//slash?a=b&c=d"
+    r2 = rows[2]
+    assert r2["port"] is None and r2["norm"] == "ftp://files.example.org/"
+    r3 = rows[3]
+    assert r3["registered_domain"] == "localhost"  # dotless host kept whole
+    r4 = rows[4]
+    assert r4["scheme"] == "" and r4["norm"] is None
+
+
+def test_host_stats_groups_by_registered_domain(spark):
+    from semadb_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            ("http://a.example.com/1",),
+            ("http://b.example.com/x/y?utm_id=1",),
+            ("https://example.com/",),
+            ("http://other.net/d/e/f",),
+            ("garbage",),
+        ],
+        "url string",
+    )
+    out = {r["registered_domain"]: r for r in ts.host_stats(df, "url").collect()}
+    assert set(out) == {"example.com", "other.net"}  # garbage row dropped
+    ex = out["example.com"]
+    assert ex["n_pages"] == 3 and ex["n_hosts"] == 3 and ex["n_tracking"] == 1
+    assert abs(ex["mean_path_depth"] - (1 + 2 + 0) / 3) < 1e-9
+    assert out["other.net"]["mean_path_depth"] == 3.0
