@@ -1015,6 +1015,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_stats"] = host_stats
 
+    def encoding_quality(spark, sf_dir):
+        # corpus text is clean ASCII, so the gate injects deterministic
+        # encoding damage per doc: mojibake e-acute + curly quote (the
+        # Latin-1 renderings, built from codepoints — they contain C1
+        # controls), a chr(1) control run, U+FFFD, and a digit tail; the
+        # oracle rebuilds the identical string with chr() and re-derives
+        # every signal independently
+        moji_e = "é".encode("utf-8").decode("latin-1")   # 'Ã©'
+        moji_q = "’".encode("utf-8").decode("latin-1")   # 'â' c280 c299
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        i = F.col("doc_id").cast("long")
+        t = F.concat(
+            F.substring("text", 1, 60),
+            F.when(i % 3 == 0, F.lit(" caf" + moji_e)).otherwise(F.lit("")),
+            F.when(i % 4 == 0, F.lit(moji_q)).otherwise(F.lit("")),
+            F.when(i % 5 == 0, F.lit("\x01\x1f")).otherwise(F.lit("")),
+            F.when(i % 7 == 0, F.lit("�")).otherwise(F.lit("")),
+            F.when(i % 2 == 0, F.lit(" 12345")).otherwise(F.lit("")),
+        )
+        synth = docs.select("_id", t.alias("t"))
+        s = ts_ops.encoding_signals("t")
+        return synth.select(
+            "_id",
+            s["n_replacement"].alias("n_replacement"),
+            F.floor(s["control_ratio"] * 1e6).cast("long").alias("ctrl_q6"),
+            F.floor(s["non_ascii_ratio"] * 1e6).cast("long").alias("nonascii_q6"),
+            s["mojibake_hits"].alias("mojibake_hits"),
+            s["encoding_suspect"].alias("encoding_suspect"),
+            F.floor(ts_ops.char_class_entropy("t") * 1e6).cast("long").alias("entropy_q6"),
+        )
+
+    q["encoding_quality"] = encoding_quality
+
     def pack_sequences(spark, sf_dir):
         from semadb_spark.operators import packing as pk_ops
 
@@ -2270,6 +2303,75 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(avg(path_depth) * 1e6) AS BIGINT) AS mean_depth_q6
         FROM h WHERE reg_domain <> ''
         GROUP BY 1
+    """
+
+    # encoding_quality: markers as chr() codepoint builds (their Latin-1
+    # renderings contain C1 controls, not embeddable as SQL literals);
+    # //-division keeps marker counts integral in both engines
+    _enc_markers = [
+        "chr(226)||chr(128)||chr(153)",  # mojibake U+2019
+        "chr(226)||chr(128)||chr(156)",  # mojibake U+201C
+        "chr(226)||chr(128)||chr(147)",  # mojibake U+2013
+        "chr(226)||chr(128)||chr(166)",  # mojibake U+2026
+        "chr(195)||chr(169)",            # mojibake e-acute
+        "chr(195)||chr(188)",            # mojibake u-umlaut
+        "chr(195)||chr(177)",            # mojibake n-tilde
+        "chr(194)||chr(160)",            # mojibake NBSP
+    ]
+    _hits_sql = " + ".join(
+        f"((length(t) - length(replace(t, {m}, ''))) // length({m}))"
+        for m in _enc_markers
+    )
+    _ent_classes = ["[a-z]", "[A-Z]", "[0-9]", "[ \\t\\n\\r]"]
+    _cnt_sql = [
+        f"(length(t) - length(regexp_replace(t, '{cls}', '', 'g')))"
+        for cls in _ent_classes
+    ]
+    _cnt_sql.append(
+        "(length(t) - (" + " + ".join(_cnt_sql) + "))"
+    )
+    _ent_terms = " + ".join(
+        f"(CASE WHEN {cnt} > 0 THEN (-(CAST({cnt} AS DOUBLE) / safe_n))"
+        f" * ln(CAST({cnt} AS DOUBLE) / safe_n) ELSE 0.0 END)"
+        for cnt in _cnt_sql
+    )
+    o["encoding_quality"] = f"""
+        WITH s AS (
+          SELECT CAST(doc_id AS VARCHAR) AS _id,
+            substr(text, 1, 60)
+            || (CASE WHEN doc_id % 3 = 0
+                THEN ' caf' || chr(195) || chr(169) ELSE '' END)
+            || (CASE WHEN doc_id % 4 = 0
+                THEN chr(226) || chr(128) || chr(153) ELSE '' END)
+            || (CASE WHEN doc_id % 5 = 0
+                THEN chr(1) || chr(31) ELSE '' END)
+            || (CASE WHEN doc_id % 7 = 0 THEN chr(65533) ELSE '' END)
+            || (CASE WHEN doc_id % 2 = 0 THEN ' 12345' ELSE '' END) AS t
+          FROM documents WHERE text IS NOT NULL),
+        m AS (
+          SELECT _id, t, length(t) AS n,
+            CASE WHEN length(t) > 0 THEN CAST(length(t) AS DOUBLE)
+                 ELSE 1.0 END AS safe_n,
+            length(t) - length(replace(t, chr(65533), '')) AS n_repl,
+            length(t) - length(regexp_replace(t,
+              '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')) AS n_ctrl,
+            length(t) - length(regexp_replace(t,
+              '[^\\x00-\\x7f]', '', 'g')) AS n_na
+          FROM s),
+        h AS (
+          SELECT *, CAST({_hits_sql} AS BIGINT) AS hits FROM m)
+        SELECT _id,
+          CAST(n_repl AS BIGINT) AS n_replacement,
+          CAST(floor(CAST(n_ctrl AS DOUBLE) / safe_n * 1e6) AS BIGINT)
+            AS ctrl_q6,
+          CAST(floor(CAST(n_na AS DOUBLE) / safe_n * 1e6) AS BIGINT)
+            AS nonascii_q6,
+          hits AS mojibake_hits,
+          (n_repl > 0 OR hits > 0
+           OR CAST(n_ctrl AS DOUBLE) / safe_n > 0.01) AS encoding_suspect,
+          CAST(floor((0.0 + {_ent_terms}) / ln(2.0) * 1e6) AS BIGINT)
+            AS entropy_q6
+        FROM h
     """
 
     o["contamination_flags"] = f"""

@@ -451,3 +451,83 @@ def host_stats(df, url_col: str):
             F.avg("path_depth").alias("mean_path_depth"),
         )
     )
+
+
+# -- Encoding quality (mojibake / control-char / entropy signals) ------------
+
+# UTF-8-decoded-as-Latin-1 artifacts: curly quote, double quote, en dash,
+# ellipsis, accented vowels, NBSP. Built programmatically (the Latin-1
+# renderings contain C1 control characters that must not appear as source
+# literals): each marker is the mojibake spelling of one common char.
+MOJIBAKE_MARKERS: tuple[str, ...] = tuple(
+    ch.encode("utf-8").decode("latin-1")
+    for ch in "\u2019\u201c\u2013\u2026\u00e9\u00fc\u00f1\u00a0"
+)
+
+_CONTROL_CLASS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def _count_occurrences(c: Column, marker: str) -> Column:
+    return (F.length(c) - F.length(F.replace(c, F.lit(marker)))) / len(marker)
+
+
+def encoding_signals(c: Column | str) -> dict[str, Column]:
+    """Encoding-health signals per document: U+FFFD replacement-char count,
+    control-char ratio (tab/newline/CR excluded — legitimate layout),
+    non-ASCII ratio, mojibake marker hits, and a boolean suspect flag.
+    All counting is length-difference arithmetic on JVM strings — zero
+    shuffles, no UDFs, stays inside scan codegen."""
+    c = F.col(c) if isinstance(c, str) else c
+    n = F.length(c)
+    safe_n = F.when(n > 0, n.cast("double")).otherwise(F.lit(1.0))
+    n_repl = n - F.length(F.replace(c, F.lit("\ufffd")))
+    n_ctrl = n - F.length(F.regexp_replace(c, _CONTROL_CLASS, ""))
+    n_non_ascii = n - F.length(F.regexp_replace(c, "[^\\x00-\\x7f]", ""))
+    hits = None
+    for m in MOJIBAKE_MARKERS:
+        term = _count_occurrences(c, m)
+        hits = term if hits is None else hits + term
+    hits = hits.cast("long")
+    return {
+        "n_replacement": n_repl.cast("long"),
+        "control_ratio": n_ctrl.cast("double") / safe_n,
+        "non_ascii_ratio": n_non_ascii.cast("double") / safe_n,
+        "mojibake_hits": hits,
+        "encoding_suspect": (n_repl > 0) | (hits > 0)
+        | (n_ctrl.cast("double") / safe_n > 0.01),
+    }
+
+
+# four named character classes for the entropy partition; "other" is the
+# complement, so the five-way split is exhaustive by construction
+_ENTROPY_CLASSES: tuple[tuple[str, str], ...] = (
+    ("lower", "[a-z]"),
+    ("upper", "[A-Z]"),
+    ("digit", "[0-9]"),
+    ("space", "[ \\t\\n\\r]"),
+)
+
+
+def char_class_entropy(c: Column | str) -> Column:
+    """Shannon entropy (bits, in [0, log2 5]) of the five-way character
+    class distribution lower/upper/digit/whitespace/other. Degenerate
+    streams (base64 blobs, digit dumps, whitespace runs) score near 0;
+    prose sits around 1.2-1.8 — a cheap screen for non-linguistic content
+    that needs no tokenizer and no shuffle."""
+    import math
+
+    c = F.col(c) if isinstance(c, str) else c
+    n = F.length(c)
+    counts = []
+    covered = None
+    for _, cls in _ENTROPY_CLASSES:
+        cnt = n - F.length(F.regexp_replace(c, cls, ""))
+        counts.append(cnt)
+        covered = cnt if covered is None else covered + cnt
+    counts.append(n - covered)
+    safe_n = F.when(n > 0, n.cast("double")).otherwise(F.lit(1.0))
+    ent = F.lit(0.0)
+    for cnt in counts:
+        p = cnt.cast("double") / safe_n
+        ent = ent + F.when(cnt > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+    return ent / math.log(2.0)

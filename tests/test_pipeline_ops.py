@@ -689,3 +689,54 @@ def test_host_stats_groups_by_registered_domain(spark):
     assert ex["n_pages"] == 3 and ex["n_hosts"] == 3 and ex["n_tracking"] == 1
     assert abs(ex["mean_path_depth"] - (1 + 2 + 0) / 3) < 1e-9
     assert out["other.net"]["mean_path_depth"] == 3.0
+
+
+# -- Encoding quality --------------------------------------------------------
+
+
+def test_encoding_signals(spark):
+    from semadb_spark.operators import textstats as ts
+
+    moji = "’".encode("utf-8").decode("latin-1")
+    df = spark.createDataFrame(
+        [
+            ("id0", "normal English prose, with Numbers 123 and spaces."),
+            ("id1", "café " + moji + "quoted" + moji + " plus �"),
+            ("id2", "\x01\x02 control \x1f heavy \x7f"),
+            ("id3", "tabs\tand\nnewlines\rare fine"),
+            ("id4", ""),
+        ],
+        "id string, text string",
+    )
+    s = ts.encoding_signals("text")
+    rows = {r["id"]: r for r in df.select(
+        "id", *[v.alias(k) for k, v in s.items()]).collect()}
+    assert not rows["id0"]["encoding_suspect"]
+    r1 = rows["id1"]
+    assert r1["n_replacement"] == 1 and r1["mojibake_hits"] == 2
+    assert r1["encoding_suspect"]
+    r2 = rows["id2"]
+    assert abs(r2["control_ratio"] - 4 / len("\x01\x02 control \x1f heavy \x7f")) < 1e-9
+    assert r2["encoding_suspect"]
+    # layout whitespace is not "control"
+    assert rows["id3"]["control_ratio"] == 0.0 and not rows["id3"]["encoding_suspect"]
+    assert rows["id4"]["control_ratio"] == 0.0 and not rows["id4"]["encoding_suspect"]
+
+
+def test_char_class_entropy(spark):
+    import math
+
+    from semadb_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [("a", "aaaa"), ("b", "aAaA"), ("c", "a1 Bz"), ("d", "")],
+        "id string, text string",
+    )
+    rows = {r["id"]: r["H"] for r in df.select(
+        "id", ts.char_class_entropy("text").alias("H")).collect()}
+    assert rows["a"] == 0.0 and rows["d"] == 0.0
+    assert abs(rows["b"] - 1.0) < 1e-9  # 50/50 lower/upper = 1 bit
+    # "a1 Bz": lower 2/5, upper 1/5, digit 1/5, space 1/5
+    expected = -(0.4 * math.log2(0.4) + 3 * 0.2 * math.log2(0.2))
+    assert abs(rows["c"] - expected) < 1e-9
+    assert all(0.0 <= v <= math.log2(5) + 1e-9 for v in rows.values())
