@@ -1048,6 +1048,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["encoding_quality"] = encoding_quality
 
+    def profile_docs(spark, sf_dir):
+        # one-pass column profiler over the documents table; floats are
+        # floor-quantized for the hash, "column" renamed (DuckDB keyword)
+        from semadb_spark.operators.profiling import profile
+
+        docs = _t(spark, sf_dir, "documents")
+        return profile(docs).select(
+            F.col("column").alias("col_name"),
+            "dtype", "n_rows", "n_null", "n_distinct", "min_str", "max_str",
+            F.floor(F.col("mean") * 1e6).cast("long").alias("mean_q6"),
+            F.floor(F.col("stddev") * 1e6).cast("long").alias("std_q6"),
+        )
+
+    q["profile_docs"] = profile_docs
+
+    def histogram_events(spark, sf_dir):
+        from semadb_spark.operators.profiling import histogram
+
+        ev = _t(spark, sf_dir, "events")
+        return histogram(ev, "value", bins=16)
+
+    q["histogram_events"] = histogram_events
+
     def pack_sequences(spark, sf_dir):
         from semadb_spark.operators import packing as pk_ops
 
@@ -2372,6 +2395,64 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor((0.0 + {_ent_terms}) / ln(2.0) * 1e6) AS BIGINT)
             AS entropy_q6
         FROM h
+    """
+
+    # profile_docs: one UNION ALL leg per column, each independently
+    # re-deriving the same statistics; dtype is the Spark type name
+    # (metadata pass-through, asserted as a literal)
+    _prof_num = """
+        SELECT '{c}' AS col_name, '{dt}' AS dtype,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_str,
+               CAST(max({c}) AS VARCHAR) AS max_str,
+               CAST(floor(avg({c}) * 1e6) AS BIGINT) AS mean_q6,
+               CAST(floor(stddev({c}) * 1e6) AS BIGINT) AS std_q6
+        FROM documents
+    """
+    _prof_str = """
+        SELECT '{c}' AS col_name, 'string' AS dtype,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               min({c}) AS min_str, max({c}) AS max_str,
+               CAST(NULL AS BIGINT) AS mean_q6, CAST(NULL AS BIGINT) AS std_q6
+        FROM documents
+    """
+    o["profile_docs"] = " UNION ALL ".join(
+        [_prof_num.format(c="doc_id", dt="bigint")]
+        + [_prof_str.format(c=c) for c in ("text", "lang", "source")]
+        + [_prof_num.format(c="n_chars", dt="bigint")]
+    )
+
+    o["histogram_events"] = """
+        WITH b AS (
+          SELECT min(CAST(value AS DOUBLE)) AS lo,
+                 max(CAST(value AS DOUBLE)) AS hi
+          FROM events),
+        w AS (
+          SELECT lo, hi, (hi - lo) / 16 AS width FROM b),
+        c AS (
+          SELECT least(CAST(floor((CAST(e.value AS DOUBLE) - w.lo) / w.width)
+                            AS BIGINT), 15) AS bucket,
+                 count(*) AS n
+          FROM events e, w
+          WHERE e.value IS NOT NULL
+            AND CAST(e.value AS DOUBLE) >= w.lo
+            AND CAST(e.value AS DOUBLE) <= w.hi
+          GROUP BY 1),
+        spine AS (
+          SELECT t.range AS bucket, w.lo AS lo0, w.width AS width
+          FROM range(16) t, w)
+        SELECT s.bucket,
+               s.lo0 + s.bucket * s.width AS lo,
+               s.lo0 + (s.bucket + 1) * s.width AS hi,
+               COALESCE(c.n, 0) AS n
+        FROM spine s
+        LEFT JOIN c ON c.bucket = s.bucket
     """
 
     o["contamination_flags"] = f"""

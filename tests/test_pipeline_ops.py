@@ -740,3 +740,55 @@ def test_char_class_entropy(spark):
     expected = -(0.4 * math.log2(0.4) + 3 * 0.2 * math.log2(0.2))
     assert abs(rows["c"] - expected) < 1e-9
     assert all(0.0 <= v <= math.log2(5) + 1e-9 for v in rows.values())
+
+
+# -- Profiling ---------------------------------------------------------------
+
+
+def test_profile_summary(spark):
+    from semadb_spark.operators.profiling import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0, ["x"]), (2, "b", None, []), (3, None, 8.0, None), (3, "b", 4.0, [])],
+        "k long, s string, v double, arr array<string>",
+    )
+    out = {r["column"]: r for r in profile(df).collect()}
+    k = out["k"]
+    assert (k["n_rows"], k["n_null"], k["n_distinct"]) == (4, 0, 3)
+    assert (k["min_str"], k["max_str"]) == ("1", "3")
+    assert abs(k["mean"] - 2.25) < 1e-12
+    s = out["s"]
+    assert (s["n_null"], s["n_distinct"], s["min_str"], s["max_str"]) == (1, 2, "a", "b")
+    assert s["mean"] is None and s["stddev"] is None
+    v = out["v"]
+    assert v["n_null"] == 1 and abs(v["mean"] - 14 / 3) < 1e-12
+    arr = out["arr"]  # complex type: counts only
+    assert arr["n_null"] == 1 and arr["n_distinct"] is None and arr["min_str"] is None
+
+
+def test_histogram_buckets(spark):
+    from semadb_spark.operators.profiling import histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    rows = histogram(df, "x", bins=10).orderBy("bucket").collect()
+    assert len(rows) == 10
+    assert [r["n"] for r in rows] == [10] * 10  # max lands in last bucket
+    assert rows[0]["lo"] == 0.0 and abs(rows[-1]["hi"] - 99.0) < 1e-12
+    # empty buckets materialize at n=0
+    sparse = spark.createDataFrame([(0.0,), (100.0,)], "x double")
+    srows = histogram(sparse, "x", bins=4).orderBy("bucket").collect()
+    assert [r["n"] for r in srows] == [1, 0, 0, 1]
+    # degenerate single-value range
+    one = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+    orows = histogram(one, "x", bins=3).orderBy("bucket").collect()
+    assert orows[0]["n"] == 2 and sum(r["n"] for r in orows) == 2
+
+
+def test_histogram_rejects_bad_bins(spark):
+    import pytest as _pytest
+
+    from semadb_spark.operators.profiling import histogram
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pytest.raises(ValueError):
+        histogram(df, "x", bins=0)
