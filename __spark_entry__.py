@@ -1071,6 +1071,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["histogram_events"] = histogram_events
 
+    def sessionize_events(spark, sf_dir):
+        from semadb_spark.operators.temporal import sessionize
+
+        ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        return sessionize(
+            ev, "user_id", "ts", gap_seconds=600, order_cols=["event_id"]
+        ).select("event_id", "user_id", "session_idx", "session_id")
+
+    q["sessionize_events"] = sessionize_events
+
+    def asof_join_events(spark, sf_dir):
+        # point-in-time backfill: every 7th event is a "reference update"
+        # (deduped per user+ts), the rest look up the latest preceding one
+        from semadb_spark.operators.temporal import asof_join
+
+        ev = _t(spark, sf_dir, "events")
+        left = ev.where(F.col("event_id") % 7 != 0).select(
+            "event_id", "user_id", "ts"
+        )
+        right = (
+            ev.where(F.col("event_id") % 7 == 0)
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("ref"))
+        )
+        return asof_join(left, right, "ts", "user_id",
+                         value_cols=["ref"]).select(
+            "event_id", "ts_asof", "ref_asof"
+        )
+
+    q["asof_join_events"] = asof_join_events
+
     def pack_sequences(spark, sf_dir):
         from semadb_spark.operators import packing as pk_ops
 
@@ -2453,6 +2484,37 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(c.n, 0) AS n
         FROM spine s
         LEFT JOIN c ON c.bucket = s.bucket
+    """
+
+    o["sessionize_events"] = """
+        WITH d AS (
+          SELECT event_id, user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+                 THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT event_id, user_id,
+            CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                 AS BIGINT) AS session_idx
+          FROM d)
+        SELECT event_id, user_id, session_idx,
+               CAST(user_id AS VARCHAR) || '#'
+                 || CAST(session_idx AS VARCHAR) AS session_id
+        FROM s
+    """
+
+    o["asof_join_events"] = """
+        WITH l AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_id % 7 <> 0),
+        r AS (
+          SELECT user_id, ts, max(value) AS ref
+          FROM events WHERE event_id % 7 = 0 GROUP BY user_id, ts)
+        SELECT l.event_id, r.ts AS ts_asof, r.ref AS ref_asof
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
     """
 
     o["contamination_flags"] = f"""

@@ -1,0 +1,130 @@
+"""Temporal analytics operators: event sessionization and as-of
+(point-in-time) joins — the event-stream half of a training-data
+pipeline (user behavior corpora, feature backfills against slowly
+changing dimensions).
+
+Scale shape: both operators are ONE shuffle on the entity key and
+nothing else. Sessionization is gaps-and-islands over a per-key window
+(per-key data is small relative to the corpus; a pathological hot key
+skews one reducer, which AQE splits). The as-of join avoids the naive
+range-join blowup entirely: it is a union + per-key ordered window with
+``last(ignorenulls)``, so each key's timeline is swept once — O(n log n)
+in the key's own rows, never O(left × right).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+MICROS = 1_000_000
+
+
+def _micros(c):
+    # exact microsecond epoch; the cast lifts TIMESTAMP_NTZ (parquet
+    # isAdjustedToUTC=false) into TIMESTAMP under the UTC-pinned session,
+    # which is value-preserving
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def sessionize(df, user_col: str, ts_col: str, *, gap_seconds: float = 1800.0,
+               order_cols: list[str] | None = None):
+    """Assign gaps-and-islands session indexes per entity: a new session
+    starts when the gap to the previous event exceeds ``gap_seconds``.
+    Adds ``session_idx`` (0-based per entity) and ``session_id``
+    (``<user>#<idx>``). Comparison is on exact microseconds —
+    truncating to whole seconds flips boundaries on sub-second data.
+
+    ``order_cols`` breaks timestamp ties deterministically (e.g. an
+    event id); ties never create a boundary either way (gap 0), but the
+    tiebreaker pins row order for downstream windowed reads.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    us = _micros(F.col(ts_col))
+    gap_us = int(round(gap_seconds * MICROS))
+    brk = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    idx = (
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1
+    ).cast("long")
+    return df.withColumn("session_idx", idx).withColumn(
+        "session_id",
+        F.concat(F.col(user_col).cast("string"), F.lit("#"),
+                 F.col("session_idx").cast("string")),
+    )
+
+
+def session_stats(df, user_col: str, ts_col: str, *,
+                  gap_seconds: float = 1800.0,
+                  order_cols: list[str] | None = None):
+    """Session-level rollup on top of :func:`sessionize`: start/end,
+    event count, duration in seconds. One additional groupBy on
+    (entity, session) — same key family as the sessionize shuffle, so
+    Catalyst reuses the partitioning."""
+    s = sessionize(df, user_col, ts_col, gap_seconds=gap_seconds,
+                   order_cols=order_cols)
+    return s.groupBy(user_col, "session_idx").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        ((_micros(F.max(ts_col)) - _micros(F.min(ts_col)))
+         / float(MICROS)).alias("duration_sec"),
+    )
+
+
+def asof_join(left, right, ts_col: str, by: list[str] | str, *,
+              value_cols: list[str] | None = None,
+              tolerance_seconds: float | None = None,
+              suffix: str = "_asof"):
+    """Backward as-of join: attach to each left row the most recent right
+    row with ``right.ts <= left.ts`` within the same ``by`` key(s) —
+    NULLs when no right row precedes (or the match is staler than
+    ``tolerance_seconds``). Right columns arrive as ``<col><suffix>``
+    plus ``<ts_col><suffix>`` (the matched timestamp).
+
+    Semantics are DuckDB/pandas ``merge_asof`` backward-inclusive: a
+    right row at exactly left's timestamp matches. Right rows are packed
+    into one struct before the window sweep, so a NULL in a right value
+    column never falls through to an older row.
+
+    Implementation: union both sides, one per-key window ordered by
+    (ts, side) with right-before-left at ties, ``last(struct,
+    ignorenulls=True)`` — one shuffle on the key, no range join, no
+    broadcast of the full right side.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in by + [ts_col]]
+    packed = F.struct(
+        F.col(ts_col).alias("__ts"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    r = right.select(
+        *by, F.col(ts_col), F.lit(0).alias("__side"), packed.alias("__rv")
+    )
+    l = left.withColumn("__side", F.lit(1)).withColumn(
+        "__rv", F.lit(None).cast(r.schema["__rv"].dataType)
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = F.last("__rv", ignorenulls=True).over(w)
+    out = u.withColumn("__m", matched).where(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        tol_us = int(round(tolerance_seconds * MICROS))
+        fresh = (
+            _micros(F.col(ts_col)) - _micros(F.col("__m")["__ts"])
+        ) <= tol_us
+        out = out.withColumn(
+            "__m", F.when(fresh, F.col("__m"))
+        )
+    sel = [F.col(c) for c in left.columns]
+    sel.append(F.col("__m")["__ts"].alias(f"{ts_col}{suffix}"))
+    sel.extend(F.col("__m")[c].alias(f"{c}{suffix}") for c in value_cols)
+    return out.select(*sel)

@@ -1,0 +1,94 @@
+"""Sessionization and as-of join semantics: boundary inclusivity,
+sub-second gaps, ties, tolerance, and null-safe right rows."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from semadb_spark.operators.temporal import asof_join, session_stats, sessionize
+
+T0 = dt.datetime(2025, 1, 1)
+
+
+def _t(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+def test_sessionize_gap_boundaries(spark):
+    ev = spark.createDataFrame(
+        [(1, "u1", _t(0)), (2, "u1", _t(600)), (3, "u1", _t(1200.5)),
+         (4, "u2", _t(0))],
+        "event_id long, user string, ts timestamp",
+    )
+    s = {r["event_id"]: r for r in sessionize(
+        ev, "user", "ts", gap_seconds=600, order_cols=["event_id"]).collect()}
+    assert s[1]["session_idx"] == 0
+    assert s[2]["session_idx"] == 0      # gap == 600 exactly: same session
+    assert s[3]["session_idx"] == 1      # 600.5s: microsecond precision splits
+    assert s[4]["session_idx"] == 0 and s[4]["session_id"] == "u2#0"
+
+
+def test_sessionize_ties_never_split(spark):
+    ev = spark.createDataFrame(
+        [(1, "u", _t(0)), (2, "u", _t(0)), (3, "u", _t(0))],
+        "event_id long, user string, ts timestamp",
+    )
+    out = sessionize(ev, "user", "ts", gap_seconds=1,
+                     order_cols=["event_id"]).collect()
+    assert all(r["session_idx"] == 0 for r in out)
+
+
+def test_session_stats_rollup(spark):
+    ev = spark.createDataFrame(
+        [(1, "u", _t(0)), (2, "u", _t(100)), (3, "u", _t(5000)),
+         (4, "u", _t(5003.25))],
+        "event_id long, user string, ts timestamp",
+    )
+    rows = {r["session_idx"]: r for r in session_stats(
+        ev, "user", "ts", gap_seconds=600).collect()}
+    assert rows[0]["n_events"] == 2 and rows[0]["duration_sec"] == 100.0
+    assert rows[1]["n_events"] == 2 and abs(rows[1]["duration_sec"] - 3.25) < 1e-9
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _t(0)), (2, "k", _t(10)), (3, "k", _t(20)), (4, "x", _t(5))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", _t(0), 1.0), ("k", _t(15), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = {r["id"]: r for r in asof_join(left, right, "ts", "k").collect()}
+    assert out[1]["v_asof"] == 1.0      # equal timestamp matches (inclusive)
+    assert out[2]["v_asof"] == 1.0
+    assert out[3]["v_asof"] == 2.0
+    assert out[4]["v_asof"] is None     # key with no right rows
+    assert out[3]["ts_asof"] == _t(15)
+
+
+def test_asof_join_tolerance_and_null_values(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _t(100)), (2, "k", _t(400))],
+        "id long, k string, ts timestamp",
+    )
+    # right row at t=90 carries a NULL value: it must still win over the
+    # older non-null row at t=0 (struct packing, not per-column last)
+    right = spark.createDataFrame(
+        [("k", _t(0), 7.0), ("k", _t(90), None)],
+        "k string, ts timestamp, v double",
+    )
+    out = {r["id"]: r for r in asof_join(left, right, "ts", "k").collect()}
+    assert out[1]["ts_asof"] == _t(90) and out[1]["v_asof"] is None
+    tol = {r["id"]: r for r in asof_join(
+        left, right, "ts", "k", tolerance_seconds=60).collect()}
+    assert tol[1]["ts_asof"] == _t(90)   # 10s stale: inside tolerance
+    assert tol[2]["ts_asof"] is None     # 310s stale: nulled out
+
+
+def test_asof_join_one_shuffle_no_range_join(spark):
+    left = spark.createDataFrame([(1, "k", _t(0))], "id long, k string, ts timestamp")
+    right = spark.createDataFrame([("k", _t(0), 1.0)], "k string, ts timestamp, v double")
+    plan = asof_join(left, right, "ts", "k")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # one per union leg
