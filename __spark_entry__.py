@@ -1102,6 +1102,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_join_events"] = asof_join_events
 
+    def quantiles_events(spark, sf_dir):
+        from semadb_spark.operators.profiling import quantiles
+
+        ev = _t(spark, sf_dir, "events")
+        qd = quantiles(ev, "value", (0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+        return qd.select(
+            "prob",
+            F.floor(F.col("value") * 1e6).cast("long").alias("value_q6"),
+        )
+
+    q["quantiles_events"] = quantiles_events
+
+    def stratified_sample_docs(spark, sf_dir):
+        from semadb_spark.operators.profiling import sample_per_group
+
+        docs = _docs(spark, sf_dir).select("_id", "lang")
+        return sample_per_group(docs, "lang", 5, "_id", salt="r11")
+
+    q["stratified_sample_docs"] = stratified_sample_docs
+
     def pack_sequences(spark, sf_dir):
         from semadb_spark.operators import packing as pk_ops
 
@@ -2515,6 +2535,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT l.event_id, r.ts AS ts_asof, r.ref AS ref_asof
         FROM l ASOF LEFT JOIN r
           ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+    o["quantiles_events"] = " UNION ALL ".join(
+        f"SELECT CAST({p} AS DOUBLE) AS prob, "
+        f"CAST(floor(quantile_cont(value, {p}) * 1e6) AS BIGINT) AS value_q6 "
+        "FROM events"
+        for p in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    )
+
+    o["stratified_sample_docs"] = """
+        WITH r AS (
+          SELECT CAST(doc_id AS VARCHAR) AS _id, lang,
+            row_number() OVER (
+              PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR) || 'r11'),
+                       CAST(doc_id AS VARCHAR)) AS rn
+          FROM documents)
+        SELECT _id, lang FROM r WHERE rn <= 5
     """
 
     o["contamination_flags"] = f"""

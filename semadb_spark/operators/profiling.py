@@ -126,3 +126,48 @@ def histogram(df, col: str, bins: int = 10, *,
             F.coalesce("n", F.lit(0)).alias("n"),
         )
     )
+
+
+def quantiles(df, col: str, probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)):
+    """Exact continuous-interpolation quantiles of a numeric column, one
+    row per probability: (prob, value). Uses Spark's exact ``percentile``
+    aggregate (rank = p·(n-1), linear interpolation — the quantile_cont
+    definition), so results are engine-portable; swap in
+    ``approx_percentile`` yourself at sizes where an exact global sort
+    of the column is unaffordable."""
+    for p in probs:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"prob {p} outside [0, 1]")
+    arr = ", ".join(repr(float(p)) for p in probs)
+    agg = df.agg(
+        F.expr(f"percentile({col}, array({arr}))").alias("q")
+    )
+    return agg.select(
+        F.posexplode("q").alias("pos", "value")
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(float(p)) for p in probs]), F.col("pos") + 1
+        ).alias("prob"),
+        "value",
+    )
+
+
+def sample_per_group(df, key_col: str, k: int, id_col: str, *,
+                     salt: str = ""):
+    """Deterministic stratified sample: exactly min(k, group size) rows
+    per key, chosen by md5-hash order of (id, salt) — reproducible on
+    any cluster layout and re-runnable with a different ``salt`` for a
+    fresh draw. One shuffle on the key; the per-group sort is bounded
+    by the group's own rows (eval-set construction, per-domain caps à
+    la RefinedWeb's per-host limits)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(key_col).orderBy(h, F.col(id_col).cast("string"))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

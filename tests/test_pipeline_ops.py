@@ -792,3 +792,35 @@ def test_histogram_rejects_bad_bins(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with _pytest.raises(ValueError):
         histogram(df, "x", bins=0)
+
+
+def test_quantiles_exact(spark):
+    from semadb_spark.operators.profiling import quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "x double")
+    rows = {r["prob"]: r["value"] for r in quantiles(df, "x").collect()}
+    assert rows[0.25] == 25.0 and rows[0.5] == 50.0 and rows[0.95] == 95.0
+    # interpolation between ranks
+    df2 = spark.createDataFrame([(0.0,), (1.0,)], "x double")
+    rows2 = {r["prob"]: r["value"] for r in quantiles(df2, "x", (0.25, 0.5)).collect()}
+    assert abs(rows2[0.25] - 0.25) < 1e-12 and abs(rows2[0.5] - 0.5) < 1e-12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quantiles(df, "x", (1.5,))
+
+
+def test_sample_per_group_deterministic(spark):
+    from semadb_spark.operators.profiling import sample_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(60)], "id long, g string"
+    )
+    a = sorted(r["id"] for r in sample_per_group(df, "g", 4, "id").collect())
+    b = sorted(r["id"] for r in sample_per_group(df, "g", 4, "id").collect())
+    assert a == b and len(a) == 12  # exactly 4 per group, reproducible
+    c = sorted(r["id"] for r in sample_per_group(df, "g", 4, "id", salt="v2").collect())
+    assert c != a  # a new salt draws a different sample
+    # short groups are kept whole
+    tiny = spark.createDataFrame([(1, "g"), (2, "g")], "id long, g string")
+    assert len(sample_per_group(tiny, "g", 10, "id").collect()) == 2
