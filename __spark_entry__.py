@@ -1114,6 +1114,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quantiles_events"] = quantiles_events
 
+    def rolling_events(spark, sf_dir):
+        # trailing 10-minute per-user aggregates; sum/avg quantized at q4
+        # (windowed double sums may accumulate in different orders across
+        # engines), min/max/count exact
+        from semadb_spark.operators.temporal import rolling_agg
+
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        r = rolling_agg(ev, "ts", "value", "user_id", window_seconds=600)
+        return r.select(
+            "event_id",
+            "roll_n",
+            F.floor(F.col("roll_sum") * 1e4).cast("long").alias("sum_q4"),
+            F.floor(F.col("roll_avg") * 1e4).cast("long").alias("avg_q4"),
+            "roll_min",
+            "roll_max",
+        )
+
+    q["rolling_events"] = rolling_events
+
     def stratified_sample_docs(spark, sf_dir):
         from semadb_spark.operators.profiling import sample_per_group
 
@@ -2543,6 +2564,18 @@ def oracle_sql() -> dict[str, str]:
         "FROM events"
         for p in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
     )
+
+    o["rolling_events"] = """
+        SELECT event_id,
+               count(value) OVER w AS roll_n,
+               CAST(floor(sum(value) OVER w * 1e4) AS BIGINT) AS sum_q4,
+               CAST(floor(avg(value) OVER w * 1e4) AS BIGINT) AS avg_q4,
+               min(value) OVER w AS roll_min,
+               max(value) OVER w AS roll_max
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """
 
     o["stratified_sample_docs"] = """
         WITH r AS (

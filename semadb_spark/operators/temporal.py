@@ -128,3 +128,34 @@ def asof_join(left, right, ts_col: str, by: list[str] | str, *,
     sel.append(F.col("__m")["__ts"].alias(f"{ts_col}{suffix}"))
     sel.extend(F.col("__m")[c].alias(f"{c}{suffix}") for c in value_cols)
     return out.select(*sel)
+
+
+def rolling_agg(df, ts_col: str, value_col: str, by, *,
+                window_seconds: float, include_current: bool = True):
+    """Trailing time-window aggregates per entity: for each row, count/
+    sum/avg/min/max of ``value_col`` over [ts - window, ts] within the
+    same key — the moving-average / rate-limiter shape over event
+    streams. RANGE frame on exact microseconds, so rows with equal
+    timestamps aggregate together regardless of tie order.
+
+    One shuffle on the key; the frame scan is Spark's native windowed
+    aggregation (no self-join — the naive `events x events` range join
+    this replaces is O(n²) per key).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    win_us = int(round(window_seconds * MICROS))
+    if win_us < 0:
+        raise ValueError(f"window_seconds must be >= 0, got {window_seconds}")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(_micros(F.col(ts_col)))
+        .rangeBetween(-win_us, 0 if include_current else -1)
+    )
+    v = F.col(value_col)
+    return (
+        df.withColumn("roll_n", F.count(v).over(w))
+        .withColumn("roll_sum", F.sum(v).over(w))
+        .withColumn("roll_avg", F.avg(v).over(w))
+        .withColumn("roll_min", F.min(v).over(w))
+        .withColumn("roll_max", F.max(v).over(w))
+    )

@@ -92,3 +92,32 @@ def test_asof_join_one_shuffle_no_range_join(spark):
     plan = asof_join(left, right, "ts", "k")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # one per union leg
+
+
+def test_rolling_agg_trailing_window(spark):
+    ev = spark.createDataFrame(
+        [(1, "u", _t(0), 10.0), (2, "u", _t(50), 20.0), (3, "u", _t(120), 30.0),
+         (4, "u", _t(121), None), (5, "v", _t(60), 5.0)],
+        "id long, user string, ts timestamp, v double",
+    )
+    from semadb_spark.operators.temporal import rolling_agg
+
+    out = {r["id"]: r for r in rolling_agg(
+        ev, "ts", "v", "user", window_seconds=100).collect()}
+    assert out[1]["roll_n"] == 1 and out[1]["roll_sum"] == 10.0
+    assert out[2]["roll_n"] == 2 and out[2]["roll_avg"] == 15.0
+    assert out[3]["roll_n"] == 2 and out[3]["roll_sum"] == 50.0  # t=0 aged out
+    # NULL value rows don't count but still get a frame
+    assert out[4]["roll_n"] == 2 and out[4]["roll_max"] == 30.0
+    assert out[5]["roll_n"] == 1 and out[5]["roll_min"] == 5.0
+
+
+def test_rolling_agg_equal_ts_aggregate_together(spark):
+    ev = spark.createDataFrame(
+        [(1, "u", _t(10), 1.0), (2, "u", _t(10), 2.0)],
+        "id long, user string, ts timestamp, v double",
+    )
+    from semadb_spark.operators.temporal import rolling_agg
+
+    out = rolling_agg(ev, "ts", "v", "user", window_seconds=5).collect()
+    assert all(r["roll_n"] == 2 and r["roll_sum"] == 3.0 for r in out)
