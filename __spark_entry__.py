@@ -1741,6 +1741,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quantized_autofit_serving"] = quantized_autofit_serving
 
+    # -- gate-budget combos (driver checks at most 50 gates) -----------------
+    # Every leg below ran standalone as its own gate first (green in-round
+    # via tools/oracle_check.py); merging is union-tagging only — the leg
+    # frames and their oracle SQL are byte-identical, columns absent from a
+    # leg pad to NULL (unionByName allowMissingColumns), and a shared-type
+    # hash column is cast to double on BOTH sides where legs disagreed
+    # (long-quantized vs rounded-double). See COVERAGE.md gate-budget
+    # bookkeeping for the lossless-superset audit trail.
+
+    def _combo(legs, cast_map=None):
+        fns = [(tag, q.pop(name)) for tag, name in legs]
+        casts = cast_map or {}
+
+        def run(spark, sf_dir):
+            out = None
+            for tag, fn in fns:
+                df = fn(spark, sf_dir)
+                cols = [
+                    F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
+                    for c in df.columns
+                ]
+                leg = df.select(F.lit(tag).alias("leg"), *cols)
+                out = leg if out is None else out.unionByName(
+                    leg, allowMissingColumns=True
+                )
+            return out
+
+        return run
+
+    q["knn_metrics"] = _combo(
+        [("euclidean", "knn_euclidean"), ("cosine", "knn_cosine"),
+         ("dot", "knn_dot")]
+    )
+    q["knn_geo_bits"] = _combo(
+        [("haversine", "knn_haversine"), ("hamming", "knn_hamming"),
+         ("jaccard", "knn_jaccard")],
+        cast_map={"_distance": "double"},
+    )
+    q["text_tfidf"] = _combo(
+        [("any", "text_tfidf_any"), ("unicode", "text_tfidf_unicode")],
+        cast_map={"_score": "double"},
+    )
+    q["text_cleaning_suite"] = _combo(
+        [("c4_lines", "c4_line_filter"), ("paragraphs", "dedup_paragraphs"),
+         ("gopher", "gopher_quality"), ("contamination", "contamination_flags")]
+    )
+    q["web_provenance"] = _combo(
+        [("url", "url_features"), ("host", "host_stats"),
+         ("encoding", "encoding_quality")]
+    )
+    q["profiling_suite"] = _combo(
+        [("profile", "profile_docs"), ("histogram", "histogram_events"),
+         ("quantiles", "quantiles_events"),
+         ("sample", "stratified_sample_docs")]
+    )
+    q["temporal_suite"] = _combo(
+        [("sessionize", "sessionize_events"), ("asof", "asof_join_events"),
+         ("rolling", "rolling_events")]
+    )
+
+    assert len(q) == 50, f"gate budget: expected exactly 50, got {len(q)}"
     return q
 
 
@@ -2797,5 +2858,83 @@ def oracle_sql() -> dict[str, str]:
                     ELSE c_acctbal END AS c_acctbal
         FROM customer
     """
+
+    # -- gate-budget combo oracles (mirror the queries() merge exactly) ------
+
+    def _sql_union(legs, cast_map=None):
+        """legs: [(tag, gate_name, cols)] — union-tag the existing oracle
+        SQL entries, padding columns absent from a leg with NULL (DuckDB
+        resolves the union type across branches, NULL hashes as 'NULL'
+        either way). Column order = first-leg columns then later-leg
+        extras, matching unionByName."""
+        casts = cast_map or {}
+        allcols: list[str] = []
+        for _, _, cols in legs:
+            for c in cols:
+                if c not in allcols:
+                    allcols.append(c)
+        parts = []
+        for tag, gate, cols in legs:
+            sel = ", ".join(
+                (f"CAST({c} AS DOUBLE) AS {c}" if c in casts else c)
+                if c in cols else f"NULL AS {c}"
+                for c in allcols
+            )
+            parts.append(f"SELECT '{tag}' AS leg, {sel} FROM ({o.pop(gate)})")
+        return " UNION ALL ".join(parts)
+
+    o["knn_metrics"] = _sql_union([
+        ("euclidean", "knn_euclidean", ["_id", "_distance"]),
+        ("cosine", "knn_cosine", ["_id", "_distance"]),
+        ("dot", "knn_dot", ["_id", "_distance"]),
+    ])
+    o["knn_geo_bits"] = _sql_union([
+        ("haversine", "knn_haversine", ["_id", "_distance"]),
+        ("hamming", "knn_hamming", ["_id", "_distance"]),
+        ("jaccard", "knn_jaccard", ["_id", "_distance"]),
+    ], cast_map={"_distance"})
+    o["text_tfidf"] = _sql_union([
+        ("any", "text_tfidf_any", ["_id", "_score"]),
+        ("unicode", "text_tfidf_unicode", ["_id", "_score"]),
+    ], cast_map={"_score"})
+    o["text_cleaning_suite"] = _sql_union([
+        ("c4_lines", "c4_line_filter", ["_id", "cleaned", "n_lines", "n_kept"]),
+        ("paragraphs", "dedup_paragraphs",
+         ["para_md5", "n_total", "n_docs", "sample"]),
+        ("gopher", "gopher_quality",
+         ["_id", "n_words", "stop_hits", "mean_wlen_q6", "symbol_q6",
+          "bullet_q6", "ellipsis_q6", "alpha_q6", "word_count_ok",
+          "mean_word_len_ok", "symbol_ratio_ok", "bullet_ok", "ellipsis_ok",
+          "alpha_ok", "stopword_ok", "keep"]),
+        ("contamination", "contamination_flags",
+         ["_id", "n_grams", "n_hits", "frac_q6"]),
+    ])
+    o["web_provenance"] = _sql_union([
+        ("url", "url_features",
+         ["_id", "scheme", "host", "port", "path", "path_depth",
+          "n_query_params", "registered_domain", "is_ip_host",
+          "has_tracking_params", "normalized"]),
+        ("host", "host_stats",
+         ["registered_domain", "n_pages", "n_hosts", "n_tracking",
+          "mean_depth_q6"]),
+        ("encoding", "encoding_quality",
+         ["_id", "n_replacement", "ctrl_q6", "nonascii_q6", "mojibake_hits",
+          "encoding_suspect", "entropy_q6"]),
+    ])
+    o["profiling_suite"] = _sql_union([
+        ("profile", "profile_docs",
+         ["col_name", "dtype", "n_rows", "n_null", "n_distinct", "min_str",
+          "max_str", "mean_q6", "std_q6"]),
+        ("histogram", "histogram_events", ["bucket", "lo", "hi", "n"]),
+        ("quantiles", "quantiles_events", ["prob", "value_q6"]),
+        ("sample", "stratified_sample_docs", ["_id", "lang"]),
+    ])
+    o["temporal_suite"] = _sql_union([
+        ("sessionize", "sessionize_events",
+         ["event_id", "user_id", "session_idx", "session_id"]),
+        ("asof", "asof_join_events", ["event_id", "ts_asof", "ref_asof"]),
+        ("rolling", "rolling_events",
+         ["event_id", "roll_n", "sum_q4", "avg_q4", "roll_min", "roll_max"]),
+    ])
 
     return o
