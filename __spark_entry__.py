@@ -242,7 +242,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """merge=True (the driver contract) folds gate families into the
+    50-gate budget; merge=False keeps every leg addressable by its
+    original name — bench.py uses it so headline timings stay
+    round-over-round comparable with pre-merge BENCH files."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # -- F1-F10: filters via the query-tree compiler ------------------------
@@ -1740,6 +1744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select("_id", "_distance")
 
     q["quantized_autofit_serving"] = quantized_autofit_serving
+
+    if not merge:
+        return q
 
     # -- gate-budget combos (driver checks at most 50 gates) -----------------
     # Every leg below ran standalone as its own gate first (green in-round

@@ -55,8 +55,8 @@ BENCH_QUERIES = [
     "quantized_autofit_serving",
     # text search + hybrid
     "text_tfidf_any",
-    "vamana_graph_route_recall",
     "text_tfidf_unicode",
+    "vamana_graph_route_recall",
     "hybrid_or",
     # pipeline operators
     "dedup_exact",
@@ -76,6 +76,28 @@ BENCH_QUERIES = [
     "dml_update_merge",
     # multimodal
     "multimodal_image_meta",
+]
+
+# Round-11 additions, timed and reported per-query but EXCLUDED from the
+# headline total so `value` stays comparable with BENCH_r01..r10 (same
+# query set; the driver-facing gates merged into 50 union-tag combos, so
+# bench runs queries(merge=False) to keep these names addressable).
+NEW_PIPELINE_QUERIES = [
+    "warc_ingest",
+    "url_features",
+    "host_stats",
+    "encoding_quality",
+    "profile_docs",
+    "histogram_events",
+    "quantiles_events",
+    "stratified_sample_docs",
+    "sessionize_events",
+    "asof_join_events",
+    "rolling_events",
+    "c4_line_filter",
+    "dedup_paragraphs",
+    "gopher_quality",
+    "contamination_flags",
 ]
 
 VECTOR_QPS_BATCH = 512  # queries in the throughput batch (batch-first regime)
@@ -254,7 +276,7 @@ def main() -> None:
     # comparable to the reference's published QPS, which is measured with a
     # full in-memory cache and excludes index build / cold start
     # (BASELINE.md caveats, reference README.md:198,204). Both are reported.
-    qs = entrymod.queries()
+    qs = entrymod.queries(merge=False)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     total = 0.0
@@ -272,6 +294,19 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: warm {dt:.2f}s / cold {cold[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    # new-in-r11 pipeline queries: one timed pass each, reported per-query
+    # and as their own subtotal, NOT in the legacy-comparable headline
+    pipeline_new = 0.0
+    for name in NEW_PIPELINE_QUERIES:
+        qs[name](spark, sf_dir).count()  # cold/codegen pass
+        dt = min(
+            _timed(lambda: qs[name](spark, sf_dir).count()),
+            _timed(lambda: qs[name](spark, sf_dir).count()),
+        )
+        timings[name] = round(dt, 3)
+        pipeline_new += dt
+        print(f"# {name}: warm {dt:.2f}s (new, excluded from headline)", file=sys.stderr)
 
     # ann-benchmarks-scale vector block: replicate the embeddings table to
     # ~1M vectors (glove-100-angular, the reference's headline row, is
@@ -1676,6 +1711,7 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
+        "pipeline_new_sec": round(pipeline_new, 3),
         "queries": timings,
         "cold_queries": cold,
         "timing": "warm steady-state (cold incl. codegen+index-build in cold_queries)",
@@ -1714,6 +1750,7 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
+        "pipeline_new_sec": round(pipeline_new, 3),
         "sf": sf,
         "cpus": cpus,
         "queries": {k: round(v, 2) for k, v in timings.items()},
