@@ -101,6 +101,11 @@ def histogram(df, col: str, bins: int = 10, *,
         row = df.agg(
             F.min(x).alias("lo"), F.max(x).alias("hi")
         ).collect()[0]
+        if row["lo"] is None or row["hi"] is None:
+            raise ValueError(
+                f"histogram({col}): no non-null values to derive a range "
+                "from; pass lo/hi explicitly"
+            )
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     if not (hi > lo):

@@ -39,6 +39,9 @@ def sessionize(df, user_col: str, ts_col: str, *, gap_seconds: float = 1800.0,
     event id); ties never create a boundary either way (gap 0), but the
     tiebreaker pins row order for downstream windowed reads.
     """
+    taken = {"session_idx", "session_id"} & set(df.columns)
+    if taken:
+        raise ValueError(f"sessionize output columns {sorted(taken)} already exist")
     order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
     w = Window.partitionBy(user_col).orderBy(*order)
     us = _micros(F.col(ts_col))
@@ -98,11 +101,25 @@ def asof_join(left, right, ts_col: str, by: list[str] | str, *,
     by = [by] if isinstance(by, str) else list(by)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in by + [ts_col]]
+    reserved = {"__side", "__rv", "__m"}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(f"asof_join reserves column names {sorted(clash)}")
+    out_names = {f"{ts_col}{suffix}"} | {f"{c}{suffix}" for c in value_cols}
+    shadowed = out_names & set(left.columns)
+    if shadowed:
+        raise ValueError(
+            f"asof_join output columns {sorted(shadowed)} already exist on "
+            "the left side; pass a different suffix"
+        )
     packed = F.struct(
         F.col(ts_col).alias("__ts"),
         *[F.col(c).alias(c) for c in value_cols],
     )
-    r = right.select(
+    # a right row with NULL ts has no position on the timeline: DuckDB /
+    # pandas ASOF semantics exclude it, and here it would sort ahead of
+    # every real row and "match" early left rows — drop it at the source
+    r = right.where(F.col(ts_col).isNotNull()).select(
         *by, F.col(ts_col), F.lit(0).alias("__side"), packed.alias("__rv")
     )
     l = left.withColumn("__side", F.lit(1)).withColumn(
@@ -146,6 +163,9 @@ def rolling_agg(df, ts_col: str, value_col: str, by, *,
     win_us = int(round(window_seconds * MICROS))
     if win_us < 0:
         raise ValueError(f"window_seconds must be >= 0, got {window_seconds}")
+    taken = {"roll_n", "roll_sum", "roll_avg", "roll_min", "roll_max"} & set(df.columns)
+    if taken:
+        raise ValueError(f"rolling_agg output columns {sorted(taken)} already exist")
     w = (
         Window.partitionBy(*by)
         .orderBy(_micros(F.col(ts_col)))

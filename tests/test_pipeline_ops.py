@@ -824,3 +824,16 @@ def test_sample_per_group_deterministic(spark):
     # short groups are kept whole
     tiny = spark.createDataFrame([(1, "g"), (2, "g")], "id long, g string")
     assert len(sample_per_group(tiny, "g", 10, "id").collect()) == 2
+
+
+def test_histogram_all_null_column_clear_error(spark):
+    import pytest as _pytest
+
+    from semadb_spark.operators.profiling import histogram
+
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    with _pytest.raises(ValueError, match="no non-null"):
+        histogram(df, "x", bins=4)
+    # explicit range still works on an all-null column (all zero buckets)
+    rows = histogram(df, "x", bins=2, lo=0.0, hi=1.0).collect()
+    assert sorted(r["n"] for r in rows) == [0, 0]

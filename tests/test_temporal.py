@@ -121,3 +121,41 @@ def test_rolling_agg_equal_ts_aggregate_together(spark):
 
     out = rolling_agg(ev, "ts", "v", "user", window_seconds=5).collect()
     assert all(r["roll_n"] == 2 and r["roll_sum"] == 3.0 for r in out)
+
+
+def test_asof_join_null_ts_right_rows_excluded(spark):
+    left = spark.createDataFrame([(1, "k", _t(100))], "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("k", None, 99.0), ("k", _t(50), 1.0)],
+        "k string, ts timestamp, v double",
+    )
+    (row,) = asof_join(left, right, "ts", "k").collect()
+    assert row["v_asof"] == 1.0  # null-ts right row never matches
+
+
+def test_asof_join_rejects_column_collisions(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, "k", _t(0), 9.9)],
+                                 "id long, k string, ts timestamp, v_asof double")
+    right = spark.createDataFrame([("k", _t(0), 1.0)], "k string, ts timestamp, v double")
+    with _pytest.raises(ValueError, match="already exist"):
+        asof_join(left, right, "ts", "k")
+    bad = left.withColumnRenamed("v_asof", "__rv")
+    with _pytest.raises(ValueError, match="reserves"):
+        asof_join(bad, right, "ts", "k")
+
+
+def test_sessionize_and_rolling_reject_shadowed_outputs(spark):
+    import pytest as _pytest
+
+    from semadb_spark.operators.temporal import rolling_agg
+
+    ev = spark.createDataFrame([(1, "u", _t(0), 1.0, 0)],
+                               "id long, u string, ts timestamp, v double, session_idx int")
+    with _pytest.raises(ValueError, match="already exist"):
+        sessionize(ev, "u", "ts")
+    ev2 = spark.createDataFrame([(1, "u", _t(0), 1.0, 0)],
+                                "id long, u string, ts timestamp, v double, roll_n int")
+    with _pytest.raises(ValueError, match="already exist"):
+        rolling_agg(ev2, "ts", "v", "u", window_seconds=1)
