@@ -144,8 +144,10 @@ def quantiles(df, col: str, probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)):
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"prob {p} outside [0, 1]")
     arr = ", ".join(repr(float(p)) for p in probs)
+    if "`" in col:
+        raise ValueError(f"invalid column name {col!r}")
     agg = df.agg(
-        F.expr(f"percentile({col}, array({arr}))").alias("q")
+        F.expr(f"percentile(`{col}`, array({arr}))").alias("q")
     )
     return agg.select(
         F.posexplode("q").alias("pos", "value")

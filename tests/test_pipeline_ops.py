@@ -837,3 +837,11 @@ def test_histogram_all_null_column_clear_error(spark):
     # explicit range still works on an all-null column (all zero buckets)
     rows = histogram(df, "x", bins=2, lo=0.0, hi=1.0).collect()
     assert sorted(r["n"] for r in rows) == [0, 0]
+
+
+def test_quantiles_quoted_column_name(spark):
+    from semadb_spark.operators.profiling import quantiles
+
+    df = spark.createDataFrame([(1.0,), (3.0,)], "`my col` double")
+    rows = {r["prob"]: r["value"] for r in quantiles(df, "my col", (0.5,)).collect()}
+    assert rows[0.5] == 2.0
