@@ -349,3 +349,50 @@ def read_wet(spark, path: str):
     return df.drop("payload").withColumn(
         "text", F.coalesce("text", F.lit(""))
     )
+
+
+BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_warc(spark, path: str, *, record_types=None,
+                with_payload: bool = True, max_files_per_trigger: int | None = None):
+    """Structured-Streaming WARC ingestion: watch ``path`` for new crawl
+    files and emit parsed records per micro-batch — the
+    continuous-ingestion twin of :func:`read_warc` (same parse, same
+    ``WARC_SCHEMA``). New segment files are the unit of arrival, exactly
+    how crawls are published; ``max_files_per_trigger`` bounds batch size
+    so a backlog drains at a controlled rate. Compose with
+    ``streaming/ingest.py`` operators (dedup-on-arrival, incremental
+    text index) or ``writeStream`` straight to a bronze parquet table.
+
+    binaryFile's streaming source needs the schema pinned up front
+    (``BINARYFILE_SCHEMA``); each file is still one task, unsplittable
+    by design.
+    """
+    import pandas as pd
+
+    types = tuple(record_types) if record_types else None
+    keep_payload = bool(with_payload)
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for rec in iter_warc_records(bytes(content), source=str(fpath)):
+                    if types is not None and rec["warc_type"] not in types:
+                        continue
+                    if not keep_payload:
+                        rec["payload"] = None
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows,
+                columns=[c.split()[0] for c in WARC_SCHEMA.split(", ")],
+            )
+
+    reader = spark.readStream.format("binaryFile").schema(BINARYFILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(parse, schema=WARC_SCHEMA)

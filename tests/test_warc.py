@@ -217,3 +217,34 @@ def test_write_warc_distributed_round_trip(spark, tmp_path):
     assert sorted(r["text"] for r in back) == sorted(
         f"body of doc {i}" for i in range(50))
     assert all(r["content_length"] == len(r["text"]) for r in back)
+
+
+def test_stream_warc_micro_batches(spark, tmp_path):
+    import time
+
+    d = tmp_path / "incoming"
+    d.mkdir()
+    (d / "seg-0.warc.gz").write_bytes(build_warc_bytes(
+        [{"warc_type": "conversion", "target_uri": "http://e/1",
+          "content_type": "text/plain", "text": "first batch doc"}],
+        gzip_members=True))
+    from semadb_spark.sources.warc import stream_warc
+
+    s = stream_warc(spark, str(d), record_types=("conversion",), with_payload=False)
+    assert s.isStreaming
+    name = "warc_stream_sink"
+    q = (s.writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(f"select target_uri, text from {name}").collect()
+    assert [(r["target_uri"], r["text"]) for r in got] == [("http://e/1", "first batch doc")]
+    # a NEW file arriving is picked up by the next run from the same source
+    (d / "seg-1.warc").write_bytes(build_warc_bytes(
+        [{"warc_type": "conversion", "target_uri": "http://e/2",
+          "content_type": "text/plain", "text": "second arrival"}]))
+    q2 = (stream_warc(spark, str(d), record_types=("conversion",))
+          .writeStream.format("memory").queryName(name + "2")
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got2 = {r["target_uri"] for r in spark.sql(f"select target_uri from {name}2").collect()}
+    assert got2 == {"http://e/1", "http://e/2"}
