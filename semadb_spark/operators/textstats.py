@@ -222,13 +222,16 @@ def line_filter(
     c: Column | str,
     min_words: int = 3,
     blocklist: tuple[str, ...] = LINE_BLOCKLIST,
+    require_terminal: bool = True,
 ) -> dict[str, Column]:
     """C4-style line-level cleaning (Raffel et al. 2020 §2.2, public
     heuristics) -> {"cleaned", "n_lines", "n_kept"}.
 
     A line survives iff it ends in a terminal punctuation mark
-    (``. ! ? "``), carries at least ``min_words`` whitespace-separated
-    words, and contains no blocklist phrase (case-insensitive). The
+    (``. ! ? "``; waived when ``require_terminal=False`` — transcript /
+    keyword corpora have no sentence punctuation and would zero out),
+    carries at least ``min_words`` whitespace-separated words, and
+    contains no blocklist phrase (case-insensitive). The
     survivors re-join with newlines; n_lines/n_kept feed page-level
     drop rules (C4 discards pages with too few surviving sentences).
 
@@ -242,7 +245,7 @@ def line_filter(
 
     def keep(x: Column) -> Column:
         t = F.trim(x)
-        ends = t.rlike('[.!?"]$')
+        ends = t.rlike('[.!?"]$') if require_terminal else F.lit(True)
         words = F.size(F.filter(F.split(t, " +"), lambda w: w != ""))
         ok = ends & (words >= F.lit(min_words))
         low = F.lower(x)

@@ -1,0 +1,109 @@
+"""End-to-end corpus curation: the canonical web-crawl cleaning recipe
+(C4 / Gopher / RefinedWeb lineage) composed from this repo's gated
+operators into one DataFrame pipeline.
+
+``curate_corpus`` chains: encoding screen → C4 line cleaning → Gopher
+quality rules → exact dedup (content-hash, keep lowest id) — each stage
+a pure DataFrame transform, so Catalyst fuses the per-document stages
+into one scan and the only shuffle in the whole recipe is the dedup
+groupBy. Near-duplicate removal stays a separate pass by design
+(MinHash/SimHash band blocking has its own shuffle profile; feed
+``drop_ids`` with the output of ``operators.dedup`` when fuzzy dedup is
+wanted).
+
+Scale: stage predicates are Column expressions (no UDFs); stats
+collection is opt-in because each count is a job — at 100 TB you run
+``collect_stats=False`` and read the counts off the sink's metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from semadb_spark.operators.textstats import (
+    encoding_signals,
+    gopher_quality_flags,
+    line_filter,
+)
+
+
+def curate_corpus(df, text_col: str = "text", id_col: str = "_id", *,
+                  min_line_words: int = 3, gopher_min_words: int = 40,
+                  max_control_ratio: float = 0.01,
+                  require_terminal_punct: bool = True,
+                  drop_ids=None, collect_stats: bool = True):
+    """Run the standard curation recipe; returns ``(curated_df, stats)``.
+
+    Stages (each drops rows, the survivors flow on):
+
+    1. **encoding**: drop docs whose bytes look damaged
+       (``encoding_signals``: replacement chars, mojibake markers, or a
+       control-char ratio above ``max_control_ratio``).
+    2. **line_clean**: C4 line filtering rewrites ``text_col`` to the
+       surviving lines; pages keeping zero lines drop out. Corpora with
+       no sentence punctuation (transcripts, keyword dumps) need
+       ``require_terminal_punct=False`` or this stage zeroes them.
+    3. **gopher**: the Rae et al. 2021 rule battery
+       (``gopher_quality_flags(..., min_words=gopher_min_words)``) —
+       only ``keep`` pages survive.
+    4. **exact_dedup**: one groupBy on sha2(text): the lexicographically
+       smallest ``id_col`` per identical cleaned text survives.
+    5. **drop_ids** (optional): anti-join against a caller-supplied
+       one-column DataFrame of ids — the hook for fuzzy-dedup output
+       (``dedup_components`` canonical-loser sets, contamination hits).
+
+    ``stats`` maps stage name → surviving row count (empty dict when
+    ``collect_stats=False``; each count is one Spark job).
+    """
+    stats: dict[str, int] = {}
+
+    def note(name, frame):
+        if collect_stats:
+            stats[name] = frame.count()
+        return frame
+
+    cur = df.filter(F.col(text_col).isNotNull())
+    note("input", cur)
+
+    enc = encoding_signals(text_col)
+    cur = cur.filter(~enc["encoding_suspect"]
+                     & (enc["control_ratio"] <= max_control_ratio))
+    note("encoding", cur)
+
+    lf = line_filter(text_col, min_words=min_line_words,
+                     require_terminal=require_terminal_punct)
+    cur = (
+        cur.withColumn("__cleaned", lf["cleaned"])
+        .withColumn("__kept", lf["n_kept"])
+        .filter(F.col("__kept") > 0)
+        .withColumn(text_col, F.col("__cleaned"))
+        .drop("__cleaned", "__kept")
+    )
+    note("line_clean", cur)
+
+    g = gopher_quality_flags(text_col, min_words=gopher_min_words)
+    cur = cur.filter(g["keep"])
+    note("gopher", cur)
+
+    h = F.sha2(F.col(text_col), 256)
+    canon = (
+        cur.select(F.col(id_col).alias("__cid"), h.alias("__h"))
+        .groupBy("__h")
+        .agg(F.min("__cid").alias("__cid"))
+        .select("__cid")
+    )
+    cur = cur.join(
+        canon, cur[id_col] == canon["__cid"], "left_semi"
+    )
+    note("exact_dedup", cur)
+
+    if drop_ids is not None:
+        flt = drop_ids.select(
+            F.col(drop_ids.columns[0]).cast("string").alias("__did")
+        )
+        cur = cur.join(
+            flt, cur[id_col].cast("string") == flt["__did"], "left_anti"
+        )
+        note("drop_ids", cur)
+
+    return cur, stats

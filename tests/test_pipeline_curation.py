@@ -1,0 +1,50 @@
+"""curate_corpus end-to-end: each stage drops exactly the docs its rule
+names, survivors carry cleaned text, stats ledger every stage."""
+
+from pyspark.sql import functions as F
+
+from semadb_spark.pipeline import curate_corpus
+
+GOOD = ("The quick brown fox jumps over the lazy dog and keeps running "
+        "through the field with steady energy. ") * 4  # >40 words, clean
+
+
+def _corpus(spark):
+    moji = "é".encode("utf-8").decode("latin-1")
+    rows = [
+        ("a", GOOD + "\nBuy now.\nAnd that is the whole story of the day."),
+        ("b", GOOD),                        # duplicate body of c after cleaning
+        ("c", GOOD),
+        ("d", "caf" + moji + " damaged " + GOOD),       # mojibake -> encoding drop
+        ("e", "no terminal punctuation at all"),        # line_clean drops all lines
+        ("f", "Tiny words only here."),                 # survives lines, fails gopher
+        ("g", None),
+    ]
+    return spark.createDataFrame(rows, "_id string, text string")
+
+
+def test_curate_corpus_stages(spark):
+    cur, stats = curate_corpus(_corpus(spark), gopher_min_words=40)
+    ids = sorted(r["_id"] for r in cur.select("_id").collect())
+    assert stats["input"] == 6            # null text pre-dropped
+    assert stats["encoding"] == 5         # d gone
+    assert stats["line_clean"] == 4       # e gone (zero surviving lines)
+    assert stats["gopher"] == 3           # f gone
+    assert stats["exact_dedup"] == 2      # b/c collapse -> keep "b"; a survives
+    assert ids == ["a", "b"]
+    # line cleaning rewrote a's text: the blocklist-free short line stays,
+    # "Buy now." (2 words < 3) is gone
+    a_text = cur.filter(F.col("_id") == "a").collect()[0]["text"]
+    assert "Buy now." not in a_text and "whole story" in a_text
+
+
+def test_curate_corpus_drop_ids_hook(spark):
+    drops = spark.createDataFrame([("a",)], "id string")
+    cur, stats = curate_corpus(_corpus(spark), drop_ids=drops)
+    assert sorted(r["_id"] for r in cur.collect()) == ["b"]
+    assert stats["drop_ids"] == 1
+
+
+def test_curate_corpus_no_stats_mode(spark):
+    cur, stats = curate_corpus(_corpus(spark), collect_stats=False)
+    assert stats == {} and cur.count() == 2
