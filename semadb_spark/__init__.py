@@ -42,11 +42,20 @@ def __getattr__(name):
         from semadb_spark.operators.text_search import TextServePool
 
         return TextServePool
+    if name == "curate_corpus":
+        from semadb_spark.pipeline import curate_corpus
+
+        return curate_corpus
+    if name in ("read_warc", "read_wet", "write_warc", "stream_warc"):
+        from semadb_spark.sources import warc
+
+        return getattr(warc, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 __all__ = [
     "get_spark", "Collection", "SearchEngine", "IndexSchema", "Workspace",
-    "UserPlan", "TextServePool",
+    "UserPlan", "TextServePool", "curate_corpus", "read_warc", "read_wet",
+    "write_warc", "stream_warc",
 ]
 __version__ = "0.1.0"
