@@ -2938,3 +2938,124 @@ def repartition_for_media(
     parts = max(1, min(n // max(target_batch_rows, 1) or 1, 100_000))
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(max(parts, parallelism))
+
+
+# -- ID3 tags (MP3 metadata content, beyond the frame-header tier) -----------
+
+_ID3V2_TEXT_FRAMES = {
+    # v2.3/2.4 four-char ids -> output keys; TYER (v2.3) and TDRC (v2.4)
+    # both land on "year" (first four chars of the timestamp)
+    "TIT2": "title", "TPE1": "artist", "TALB": "album",
+    "TYER": "year", "TDRC": "year", "TCON": "genre", "TRCK": "track",
+}
+_ID3V22_TEXT_FRAMES = {
+    "TT2": "title", "TP1": "artist", "TAL": "album",
+    "TYE": "year", "TCO": "genre", "TRK": "track",
+}
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def _id3_text(payload: bytes) -> str | None:
+    if not payload:
+        return None
+    enc = _ID3_ENCODINGS.get(payload[0])
+    if enc is None:
+        return None
+    txt = payload[1:].decode(enc, "replace").strip("\x00").strip()
+    return txt or None
+
+
+def _syncsafe(b: bytes) -> int:
+    return ((b[0] & 0x7F) << 21) | ((b[1] & 0x7F) << 14) | (
+        (b[2] & 0x7F) << 7) | (b[3] & 0x7F)
+
+
+def parse_id3_tags(data: bytes) -> dict | None:
+    """Extract ID3 tag CONTENT (title/artist/album/year/genre/track) from
+    an MP3 blob: ID3v2.2/2.3/2.4 text frames (all four spec encodings),
+    overlaid on an ID3v1 trailer when present (v2 wins per field — it is
+    the richer, newer tag). Returns None when neither tag exists; never
+    raises on hostile bytes. ID3v1 genre is surfaced as its numeric
+    ``genre_id`` (the 80+ name table is an external registry; a wrong
+    name is worse than an id). Public specs: id3.org ID3v1, ID3v2.3/2.4
+    informal standards.
+    """
+    try:
+        out: dict = {}
+        n = len(data)
+        if n >= 128 and data[-128:-125] == b"TAG":
+            t = data[-128:]
+
+            def v1field(a, b):
+                s = t[a:b].split(b"\x00", 1)[0].decode("latin-1", "replace").strip()
+                return s or None
+
+            out = {
+                "title": v1field(3, 33), "artist": v1field(33, 63),
+                "album": v1field(63, 93), "year": v1field(93, 97),
+                "genre_id": t[127],
+            }
+            # ID3v1.1 track: comment[28]==0 and comment[29]!=0
+            if t[125] == 0 and t[126] != 0:
+                out["track"] = str(t[126])
+        if data[:3] == b"ID3" and n >= 10:
+            major = data[3]
+            tag_size = _syncsafe(data[6:10])
+            pos = 10 + (10 if data[5] & 0x10 else 0)  # ext header (v2.3 flag)
+            end = min(n, 10 + tag_size)
+            while pos + 6 <= end:
+                if major == 2:
+                    fid = data[pos : pos + 3].decode("latin-1", "replace")
+                    fsize = int.from_bytes(data[pos + 3 : pos + 6], "big")
+                    hdr_len = 6
+                    key = _ID3V22_TEXT_FRAMES.get(fid)
+                else:
+                    if pos + 10 > end:
+                        break
+                    fid = data[pos : pos + 4].decode("latin-1", "replace")
+                    raw = data[pos + 4 : pos + 8]
+                    fsize = _syncsafe(raw) if major >= 4 else int.from_bytes(raw, "big")
+                    hdr_len = 10
+                    key = _ID3V2_TEXT_FRAMES.get(fid)
+                if not fid.strip("\x00") or fsize < 0:
+                    break
+                payload = data[pos + hdr_len : pos + hdr_len + fsize]
+                if key and len(payload) == fsize:
+                    txt = _id3_text(payload)
+                    if txt:
+                        out[key] = txt[:4] if key == "year" and len(txt) > 4 else txt
+                pos += hdr_len + fsize
+        return out or None
+    except Exception:
+        return None
+
+
+def audio_tags(df: DataFrame, content_col: str = "content",
+               id_col: str = "asset_id") -> DataFrame:
+    """Per-asset ID3 tag columns -> (id, title, artist, album, year,
+    track, genre, genre_id); all NULL when the blob carries no tag.
+    Arrow-batched mapInPandas, blobs never touch the driver — the same
+    plumbing contract as audio_features."""
+    out_schema = (
+        f"{id_col} string, title string, artist string, album string, "
+        "year string, track string, genre string, genre_id int"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf[content_col].notna()]
+            if pdf.empty:
+                continue
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                tags = parse_id3_tags(bytes(content)) or {}
+                rows.append((
+                    str(aid), tags.get("title"), tags.get("artist"),
+                    tags.get("album"), tags.get("year"), tags.get("track"),
+                    tags.get("genre"), tags.get("genre_id"),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "title", "artist", "album", "year", "track",
+                "genre", "genre_id"])
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema=out_schema)

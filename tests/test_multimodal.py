@@ -2439,3 +2439,111 @@ def test_video_features_isobmff_dims(spark):
     assert v["format"] == "mp4" and v["duration_ms"] == 2000
     assert rows["a1"]["width"] is None  # audio-only: no video dims
     assert rows["x1"]["format"] is None
+
+
+# -- ID3 tags ----------------------------------------------------------------
+
+
+def _id3v1(title="My Song", artist="The Band", album="LP", year="1999",
+           track=None, genre=17):
+    t = bytearray(b"TAG")
+    for s, w in ((title, 30), (artist, 30), (album, 30), (year, 4)):
+        t += s.encode("latin-1").ljust(w, b"\x00")
+    comment = bytearray(30)
+    if track is not None:
+        comment[28] = 0
+        comment[29] = track
+    t += comment
+    t.append(genre)
+    return bytes(t)
+
+
+def _id3v2_frame(fid, text, enc=3, major=4):
+    if enc == 0:
+        payload = b"\x00" + text.encode("latin-1")
+    elif enc == 1:
+        payload = b"\x01" + text.encode("utf-16")
+    else:
+        payload = b"\x03" + text.encode("utf-8")
+    size = len(payload)
+    if major >= 4:
+        sz = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                    (size >> 7) & 0x7F, size & 0x7F])
+    else:
+        sz = size.to_bytes(4, "big")
+    return fid.encode() + sz + b"\x00\x00" + payload
+
+
+def _id3v2(frames, major=4):
+    body = b"".join(frames)
+    size = len(body)
+    ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                (size >> 7) & 0x7F, size & 0x7F])
+    return b"ID3" + bytes([major, 0, 0]) + ss + body
+
+
+def test_id3v1_trailer():
+    from semadb_spark.operators.multimodal import parse_id3_tags
+
+    blob = b"\xffdummyaudio" + _id3v1(track=7)
+    tags = parse_id3_tags(blob)
+    assert tags["title"] == "My Song" and tags["artist"] == "The Band"
+    assert tags["year"] == "1999" and tags["genre_id"] == 17
+    assert tags["track"] == "7"
+
+
+def test_id3v2_text_frames_win_over_v1():
+    from semadb_spark.operators.multimodal import parse_id3_tags
+
+    v2 = _id3v2([
+        _id3v2_frame("TIT2", "Nouveau Titre é"),
+        _id3v2_frame("TPE1", "Artiste", enc=1),     # utf-16 with BOM
+        _id3v2_frame("TDRC", "2024-05-01T12:00"),   # v2.4 timestamp -> year
+    ])
+    blob = v2 + b"audio" + _id3v1(title="Old Title")
+    tags = parse_id3_tags(blob)
+    assert tags["title"] == "Nouveau Titre é"      # v2 beats v1
+    assert tags["artist"] == "Artiste"
+    assert tags["year"] == "2024"
+    assert tags["album"] == "LP"                    # v1 fills v2 gaps
+
+
+def test_id3v23_plain_sizes_and_v22_ids():
+    from semadb_spark.operators.multimodal import parse_id3_tags
+
+    v23 = _id3v2([_id3v2_frame("TALB", "Album23", major=3)], major=3)
+    assert parse_id3_tags(v23 + b"x")["album"] == "Album23"
+    # v2.2: 3-char ids, 3-byte sizes
+    payload = b"\x00Tape"
+    fr = b"TT2" + len(payload).to_bytes(3, "big") + payload
+    body = fr
+    ss = bytes([0, 0, (len(body) >> 7) & 0x7F, len(body) & 0x7F])
+    v22 = b"ID3" + bytes([2, 0, 0]) + ss + body
+    assert parse_id3_tags(v22 + b"x")["title"] == "Tape"
+
+
+def test_id3_hostile_bytes_never_raise():
+    from semadb_spark.operators.multimodal import parse_id3_tags
+
+    assert parse_id3_tags(b"") is None
+    assert parse_id3_tags(b"no tags here at all") is None
+    v2 = _id3v2([_id3v2_frame("TIT2", "x" * 100)])
+    for cut in (5, 11, 20, len(v2) - 3):
+        parse_id3_tags(v2[:cut])  # must not raise
+    garbage = b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f" + b"\xff" * 50
+    parse_id3_tags(garbage)
+
+
+def test_audio_tags_operator(spark):
+    from semadb_spark.operators.multimodal import audio_tags
+
+    v2 = _id3v2([_id3v2_frame("TIT2", "Song A")])
+    df = spark.createDataFrame(
+        [("a", bytearray(v2 + b"audio")), ("b", bytearray(b"untagged")),
+         ("c", None)],
+        "asset_id string, content binary",
+    )
+    rows = {r["asset_id"]: r for r in audio_tags(df).collect()}
+    assert rows["a"]["title"] == "Song A"
+    assert rows["b"]["title"] is None and rows["b"]["genre_id"] is None
+    assert "c" not in rows  # null blobs dropped like audio_features
