@@ -1052,6 +1052,20 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
 
     q["encoding_quality"] = encoding_quality
 
+    def lm_perplexity(spark, sf_dir):
+        # char-trigram LM fit on the corpus itself, every doc scored
+        # against it; avg_logp floor-quantized (cross-engine double-sum
+        # ordering inside avg)
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        model = ts_ops.ngram_lm_fit(docs, "text", min_count=2)
+        scored = ts_ops.ngram_lm_score(docs, "text", model)
+        return scored.select(
+            "_id", "n_grams",
+            F.floor(F.col("avg_logp") * 1e4).cast("long").alias("avg_logp_q4"),
+        )
+
+    q["lm_perplexity"] = lm_perplexity
+
     def profile_docs(spark, sf_dir):
         # one-pass column profiler over the documents table; floats are
         # floor-quantized for the hash, "column" renamed (DuckDB keyword)
@@ -1792,7 +1806,8 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
     )
     q["text_cleaning_suite"] = _combo(
         [("c4_lines", "c4_line_filter"), ("paragraphs", "dedup_paragraphs"),
-         ("gopher", "gopher_quality"), ("contamination", "contamination_flags")]
+         ("gopher", "gopher_quality"), ("contamination", "contamination_flags"),
+         ("lm", "lm_perplexity")]
     )
     q["web_provenance"] = _combo(
         [("url", "url_features"), ("host", "host_stats"),
@@ -2595,6 +2610,35 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN c ON c.bucket = s.bucket
     """
 
+    o["lm_perplexity"] = """
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS _id,
+                 regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+          FROM documents WHERE text IS NOT NULL),
+        g3 AS (
+          SELECT _id, substr(t, CAST(i AS INTEGER), 3) AS gram
+          FROM d, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+          WHERE len(t) >= 3),
+        c3 AS (SELECT gram, count(*) AS cg FROM g3 GROUP BY 1),
+        g2 AS (
+          SELECT substr(t, CAST(i AS INTEGER), 2) AS pre
+          FROM d, LATERAL (SELECT unnest(range(1, len(t))) AS i) u
+          WHERE len(t) >= 2),
+        c2 AS (SELECT pre, count(*) AS cp FROM g2 GROUP BY 1),
+        m AS (
+          SELECT c3.gram,
+                 ln(CAST(cg AS DOUBLE) / CAST(cp AS DOUBLE)) AS logp
+          FROM c3 JOIN c2 ON substr(c3.gram, 1, 2) = c2.pre
+          WHERE cg >= 2),
+        s AS (
+          SELECT g3._id, count(*) AS n_grams,
+                 avg(COALESCE(m.logp, -16.0)) AS al
+          FROM g3 LEFT JOIN m USING (gram) GROUP BY 1)
+        SELECT _id, n_grams,
+               CAST(floor(al * 1e4) AS BIGINT) AS avg_logp_q4
+        FROM s
+    """
+
     o["sessionize_events"] = """
         WITH d AS (
           SELECT event_id, user_id, ts,
@@ -2915,6 +2959,7 @@ def oracle_sql() -> dict[str, str]:
           "alpha_ok", "stopword_ok", "keep"]),
         ("contamination", "contamination_flags",
          ["_id", "n_grams", "n_hits", "frac_q6"]),
+        ("lm", "lm_perplexity", ["_id", "n_grams", "avg_logp_q4"]),
     ])
     o["web_provenance"] = _sql_union([
         ("url", "url_features",

@@ -98,6 +98,7 @@ NEW_PIPELINE_QUERIES = [
     "dedup_paragraphs",
     "gopher_quality",
     "contamination_flags",
+    "lm_perplexity",
 ]
 
 VECTOR_QPS_BATCH = 512  # queries in the throughput batch (batch-first regime)

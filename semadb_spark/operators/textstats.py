@@ -534,3 +534,88 @@ def char_class_entropy(c: Column | str) -> Column:
         p = cnt.cast("double") / safe_n
         ent = ent + F.when(cnt > 0, -p * F.log(p)).otherwise(F.lit(0.0))
     return ent / math.log(2.0)
+
+
+# -- Character n-gram language model (CCNet-style perplexity proxy) ----------
+
+
+def _char_grams(c: Column, k: int) -> Column:
+    """ARRAY<STRING> of all k-char substrings of a normalized text column
+    (lowercased, whitespace collapsed). Guarded for texts shorter than k
+    (Spark's sequence() counts DOWN on a negative span)."""
+    t = F.regexp_replace(F.lower(c), "\\s+", " ")
+    mk = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (k - 1)),
+        lambda i: F.substring(t, i, k),
+    )
+    return F.when(F.length(t) >= k, mk).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_lm_fit(df, text_col: str, *, n: int = 3, min_count: int = 2):
+    """Fit a conditional character n-gram model over the corpus: one row
+    per surviving gram with ``logp = ln(count(gram) / count(prefix))``
+    where prefix is the gram's first n-1 chars. The classic cheap
+    language-model quality proxy (CCNet uses a KenLM 5-gram; a char
+    trigram captures the same "does this look like language X" signal
+    with no external model artifact).
+
+    Scale shape: two explode+groupBy passes over the corpus (gram and
+    prefix counts) joined on the prefix — fit is a one-time batch job;
+    ``min_count`` bounds the model to grams with real support, keeping
+    it broadcastable (char trigram space is ≤ |alphabet|³, naturally
+    tiny next to the corpus).
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    grams = df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(_char_grams(F.col(text_col), n)).alias("gram")
+    )
+    cnt_n = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c_gram"))
+    prefixes = df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(_char_grams(F.col(text_col), n - 1)).alias("prefix")
+    )
+    cnt_p = prefixes.groupBy("prefix").agg(F.count(F.lit(1)).alias("c_prefix"))
+    return (
+        cnt_n.filter(F.col("c_gram") >= min_count)
+        .withColumn("prefix", F.substring("gram", 1, n - 1))
+        .join(cnt_p, "prefix")
+        .select(
+            "gram",
+            F.log(F.col("c_gram").cast("double") / F.col("c_prefix").cast("double")).alias("logp"),
+        )
+    )
+
+
+def ngram_lm_score(df, text_col: str, model, *, id_col: str = "_id",
+                   n: int = 3, oov_logp: float = -16.0):
+    """Score each document against a fitted model: mean conditional
+    log-probability per gram (unseen grams get ``oov_logp``) and the
+    derived perplexity ``exp(-avg_logp)``. Degenerate/wrong-language
+    text scores high-perplexity — the CCNet keep/cut axis.
+
+    One explode + broadcast join + groupBy on the doc id; the model is
+    broadcast (bounded by construction), so the corpus shuffles once on
+    the id — no UDFs anywhere.
+    """
+    from pyspark.sql.functions import broadcast
+
+    grams = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__sid"),
+        F.explode(_char_grams(F.col(text_col), n)).alias("gram"),
+    )
+    scored = (
+        grams.join(broadcast(model), "gram", "left")
+        .groupBy("__sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.avg(F.coalesce("logp", F.lit(float(oov_logp)))).alias("avg_logp"),
+        )
+    )
+    return scored.select(
+        F.col("__sid").alias(id_col),
+        "n_grams",
+        "avg_logp",
+        F.exp(-F.col("avg_logp")).alias("perplexity"),
+    )

@@ -845,3 +845,46 @@ def test_quantiles_quoted_column_name(spark):
     df = spark.createDataFrame([(1.0,), (3.0,)], "`my col` double")
     rows = {r["prob"]: r["value"] for r in quantiles(df, "my col", (0.5,)).collect()}
     assert rows[0.5] == 2.0
+
+
+# -- char n-gram LM ----------------------------------------------------------
+
+
+def test_ngram_lm_fit_and_score(spark):
+    import math
+
+    from semadb_spark.operators import textstats as ts
+
+    corpus = spark.createDataFrame(
+        [("1", "the cat sat on the mat"), ("2", "the cat ran to the hat"),
+         ("3", "the bat sat on the cat")],
+        "_id string, text string",
+    )
+    model = ts.ngram_lm_fit(corpus, "text", min_count=1)
+    probs = {r["gram"]: r["logp"] for r in model.collect()}
+    # 'the' always follows 'th' in this corpus -> conditional prob 1
+    assert abs(probs["the"]) < 1e-12
+    # every logp is a valid log-probability
+    assert all(p <= 1e-12 for p in probs.values())
+    scored = ts.ngram_lm_score(corpus, "text", model)
+    rows = {r["_id"]: r for r in scored.collect()}
+    assert rows["1"]["n_grams"] == len("the cat sat on the mat") - 2
+    assert all(r["perplexity"] >= 1.0 - 1e-9 for r in rows.values())
+    # in-domain text scores FAR better than alien text
+    alien = spark.createDataFrame([("x", "zzqj wvxk pfff qqqq")], "_id string, text string")
+    ax = ts.ngram_lm_score(alien, "text", model).collect()[0]
+    assert ax["perplexity"] > 100 * max(r["perplexity"] for r in rows.values())
+    assert abs(ax["avg_logp"] - (-16.0)) < 1e-9  # pure OOV
+    # short text degenerates to zero grams -> absent from the result
+    short = spark.createDataFrame([("s", "ab")], "_id string, text string")
+    assert ts.ngram_lm_score(short, "text", model).collect() == []
+
+
+def test_ngram_lm_rejects_bad_n(spark):
+    import pytest as _pytest
+
+    from semadb_spark.operators import textstats as ts
+
+    df = spark.createDataFrame([("1", "abc")], "_id string, text string")
+    with _pytest.raises(ValueError):
+        ts.ngram_lm_fit(df, "text", n=1)
