@@ -580,7 +580,7 @@ def ngram_lm_fit(df, text_col: str, *, n: int = 3, min_count: int = 2):
     return (
         cnt_n.filter(F.col("c_gram") >= min_count)
         .withColumn("prefix", F.substring("gram", 1, n - 1))
-        .join(cnt_p, "prefix")
+        .join(F.broadcast(cnt_p), "prefix")
         .select(
             "gram",
             F.log(F.col("c_gram").cast("double") / F.col("c_prefix").cast("double")).alias("logp"),

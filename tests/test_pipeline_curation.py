@@ -48,3 +48,34 @@ def test_curate_corpus_drop_ids_hook(spark):
 def test_curate_corpus_no_stats_mode(spark):
     cur, stats = curate_corpus(_corpus(spark), collect_stats=False)
     assert stats == {} and cur.count() == 2
+
+
+def test_curation_stages_fuse_into_one_scan(spark):
+    """The per-document stages (encoding, line-clean, gopher) must stay
+    shuffle-free: the recipe's only exchanges belong to the dedup
+    groupBy + semi-join. At 100 TB every extra exchange is a full-corpus
+    network pass."""
+    cur, _ = curate_corpus(_corpus(spark), collect_stats=False)
+    plan = cur._jdf.queryExecution().executedPlan().toString()
+    # dedup: one aggregate exchange (+AQE may show one for the semi join)
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_without_dedup_stage_has_no_shuffle(spark):
+    from semadb_spark.operators.textstats import (
+        encoding_signals, gopher_quality_flags, line_filter,
+    )
+    from pyspark.sql import functions as F
+
+    df = _corpus(spark)
+    enc = encoding_signals("text")
+    lf = line_filter("text")
+    g = gopher_quality_flags("text")
+    pure = (
+        df.filter(~enc["encoding_suspect"])
+        .withColumn("text", lf["cleaned"])
+        .filter(g["keep"])
+    )
+    plan = pure._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure Column pipeline, zero shuffles

@@ -888,3 +888,26 @@ def test_ngram_lm_rejects_bad_n(spark):
     df = spark.createDataFrame([("1", "abc")], "_id string, text string")
     with _pytest.raises(ValueError):
         ts.ngram_lm_fit(df, "text", n=1)
+
+
+def test_histogram_plan_broadcasts_counts(spark):
+    from semadb_spark.operators.profiling import histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    plan = histogram(df, "x", bins=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "SortMergeJoin" not in plan  # the spine must never sort-merge
+
+
+def test_lm_score_plan_broadcasts_model(spark):
+    from semadb_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [("1", "the cat sat"), ("2", "the mat sat")], "_id string, text string")
+    model = ts.ngram_lm_fit(docs, "text", min_count=1)
+    plan = ts.ngram_lm_score(docs, "text", model) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side model join broadcasts; fit-internal joins are
+    # model-sized and irrelevant to corpus scale
+    assert "SortMergeJoin" not in plan.split("BroadcastExchange")[0]
+    assert "BroadcastHashJoin" in plan
