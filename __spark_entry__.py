@@ -1120,6 +1120,27 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
 
     q["asof_join_events"] = asof_join_events
 
+    def asof_fwd_events(spark, sf_dir):
+        # forward direction over the same synthesis: earliest reference
+        # update at/after each event
+        from semadb_spark.operators.temporal import asof_join
+
+        ev = _t(spark, sf_dir, "events")
+        left = ev.where(F.col("event_id") % 7 != 0).select(
+            "event_id", "user_id", "ts"
+        )
+        right = (
+            ev.where(F.col("event_id") % 7 == 0)
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("ref"))
+        )
+        return asof_join(left, right, "ts", "user_id",
+                         value_cols=["ref"], direction="forward").select(
+            "event_id", "ts_asof", "ref_asof"
+        )
+
+    q["asof_fwd_events"] = asof_fwd_events
+
     def quantiles_events(spark, sf_dir):
         from semadb_spark.operators.profiling import quantiles
 
@@ -1820,7 +1841,7 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
     )
     q["temporal_suite"] = _combo(
         [("sessionize", "sessionize_events"), ("asof", "asof_join_events"),
-         ("rolling", "rolling_events")]
+         ("asof_fwd", "asof_fwd_events"), ("rolling", "rolling_events")]
     )
 
     assert len(q) == 50, f"gate budget: expected exactly 50, got {len(q)}"
@@ -2639,6 +2660,17 @@ def oracle_sql() -> dict[str, str]:
         FROM s
     """
 
+    o["asof_fwd_events"] = """
+        WITH l AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_id % 7 <> 0),
+        r AS (
+          SELECT user_id, ts, max(value) AS ref
+          FROM events WHERE event_id % 7 = 0 GROUP BY user_id, ts)
+        SELECT l.event_id, r.ts AS ts_asof, r.ref AS ref_asof
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts <= r.ts
+    """
+
     o["sessionize_events"] = """
         WITH d AS (
           SELECT event_id, user_id, ts,
@@ -2985,6 +3017,7 @@ def oracle_sql() -> dict[str, str]:
         ("sessionize", "sessionize_events",
          ["event_id", "user_id", "session_idx", "session_id"]),
         ("asof", "asof_join_events", ["event_id", "ts_asof", "ref_asof"]),
+        ("asof_fwd", "asof_fwd_events", ["event_id", "ts_asof", "ref_asof"]),
         ("rolling", "rolling_events",
          ["event_id", "roll_n", "sum_q4", "avg_q4", "roll_min", "roll_max"]),
     ])

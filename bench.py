@@ -99,6 +99,7 @@ NEW_PIPELINE_QUERIES = [
     "gopher_quality",
     "contamination_flags",
     "lm_perplexity",
+    "asof_fwd_events",
 ]
 
 VECTOR_QPS_BATCH = 512  # queries in the throughput batch (batch-first regime)

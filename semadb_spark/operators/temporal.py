@@ -81,11 +81,15 @@ def session_stats(df, user_col: str, ts_col: str, *,
 def asof_join(left, right, ts_col: str, by: list[str] | str, *,
               value_cols: list[str] | None = None,
               tolerance_seconds: float | None = None,
+              direction: str = "backward",
               suffix: str = "_asof"):
-    """Backward as-of join: attach to each left row the most recent right
-    row with ``right.ts <= left.ts`` within the same ``by`` key(s) —
-    NULLs when no right row precedes (or the match is staler than
-    ``tolerance_seconds``). Right columns arrive as ``<col><suffix>``
+    """As-of (point-in-time) join: attach to each left row the right row
+    nearest in time within the same ``by`` key(s) — ``direction``
+    selects the pandas ``merge_asof`` family: ``backward`` (default,
+    most recent right.ts <= left.ts), ``forward`` (earliest right.ts >=
+    left.ts), or ``nearest`` (closer of the two; exact tie -> backward).
+    NULLs when no candidate exists or the match violates
+    ``tolerance_seconds``. Right columns arrive as ``<col><suffix>``
     plus ``<ts_col><suffix>`` (the matched timestamp).
 
     Semantics are DuckDB/pandas ``merge_asof`` backward-inclusive: a
@@ -126,21 +130,62 @@ def asof_join(left, right, ts_col: str, by: list[str] | str, *,
         "__rv", F.lit(None).cast(r.schema["__rv"].dataType)
     )
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(ts_col), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = F.last("__rv", ignorenulls=True).over(w)
-    out = u.withColumn("__m", matched).where(F.col("__side") == 1)
-    if tolerance_seconds is not None:
-        tol_us = int(round(tolerance_seconds * MICROS))
-        fresh = (
-            _micros(F.col(ts_col)) - _micros(F.col("__m")["__ts"])
-        ) <= tol_us
-        out = out.withColumn(
-            "__m", F.when(fresh, F.col("__m"))
+
+    def sweep(asc: bool):
+        # both sweeps share the partitioning, so a second direction adds
+        # a per-partition re-sort but NO second shuffle
+        order = [
+            F.col(ts_col).asc() if asc else F.col(ts_col).desc(),
+            F.col("__side").asc(),  # right before left at equal ts
+        ]
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
+        return F.last("__rv", ignorenulls=True).over(w)
+
+    tol_us = (
+        None if tolerance_seconds is None
+        else int(round(tolerance_seconds * MICROS))
+    )
+
+    def within_tol(m, backward_leg: bool):
+        if tol_us is None:
+            return m
+        delta = _micros(F.col(ts_col)) - _micros(m["__ts"])
+        if not backward_leg:
+            delta = -delta
+        return F.when(delta <= tol_us, m)
+
+    if direction == "backward":
+        out = u.withColumn("__m", sweep(asc=True))
+        out = out.withColumn("__m", within_tol(F.col("__m"), True))
+    elif direction == "forward":
+        out = u.withColumn("__m", sweep(asc=False))
+        out = out.withColumn("__m", within_tol(F.col("__m"), False))
+    elif direction == "nearest":
+        out = (
+            u.withColumn("__mb", sweep(asc=True))
+            .withColumn("__mf", sweep(asc=False))
+        )
+        mb = within_tol(F.col("__mb"), True)
+        mf = within_tol(F.col("__mf"), False)
+        db = _micros(F.col(ts_col)) - _micros(mb["__ts"])
+        df_ = _micros(mf["__ts"]) - _micros(F.col(ts_col))
+        # pandas merge_asof nearest: tie -> backward
+        pick = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(db <= df_, mb)
+            .otherwise(mf)
+        )
+        out = out.withColumn("__m", pick).drop("__mb", "__mf")
+    else:
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
+    out = out.where(F.col("__side") == 1)
     sel = [F.col(c) for c in left.columns]
     sel.append(F.col("__m")["__ts"].alias(f"{ts_col}{suffix}"))
     sel.extend(F.col("__m")[c].alias(f"{c}{suffix}") for c in value_cols)

@@ -159,3 +159,55 @@ def test_sessionize_and_rolling_reject_shadowed_outputs(spark):
                                 "id long, u string, ts timestamp, v double, roll_n int")
     with _pytest.raises(ValueError, match="already exist"):
         rolling_agg(ev2, "ts", "v", "u", window_seconds=1)
+
+
+def test_asof_join_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _t(0)), (2, "k", _t(10)), (3, "k", _t(100))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", _t(10), 1.0), ("k", _t(50), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = {r["id"]: r for r in asof_join(
+        left, right, "ts", "k", direction="forward").collect()}
+    assert out[1]["v_asof"] == 1.0       # earliest right at/after t=0
+    assert out[2]["v_asof"] == 1.0       # equal ts matches (inclusive)
+    assert out[3]["v_asof"] is None      # nothing after t=100
+    tol = {r["id"]: r for r in asof_join(
+        left, right, "ts", "k", direction="forward",
+        tolerance_seconds=5).collect()}
+    assert tol[1]["v_asof"] is None      # 10s ahead > 5s tolerance
+    assert tol[2]["v_asof"] == 1.0
+
+
+def test_asof_join_nearest_direction(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _t(30)), (2, "k", _t(45)), (3, "k", _t(5))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", _t(10), 1.0), ("k", _t(50), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = {r["id"]: r for r in asof_join(
+        left, right, "ts", "k", direction="nearest").collect()}
+    assert out[1]["v_asof"] == 1.0       # exact tie (20 vs 20) -> backward
+    assert out[2]["v_asof"] == 2.0       # 5 ahead beats 35 back
+    assert out[3]["v_asof"] == 1.0       # only forward exists (5 back none)
+    # tolerance prunes each leg independently before the choice
+    tol = {r["id"]: r for r in asof_join(
+        left, right, "ts", "k", direction="nearest",
+        tolerance_seconds=6).collect()}
+    assert tol[1]["v_asof"] is None and tol[2]["v_asof"] == 2.0
+    assert tol[3]["v_asof"] == 1.0
+
+
+def test_asof_join_bad_direction(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, "k", _t(0))], "id long, k string, ts timestamp")
+    right = spark.createDataFrame([("k", _t(0), 1.0)], "k string, ts timestamp, v double")
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "ts", "k", direction="sideways").collect()
