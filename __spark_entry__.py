@@ -1066,6 +1066,19 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
 
     q["lm_perplexity"] = lm_perplexity
 
+    def chunk_docs(spark, sf_dir):
+        # 12-token windows, 4-token overlap; chunk text md5'd to keep the
+        # hashed frame narrow
+        docs = _docs(spark, sf_dir)
+        ch = ts_ops.chunk_documents(docs, "text", chunk_tokens=12,
+                                    overlap_tokens=4)
+        return ch.select(
+            "_id", "chunk_idx", "n_chunk_tokens",
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+
+    q["chunk_docs"] = chunk_docs
+
     def profile_docs(spark, sf_dir):
         # one-pass column profiler over the documents table; floats are
         # floor-quantized for the hash, "column" renamed (DuckDB keyword)
@@ -1828,7 +1841,7 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
     q["text_cleaning_suite"] = _combo(
         [("c4_lines", "c4_line_filter"), ("paragraphs", "dedup_paragraphs"),
          ("gopher", "gopher_quality"), ("contamination", "contamination_flags"),
-         ("lm", "lm_perplexity")]
+         ("lm", "lm_perplexity"), ("chunks", "chunk_docs")]
     )
     q["web_provenance"] = _combo(
         [("url", "url_features"), ("host", "host_stats"),
@@ -2660,6 +2673,26 @@ def oracle_sql() -> dict[str, str]:
         FROM s
     """
 
+    o["chunk_docs"] = """
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS _id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        s AS (
+          SELECT _id, toks, CAST(st AS INTEGER) AS st
+          FROM d, LATERAL (
+            SELECT unnest(range(0, greatest(len(toks) - 4, 1), 8)) AS st) u
+          WHERE len(toks) > 0),
+        c AS (
+          SELECT _id, CAST(st // 8 AS INTEGER) AS chunk_idx,
+                 list_slice(toks, st + 1, st + 12) AS ch
+          FROM s)
+        SELECT _id, chunk_idx, len(ch) AS n_chunk_tokens,
+               md5(array_to_string(ch, ' ')) AS chunk_md5
+        FROM c
+    """
+
     o["asof_fwd_events"] = """
         WITH l AS (
           SELECT event_id, user_id, ts FROM events WHERE event_id % 7 <> 0),
@@ -2992,6 +3025,8 @@ def oracle_sql() -> dict[str, str]:
         ("contamination", "contamination_flags",
          ["_id", "n_grams", "n_hits", "frac_q6"]),
         ("lm", "lm_perplexity", ["_id", "n_grams", "avg_logp_q4"]),
+        ("chunks", "chunk_docs",
+         ["_id", "chunk_idx", "n_chunk_tokens", "chunk_md5"]),
     ])
     o["web_provenance"] = _sql_union([
         ("url", "url_features",

@@ -100,6 +100,7 @@ NEW_PIPELINE_QUERIES = [
     "contamination_flags",
     "lm_perplexity",
     "asof_fwd_events",
+    "chunk_docs",
 ]
 
 VECTOR_QPS_BATCH = 512  # queries in the throughput batch (batch-first regime)

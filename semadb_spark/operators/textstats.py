@@ -619,3 +619,58 @@ def ngram_lm_score(df, text_col: str, model, *, id_col: str = "_id",
         "avg_logp",
         F.exp(-F.col("avg_logp")).alias("perplexity"),
     )
+
+
+# -- Document chunking (pre-embedding / context-window splitting) ------------
+
+
+def chunk_documents(df, text_col: str, id_col: str = "_id", *,
+                    chunk_tokens: int = 128, overlap_tokens: int = 0):
+    """Split documents into whitespace-token windows of ``chunk_tokens``
+    with ``overlap_tokens`` carried between consecutive chunks — the
+    standard pre-embedding step (RAG indexing, long-doc encoders). A
+    chunk is only started while it contributes new tokens (a trailing
+    window shorter than the overlap would be a pure suffix repeat), so
+    token conservation holds exactly:
+    ``sum(chunk sizes) - (n_chunks-1)·overlap == doc tokens``.
+    One output row per chunk: (id, chunk_idx, n_chunk_tokens,
+    chunk_text); original casing/punctuation preserved (this is a
+    splitter, not an analyzer), whitespace normalized to single spaces
+    inside a chunk. Whitespace-only documents produce no rows.
+
+    Pure Column expressions: tokenize + sequence(stride) + slice +
+    explode — zero shuffles, the chunk fan-out happens inside the scan
+    stage at any corpus size.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not (0 <= overlap_tokens < chunk_tokens):
+        raise ValueError(
+            f"overlap_tokens must be in [0, chunk_tokens), got {overlap_tokens}"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), "\\s+"), lambda w: w != ""
+    )
+    n = F.size(toks)
+    last_start = F.greatest(n - 1 - overlap_tokens, F.lit(0))
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), last_start, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(toks, s + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias(id_col), F.explode(chunks).alias("ch"))
+        .select(
+            id_col,
+            F.col("ch.chunk_idx").cast("int").alias("chunk_idx"),
+            F.size("ch.toks").alias("n_chunk_tokens"),
+            F.array_join("ch.toks", " ").alias("chunk_text"),
+        )
+    )

@@ -911,3 +911,49 @@ def test_lm_score_plan_broadcasts_model(spark):
     # model-sized and irrelevant to corpus scale
     assert "SortMergeJoin" not in plan.split("BroadcastExchange")[0]
     assert "BroadcastHashJoin" in plan
+
+
+# -- chunking ----------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from semadb_spark.operators import textstats as ts
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([("d", text), ("e", "   "), ("f", None)],
+                               "_id string, text string")
+    rows = [r.asDict() for r in ts.chunk_documents(
+        df, "text", chunk_tokens=4, overlap_tokens=1).orderBy("chunk_idx").collect()]
+    assert all(r["_id"] == "d" for r in rows)  # empty/null docs emit nothing
+    # stride 3 over 10 tokens -> starts 0,3,6 (a start at 9 would be a
+    # pure suffix repeat: its only token already sits in the chunk at 6)
+    assert [r["chunk_text"] for r in rows] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    assert [r["n_chunk_tokens"] for r in rows] == [4, 4, 4]
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2]
+    # token conservation: chunks cover the doc exactly once plus overlaps
+    assert sum(r["n_chunk_tokens"] for r in rows) - (len(rows) - 1) * 1 == 10
+    # no overlap: exact partition of the token stream
+    flat = ts.chunk_documents(df, "text", chunk_tokens=4).collect()
+    assert sum(r["n_chunk_tokens"] for r in flat) == 10
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from semadb_spark.operators import textstats as ts
+
+    df = spark.createDataFrame([("d", "a b")], "_id string, text string")
+    with _pytest.raises(ValueError):
+        ts.chunk_documents(df, "text", chunk_tokens=0)
+    with _pytest.raises(ValueError):
+        ts.chunk_documents(df, "text", chunk_tokens=4, overlap_tokens=4)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from semadb_spark.operators import textstats as ts
+
+    df = spark.createDataFrame([("d", "a b c")], "_id string, text string")
+    plan = ts.chunk_documents(df, "text", chunk_tokens=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
