@@ -1172,6 +1172,26 @@ def main() -> None:
                 ts_ops.quality_score("text").alias("quality"),
             ),
         ),
+        (
+            # r11: char-trigram LM quality proxy — fit on a 2% hash-sample
+            # (the model converges on a fraction of the corpus; CCNet fits
+            # its LM on a reference slice, not the target), score ALL docs
+            "lm_score",
+            lambda: ts_ops.ngram_lm_score(
+                d1m, "text",
+                ts_ops.ngram_lm_fit(
+                    d1m.where(F.xxhash64("_id") % 50 == 0), "text",
+                    min_count=2,
+                ),
+            ),
+        ),
+        (
+            # r11: 128-token overlap-16 chunking (pre-embedding fan-out)
+            "chunk",
+            lambda: ts_ops.chunk_documents(
+                d1m, "text", chunk_tokens=128, overlap_tokens=16
+            ),
+        ),
     ):
         frame, p_dt = best_of(2, make)
         frame.unpersist()
