@@ -1055,9 +1055,16 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
     def lm_perplexity(spark, sf_dir):
         # char-trigram LM fit on the corpus itself, every doc scored
         # against it; avg_logp floor-quantized (cross-engine double-sum
-        # ordering inside avg)
+        # ordering inside avg). The fit is a deterministic per-corpus
+        # artifact -> session-cached like the other gate artifacts
         docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
-        model = ts_ops.ngram_lm_fit(docs, "text", min_count=2)
+
+        def build():
+            m = ts_ops.ngram_lm_fit(docs, "text", min_count=2)
+            m.persist().count()
+            return m
+
+        model = _cached_index("lm_model", sf_dir, build)
         scored = ts_ops.ngram_lm_score(docs, "text", model)
         return scored.select(
             "_id", "n_grams",

@@ -553,6 +553,32 @@ def _char_grams(c: Column, k: int) -> Column:
     )
 
 
+def _gram_rows(df, text_col: str, k: int, extra=()):
+    """(extra..., gram) rows: normalization materialized ONCE per row
+    before the per-index substring loop — inlining the regexp into the
+    transform lambda re-evaluates it for EVERY gram (no CSE inside
+    lambda bodies), turning an O(len·k) pass into O(len²)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("__norm", norm)
+        .select(*extra, F.explode(_char_grams_attr("__norm", k)).alias("gram"))
+    )
+
+
+def _char_grams_attr(attr: str, k: int) -> Column:
+    """_char_grams over an already-normalized ATTRIBUTE column (O(1)
+    per-element access in the lambda)."""
+    t = F.col(attr)
+    mk = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (k - 1)),
+        lambda i: F.substring(t, i, k),
+    )
+    return F.when(F.length(t) >= k, mk).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def ngram_lm_fit(df, text_col: str, *, n: int = 3, min_count: int = 2):
     """Fit a conditional character n-gram model over the corpus: one row
     per surviving gram with ``logp = ln(count(gram) / count(prefix))``
@@ -569,14 +595,13 @@ def ngram_lm_fit(df, text_col: str, *, n: int = 3, min_count: int = 2):
     """
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
-    grams = df.filter(F.col(text_col).isNotNull()).select(
-        F.explode(_char_grams(F.col(text_col), n)).alias("gram")
-    )
+    grams = _gram_rows(df, text_col, n)
     cnt_n = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c_gram"))
-    prefixes = df.filter(F.col(text_col).isNotNull()).select(
-        F.explode(_char_grams(F.col(text_col), n - 1)).alias("prefix")
+    cnt_p = (
+        _gram_rows(df, text_col, n - 1)
+        .withColumnRenamed("gram", "prefix")
+        .groupBy("prefix").agg(F.count(F.lit(1)).alias("c_prefix"))
     )
-    cnt_p = prefixes.groupBy("prefix").agg(F.count(F.lit(1)).alias("c_prefix"))
     return (
         cnt_n.filter(F.col("c_gram") >= min_count)
         .withColumn("prefix", F.substring("gram", 1, n - 1))
@@ -601,9 +626,8 @@ def ngram_lm_score(df, text_col: str, model, *, id_col: str = "_id",
     """
     from pyspark.sql.functions import broadcast
 
-    grams = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("__sid"),
-        F.explode(_char_grams(F.col(text_col), n)).alias("gram"),
+    grams = _gram_rows(
+        df, text_col, n, extra=(F.col(id_col).alias("__sid"),)
     )
     scored = (
         grams.join(broadcast(model), "gram", "left")
