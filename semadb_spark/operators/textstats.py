@@ -673,9 +673,14 @@ def chunk_documents(df, text_col: str, id_col: str = "_id", *,
             f"overlap_tokens must be in [0, chunk_tokens), got {overlap_tokens}"
         )
     stride = chunk_tokens - overlap_tokens
-    toks = F.filter(
+    # token array materialized as a column BEFORE the windowing lambda:
+    # referencing the split+filter expression inside transform would
+    # re-tokenize the document once per chunk (no CSE in lambda bodies —
+    # same hazard the n-gram path hit)
+    toks_expr = F.filter(
         F.split(F.trim(F.col(text_col)), "\\s+"), lambda w: w != ""
     )
+    toks = F.col("__toks")
     n = F.size(toks)
     last_start = F.greatest(n - 1 - overlap_tokens, F.lit(0))
     starts = F.when(
@@ -690,6 +695,7 @@ def chunk_documents(df, text_col: str, id_col: str = "_id", *,
     )
     return (
         df.filter(F.col(text_col).isNotNull())
+        .withColumn("__toks", toks_expr)
         .select(F.col(id_col).alias(id_col), F.explode(chunks).alias("ch"))
         .select(
             id_col,
