@@ -2112,6 +2112,10 @@ def parse_mp3_header(data: bytes) -> dict | None:
             size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | (
                 (data[8] & 0x7F) << 7
             ) | (data[9] & 0x7F)
+            # syncsafe size excludes the 10-byte header and the optional
+            # v2.4 footer (flag 0x10, 10 bytes AFTER the frames) but
+            # includes any extended header, so audio starts at
+            # 10 + size (+ 10 for the footer)
             pos = 10 + size + (10 if data[5] & 0x10 else 0)
         first = None
         limit = min(n - 4, pos + 65536)
@@ -3001,7 +3005,17 @@ def parse_id3_tags(data: bytes) -> dict | None:
         if data[:3] == b"ID3" and n >= 10:
             major = data[3]
             tag_size = _syncsafe(data[6:10])
-            pos = 10 + (10 if data[5] & 0x10 else 0)  # ext header (v2.3 flag)
+            pos = 10
+            # Extended header flag is 0x40 (0x10 is the v2.4 footer, which
+            # sits AFTER the frames and is excluded from tag_size — nothing
+            # to skip here). v2.4 ext size is syncsafe and includes itself;
+            # v2.3 ext size is a plain 4-byte int excluding the size field.
+            # v2.2 has no extended header (0x40 there means compression).
+            if major >= 3 and data[5] & 0x40 and n >= 14:
+                if major >= 4:
+                    pos = 10 + max(_syncsafe(data[10:14]), 6)
+                else:
+                    pos = 14 + int.from_bytes(data[10:14], "big")
             end = min(n, 10 + tag_size)
             while pos + 6 <= end:
                 if major == 2:

@@ -539,20 +539,6 @@ def char_class_entropy(c: Column | str) -> Column:
 # -- Character n-gram language model (CCNet-style perplexity proxy) ----------
 
 
-def _char_grams(c: Column, k: int) -> Column:
-    """ARRAY<STRING> of all k-char substrings of a normalized text column
-    (lowercased, whitespace collapsed). Guarded for texts shorter than k
-    (Spark's sequence() counts DOWN on a negative span)."""
-    t = F.regexp_replace(F.lower(c), "\\s+", " ")
-    mk = F.transform(
-        F.sequence(F.lit(1), F.length(t) - (k - 1)),
-        lambda i: F.substring(t, i, k),
-    )
-    return F.when(F.length(t) >= k, mk).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def _gram_rows(df, text_col: str, k: int, extra=()):
     """(extra..., gram) rows: normalization materialized ONCE per row
     before the per-index substring loop — inlining the regexp into the
@@ -567,8 +553,11 @@ def _gram_rows(df, text_col: str, k: int, extra=()):
 
 
 def _char_grams_attr(attr: str, k: int) -> Column:
-    """_char_grams over an already-normalized ATTRIBUTE column (O(1)
-    per-element access in the lambda)."""
+    """ARRAY<STRING> of all k-char substrings of an already-normalized
+    ATTRIBUTE column (lowercase + collapsed whitespace materialized by
+    the caller, e.g. ``_gram_rows``' ``__norm`` — O(1) per-element access
+    inside the lambda; see the no-CSE note there). Guarded for texts
+    shorter than k (Spark's sequence() counts DOWN on a negative span)."""
     t = F.col(attr)
     mk = F.transform(
         F.sequence(F.lit(1), F.length(t) - (k - 1)),

@@ -46,8 +46,13 @@ def curate_corpus(df, text_col: str = "text", id_col: str = "_id", *,
     3. **gopher**: the Rae et al. 2021 rule battery
        (``gopher_quality_flags(..., min_words=gopher_min_words)``) —
        only ``keep`` pages survive.
-    4. **exact_dedup**: one groupBy on sha2(text): the lexicographically
-       smallest ``id_col`` per identical cleaned text survives.
+    4. **exact_dedup**: one groupBy on sha2(text): the smallest
+       ``id_col`` per identical cleaned text survives (min in the
+       column's own type — lexicographic for strings, numeric for
+       numbers). PRECONDITION: ``id_col`` values must be unique (the
+       collection ``_id`` contract) — the keep step is an id-membership
+       semi-join, so duplicate ids could retain extra rows or drop
+       distinct texts.
     5. **drop_ids** (optional): anti-join against a caller-supplied
        one-column DataFrame of ids — the hook for fuzzy-dedup output
        (``dedup_components`` canonical-loser sets, contamination hits).

@@ -12,11 +12,16 @@ module parses that format into a typed DataFrame, Spark-first:
   ``mapInPandas`` so a 100k-file crawl fans out across every executor.
 - **Streaming decompression, bounded memory.** Members are inflated one
   at a time with ``zlib.decompressobj(wbits=31)`` chained over
-  ``unused_data``; peak memory per task is one record, not one file.
+  ``unused_data``, and parsed rows are flushed to Arrow in bounded
+  chunks. Peak memory per task is the raw compressed file bytes (which
+  ``binaryFile`` materializes whole — unavoidable for a non-splittable
+  format) plus one inflated record plus one output chunk, NOT the whole
+  inflated file.
 - **Never raises on hostile bytes.** Crawl data is adversarial; the
-  parser follows the repo's media-decoder contract (truncated/garbled
-  records are skipped, partial trailing members dropped) so one bad
-  record cannot kill a 100k-file job.
+  parser follows the repo's media-decoder contract (garbled records are
+  skipped, a truncated trailing gzip member is kept as the partial bytes
+  that did inflate — final-record cutoff is routine in crawl data) so
+  one bad record cannot kill a 100k-file job.
 
 The reference has no web-archive path at all (its ingest surface is the
 HTTP JSON/msgpack API, httpapi/v2/handlers.go) — this is a north-star
@@ -46,8 +51,10 @@ _TEXTUAL_EXACT = ("application/json", "application/xml", "application/xhtml+xml"
 
 
 def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
-    """Inflate concatenated gzip members one at a time; a truncated or
-    corrupt trailing member is dropped (crawl files are often cut off)."""
+    """Inflate concatenated gzip members one at a time. A corrupt member
+    stops the scan; a truncated final member yields whatever bytes did
+    inflate (kept partial — crawl files are often cut off mid-record and
+    the leading records of the member are still good)."""
     pos = 0
     n = len(data)
     while pos < n and data[pos : pos + 2] == GZIP_MAGIC:
@@ -218,6 +225,46 @@ def iter_warc_records(data: bytes, source: str = "") -> Iterator[dict]:
             }
 
 
+# Flush parsed rows to Arrow when either bound trips: records held or
+# approximate payload bytes held. Keeps executor memory at "one chunk",
+# not "one inflated file" (a ~1 GiB member-gzipped crawl file can inflate
+# to several GiB — holding every record of a batch in a Python list
+# before the first yield would spike per-task memory by exactly that).
+_FLUSH_ROWS = 1024
+_FLUSH_BYTES = 64 << 20
+
+
+def _make_warc_parser(record_types, with_payload: bool):
+    """Shared mapInPandas parse fn for read_warc/stream_warc: record-type
+    filter and payload drop inside the task, rows yielded in bounded
+    chunks (``_FLUSH_ROWS`` / ``_FLUSH_BYTES``) rather than one list per
+    binaryFile batch."""
+    import pandas as pd  # local import: executors only need it at parse time
+
+    types = tuple(record_types) if record_types else None
+    keep_payload = bool(with_payload)
+    columns = [c.split()[0] for c in WARC_SCHEMA.split(", ")]
+
+    def parse(batches):
+        rows: list = []
+        held = 0
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for rec in iter_warc_records(bytes(content), source=str(fpath)):
+                    if types is not None and rec["warc_type"] not in types:
+                        continue
+                    if not keep_payload:
+                        rec["payload"] = None
+                    rows.append(rec)
+                    held += rec["content_length"] or 0
+                    if len(rows) >= _FLUSH_ROWS or held >= _FLUSH_BYTES:
+                        yield pd.DataFrame(rows, columns=columns)
+                        rows, held = [], 0
+        yield pd.DataFrame(rows, columns=columns)
+
+    return parse
+
+
 def read_warc(spark, path: str, *, record_types=None, with_payload: bool = True):
     """Read WARC/WET files (plain or .gz) under ``path`` into a DataFrame
     with ``WARC_SCHEMA``.
@@ -230,30 +277,13 @@ def read_warc(spark, path: str, *, record_types=None, with_payload: bool = True)
 
     Scale: one task per file (binaryFile is non-splittable, matching the
     per-record-gzip format); 100k crawl files -> 100k tasks, zero
-    shuffles. Memory per task is one inflated record, not one file.
+    shuffles. Memory per task = the compressed file bytes (binaryFile
+    materializes them) + one inflated record + one bounded output chunk.
     """
-    import pandas as pd  # local import: executors only need it at parse time
-
-    types = tuple(record_types) if record_types else None
-    keep_payload = bool(with_payload)
-
-    def parse(batches):
-        for pdf in batches:
-            rows = []
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                for rec in iter_warc_records(bytes(content), source=str(fpath)):
-                    if types is not None and rec["warc_type"] not in types:
-                        continue
-                    if not keep_payload:
-                        rec["payload"] = None
-                    rows.append(rec)
-            yield pd.DataFrame(
-                rows,
-                columns=[c.split()[0] for c in WARC_SCHEMA.split(", ")],
-            )
-
     files = spark.read.format("binaryFile").load(path).select("path", "content")
-    return files.mapInPandas(parse, schema=WARC_SCHEMA)
+    return files.mapInPandas(
+        _make_warc_parser(record_types, with_payload), schema=WARC_SCHEMA
+    )
 
 
 def build_warc_bytes(records, *, gzip_members: bool = False) -> bytes:
@@ -311,10 +341,25 @@ def write_warc(df, out_dir: str, *, gzip_members: bool = True,
 
     ``out_dir`` must be executor-visible (shared storage on a cluster;
     any local dir in local mode). Empty partitions write nothing.
+
+    Atomicity: each task writes to ``<name>.inprogress-<taskAttemptId>``
+    and ``os.replace``s to the final path only after a clean close, so a
+    killed task, a retry, or a speculative duplicate attempt can never
+    leave a torn gzip member at the final path — the last finishing
+    attempt wins with a complete file (POSIX rename is atomic; the
+    reference bar is all-or-nothing pipelines, utils/pipeline.go:1-9).
+    Stray ``.inprogress-*`` files from crashed attempts of a previous run
+    with the same prefix are removed up front.
     """
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    for stray in os.listdir(out_dir):
+        if stray.startswith(f"{prefix}-") and ".inprogress-" in stray:
+            try:
+                os.remove(os.path.join(out_dir, stray))
+            except OSError:
+                pass
     fields = [c for c in (
         "warc_type", "target_uri", "content_type", "record_id",
         "warc_date", "block", "text",
@@ -332,10 +377,18 @@ def write_warc(df, out_dir: str, *, gzip_members: bool = True,
             recs.append(rec)
         if not recs:
             return
-        pid = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"{prefix}-{pid:05d}{ext}")
-        with open(path, "wb") as f:
-            f.write(build_warc_bytes(recs, gzip_members=gzip_members))
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
+        final = os.path.join(out_dir, f"{prefix}-{pid:05d}{ext}")
+        tmp = f"{final}.inprogress-{attempt}"
+        try:
+            with open(tmp, "wb") as f:
+                f.write(build_warc_bytes(recs, gzip_members=gzip_members))
+            os.replace(tmp, final)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
     df.foreachPartition(dump)
 
@@ -371,28 +424,10 @@ def stream_warc(spark, path: str, *, record_types=None,
     (``BINARYFILE_SCHEMA``); each file is still one task, unsplittable
     by design.
     """
-    import pandas as pd
-
-    types = tuple(record_types) if record_types else None
-    keep_payload = bool(with_payload)
-
-    def parse(batches):
-        for pdf in batches:
-            rows = []
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                for rec in iter_warc_records(bytes(content), source=str(fpath)):
-                    if types is not None and rec["warc_type"] not in types:
-                        continue
-                    if not keep_payload:
-                        rec["payload"] = None
-                    rows.append(rec)
-            yield pd.DataFrame(
-                rows,
-                columns=[c.split()[0] for c in WARC_SCHEMA.split(", ")],
-            )
-
     reader = spark.readStream.format("binaryFile").schema(BINARYFILE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     files = reader.load(path).select("path", "content")
-    return files.mapInPandas(parse, schema=WARC_SCHEMA)
+    return files.mapInPandas(
+        _make_warc_parser(record_types, with_payload), schema=WARC_SCHEMA
+    )

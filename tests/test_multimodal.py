@@ -2522,6 +2522,35 @@ def test_id3v23_plain_sizes_and_v22_ids():
     assert parse_id3_tags(v22 + b"x")["title"] == "Tape"
 
 
+def _ss4(size):
+    return bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                  (size >> 7) & 0x7F, size & 0x7F])
+
+
+def test_id3v2_extended_header_and_footer():
+    from semadb_spark.operators.multimodal import parse_id3_tags
+
+    # v2.4 ext header (flag 0x40): syncsafe size INCLUDING itself
+    fr = _id3v2_frame("TIT2", "ExtTitle")
+    ext = _ss4(6) + bytes([1, 0])           # size=6: 4 size + flag count + flags
+    body = ext + fr
+    v24 = b"ID3" + bytes([4, 0, 0x40]) + _ss4(len(body)) + body
+    assert parse_id3_tags(v24 + b"x")["title"] == "ExtTitle"
+
+    # v2.4 footer (flag 0x10) lives AFTER the frames — must not shift start
+    fr2 = _id3v2_frame("TIT2", "FootTitle")
+    footer = b"3DI" + bytes([4, 0, 0x10]) + _ss4(len(fr2))
+    v24f = b"ID3" + bytes([4, 0, 0x10]) + _ss4(len(fr2)) + fr2 + footer
+    assert parse_id3_tags(v24f)["title"] == "FootTitle"
+
+    # v2.3 ext header: plain 4-byte size EXCLUDING the size field itself
+    fr3 = _id3v2_frame("TALB", "ExtAlbum", major=3)
+    ext3 = (6).to_bytes(4, "big") + b"\x00\x00" + (0).to_bytes(4, "big")
+    body3 = ext3 + fr3
+    v23 = b"ID3" + bytes([3, 0, 0x40]) + _ss4(len(body3)) + body3
+    assert parse_id3_tags(v23 + b"x")["album"] == "ExtAlbum"
+
+
 def test_id3_hostile_bytes_never_raise():
     from semadb_spark.operators.multimodal import parse_id3_tags
 

@@ -219,6 +219,50 @@ def test_write_warc_distributed_round_trip(spark, tmp_path):
     assert all(r["content_length"] == len(r["text"]) for r in back)
 
 
+def test_write_warc_rerun_is_atomic(spark, tmp_path):
+    """A re-run of the sink over the same partition (the retry /
+    speculative-attempt shape) must leave exactly one valid final file per
+    partition and zero .inprogress temporaries — never a torn member."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from semadb_spark.sources.warc import write_warc
+
+    out = str(tmp_path / "export")
+    src = spark.range(0, 20).select(
+        F.lit("conversion").alias("warc_type"),
+        F.lit("text/plain").alias("content_type"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    ).coalesce(1)
+    write_warc(src, out)
+    # stray from a "crashed attempt" of an earlier run with the same prefix
+    stray = os.path.join(out, "part-00000.warc.gz.inprogress-999")
+    with open(stray, "wb") as f:
+        f.write(b"\x1f\x8b torn partial gzip member")
+    write_warc(src, out)  # the re-run
+    files = sorted(os.listdir(out))
+    assert files == ["part-00000.warc.gz"]  # stray removed, no temporaries
+    back = read_warc(spark, out).collect()
+    assert sorted(r["text"] for r in back) == sorted(f"doc {i}" for i in range(20))
+
+
+def test_read_warc_chunked_flush(spark, tmp_path):
+    """More records than the per-chunk flush bound in one file — the
+    parser must yield multiple bounded chunks that reassemble losslessly."""
+    from semadb_spark.sources import warc as warc_mod
+
+    n = warc_mod._FLUSH_ROWS + 476
+    d = tmp_path / "big"
+    d.mkdir()
+    (d / "big.warc").write_bytes(build_warc_bytes(
+        [{"warc_type": "conversion", "content_type": "text/plain",
+          "text": f"r{i}"} for i in range(n)]))
+    got = read_warc(spark, str(d)).collect()
+    assert len(got) == n
+    assert sorted(r["text"] for r in got) == sorted(f"r{i}" for i in range(n))
+
+
 def test_stream_warc_micro_batches(spark, tmp_path):
     import time
 
