@@ -204,7 +204,7 @@ def best_of(n, make, pin_sec=None, pass_times=None, ref_sec=None,
 
 
 def qps_best_of(n_queries, run_pass, pin=None, min_passes=2, max_passes=8,
-                band_backoff_sec=2.0):
+                band_backoff_sec=2.0, note_ratio=0.75):
     """Serving-loop QPS as BEST-of-N passes, with a pinned-band guard.
 
     Round-8 lesson (VERDICT r8 "what's wrong" #1): the text_10m 1-client
@@ -215,9 +215,16 @@ def qps_best_of(n_queries, run_pass, pin=None, min_passes=2, max_passes=8,
     tools/repro_text16c.py) with no ledger entry. Best-of-N matches the
     headline warm-query policy; additionally, when a repro-pinned band
     ``pin`` (QPS) is supplied, the loop KEEPS re-measuring (up to
-    ``max_passes``) while the best pass sits >2x below it, and returns a
-    note naming the pin when even the best pass stays below — so a
-    collapsed row can never land in BENCH_r{N}.json silently again.
+    ``max_passes``) while the best pass sits below ``note_ratio`` x pin,
+    and returns a note naming the pin when even the best pass stays
+    below — so a collapsed row can never land in BENCH_r{N}.json
+    silently again.
+
+    Round-12 tightening (VERDICT r11 "what's wrong" #1): the original
+    trip-wire only fired below 0.5 x pin, so hybrid_local_1m mp8 missed
+    its 120-QPS pin by ~43% in three consecutive committed runs
+    (66.9/68.2/71.4) with band_passes reading healthy. ``note_ratio``
+    (default 0.75) makes any >25% pin miss re-measure AND note.
 
     Noise windows can outlast back-to-back re-measures (r9: one run's
     text_10m legs sat ~4x below band for all passes while an isolation
@@ -239,14 +246,14 @@ def qps_best_of(n_queries, run_pass, pin=None, min_passes=2, max_passes=8,
             best_dt = dt
         passes += 1
         if passes >= min_passes and (
-            pin is None or n_queries / best_dt >= 0.5 * pin
+            pin is None or n_queries / best_dt >= note_ratio * pin
         ):
             break
         if passes >= min_passes and band_backoff_sec:
             _time.sleep(band_backoff_sec)
     qps = round(n_queries / best_dt, 1)
     note = None
-    if pin is not None and qps < 0.5 * pin:
+    if pin is not None and qps < note_ratio * pin:
         note = f"below_pinned_band:{pin}qps_after_{passes}_passes"
     return qps, passes, note
 
@@ -1720,6 +1727,23 @@ def main() -> None:
             "band_passes": [h1_passes, h1p_passes],
             "pins": [HYBRID1M_PIN_1C, HYBRID1M_PIN_MP8],
         }
+        # Ratio-pin vs the SAME-RUN 200k mp8 row (quant-graph idiom,
+        # VERDICT r11 directive #2): a whole-host noise window slows both
+        # pools together, so the ratio separates "window" from "1M-path
+        # regression". Band floor 0.6 (isolation 158.7/180.3 = 0.88 with
+        # differential-noise headroom — latency-bound loops lose ~40% in
+        # windows while GEMM loops lose ~12%, COVERAGE.md r11 bisect).
+        H1M_MP8_MIN_RATIO = 0.6
+        if h1p_qps is not None and hp_qps:
+            mp8_ratio = round(h1p_qps / hp_qps, 3)
+            hybrid_local_1m["qps_mp8_ratio_vs_200k"] = mp8_ratio
+            hybrid_local_1m["mp8_ratio_band"] = [
+                H1M_MP8_MIN_RATIO, "vs same-run hybrid_local 200k mp8"]
+            if mp8_ratio < H1M_MP8_MIN_RATIO:
+                h1p_note = (h1p_note + ";" if h1p_note else "") + (
+                    f"below_mp8_ratio_band:{H1M_MP8_MIN_RATIO}x_200k")
+            elif h1p_note:
+                h1p_note += ";ratio_band_green_vs_same_run_200k(window)"
         if h1_note:
             hybrid_local_1m["qps_note"] = h1_note
         if h1p_note:

@@ -288,3 +288,30 @@ def test_ratio_band_survives_uniform_noise_window():
     # both styles combined: either tripping re-measures
     assert _below_band(8.1, pin_sec=10.0, ref_sec=2.4, min_ratio=0.45)
     assert _below_band(25.0, pin_sec=10.0, ref_sec=24.0, min_ratio=0.45)
+
+
+def test_qps_best_of_notes_25pct_pin_miss():
+    """r11 "what's wrong" #1: hybrid_local_1m mp8 missed its 120-QPS pin
+    by ~43% three committed runs in a row and the old 0.5x trip-wire
+    stayed silent. The tightened note_ratio (0.75 default) must note any
+    >25% miss — here a ~66-QPS loop against pin 120 (0.55x: silent
+    before, noted now) — re-measuring to max_passes first, and must stay
+    quiet inside the band."""
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import qps_best_of
+
+    qps, passes, note = qps_best_of(
+        10, lambda: time.sleep(0.15), pin=120.0,
+        min_passes=2, max_passes=3, band_backoff_sec=0)
+    assert qps < 0.75 * 120.0
+    assert passes == 3  # a miss re-measures to max_passes before noting
+    assert note == "below_pinned_band:120.0qps_after_3_passes"
+    # inside the band (>= 0.75x pin): no note, stops at min_passes
+    qps2, passes2, note2 = qps_best_of(
+        10, lambda: time.sleep(0.1), pin=120.0,
+        min_passes=2, max_passes=3, band_backoff_sec=0)
+    assert note2 is None and passes2 == 2 and qps2 >= 0.75 * 120.0
