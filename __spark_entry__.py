@@ -1073,6 +1073,28 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
 
     q["lm_perplexity"] = lm_perplexity
 
+    def lm_word_perplexity(spark, sf_dir):
+        # word-BIGRAM variant (CCNet's filter is word-unit; bigram keeps
+        # the DuckDB re-derivation tractable); same floor-quantization.
+        # max_broadcast_rows left at the word default so the gate runs
+        # the same guard code path a 100 TB fit would
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+
+        def build():
+            m = ts_ops.ngram_lm_fit(docs, "text", n=2, min_count=2,
+                                    unit="word")
+            m.persist().count()
+            return m
+
+        model = _cached_index("lm_word_model", sf_dir, build)
+        scored = ts_ops.ngram_lm_score(docs, "text", model, n=2, unit="word")
+        return scored.select(
+            "_id", "n_grams",
+            F.floor(F.col("avg_logp") * 1e4).cast("long").alias("avg_logp_q4"),
+        )
+
+    q["lm_word_perplexity"] = lm_word_perplexity
+
     def chunk_docs(spark, sf_dir):
         # 12-token windows, 4-token overlap; chunk text md5'd to keep the
         # hashed frame narrow
@@ -1848,7 +1870,8 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
     q["text_cleaning_suite"] = _combo(
         [("c4_lines", "c4_line_filter"), ("paragraphs", "dedup_paragraphs"),
          ("gopher", "gopher_quality"), ("contamination", "contamination_flags"),
-         ("lm", "lm_perplexity"), ("chunks", "chunk_docs")]
+         ("lm", "lm_perplexity"), ("lm_word", "lm_word_perplexity"),
+         ("chunks", "chunk_docs")]
     )
     q["web_provenance"] = _combo(
         [("url", "url_features"), ("host", "host_stats"),
@@ -2680,6 +2703,39 @@ def oracle_sql() -> dict[str, str]:
         FROM s
     """
 
+    o["lm_word_perplexity"] = """
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS _id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents WHERE text IS NOT NULL),
+        g2 AS (
+          SELECT _id,
+                 w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
+                   AS gram,
+                 w[CAST(i AS INTEGER)] AS pre
+          FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i) u
+          WHERE len(w) >= 2),
+        c2 AS (SELECT gram, count(*) AS cg FROM g2 GROUP BY 1),
+        g1 AS (
+          SELECT w[CAST(i AS INTEGER)] AS pre
+          FROM d, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) u
+          WHERE len(w) >= 1),
+        c1 AS (SELECT pre, count(*) AS cp FROM g1 GROUP BY 1),
+        m AS (
+          SELECT c2.gram,
+                 ln(CAST(cg AS DOUBLE) / CAST(cp AS DOUBLE)) AS logp
+          FROM c2 JOIN c1 ON string_split(c2.gram, ' ')[1] = c1.pre
+          WHERE cg >= 2),
+        s AS (
+          SELECT g2._id, count(*) AS n_grams,
+                 avg(COALESCE(m.logp, -16.0)) AS al
+          FROM g2 LEFT JOIN m USING (gram) GROUP BY 1)
+        SELECT _id, n_grams,
+               CAST(floor(al * 1e4) AS BIGINT) AS avg_logp_q4
+        FROM s
+    """
+
     o["chunk_docs"] = """
         WITH d AS (
           SELECT CAST(doc_id AS VARCHAR) AS _id,
@@ -3032,6 +3088,7 @@ def oracle_sql() -> dict[str, str]:
         ("contamination", "contamination_flags",
          ["_id", "n_grams", "n_hits", "frac_q6"]),
         ("lm", "lm_perplexity", ["_id", "n_grams", "avg_logp_q4"]),
+        ("lm_word", "lm_word_perplexity", ["_id", "n_grams", "avg_logp_q4"]),
         ("chunks", "chunk_docs",
          ["_id", "chunk_idx", "n_chunk_tokens", "chunk_md5"]),
     ])

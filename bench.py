@@ -99,6 +99,7 @@ NEW_PIPELINE_QUERIES = [
     "gopher_quality",
     "contamination_flags",
     "lm_perplexity",
+    "lm_word_perplexity",
     "asof_fwd_events",
     "chunk_docs",
 ]

@@ -539,16 +539,30 @@ def char_class_entropy(c: Column | str) -> Column:
 # -- Character n-gram language model (CCNet-style perplexity proxy) ----------
 
 
-def _gram_rows(df, text_col: str, k: int, extra=()):
+def _gram_rows(df, text_col: str, k: int, extra=(), unit: str = "char"):
     """(extra..., gram) rows: normalization materialized ONCE per row
-    before the per-index substring loop — inlining the regexp into the
+    before the per-index loop — inlining the regexp/split into the
     transform lambda re-evaluates it for EVERY gram (no CSE inside
-    lambda bodies), turning an O(len·k) pass into O(len²)."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    lambda bodies), turning an O(len·k) pass into O(len²).
+
+    ``unit="char"``: k-char substrings of the lowercased,
+    whitespace-collapsed text. ``unit="word"``: k-word shingles
+    (space-joined) of the lowercased whitespace-tokenized text — the
+    CCNet/KenLM-style unit."""
+    if unit == "char":
+        norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+        grams = _char_grams_attr("__norm", k)
+    elif unit == "word":
+        norm = F.filter(
+            F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: w != ""
+        )
+        grams = _word_grams_attr("__norm", k)
+    else:
+        raise ValueError(f"unit must be 'char' or 'word', got {unit!r}")
     return (
         df.filter(F.col(text_col).isNotNull())
         .withColumn("__norm", norm)
-        .select(*extra, F.explode(_char_grams_attr("__norm", k)).alias("gram"))
+        .select(*extra, F.explode(grams).alias("gram"))
     )
 
 
@@ -568,33 +582,87 @@ def _char_grams_attr(attr: str, k: int) -> Column:
     )
 
 
-def ngram_lm_fit(df, text_col: str, *, n: int = 3, min_count: int = 2):
-    """Fit a conditional character n-gram model over the corpus: one row
-    per surviving gram with ``logp = ln(count(gram) / count(prefix))``
-    where prefix is the gram's first n-1 chars. The classic cheap
-    language-model quality proxy (CCNet uses a KenLM 5-gram; a char
-    trigram captures the same "does this look like language X" signal
-    with no external model artifact).
+def _word_grams_attr(attr: str, k: int) -> Column:
+    """ARRAY<STRING> of all k-word shingles (space-joined) of an
+    already-tokenized ATTRIBUTE column (array<string> of lowercase words
+    materialized by the caller — same no-CSE discipline as
+    ``_char_grams_attr``). Guarded for documents shorter than k words."""
+    w = F.col(attr)
+    n = F.size(w)
+    mk = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(w, i, k), " "),
+    )
+    return F.when(n >= k, mk).otherwise(F.array().cast("array<string>"))
+
+
+# Word-unit models can be corpus-sized (a web-scale word 5-gram table is
+# GBs); past this row count the model/prefix join falls back from
+# broadcast to a shuffle join. ~500k rows of short strings + a double is
+# ~tens of MB — the conventional broadcast comfort zone.
+_LM_BROADCAST_ROWS = 500_000
+
+
+def _maybe_broadcast(frame, max_rows):
+    """(frame-or-broadcast(frame), did_broadcast). ``max_rows=None`` =
+    broadcast unconditionally (the char-unit case, bounded by
+    construction); otherwise one count() decides — a cheap extra job at
+    fit time, never in the per-query path."""
+    if max_rows is None:
+        return F.broadcast(frame), True
+    if frame.count() <= max_rows:
+        return F.broadcast(frame), True
+    return frame, False
+
+
+def _lm_guard_rows(unit: str, max_broadcast_rows):
+    if max_broadcast_rows is not None:
+        return int(max_broadcast_rows)
+    # char n-gram space is ≤ |alphabet|^n, naturally tiny; word space is
+    # unbounded and MUST be guarded by default
+    return None if unit == "char" else _LM_BROADCAST_ROWS
+
+
+def ngram_lm_fit(df, text_col: str, *, n: int = 3, min_count: int = 2,
+                 unit: str = "char", max_broadcast_rows: int | None = None):
+    """Fit a conditional n-gram model over the corpus: one row per
+    surviving gram with ``logp = ln(count(gram) / count(prefix))`` where
+    prefix is the gram's first n-1 units. The classic cheap
+    language-model quality proxy — ``unit="char"`` (default trigram)
+    captures "does this look like language X" with no external model
+    artifact; ``unit="word"`` is the CCNet/KenLM-style filter (word
+    5-gram in the paper; word grams are space-joined shingles of the
+    lowercased whitespace tokenization).
 
     Scale shape: two explode+groupBy passes over the corpus (gram and
     prefix counts) joined on the prefix — fit is a one-time batch job;
-    ``min_count`` bounds the model to grams with real support, keeping
-    it broadcastable (char trigram space is ≤ |alphabet|³, naturally
-    tiny next to the corpus).
+    ``min_count`` bounds the model to grams with real support. The
+    prefix join broadcasts only while the prefix table is small: char
+    space is ≤ |alphabet|ⁿ (always broadcast); word space is unbounded,
+    so past ``max_broadcast_rows`` (default ``_LM_BROADCAST_ROWS``) the
+    join falls back to a shuffle join — at 100 TB a word model is
+    corpus-sized and broadcasting it would OOM every executor.
     """
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
-    grams = _gram_rows(df, text_col, n)
+    grams = _gram_rows(df, text_col, n, unit=unit)
     cnt_n = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c_gram"))
     cnt_p = (
-        _gram_rows(df, text_col, n - 1)
+        _gram_rows(df, text_col, n - 1, unit=unit)
         .withColumnRenamed("gram", "prefix")
         .groupBy("prefix").agg(F.count(F.lit(1)).alias("c_prefix"))
     )
+    cnt_p, _ = _maybe_broadcast(cnt_p, _lm_guard_rows(unit, max_broadcast_rows))
+    if unit == "char":
+        prefix = F.substring("gram", 1, n - 1)
+    else:
+        # words contain no spaces post-tokenization, so the prefix is the
+        # gram minus its last space-joined word
+        prefix = F.array_join(F.slice(F.split(F.col("gram"), " "), 1, n - 1), " ")
     return (
         cnt_n.filter(F.col("c_gram") >= min_count)
-        .withColumn("prefix", F.substring("gram", 1, n - 1))
-        .join(F.broadcast(cnt_p), "prefix")
+        .withColumn("prefix", prefix)
+        .join(cnt_p, "prefix")
         .select(
             "gram",
             F.log(F.col("c_gram").cast("double") / F.col("c_prefix").cast("double")).alias("logp"),
@@ -603,23 +671,27 @@ def ngram_lm_fit(df, text_col: str, *, n: int = 3, min_count: int = 2):
 
 
 def ngram_lm_score(df, text_col: str, model, *, id_col: str = "_id",
-                   n: int = 3, oov_logp: float = -16.0):
+                   n: int = 3, oov_logp: float = -16.0, unit: str = "char",
+                   max_broadcast_rows: int | None = None):
     """Score each document against a fitted model: mean conditional
     log-probability per gram (unseen grams get ``oov_logp``) and the
     derived perplexity ``exp(-avg_logp)``. Degenerate/wrong-language
-    text scores high-perplexity — the CCNet keep/cut axis.
+    text scores high-perplexity — the CCNet keep/cut axis. ``unit`` and
+    ``n`` must match the fit call.
 
-    One explode + broadcast join + groupBy on the doc id; the model is
-    broadcast (bounded by construction), so the corpus shuffles once on
-    the id — no UDFs anywhere.
+    One explode + model join + groupBy on the doc id — no UDFs anywhere.
+    A char model is broadcast unconditionally (bounded by construction);
+    a word model broadcasts only up to ``max_broadcast_rows`` (default
+    ``_LM_BROADCAST_ROWS``), past which the gram rows shuffle-join it —
+    one extra exchange, but the only plan that survives a corpus-sized
+    model.
     """
-    from pyspark.sql.functions import broadcast
-
+    model, _ = _maybe_broadcast(model, _lm_guard_rows(unit, max_broadcast_rows))
     grams = _gram_rows(
-        df, text_col, n, extra=(F.col(id_col).alias("__sid"),)
+        df, text_col, n, extra=(F.col(id_col).alias("__sid"),), unit=unit
     )
     scored = (
-        grams.join(broadcast(model), "gram", "left")
+        grams.join(model, "gram", "left")
         .groupBy("__sid")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -880,6 +880,82 @@ def test_ngram_lm_fit_and_score(spark):
     assert ts.ngram_lm_score(short, "text", model).collect() == []
 
 
+def test_ngram_lm_word_unit_parity(spark):
+    """unit='word' (CCNet/KenLM-style shingles) against a hand-rolled
+    Python reference: bigram logp = ln(count(w1 w2) / count(w1)) and the
+    per-doc average with OOV fill."""
+    import math
+    from collections import Counter
+
+    from semadb_spark.operators import textstats as ts
+
+    texts = {"1": "The cat sat on the mat", "2": "the cat ran to the hat",
+             "3": "a bat sat on the cat"}
+    corpus = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "_id string, text string")
+    model = ts.ngram_lm_fit(corpus, "text", n=2, min_count=1, unit="word")
+    got = {r["gram"]: r["logp"] for r in model.collect()}
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in texts.values():
+        w = t.lower().split()
+        uni.update(w)
+        bi.update(" ".join(p) for p in zip(w, w[1:]))
+    want = {g: math.log(c / uni[g.split()[0]]) for g, c in bi.items()}
+    assert got.keys() == want.keys()
+    assert all(abs(got[g] - want[g]) < 1e-12 for g in want)
+
+    scored = {r["_id"]: r for r in
+              ts.ngram_lm_score(corpus, "text", model, n=2, unit="word").collect()}
+    for k, t in texts.items():
+        w = t.lower().split()
+        grams = [" ".join(p) for p in zip(w, w[1:])]
+        exp = sum(want.get(g, -16.0) for g in grams) / len(grams)
+        assert scored[k]["n_grams"] == len(grams)
+        assert abs(scored[k]["avg_logp"] - exp) < 1e-9
+    # a 1-word doc has zero bigrams -> absent from the result
+    one = spark.createDataFrame([("s", "hello")], "_id string, text string")
+    assert ts.ngram_lm_score(one, "text", model, n=2, unit="word").collect() == []
+
+
+def test_ngram_lm_word_broadcast_guard(spark):
+    """The model-size guard at a synthetic large-vocab corpus: with the
+    threshold forced below the vocab size the fit/score joins fall back
+    from broadcast to shuffle joins, and the numbers do not move."""
+    from semadb_spark.operators import textstats as ts
+
+    # 400 distinct words -> 399 distinct bigrams, every prefix unique
+    text = " ".join(f"w{i:04d}" for i in range(400))
+    corpus = spark.createDataFrame(
+        [("1", text), ("2", text)], "_id string, text string")
+    guarded_model = ts.ngram_lm_fit(
+        corpus, "text", n=2, min_count=1, unit="word", max_broadcast_rows=1)
+    open_model = ts.ngram_lm_fit(
+        corpus, "text", n=2, min_count=1, unit="word",
+        max_broadcast_rows=10**9)
+    gm = {r["gram"]: r["logp"] for r in guarded_model.collect()}
+    om = {r["gram"]: r["logp"] for r in open_model.collect()}
+    assert gm == om and len(gm) == 399
+
+    g_plan = ts.ngram_lm_score(
+        corpus, "text", guarded_model, n=2, unit="word",
+        max_broadcast_rows=1,
+    )._jdf.queryExecution().executedPlan().toString()
+    o_plan = ts.ngram_lm_score(
+        corpus, "text", open_model, n=2, unit="word",
+        max_broadcast_rows=10**9,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in g_plan  # guard tripped: no broadcast
+    assert "BroadcastHashJoin" in o_plan      # under threshold: broadcast
+    g_rows = sorted(ts.ngram_lm_score(
+        corpus, "text", guarded_model, n=2, unit="word",
+        max_broadcast_rows=1).collect())
+    o_rows = sorted(ts.ngram_lm_score(
+        corpus, "text", open_model, n=2, unit="word").collect())
+    assert g_rows == o_rows
+
+
 def test_ngram_lm_rejects_bad_n(spark):
     import pytest as _pytest
 
