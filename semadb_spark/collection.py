@@ -1810,11 +1810,12 @@ class Collection:
         scheduler floor, capping engine point-reads at ~2-7 QPS).
 
         Returns a pandas DataFrame with the engine's output shape and
-        ordering (parity-tested). Raises
+        ordering (parity-tested). IVF-indexed float properties serve
+        locally (probe + exact rerank, engine parity). Raises
         :class:`~semadb_spark.plans.local_engine.LocalServeUnsupported`
-        for shapes only the distributed engine serves (IVF/quantized
-        vector routes, schemaless payload sort) — catch it and fall back
-        to :meth:`search`."""
+        for shapes only the distributed engine serves (fused/code-scan
+        quantized vector routes, broad-filtered graph walks, schemaless
+        payload sort) — catch it and fall back to :meth:`search`."""
         from .plans.local_engine import LocalSearchEngine
 
         key = (self._current_version(), vector_mode, graph_nprobe)

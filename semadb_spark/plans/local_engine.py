@@ -40,11 +40,19 @@ composed shape):
 - shaping -> ranked-first ordering, user sort keys missing-last, offset/
   limit, select with dotted re-nest (shard/shard.go:329-472 order).
 
-Collections whose vector properties serve through IVF / fused-quantized /
+- IVF-indexed float properties serve LOCALLY with engine parity (r12): the
+  compiler's probe route is centroid-shortlist + exact rerank inside the
+  probed cells, and both halves are driver-tractable — centroids are a
+  tiny json, the assignment artifact becomes a resident (ids, X, cell)
+  matrix exactly like the exact route's ``_vec_matrix``. Same nprobe
+  formula, same float64 math, same (distance, id) ordering.
+
+Collections whose vector properties serve through fused-quantized /
 code-scan routes raise :class:`LocalServeUnsupported` — those routes are
 genuinely distributed (they scan Spark-side artifacts); callers fall back
-to ``Collection.search``. Payload (schemaless) sort keys are likewise
-unsupported locally.
+to ``Collection.search``. Broad-filtered queries on graph+IVF properties
+(the engine's seeded-beam walk) and payload (schemaless) sort keys are
+likewise unsupported locally.
 """
 
 from __future__ import annotations
@@ -152,10 +160,15 @@ class LocalSearchEngine:
         self.text: dict[str, tuple[str, int]] = {}
         # packed vamana artifacts for the graph vector_mode
         self.graph: dict[str, dict] = {}
-        # properties whose ENGINE route is not the exact scan (IVF / fused /
+        # properties whose ENGINE route is not the exact scan (fused /
         # code-scan / quantized-graph): serving them locally would silently
         # return different results than Collection.search — refuse instead
         self.unsupported_vec: dict[str, str] = {}
+        # pure-float IVF probe route served LOCALLY (r12): centroids are a
+        # driver-loadable json, the assignment artifact is the resident
+        # matrix — same resident-column design the graph tier uses
+        self.ivf: dict[str, dict] = {}
+        self._graph_artifacts: set[str] = set()
         for p, v in self.schema.items():
             if v.type == "text":
                 path = collection._index_path(p, self.version)
@@ -175,7 +188,19 @@ class LocalSearchEngine:
                 elif os.path.exists(
                     os.path.join(collection._vindex_path(p), "_centroids.json")
                 ):
-                    self.unsupported_vec[p] = "IVF artifact (probe route)"
+                    # ENGINE route = ivf_search over the persisted artifact
+                    # (compiler.py float-ANN branch). Served locally with
+                    # the SAME probe math + exact rerank (_ivf_topk); the
+                    # artifact rows load lazily on first vector query.
+                    with open(os.path.join(
+                        collection._vindex_path(p), "_centroids.json"
+                    )) as f:
+                        self.ivf[p] = {
+                            "path": collection._vindex_path(p),
+                            "centroids": np.asarray(
+                                json.load(f), dtype=np.float64
+                            ),
+                        }
             if v.type == "vectorVamana":
                 idx = os.path.join(
                     self.base, f"v{self.version}_idx",
@@ -183,6 +208,11 @@ class LocalSearchEngine:
                 )
                 meta_file = os.path.join(idx, "_graph.json")
                 packed = os.path.join(idx, "packed")
+                if os.path.exists(meta_file):
+                    # the ENGINE's graph_indexes key off _graph.json alone
+                    # (packed optional) — its filtered-ANN routing does
+                    # too, so the IVF route's refusal check must as well
+                    self._graph_artifacts.add(p)
                 if os.path.exists(meta_file) and os.path.exists(
                     os.path.join(packed, "_SUCCESS")
                 ):
@@ -245,6 +275,7 @@ class LocalSearchEngine:
                             )
         self._dset = None
         self._vec_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._ivf_cache: dict[str, tuple] = {}
         self._d8_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         # filter-column residency: decoded once per snapshot, reused by
         # every request — the local analogue of the reference keeping its
@@ -618,9 +649,14 @@ class LocalSearchEngine:
             d = 1.0 - X @ q
         else:
             d = numpy_distance_matrix(metric, X, q[None, :])[:, 0]
-        # top-k selection before the sort: partition to the distance
-        # threshold, keep boundary ties so the (distance, id) order and
-        # truncation match a full sort exactly
+        return self._take_topk(ids, d, limit)
+
+    @staticmethod
+    def _take_topk(ids: np.ndarray, d: np.ndarray, limit: int) -> pd.DataFrame:
+        """(distance asc, id asc) top-k over precomputed distances — the
+        shared tail of the exact and IVF routes. Top-k selection before
+        the sort: partition to the distance threshold, keep boundary ties
+        so the order and truncation match a full sort exactly."""
         k = int(limit)
         if len(d) > 4 * k:
             thr = d[np.argpartition(d, k - 1)[:k]].max()
@@ -632,6 +668,81 @@ class LocalSearchEngine:
             .head(k)
             .reset_index(drop=True)
         )
+
+    def _ivf_state(self, prop: str) -> tuple:
+        """(ids, X float64, row_norms², centroid_id) resident rows of the
+        persisted IVF artifact — what the ENGINE probes and reranks
+        (ivf_search runs over index.assigned, not the base table), loaded
+        once per snapshot like the exact route's `_vec_matrix`."""
+        hit = self._ivf_cache.get(prop)
+        if hit is None:
+            import pyarrow.dataset as pads
+
+            dset = pads.dataset(
+                self.ivf[prop]["path"], format="parquet", partitioning="hive"
+            )
+            pdf = dset.to_table(
+                columns=[self.id_col, "v", "centroid_id"]
+            ).to_pandas()
+            ids = pdf[self.id_col].to_numpy(dtype=object)
+            X = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+            ) if len(pdf) else np.zeros((0, 1))
+            cent = pdf["centroid_id"].to_numpy(dtype=np.int64)
+            hit = (ids, X, (X * X).sum(axis=1), cent)
+            self._ivf_cache[prop] = hit
+        return hit
+
+    def _ivf_topk(self, prop: str, vector, value, opts: dict, limit: int,
+                  candidates: np.ndarray | None) -> pd.DataFrame:
+        """The compiler's float IVF probe route served in-process: same
+        centroid shortlist math (argsort of the metric's centroid
+        distances, nprobe = search_size // 8), same exact float64 rerank
+        inside the probed cells, same (distance, id) ordering — engine
+        parity, including the bounded filtered-exact fallback
+        (FILTERED_EXACT_FALLBACK_ROWS) on small candidate sets."""
+        from semadb_spark.functions.distances import numpy_distance_matrix
+        from semadb_spark.plans.compiler import FILTERED_EXACT_FALLBACK_ROWS
+
+        metric = value.distance_metric
+        if candidates is not None:
+            if len(candidates) <= FILTERED_EXACT_FALLBACK_ROWS:
+                # engine takes the exact scan over the filtered base here
+                return self._exact_topk(prop, vector, metric, limit, candidates)
+            if prop in self._graph_artifacts:
+                # broad filtered sets ride the engine's seeded-beam graph
+                # walk (compiler.py filtered-ANN branch) — candidate-
+                # breadth routing over the distributed subgraphs is
+                # engine-only, same policy as the quantized-graph tier
+                raise LocalServeUnsupported(
+                    f"broad filtered query on graph+IVF property {prop}; "
+                    "use Collection.search"
+                )
+        search_size = int(
+            opts.get("searchSize") or value.params.get("searchSize") or 75
+        )
+        ids, X, n2, cent = self._ivf_state(prop)
+        centroids = self.ivf[prop]["centroids"]
+        nprobe = max(1, min(len(centroids), search_size // 8))
+        q = np.asarray(vector, dtype=np.float64)
+        cdist = numpy_distance_matrix(metric, centroids, q[None, :])[:, 0]
+        probed = np.argsort(cdist)[:nprobe]
+        keep = np.isin(cent, probed)
+        ids, X, n2 = ids[keep], X[keep], n2[keep]
+        if candidates is not None:
+            m = pd.Series(ids).isin(candidates).to_numpy()
+            ids, X, n2 = ids[m], X[m], n2[m]
+        if len(ids) == 0:
+            return _empty_ranked().drop(columns=["_score", "_hybridScore"])
+        if metric == "euclidean":
+            d = np.maximum(n2 - 2.0 * (X @ q) + (q @ q), 0.0)
+        elif metric == "dot":
+            d = -(X @ q)
+        elif metric == "cosine":
+            d = 1.0 - X @ q
+        else:
+            d = numpy_distance_matrix(metric, X, q[None, :])[:, 0]
+        return self._take_topk(ids, d, limit)
 
     def _compile_vector(self, prop: str, query: dict, value) -> _LocalCompiled:
         key = "vectorFlat" if value.type == "vectorFlat" else "vectorVamana"
@@ -755,6 +866,15 @@ class LocalSearchEngine:
                     "_distance": [float(dd) for _, dd in hits],
                 }
             )
+        elif (
+            key == "vectorVamana"
+            and prop in self.ivf
+            and value.distance_metric not in ("hamming", "jaccard")
+        ):
+            # ENGINE parity: with an IVF artifact present the compiler's
+            # unfiltered vectorVamana route is ivf_search over the
+            # artifact — NOT exact — so 'auto' must probe too
+            topk = self._ivf_topk(prop, vector, value, opts, limit, candidates)
         else:
             topk = self._exact_topk(
                 prop, vector, value.distance_metric, limit, candidates

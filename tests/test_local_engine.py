@@ -257,10 +257,14 @@ def test_graph_mode_and_route_guards(spark, tmp_path):
             for r in got.to_dict("records")] == [
         (i, round(d, 6)) for i, d in want
     ]
-    # an IVF artifact flips the engine to the probe route -> local refuses
+    # an IVF artifact flips the engine to the probe route -> local now
+    # probes too (r12): same ids/distances as Collection.search
     coll.build_vector_index("v")
-    with pytest.raises(LocalServeUnsupported, match="IVF"):
-        coll.search_local(req)
+    assert_parity(coll, req)
+    # ...and the probe genuinely prunes: at nprobe = searchSize//8 = 5 of
+    # 16+ cells the local result must come off the artifact, not a scan
+    eng = coll._local_engine_cache[1]
+    assert "v" in eng.ivf and eng._ivf_cache  # state loaded lazily by the query
 
 
 def test_hybrid_serve_pool_matches_search_local(coll):
@@ -511,3 +515,78 @@ def test_factorized_equality_edges_and_graph_nprobe(coll, spark, tmp_path):
     # nprobe=1 hits are a subset of the corpus the full probe saw, and the
     # self-point is found either way (it lives in its own nearest cent)
     assert "p009" in set(probe1["_id"]) and "p009" in set(full["_id"])
+
+
+def test_ivf_local_route_parity(spark, tmp_path, monkeypatch):
+    """r12: an IVF-indexed float property serves LOCALLY with engine
+    parity — unfiltered (probe + exact rerank), filtered small (bounded
+    exact fallback), and filtered broad (probe ∩ candidate set, exercised
+    by shrinking FILTERED_EXACT_FALLBACK_ROWS on BOTH tiers)."""
+    import semadb_spark.plans.compiler as compiler_mod
+
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2}},
+        "n": {"type": "integer", "integer": {}}}
+    coll = Collection.create(spark, str(tmp_path / "ivfl"), schema,
+                             num_buckets=4)
+    rng = np.random.RandomState(12)
+    X = rng.normal(size=(240, 8))
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]], n=int(i % 20))
+         for i in range(240)]
+    ))
+    coll.build_vector_index("v", nlist=16)
+    qv = [float(x) for x in X[33]]
+    # unfiltered: engine = ivf_search over the artifact; local must probe
+    # the SAME cells and rerank exactly — including the self-point at d=0
+    got = assert_parity(coll, {"query": {"property": "v", "vectorVamana": {
+        "vector": qv, "limit": 7}}, "limit": 7})
+    assert got["_id"].iloc[0] == "p033" and got["_distance"].iloc[0] < 1e-12
+    # filtered, small candidate set (< FILTERED_EXACT_FALLBACK_ROWS):
+    # both tiers take the bounded exact fallback
+    assert_parity(coll, {"query": {"property": "v", "vectorVamana": {
+        "vector": qv, "limit": 6, "filter": {"property": "n", "integer": {
+            "operator": "lessThan", "value": 10}}}}, "limit": 6})
+    # filtered BROAD (threshold shrunk on both tiers): engine probes with
+    # candidate_ids, local probes ∩ candidates — same optimistic recall
+    monkeypatch.setattr(compiler_mod, "FILTERED_EXACT_FALLBACK_ROWS", 3)
+    coll._invalidate_engine()
+    assert_parity(coll, {"query": {"property": "v", "vectorVamana": {
+        "vector": qv, "limit": 6, "filter": {"property": "n", "integer": {
+            "operator": "lessThan", "value": 10}}}}, "limit": 6})
+
+
+def test_ivf_plus_graph_broad_filter_falls_back(spark, tmp_path, monkeypatch):
+    """With BOTH a graph artifact and an IVF artifact, a broad-filtered
+    request rides the engine's seeded-beam walk — search_local refuses and
+    route='auto' transparently serves the engine's answer."""
+    import semadb_spark.plans.compiler as compiler_mod
+
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2}},
+        "n": {"type": "integer", "integer": {}}}
+    coll = Collection.create(spark, str(tmp_path / "ivfg"), schema,
+                             num_buckets=4)
+    rng = np.random.RandomState(13)
+    X = rng.normal(size=(150, 8))
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]], n=int(i % 10))
+         for i in range(150)]
+    ))
+    coll.build_vamana_index("v", num_shards=2, seed=5)
+    coll.build_vector_index("v", nlist=8)
+    monkeypatch.setattr(compiler_mod, "FILTERED_EXACT_FALLBACK_ROWS", 3)
+    coll._invalidate_engine()
+    req = {"query": {"property": "v", "vectorVamana": {
+        "vector": [float(x) for x in X[5]], "limit": 5,
+        "filter": {"property": "n", "integer": {
+            "operator": "lessThan", "value": 6}}}}, "limit": 5}
+    with pytest.raises(LocalServeUnsupported, match="graph\\+IVF"):
+        coll.search_local(req)
+    want = [(r["_id"], round(r["_distance"], 6))
+            for r in coll.search(req).collect()]
+    got = coll.search(req, route="auto")
+    assert [(g["_id"], round(g["_distance"], 6))
+            for g in got.to_dict("records")] == want
