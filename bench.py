@@ -107,6 +107,65 @@ NEW_PIPELINE_QUERIES = [
 VECTOR_QPS_BATCH = 512  # queries in the throughput batch (batch-first regime)
 
 
+def _warc_fixture(spark, docs_df, n_rows: int, stats: dict) -> str:
+    """One-time WARC export of a bench doc corpus (conversion records, one
+    gzip member per record — the Common Crawl layout) for the end-to-end
+    curate pass; the export itself is the write_warc scale evidence. The
+    build is recorded in ``stats`` when it happens; subsequent calls are
+    path lookups, so the timed curate pass that triggers the first build
+    self-heals via best-of-N (the clean read-only pass wins the min)."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from semadb_spark.sources.warc import write_warc
+
+    path = f"/tmp/semadb_bench_warc_{n_rows}"
+    marker = _os.path.join(path, "_FIXTURE_DONE")
+    if not _os.path.exists(marker):
+        t0 = _time.time()
+        # the synthetic corpus has no stopwords and no sentence
+        # punctuation, so the raw texts die at the Gopher stopword rule
+        # and the curate pass would never feed its one exchange (the
+        # dedup groupBy). A fixed stopword-bearing, punctuation-terminated
+        # tail lets every row exercise every stage; dedup work is
+        # unchanged (the tail is identical on all rows, sha2 stays
+        # per-document distinct exactly where the corpus is).
+        tail = F.lit(" and that is the point of it.")
+        write_warc(
+            docs_df.select(
+                F.lit("conversion").alias("warc_type"),
+                F.lit("text/plain").alias("content_type"),
+                F.col("_id").alias("target_uri"),
+                F.concat(F.col("text"), tail).alias("text"),
+            ),
+            path,
+        )
+        stats["warc_fixture_write_sec"] = round(_time.time() - t0, 2)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def _curate_pipe(spark, warc_dir: str):
+    """WARC-read -> curate_corpus (encoding -> C4 -> Gopher -> exact
+    dedup), one DataFrame flow — the crawl-shaped end-to-end pipeline."""
+    from pyspark.sql import functions as F
+
+    from semadb_spark.pipeline import curate_corpus
+    from semadb_spark.sources.warc import read_wet
+
+    docs = read_wet(spark, warc_dir).select(
+        F.col("target_uri").alias("_id"), "text"
+    )
+    # gopher_min_words matched to the ~25-token synthetic docs (default 40
+    # would zero the corpus); everything else runs the published defaults
+    return curate_corpus(
+        docs, "text", "_id", collect_stats=False, gopher_min_words=10,
+    )[0]
+
+
 def _timed(action) -> float:
     """Wall-clock one call of ``action()``."""
     import time as _time
@@ -1154,6 +1213,7 @@ def main() -> None:
     )
     d1m_n = d1m.count()
     docs_1m: dict[str, float] = {"rows": d1m_n}
+    _warc_fixture(spark, d1m, d1m_n, docs_1m)  # untimed one-time export
     for key, make in (
         ("exact_dedup", lambda: dedup_ops.exact_dedup(d1m, ["text"], "_id")),
         (
@@ -1199,6 +1259,27 @@ def main() -> None:
             lambda: ts_ops.chunk_documents(
                 d1m, "text", chunk_tokens=128, overlap_tokens=16
             ),
+        ),
+        (
+            # r12: eval-overlap decontamination (GPT-3 appendix-C shape) —
+            # the eval side is a ~1k-doc hash-sample of the corpus itself
+            # (guaranteed hits on the duplicated real-text rows), reduced
+            # to distinct 13-grams and broadcast
+            "contamination",
+            lambda: dedup_ops.ngram_contamination(
+                d1m,
+                d1m.where(F.xxhash64("_id") % 1009 == 0).select("text"),
+                "text", "_id",
+            ),
+        ),
+        (
+            # r12: curate_corpus END-TO-END off a WARC read — the full
+            # crawl-shaped pipeline (WARC parse -> encoding -> C4 ->
+            # Gopher -> exact dedup) in one DataFrame flow. The WARC
+            # fixture is the same corpus exported once through write_warc
+            # (itself the scale evidence for the sink).
+            "curate_warc",
+            lambda: _curate_pipe(spark, _warc_fixture(spark, d1m, d1m_n, docs_1m)),
         ),
     ):
         frame, p_dt = best_of(2, make)
@@ -1472,6 +1553,7 @@ def main() -> None:
         )
         d10_n = d10.count()
         docs_10m = {"rows": d10_n}
+        _warc_fixture(spark, d10, d10_n, docs_10m)  # untimed one-time export
         for key, make in (
             (
                 "minhash_lsh",
@@ -1485,6 +1567,39 @@ def main() -> None:
                 "pack",
                 lambda: pk_ops.pack_sequences(
                     d10, "text", "_id", max_tokens=2048, order_col="doc_id"
+                ),
+            ),
+            # r12 (VERDICT r11 directive #4): the round-11 operators get
+            # the same decade proof — identical recipes to the docs_1m
+            # rows so the linearity field compares like with like
+            (
+                "lm_score",
+                lambda: ts_ops.ngram_lm_score(
+                    d10, "text",
+                    ts_ops.ngram_lm_fit(
+                        d10.where(F.xxhash64("_id") % 50 == 0), "text",
+                        min_count=2,
+                    ),
+                ),
+            ),
+            (
+                "chunk",
+                lambda: ts_ops.chunk_documents(
+                    d10, "text", chunk_tokens=128, overlap_tokens=16
+                ),
+            ),
+            (
+                "contamination",
+                lambda: dedup_ops.ngram_contamination(
+                    d10,
+                    d10.where(F.xxhash64("_id") % 1009 == 0).select("text"),
+                    "text", "_id",
+                ),
+            ),
+            (
+                "curate_warc",
+                lambda: _curate_pipe(
+                    spark, _warc_fixture(spark, d10, d10_n, docs_10m)
                 ),
             ),
         ):
