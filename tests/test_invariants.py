@@ -310,8 +310,10 @@ def test_qps_best_of_notes_25pct_pin_miss():
     assert qps < 0.75 * 120.0
     assert passes == 3  # a miss re-measures to max_passes before noting
     assert note == "below_pinned_band:120.0qps_after_3_passes"
-    # inside the band (>= 0.75x pin): no note, stops at min_passes
+    # inside the band (>= 0.75x pin): no note, stops at min_passes.
+    # sleep(0.05) -> ~200 QPS nominal leaves 2x headroom over the 90-QPS
+    # band edge so scheduler jitter can't flake the assertion
     qps2, passes2, note2 = qps_best_of(
-        10, lambda: time.sleep(0.1), pin=120.0,
+        10, lambda: time.sleep(0.05), pin=120.0,
         min_passes=2, max_passes=3, band_backoff_sec=0)
     assert note2 is None and passes2 == 2 and qps2 >= 0.75 * 120.0
