@@ -1811,10 +1811,12 @@ class Collection:
 
         Returns a pandas DataFrame with the engine's output shape and
         ordering (parity-tested). IVF-indexed float properties serve
-        locally (probe + exact rerank, engine parity). Raises
+        locally (probe + exact rerank) and so do flat quantized
+        code-scan properties (frozen-threshold bit metric / ADC) — both
+        engine parity. Raises
         :class:`~semadb_spark.plans.local_engine.LocalServeUnsupported`
-        for shapes only the distributed engine serves (fused/code-scan
-        quantized vector routes, broad-filtered graph walks, schemaless
+        for shapes only the distributed engine serves (fused IVF-BQ/PQ
+        oversample+rerank, broad-filtered graph walks, schemaless
         payload sort) — catch it and fall back to :meth:`search`."""
         from .plans.local_engine import LocalSearchEngine
 

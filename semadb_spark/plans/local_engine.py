@@ -47,10 +47,17 @@ composed shape):
   matrix exactly like the exact route's ``_vec_matrix``. Same nprobe
   formula, same float64 math, same (distance, id) ordering.
 
-Collections whose vector properties serve through fused-quantized /
-code-scan routes raise :class:`LocalServeUnsupported` — those routes are
-genuinely distributed (they scan Spark-side artifacts); callers fall back
-to ``Collection.search``. Broad-filtered queries on graph+IVF properties
+- flat quantized CODE-SCAN properties (schema-declared quantizer, no
+  fused IVF artifact) serve LOCALLY with engine parity (r12): binary
+  encodes the query with the frozen thresholds and ranks by the declared
+  bit metric over resident packed codes; product ranks by the same ADC
+  table ``pq_adc_distance_expr`` folds — filtered queries mask the code
+  rows exactly like the engine's semi-join.
+
+Only the fused IVF-BQ/IVF-PQ oversample+rerank route still raises
+:class:`LocalServeUnsupported` among the vector tiers (its
+candidate-pool mechanics are engine-side); callers fall back to
+``Collection.search``. Broad-filtered queries on graph+IVF properties
 (the engine's seeded-beam walk) and payload (schemaless) sort keys are
 likewise unsupported locally.
 """
@@ -168,6 +175,10 @@ class LocalSearchEngine:
         # driver-loadable json, the assignment artifact is the resident
         # matrix — same resident-column design the graph tier uses
         self.ivf: dict[str, dict] = {}
+        # flat quantized CODE-SCAN route served locally (r12): thresholds/
+        # codebooks come from the persisted _quantizer.json, the codes
+        # parquet becomes a resident (ids, codes) matrix
+        self.qscan: dict[str, dict] = {}
         self._graph_artifacts: set[str] = set()
         for p, v in self.schema.items():
             if v.type == "text":
@@ -181,10 +192,39 @@ class LocalSearchEngine:
                 # route (collection._quantized_indexes/_vector_indexes):
                 # if the engine would serve codes or probe IVF, local exact
                 # results would silently differ — refuse instead
-                if os.path.exists(
-                    os.path.join(collection._qindex_path(p), "_quantizer.json")
-                ):
-                    self.unsupported_vec[p] = "frozen quantizer (code-scan route)"
+                qmeta_path = os.path.join(
+                    collection._qindex_path(p), "_quantizer.json"
+                )
+                if os.path.exists(qmeta_path):
+                    with open(qmeta_path) as f:
+                        qm = json.load(f)
+                    # a CURRENT-version IVF artifact whose schema carries
+                    # the matching code column flips the ENGINE to the
+                    # fused oversample+rerank kernel (compiler
+                    # fused_quantized) — that route stays engine-only;
+                    # otherwise the engine's route is the flat code scan
+                    # (quantized_topk), which serves locally from the
+                    # resident codes (r12, same design as _ivf_topk)
+                    fused = False
+                    vpath = collection._vindex_path(p)
+                    if os.path.exists(os.path.join(vpath, "_centroids.json")):
+                        import pyarrow.dataset as pads
+
+                        names = pads.dataset(
+                            vpath, format="parquet", partitioning="hive"
+                        ).schema.names
+                        want = ("bq_code" if qm["kind"] == "binary"
+                                else "pq_code")
+                        fused = want in names
+                    if fused:
+                        self.unsupported_vec[p] = (
+                            f"fused IVF-{qm['kind']} route"
+                        )
+                    else:
+                        self.qscan[p] = {
+                            "path": collection._qindex_path(p),
+                            "meta": qm,
+                        }
                 elif os.path.exists(
                     os.path.join(collection._vindex_path(p), "_centroids.json")
                 ):
@@ -276,6 +316,7 @@ class LocalSearchEngine:
         self._dset = None
         self._vec_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._ivf_cache: dict[str, tuple] = {}
+        self._qscan_cache: dict[str, tuple] = {}
         self._d8_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         # filter-column residency: decoded once per snapshot, reused by
         # every request — the local analogue of the reference keeping its
@@ -669,6 +710,75 @@ class LocalSearchEngine:
             .reset_index(drop=True)
         )
 
+    def _qscan_state(self, prop: str) -> tuple:
+        """(ids, codes int64 matrix) resident rows of the persisted
+        quantized-code artifact — what the ENGINE's flat code scan ranks
+        (quantized_topk over q_index.codes), loaded once per snapshot."""
+        hit = self._qscan_cache.get(prop)
+        if hit is None:
+            import pyarrow.dataset as pads
+
+            meta = self.qscan[prop]["meta"]
+            dset = pads.dataset(self.qscan[prop]["path"], format="parquet")
+            pdf = dset.to_table(
+                columns=[self.id_col, meta["code_col"]]
+            ).to_pandas()
+            pdf = pdf[pdf[meta["code_col"]].notna()]
+            ids = pdf[self.id_col].to_numpy(dtype=object)
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64)
+                 for c in pdf[meta["code_col"]]]
+            ) if len(pdf) else np.zeros((0, 1), dtype=np.int64)
+            hit = (ids, codes)
+            self._qscan_cache[prop] = hit
+        return hit
+
+    def _qscan_topk(self, prop: str, vector, limit: int,
+                    candidates: np.ndarray | None) -> pd.DataFrame:
+        """The compiler's flat quantized code-scan route in-process: binary
+        encodes the query with the frozen thresholds and ranks by the
+        declared bit metric; product ranks by the ADC table — identical
+        math to bq_distance_expr / pq_adc_distance_expr, same
+        (distance, id) ordering. A pre-filter restricts the scanned codes
+        (the engine semi-joins q_index.codes the same way; the code-scan
+        branch has NO exact fallback, filtered or not)."""
+        from semadb_spark.functions.distances import numpy_distance_matrix
+
+        meta = self.qscan[prop]["meta"]
+        ids, codes = self._qscan_state(prop)
+        if candidates is not None:
+            m = pd.Series(ids).isin(candidates).to_numpy()
+            ids, codes = ids[m], codes[m]
+        if len(ids) == 0:
+            return _empty_ranked().drop(columns=["_score", "_hybridScore"])
+        if meta["kind"] == "binary":
+            from semadb_spark.operators.quantize import encode_bits_np
+
+            thr = np.asarray(meta["thresholds"], dtype=np.float64)
+            qc = encode_bits_np(
+                np.asarray(vector, dtype=np.float64)[None, :], thr
+            )
+            d = numpy_distance_matrix(meta["metric"], codes, qc)[:, 0].astype(
+                np.float64
+            )
+        else:
+            from semadb_spark.operators.quantize import (
+                PQCodebooks,
+                pq_adc_table,
+            )
+
+            books = PQCodebooks(
+                centroids=np.asarray(meta["centroids"], dtype=np.float64),
+                metric=meta["pq_metric"],
+            )
+            table = pq_adc_table(books, vector)  # (m, k) float64
+            d = np.zeros(len(codes), dtype=np.float64)
+            for i in range(table.shape[0]):
+                # sequential accumulation i=0..m-1 mirrors the engine's
+                # aggregate() left fold bit-for-bit
+                d += table[i, codes[:, i]]
+        return self._take_topk(ids, d, limit)
+
     def _ivf_state(self, prop: str) -> tuple:
         """(ids, X float64, row_norms², centroid_id) resident rows of the
         persisted IVF artifact — what the ENGINE probes and reranks
@@ -866,6 +976,12 @@ class LocalSearchEngine:
                     "_distance": [float(dd) for _, dd in hits],
                 }
             )
+        elif prop in self.qscan and value.quantizer is not None:
+            # ENGINE parity: a schema-declared quantizer with persisted
+            # codes (and no fused IVF artifact) serves EVERY query on the
+            # property through the flat code scan (compiler's q_index
+            # branch — binary bit metric / product ADC, filtered or not)
+            topk = self._qscan_topk(prop, vector, limit, candidates)
         elif (
             key == "vectorVamana"
             and prop in self.ivf

@@ -590,3 +590,72 @@ def test_ivf_plus_graph_broad_filter_falls_back(spark, tmp_path, monkeypatch):
     got = coll.search(req, route="auto")
     assert [(g["_id"], round(g["_distance"], 6))
             for g in got.to_dict("records")] == want
+
+
+def test_quantized_code_scan_local_route(spark, tmp_path):
+    """r12: a schema-declared quantizer WITHOUT a fused IVF artifact
+    serves point-reads locally through the same flat code scan the
+    engine's q_index route uses — binary bit-metric and product ADC,
+    unfiltered and filtered (the engine's code-scan branch has no exact
+    fallback: filtered queries still rank codes)."""
+    rng = np.random.RandomState(21)
+    X = rng.normal(size=(150, 16))
+
+    def mk(tag, quantizer, explicit_build=False):
+        schema = {"v": {"type": "vectorFlat", "vectorFlat": {
+            "vectorSize": 16, "distanceMetric": "euclidean",
+            "quantizer": quantizer}},
+            "n": {"type": "integer", "integer": {}}}
+        c = Collection.create(spark, str(tmp_path / tag), schema,
+                              num_buckets=4)
+        c.insert(spark.createDataFrame(
+            [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]], n=int(i % 10))
+             for i in range(150)]
+        ))
+        if explicit_build:  # below the trigger: fit+encode explicitly
+            c.build_quantized_index("v")
+        assert set(c._quantized_indexes()) == {"v"}
+        return c
+
+    bq = mk("csbq", {"type": "binary", "binary": {
+        "distanceMetric": "hamming", "triggerThreshold": 10}})
+    pq = mk("cspq", {"type": "product", "product": {
+        "numSubVectors": 4, "numCentroids": 16, "triggerThreshold": 1000}},
+        explicit_build=True)
+    qv = [float(x) for x in X[7]]
+    for coll in (bq, pq):
+        assert_parity(coll, {"query": {"property": "v", "vectorFlat": {
+            "vector": qv, "limit": 8}}, "limit": 8})
+        assert_parity(coll, {"query": {"property": "v", "vectorFlat": {
+            "vector": qv, "limit": 6, "filter": {"property": "n", "integer": {
+                "operator": "lessThan", "value": 5}}}}, "limit": 6})
+        eng = coll._local_engine_cache[1]
+        assert "v" in eng.qscan and eng._qscan_cache  # codes went resident
+
+
+def test_fused_ivf_quantized_stays_engine_only(spark, tmp_path):
+    """quantizer + an IVF artifact carrying baked codes = the engine's
+    fused oversample+rerank kernel — search_local refuses, route='auto'
+    transparently serves the engine's answer."""
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 16, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2,
+        "quantizer": {"type": "binary", "binary": {
+            "distanceMetric": "hamming", "triggerThreshold": 10}}}}}
+    coll = Collection.create(spark, str(tmp_path / "fused"), schema,
+                             num_buckets=4)
+    rng = np.random.RandomState(22)
+    X = rng.normal(size=(120, 16))
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]]) for i in range(120)]
+    ))
+    coll.build_vector_index("v", nlist=8)  # joins the frozen codes in
+    req = {"query": {"property": "v", "vectorVamana": {
+        "vector": [float(x) for x in X[3]], "limit": 5}}, "limit": 5}
+    with pytest.raises(LocalServeUnsupported, match="fused IVF-binary"):
+        coll.search_local(req)
+    want = [(r["_id"], round(r["_distance"], 6))
+            for r in coll.search(req).collect()]
+    got = coll.search(req, route="auto")
+    assert [(g["_id"], round(g["_distance"], 6))
+            for g in got.to_dict("records")] == want
