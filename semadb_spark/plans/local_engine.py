@@ -932,6 +932,12 @@ class LocalSearchEngine:
                 n_seeds=32,
                 thresholds=graph["thresholds"],
                 books=graph["books"],
+                # this engine instance is snapshot-pinned (the Collection
+                # rebuilds it on version change), so the packed artifact
+                # is immutable for its lifetime — skip the per-second
+                # fingerprint listing walk (the VectorServePool lesson:
+                # re-walking cost ~10% of pool throughput)
+                fp_ttl_sec=3600.0,
             )
             topk = pd.DataFrame(
                 {
@@ -969,6 +975,7 @@ class LocalSearchEngine:
                 dtype=graph["pack_dtype"],
                 compute_dtype="float32",
                 n_seeds=32,
+                fp_ttl_sec=3600.0,  # snapshot-pinned engine, see above
             )
             topk = pd.DataFrame(
                 {
