@@ -659,3 +659,45 @@ def test_fused_ivf_quantized_stays_engine_only(spark, tmp_path):
     got = coll.search(req, route="auto")
     assert [(g["_id"], round(g["_distance"], 6))
             for g in got.to_dict("records")] == want
+
+
+def test_pool_serves_ivf_and_code_scan_routes(spark, tmp_path):
+    """The process-pool tier (workers = filesystem-only open_local) covers
+    the r12 local routes too: IVF probe and quantized code-scan requests
+    through HybridServePool match the in-process search_local exactly."""
+    rng = np.random.RandomState(31)
+    X = rng.normal(size=(200, 8))
+
+    ivf_schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2}}}
+    ivf = Collection.create(spark, str(tmp_path / "poolivf"), ivf_schema,
+                            num_buckets=4)
+    ivf.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]]) for i in range(200)]
+    ))
+    ivf.build_vector_index("v", nlist=8)
+
+    bq_schema = {"v": {"type": "vectorFlat", "vectorFlat": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "quantizer": {"type": "binary", "binary": {
+            "distanceMetric": "hamming", "triggerThreshold": 10}}}}}
+    bq = Collection.create(spark, str(tmp_path / "poolbq"), bq_schema,
+                           num_buckets=4)
+    bq.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]]) for i in range(200)]
+    ))
+
+    for coll in (ivf, bq):
+        key = "vectorVamana" if coll is ivf else "vectorFlat"
+        reqs = [{"query": {"property": "v", key: {
+            "vector": [float(x) for x in X[j]], "limit": 5}}, "limit": 5}
+            for j in (3, 11, 42)]
+        want = [coll.search_local(r) for r in reqs]
+        with coll.open_search_pool(workers=2) as pool:
+            got = pool.search_many(reqs)
+        for w, g in zip(want, got):
+            assert [(r["_id"], round(r["_distance"], 6))
+                    for r in w.to_dict("records")] == [
+                (r["_id"], round(r["_distance"], 6))
+                for r in g.to_dict("records")]
