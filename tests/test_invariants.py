@@ -317,3 +317,21 @@ def test_qps_best_of_notes_25pct_pin_miss():
         10, lambda: time.sleep(0.05), pin=120.0,
         min_passes=2, max_passes=3, band_backoff_sec=0)
     assert note2 is None and passes2 == 2 and qps2 >= 0.75 * 120.0
+
+
+def test_gate_budget_and_oracle_key_contract():
+    """Driver contract structure, no Spark needed: exactly 50 merged gates
+    (budget assert intact), every oracle key names a gate, and merge=False
+    keeps every leg addressable (superset of the merged set minus combos)."""
+    import __spark_entry__ as em
+
+    merged = em.queries()
+    assert len(merged) == 50
+    oracles = em.oracle_sql()
+    unknown = set(oracles) - set(merged)
+    assert not unknown, f"oracle keys without a gate: {sorted(unknown)}"
+    legs = em.queries(merge=False)
+    # every base leg the combos absorbed is still addressable for bench
+    for name in ("lm_perplexity", "lm_word_perplexity", "chunk_docs",
+                 "contamination_flags", "asof_fwd_events"):
+        assert name in legs and callable(legs[name])
