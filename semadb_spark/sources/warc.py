@@ -50,28 +50,39 @@ _TEXTUAL_PREFIXES = ("text/",)
 _TEXTUAL_EXACT = ("application/json", "application/xml", "application/xhtml+xml")
 
 
+# Input chunk fed to the inflater per call. Feeding the WHOLE remaining
+# buffer per member is O(file²) in memcpy — `data[pos:]` copies the tail
+# for every member and `unused_data` copies it again, which measured
+# ~2.5 ms/record on member-per-record crawl files (a 25 MB file with 78k
+# members moved ~1 TB of bytes). Chunked feeding bounds per-member copies
+# to the inflated output plus one ≤CHUNK tail.
+_GZ_CHUNK = 1 << 20
+
+
 def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
     """Inflate concatenated gzip members one at a time. A corrupt member
     stops the scan; a truncated final member yields whatever bytes did
     inflate (kept partial — crawl files are often cut off mid-record and
     the leading records of the member are still good)."""
+    view = memoryview(data)
     pos = 0
     n = len(data)
     while pos < n and data[pos : pos + 2] == GZIP_MAGIC:
         d = zlib.decompressobj(wbits=31)
+        out: list[bytes] = []
         try:
-            chunk = d.decompress(data[pos:])
+            while not d.eof and pos < n:
+                fed = view[pos : pos + _GZ_CHUNK]
+                out.append(d.decompress(fed))
+                pos += len(fed) - len(d.unused_data)
         except zlib.error:
             return
+        member = b"".join(out)
         if not d.eof:  # truncated final member
-            if chunk:
-                yield chunk
+            if member:
+                yield member
             return
-        yield chunk
-        consumed = n - pos - len(d.unused_data)
-        if consumed <= 0:
-            return
-        pos += consumed
+        yield member
 
 
 def _split_headers(head: bytes) -> dict[str, str]:
