@@ -1108,6 +1108,48 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
 
     q["chunk_docs"] = chunk_docs
 
+    def _dsir_scored(spark, sf_dir):
+        # DSIR importance weights (Xie 2023): hashed unigram+bigram bag,
+        # target = the en/src0 slice, raw = whole corpus; the ratio table
+        # is a deterministic per-corpus artifact -> session-cached
+        from semadb_spark.operators import selection as sel
+
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+
+        def build():
+            target = docs.filter(
+                (F.col("lang") == "en") & (F.col("source") == "src0")
+            )
+            t = sel.dsir_fit(target, docs, "text", n=2, buckets=512, seed=0)
+            t.persist().count()
+            return t
+
+        table = _cached_index("dsir_table", sf_dir, build)
+        return sel.dsir_score(docs, "text", table, n=2, buckets=512, seed=0)
+
+    def dsir_weights(spark, sf_dir):
+        # floor-quantized like the other double-sum gates (cross-engine
+        # partial-agg ordering inside sum)
+        scored = _dsir_scored(spark, sf_dir)
+        return scored.select(
+            "_id", "n_grams",
+            F.floor(F.col("logw") * 1e4).cast("long").alias("logw_q4"),
+            F.floor(F.col("logw_per_gram") * 1e6).cast("long").alias("lpg_q6"),
+        )
+
+    q["dsir_weights"] = dsir_weights
+
+    def dsir_select(spark, sf_dir):
+        # Gumbel top-k resample (without replacement, proportional to
+        # exp(logw)) — the md5-seeded draw is engine-reproducible, so the
+        # PICKED SET itself is oracle-hashed, not just the weights
+        from semadb_spark.operators import selection as sel
+
+        scored = _dsir_scored(spark, sf_dir)
+        return sel.dsir_sample(scored, 50, seed=7).select("_id")
+
+    q["dsir_select"] = dsir_select
+
     def profile_docs(spark, sf_dir):
         # one-pass column profiler over the documents table; floats are
         # floor-quantized for the hash, "column" renamed (DuckDB keyword)
@@ -1871,7 +1913,8 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
         [("c4_lines", "c4_line_filter"), ("paragraphs", "dedup_paragraphs"),
          ("gopher", "gopher_quality"), ("contamination", "contamination_flags"),
          ("lm", "lm_perplexity"), ("lm_word", "lm_word_perplexity"),
-         ("chunks", "chunk_docs")]
+         ("chunks", "chunk_docs"), ("dsir", "dsir_weights"),
+         ("dsir_pick", "dsir_select")]
     )
     q["web_provenance"] = _combo(
         [("url", "url_features"), ("host", "host_stats"),
@@ -2736,6 +2779,67 @@ def oracle_sql() -> dict[str, str]:
         FROM s
     """
 
+    # DSIR (Xie 2023): hashed unigram+bigram buckets (portable md5 hash,
+    # seed 0, 512 buckets), add-1-smoothed target/raw ratio, per-doc
+    # summed log-weight. Shared derivation for the weights and the
+    # Gumbel top-k pick legs.
+    _dsir_score_sql = r"""
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS _id, lang, source,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT _id, lang, source,
+                 ('0x' || substr(md5('0:' || gram), 1, 15))::BIGINT % 512
+                   AS bucket
+          FROM (
+            SELECT _id, lang, source, w[CAST(i AS INTEGER)] AS gram
+            FROM d, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) u
+            UNION ALL
+            SELECT _id, lang, source,
+                   w[CAST(i AS INTEGER)] || ' ' ||
+                   w[CAST(i AS INTEGER) + 1] AS gram
+            FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i) u
+            WHERE len(w) >= 2)),
+        ct AS (SELECT bucket, count(*) AS c_t FROM g
+               WHERE lang = 'en' AND source = 'src0' GROUP BY 1),
+        cr AS (SELECT bucket, count(*) AS c_r FROM g GROUP BY 1),
+        spine AS (SELECT t.range AS bucket FROM range(512) t),
+        tab AS (
+          SELECT s.bucket, COALESCE(ct.c_t, 0) AS c_t,
+                 COALESCE(cr.c_r, 0) AS c_r
+          FROM spine s LEFT JOIN ct USING (bucket)
+          LEFT JOIN cr USING (bucket)),
+        tot AS (SELECT sum(c_t) AS tot_t, sum(c_r) AS tot_r FROM tab),
+        ratio AS (
+          SELECT bucket,
+                 ln((c_t + 1.0) / (tot_t + 512.0))
+                 - ln((c_r + 1.0) / (tot_r + 512.0)) AS log_ratio
+          FROM tab, tot),
+        s AS (
+          SELECT g._id, count(*) AS n_grams, sum(r.log_ratio) AS logw
+          FROM g JOIN ratio r USING (bucket) GROUP BY 1)
+        SELECT _id, n_grams, logw, logw / n_grams AS lpg FROM s
+    """
+
+    o["dsir_weights"] = f"""
+        SELECT _id, n_grams,
+               CAST(floor(logw * 1e4) AS BIGINT) AS logw_q4,
+               CAST(floor(lpg * 1e6) AS BIGINT) AS lpg_q6
+        FROM ({_dsir_score_sql})
+    """
+
+    o["dsir_select"] = f"""
+        SELECT _id FROM (
+          SELECT _id,
+                 logw + (-ln(-ln(
+                   ((('0x' || substr(md5('7:' || _id), 1, 15))::BIGINT
+                     + 0.5) / 1152921504606846976.0)))) AS key
+          FROM ({_dsir_score_sql}))
+        ORDER BY key DESC, _id LIMIT 50
+    """
+
     o["chunk_docs"] = """
         WITH d AS (
           SELECT CAST(doc_id AS VARCHAR) AS _id,
@@ -3091,6 +3195,8 @@ def oracle_sql() -> dict[str, str]:
         ("lm_word", "lm_word_perplexity", ["_id", "n_grams", "avg_logp_q4"]),
         ("chunks", "chunk_docs",
          ["_id", "chunk_idx", "n_chunk_tokens", "chunk_md5"]),
+        ("dsir", "dsir_weights", ["_id", "n_grams", "logw_q4", "lpg_q6"]),
+        ("dsir_pick", "dsir_select", ["_id"]),
     ])
     o["web_provenance"] = _sql_union([
         ("url", "url_features",

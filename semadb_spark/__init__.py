@@ -50,12 +50,16 @@ def __getattr__(name):
         from semadb_spark.sources import warc
 
         return getattr(warc, name)
+    if name in ("dsir_fit", "dsir_score", "dsir_sample"):
+        from semadb_spark.operators import selection
+
+        return getattr(selection, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 __all__ = [
     "get_spark", "Collection", "SearchEngine", "IndexSchema", "Workspace",
     "UserPlan", "TextServePool", "curate_corpus", "read_warc", "read_wet",
-    "write_warc", "stream_warc",
+    "write_warc", "stream_warc", "dsir_fit", "dsir_score", "dsir_sample",
 ]
 __version__ = "0.1.0"

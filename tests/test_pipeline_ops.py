@@ -1033,3 +1033,102 @@ def test_chunk_documents_no_shuffle(spark):
     plan = ts.chunk_documents(df, "text", chunk_tokens=2) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# -- DSIR importance resampling ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dsir_frames(spark):
+    """Target: short docs about cats; raw: mostly dog docs + the cat docs."""
+    cats = [(f"c{i}", "the cat sat on the warm mat near the cat door")
+            for i in range(5)]
+    dogs = [(f"d{i}", "a dog ran across the wide park chasing a loud ball")
+            for i in range(15)]
+    other = [("x0", None), ("x1", "")]
+    target = spark.createDataFrame(cats, "_id string, text string")
+    raw = spark.createDataFrame(cats + dogs + other, "_id string, text string")
+    return target, raw
+
+
+def test_dsir_fit_table_is_bucket_bounded(spark, dsir_frames):
+    from semadb_spark.operators import selection as sel
+
+    target, raw = dsir_frames
+    tbl = sel.dsir_fit(target, raw, "text", buckets=64)
+    rows = tbl.collect()
+    assert len(rows) == 64  # dense spine: EXACTLY buckets rows, always
+    assert {r["bucket"] for r in rows} == set(range(64))
+    assert all(r["log_ratio"] is not None for r in rows)
+
+
+def test_dsir_score_ranks_target_like_docs_higher(spark, dsir_frames):
+    from semadb_spark.operators import selection as sel
+
+    target, raw = dsir_frames
+    tbl = sel.dsir_fit(target, raw, "text", buckets=256)
+    scored = {r["_id"]: r for r in
+              sel.dsir_score(raw, "text", tbl, buckets=256).collect()}
+    # no-gram docs produce no row (ngram_lm_score contract)
+    assert "x0" not in scored and "x1" not in scored
+    cat = scored["c0"]["logw_per_gram"]
+    dog = scored["d0"]["logw_per_gram"]
+    assert cat > dog  # target-distribution docs carry higher weight
+    # identical docs score identically; n_grams = unigrams + bigrams
+    assert scored["c1"]["logw"] == scored["c0"]["logw"]
+    assert scored["c0"]["n_grams"] == 11 + 10
+
+
+def test_dsir_sample_is_deterministic_and_weight_biased(spark, dsir_frames):
+    from semadb_spark.operators import selection as sel
+
+    target, raw = dsir_frames
+    tbl = sel.dsir_fit(target, raw, "text", buckets=256)
+    scored = sel.dsir_score(raw, "text", tbl, buckets=256).cache()
+    a = {r["_id"] for r in sel.dsir_sample(scored, 8, seed=3).collect()}
+    b = {r["_id"] for r in sel.dsir_sample(scored, 8, seed=3).collect()}
+    assert a == b and len(a) == 8  # without replacement, seed-stable
+    c = {r["_id"] for r in sel.dsir_sample(scored, 8, seed=4).collect()}
+    assert a != c  # a new seed redraws
+    # cats are 5/20 of the pool but upweighted: every draw keeps them all
+    assert sum(1 for i in a if i.startswith("c")) == 5
+    scored.unpersist()
+
+
+def test_dsir_score_plan_broadcasts_table(spark, dsir_frames):
+    from semadb_spark.operators import selection as sel
+
+    target, raw = dsir_frames
+    tbl = sel.dsir_fit(target, raw, "text", buckets=64)
+    plan = sel.dsir_score(raw, "text", tbl, buckets=64) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # corpus-side: one broadcast join on the bounded table, then one agg
+    # exchange on the doc id — never a sort-merge against the corpus
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.split("BroadcastExchange")[0]
+
+
+def test_dsir_sample_plan_is_take_ordered(spark, dsir_frames):
+    from semadb_spark.operators import selection as sel
+
+    target, raw = dsir_frames
+    tbl = sel.dsir_fit(target, raw, "text", buckets=64)
+    scored = sel.dsir_score(raw, "text", tbl, buckets=64)
+    plan = sel.dsir_sample(scored, 3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+def test_dsir_validation_errors(spark, dsir_frames):
+    from semadb_spark.operators import selection as sel
+
+    target, raw = dsir_frames
+    with pytest.raises(ValueError, match="n must be"):
+        sel.dsir_fit(target, raw, "text", n=0)
+    with pytest.raises(ValueError, match="buckets"):
+        sel.dsir_fit(target, raw, "text", buckets=1)
+    with pytest.raises(ValueError, match="unit"):
+        sel.dsir_fit(target, raw, "text", unit="byte")
+    tbl = sel.dsir_fit(target, raw, "text")
+    with pytest.raises(ValueError, match="k must be"):
+        sel.dsir_sample(sel.dsir_score(raw, "text", tbl), 0)
