@@ -102,6 +102,8 @@ NEW_PIPELINE_QUERIES = [
     "lm_word_perplexity",
     "asof_fwd_events",
     "chunk_docs",
+    "dsir_weights",
+    "dsir_select",
 ]
 
 VECTOR_QPS_BATCH = 512  # queries in the throughput batch (batch-first regime)
@@ -1231,6 +1233,7 @@ def main() -> None:
         )
     from semadb_spark.operators import dedup as dedup_ops
     from semadb_spark.operators import packing as pk_ops
+    from semadb_spark.operators import selection as sel_ops
     from semadb_spark.operators import textstats as ts_ops
 
     d1m = spark.read.parquet(docs1m_path).withColumn(
@@ -1283,6 +1286,26 @@ def main() -> None:
             "chunk",
             lambda: ts_ops.chunk_documents(
                 d1m, "text", chunk_tokens=128, overlap_tokens=16
+            ),
+        ),
+        (
+            # r12: DSIR data selection end-to-end — ratio table fit from
+            # hash-samples (target 0.1%, raw 5%: the bucket distributions
+            # converge on a fraction of the corpus, same argument as the
+            # LM fit sample), then score ALL 1M docs and Gumbel-top-k the
+            # 10k keepers. Dominant cost = the 1M-doc score pass (explode
+            # + broadcast bucket join + one groupBy).
+            "dsir",
+            lambda: sel_ops.dsir_sample(
+                sel_ops.dsir_score(
+                    d1m, "text",
+                    sel_ops.dsir_fit(
+                        d1m.where(F.xxhash64("_id") % 1000 == 0),
+                        d1m.where(F.xxhash64("_id") % 20 == 0),
+                        "text",
+                    ),
+                ),
+                10_000,
             ),
         ),
         (

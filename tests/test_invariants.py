@@ -333,5 +333,6 @@ def test_gate_budget_and_oracle_key_contract():
     legs = em.queries(merge=False)
     # every base leg the combos absorbed is still addressable for bench
     for name in ("lm_perplexity", "lm_word_perplexity", "chunk_docs",
+                 "dsir_weights", "dsir_select",
                  "contamination_flags", "asof_fwd_events"):
         assert name in legs and callable(legs[name])
