@@ -1645,6 +1645,20 @@ def main() -> None:
                 ),
             ),
             (
+                "dsir",
+                lambda: sel_ops.dsir_sample(
+                    sel_ops.dsir_score(
+                        d10, "text",
+                        sel_ops.dsir_fit(
+                            d10.where(F.xxhash64("_id") % 1000 == 0),
+                            d10.where(F.xxhash64("_id") % 20 == 0),
+                            "text",
+                        ),
+                    ),
+                    100_000,
+                ),
+            ),
+            (
                 "curate_warc",
                 lambda: _curate_pipe(
                     spark, _warc_fixture(spark, d10, d10_n, docs_10m)

@@ -54,6 +54,10 @@ def __getattr__(name):
         from semadb_spark.operators import selection
 
         return getattr(selection, name)
+    if name in ("bpe_fit", "bpe_encode", "bpe_word_counts"):
+        from semadb_spark.operators import bpe
+
+        return getattr(bpe, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
@@ -61,5 +65,6 @@ __all__ = [
     "get_spark", "Collection", "SearchEngine", "IndexSchema", "Workspace",
     "UserPlan", "TextServePool", "curate_corpus", "read_warc", "read_wet",
     "write_warc", "stream_warc", "dsir_fit", "dsir_score", "dsir_sample",
+    "bpe_fit", "bpe_encode", "bpe_word_counts",
 ]
 __version__ = "0.1.0"
