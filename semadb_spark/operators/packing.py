@@ -31,6 +31,7 @@ def pack_sequences(
     id_col: str = "_id",
     max_tokens: int = 2048,
     order_col: str | None = None,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-length training sequences.
 
@@ -77,9 +78,18 @@ def pack_sequences(
     buckets — pass a dense ``order_col`` for those corpora.
     """
     order_col = order_col or id_col
-    n_tok = F.size(tokenize(text_col, remove_stopwords=False))
+    # n_tokens_col: budget in PRE-COMPUTED token counts (e.g.
+    # ``n_bpe_tokens`` from bpe_encode — pack in real model tokens);
+    # default is the whitespace tokenizer. Either way the count is one
+    # long per doc before the prefix-sum machinery.
+    if n_tokens_col is not None:
+        n_tok = F.col(n_tokens_col).cast("long")
+        base = df.filter(F.col(n_tokens_col).isNotNull())
+    else:
+        n_tok = F.size(tokenize(text_col, remove_stopwords=False))
+        base = df.filter(F.col(text_col).isNotNull())
     counts = (
-        df.filter(F.col(text_col).isNotNull())
+        base
         .select(
             F.col(id_col).alias("_pid"),
             F.col(order_col).alias("_ord"),

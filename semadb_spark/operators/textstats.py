@@ -710,7 +710,8 @@ def ngram_lm_score(df, text_col: str, model, *, id_col: str = "_id",
 
 
 def chunk_documents(df, text_col: str, id_col: str = "_id", *,
-                    chunk_tokens: int = 128, overlap_tokens: int = 0):
+                    chunk_tokens: int = 128, overlap_tokens: int = 0,
+                    tokens_col: str | None = None, join_sep: str = " "):
     """Split documents into whitespace-token windows of ``chunk_tokens``
     with ``overlap_tokens`` carried between consecutive chunks — the
     standard pre-embedding step (RAG indexing, long-doc encoders). A
@@ -722,6 +723,13 @@ def chunk_documents(df, text_col: str, id_col: str = "_id", *,
     chunk_text); original casing/punctuation preserved (this is a
     splitter, not an analyzer), whitespace normalized to single spaces
     inside a chunk. Whitespace-only documents produce no rows.
+
+    ``tokens_col`` switches the unit from whitespace words to a
+    pre-tokenized ``array<string>`` column (e.g. ``bpe_tokens`` from
+    :func:`semadb_spark.operators.bpe.bpe_encode` — chunk budgets in
+    REAL model tokens); ``text_col`` is then ignored. ``join_sep`` is
+    the chunk_text glue — pass ``""`` for BPE tokens, whose ``</w>``
+    markers already encode the word boundaries.
 
     Pure Column expressions: tokenize + sequence(stride) + slice +
     explode — zero shuffles, the chunk fan-out happens inside the scan
@@ -738,9 +746,14 @@ def chunk_documents(df, text_col: str, id_col: str = "_id", *,
     # referencing the split+filter expression inside transform would
     # re-tokenize the document once per chunk (no CSE in lambda bodies —
     # same hazard the n-gram path hit)
-    toks_expr = F.filter(
-        F.split(F.trim(F.col(text_col)), "\\s+"), lambda w: w != ""
-    )
+    if tokens_col is not None:
+        src_col = tokens_col
+        toks_expr = F.col(tokens_col)
+    else:
+        src_col = text_col
+        toks_expr = F.filter(
+            F.split(F.trim(F.col(text_col)), "\\s+"), lambda w: w != ""
+        )
     toks = F.col("__toks")
     n = F.size(toks)
     last_start = F.greatest(n - 1 - overlap_tokens, F.lit(0))
@@ -755,13 +768,13 @@ def chunk_documents(df, text_col: str, id_col: str = "_id", *,
         ),
     )
     return (
-        df.filter(F.col(text_col).isNotNull())
+        df.filter(F.col(src_col).isNotNull())
         .withColumn("__toks", toks_expr)
         .select(F.col(id_col).alias(id_col), F.explode(chunks).alias("ch"))
         .select(
             id_col,
             F.col("ch.chunk_idx").cast("int").alias("chunk_idx"),
             F.size("ch.toks").alias("n_chunk_tokens"),
-            F.array_join("ch.toks", " ").alias("chunk_text"),
+            F.array_join("ch.toks", join_sep).alias("chunk_text"),
         )
     )

@@ -4,7 +4,6 @@ import random
 from collections import Counter
 
 import pytest
-from pyspark.sql import functions as F
 
 from semadb_spark.operators import bpe as B
 
@@ -138,3 +137,41 @@ def test_bpe_validation(spark):
     with pytest.raises(ValueError, match="shadows"):
         B.bpe_encode(df.withColumnRenamed("_id", "bpe_tokens"),
                      "text", [("a", "b")])
+
+
+def test_chunk_documents_bpe_tokens_col(spark):
+    from semadb_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [("a", "low low lower low")], "_id string, text string")
+    merges = [("l", "o"), ("lo", "w</w>")]
+    enc = B.bpe_encode(df, "text", merges)
+    out = ts.chunk_documents(
+        enc, "text", tokens_col="bpe_tokens", join_sep="",
+        chunk_tokens=3, overlap_tokens=1,
+    ).orderBy("chunk_idx").collect()
+    toks = enc.first()["bpe_tokens"]
+    n = len(toks)  # low</w> x2, lo,w,e,r</w>, low</w> = 7 bpe tokens
+    assert n == 7
+    # token conservation: sum sizes - (k-1)*overlap == n
+    sizes = [r["n_chunk_tokens"] for r in out]
+    assert sum(sizes) - (len(out) - 1) * 1 == n
+    # chunk_text glued with "" keeps the </w> boundaries readable
+    assert out[0]["chunk_text"] == "low</w>low</w>lo"
+
+
+def test_pack_sequences_precomputed_counts(spark):
+    from semadb_spark.operators import packing as pk
+
+    df = spark.createDataFrame(
+        [("0", "three words here", 5), ("1", "two words", 7),
+         ("2", "one", None)],
+        "_id string, text string, n_bpe_tokens int")
+    out = pk.pack_sequences(
+        df, "text", max_tokens=8, order_col="_id",
+        n_tokens_col="n_bpe_tokens",
+    ).orderBy("_id", "seq_id").collect()
+    # doc0: 5 toks -> seq0[0:5); doc1: 7 toks -> seq0[5:8) + seq1[0:4);
+    # doc2: NULL count -> dropped
+    got = [(r["_id"], r["seq_id"], r["seq_offset"], r["n_toks"]) for r in out]
+    assert got == [("0", 0, 0, 5), ("1", 0, 5, 3), ("1", 1, 0, 4)]
