@@ -31,7 +31,9 @@ def curate_corpus(df, text_col: str = "text", id_col: str = "_id", *,
                   min_line_words: int = 3, gopher_min_words: int = 40,
                   max_control_ratio: float = 0.01,
                   require_terminal_punct: bool = True,
-                  drop_ids=None, collect_stats: bool = True):
+                  drop_ids=None, collect_stats: bool = True,
+                  select_target=None, select_k: int | None = None,
+                  dsir_buckets: int = 10_000, dsir_seed=0):
     """Run the standard curation recipe; returns ``(curated_df, stats)``.
 
     Stages (each drops rows, the survivors flow on):
@@ -55,10 +57,23 @@ def curate_corpus(df, text_col: str = "text", id_col: str = "_id", *,
     5. **drop_ids** (optional): anti-join against a caller-supplied
        one-column DataFrame of ids — the hook for fuzzy-dedup output
        (``dedup_components`` canonical-loser sets, contamination hits).
+    6. **dsir_select** (optional): pass ``select_target`` (a DataFrame of
+       documents shaped like the distribution you want more of) AND
+       ``select_k`` to finish with DSIR importance resampling
+       (:mod:`semadb_spark.operators.selection`): fit the hashed-n-gram
+       ratio table target-vs-survivors, score every survivor, keep the
+       Gumbel top-``select_k`` — cleaning decides what is *broken*, this
+       stage decides what is *wanted* when the clean pool still exceeds
+       the training budget. The draw is md5-seeded (``dsir_seed``), so
+       reruns keep the same sample.
 
     ``stats`` maps stage name → surviving row count (empty dict when
     ``collect_stats=False``; each count is one Spark job).
     """
+    if (select_target is None) != (select_k is None):
+        raise ValueError(
+            "select_target and select_k must be passed together"
+        )
     stats: dict[str, int] = {}
 
     def note(name, frame):
@@ -115,5 +130,21 @@ def curate_corpus(df, text_col: str = "text", id_col: str = "_id", *,
             flt, cur[id_col].cast("string") == flt["__did"], "left_anti"
         )
         note("drop_ids", cur)
+
+    if select_target is not None:
+        from semadb_spark.operators.selection import (
+            dsir_fit,
+            dsir_sample,
+            dsir_score,
+        )
+
+        table = dsir_fit(select_target, cur, text_col,
+                         buckets=dsir_buckets, seed=dsir_seed)
+        scored = dsir_score(cur, text_col, table, id_col=id_col,
+                            buckets=dsir_buckets, seed=dsir_seed)
+        picked = dsir_sample(scored, select_k, id_col=id_col,
+                             seed=dsir_seed).select(id_col)
+        cur = cur.join(picked, id_col, "left_semi")
+        note("dsir_select", cur)
 
     return cur, stats

@@ -79,3 +79,26 @@ def test_curation_without_dedup_stage_has_no_shuffle(spark):
     )
     plan = pure._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure Column pipeline, zero shuffles
+
+
+def test_curate_corpus_dsir_select_stage(spark):
+    import pytest
+
+    # survivors of the cleaning stages are a and b (see stages test);
+    # target the fox-story distribution and ask for the single best doc
+    target = spark.createDataFrame([("t0", GOOD)], "_id string, text string")
+    cur, stats = curate_corpus(
+        _corpus(spark), select_target=target, select_k=1,
+        dsir_buckets=128,
+    )
+    assert stats["dsir_select"] == 1
+    row = cur.collect()[0]
+    assert row["_id"] in ("a", "b") and row["text"]  # full row, cleaned text
+    # deterministic redraw: same seed -> same pick
+    cur2, _ = curate_corpus(
+        _corpus(spark), select_target=target, select_k=1,
+        dsir_buckets=128,
+    )
+    assert cur2.collect()[0]["_id"] == row["_id"]
+    with pytest.raises(ValueError, match="together"):
+        curate_corpus(_corpus(spark), select_k=5)
