@@ -307,36 +307,45 @@ def build_warc_bytes(records, *, gzip_members: bool = False) -> bytes:
     ``text`` str, plus optional ``target_uri`` / ``record_id`` /
     ``warc_date`` / ``content_type``.
     """
-    import gzip as _gzip
     import io
 
     out = io.BytesIO()
     for i, rec in enumerate(records):
-        block = rec.get("block")
-        if block is None:
-            block = (rec.get("text") or "").encode("utf-8")
-        headers = [
-            ("WARC-Type", rec["warc_type"]),
-            ("WARC-Record-ID", rec.get("record_id") or f"<urn:rec:{i}>"),
-            ("WARC-Date", rec.get("warc_date") or "2026-01-01T00:00:00Z"),
-        ]
-        if rec.get("target_uri"):
-            headers.append(("WARC-Target-URI", rec["target_uri"]))
-        if rec.get("content_type"):
-            headers.append(("Content-Type", rec["content_type"]))
-        headers.append(("Content-Length", str(len(block))))
-        head = b"WARC/1.0\r\n" + b"".join(
-            f"{k}: {v}\r\n".encode() for k, v in headers
-        )
-        member = head + b"\r\n" + block + b"\r\n\r\n"
-        if gzip_members:
-            # mtime=0 keeps the bytes deterministic for the oracle gate
-            buf = io.BytesIO()
-            with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
-                gz.write(member)
-            member = buf.getvalue()
-        out.write(member)
+        out.write(_warc_member_bytes(rec, i, gzip_members=gzip_members))
     return out.getvalue()
+
+
+def _warc_member_bytes(rec, i: int, *, gzip_members: bool) -> bytes:
+    """One record's serialized WARC member (optionally its own gzip
+    member) — the streaming unit shared by :func:`build_warc_bytes` and
+    the :func:`write_warc` sink's incremental writer."""
+    import gzip as _gzip
+    import io
+
+    block = rec.get("block")
+    if block is None:
+        block = (rec.get("text") or "").encode("utf-8")
+    headers = [
+        ("WARC-Type", rec["warc_type"]),
+        ("WARC-Record-ID", rec.get("record_id") or f"<urn:rec:{i}>"),
+        ("WARC-Date", rec.get("warc_date") or "2026-01-01T00:00:00Z"),
+    ]
+    if rec.get("target_uri"):
+        headers.append(("WARC-Target-URI", rec["target_uri"]))
+    if rec.get("content_type"):
+        headers.append(("Content-Type", rec["content_type"]))
+    headers.append(("Content-Length", str(len(block))))
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode() for k, v in headers
+    )
+    member = head + b"\r\n" + block + b"\r\n\r\n"
+    if gzip_members:
+        # mtime=0 keeps the bytes deterministic for the oracle gate
+        buf = io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(member)
+        member = buf.getvalue()
+    return member
 
 
 def write_warc(df, out_dir: str, *, gzip_members: bool = True,
@@ -380,25 +389,33 @@ def write_warc(df, out_dir: str, *, gzip_members: bool = True,
     def dump(rows):
         from pyspark import TaskContext
 
-        recs = []
-        for row in rows:
-            rec = {f: row[f] for f in fields}
-            if rec.get("block") is not None:
-                rec["block"] = bytes(rec["block"])
-            recs.append(rec)
-        if not recs:
-            return
+        # streaming writer: one record in memory at a time — a crawl-sized
+        # partition never buffers fully (neither as a row list nor as the
+        # serialized bytes), matching the parser's bounded-memory contract
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         attempt = ctx.taskAttemptId()
         final = os.path.join(out_dir, f"{prefix}-{pid:05d}{ext}")
         tmp = f"{final}.inprogress-{attempt}"
+        wrote = False
+        f = None
         try:
-            with open(tmp, "wb") as f:
-                f.write(build_warc_bytes(recs, gzip_members=gzip_members))
-            os.replace(tmp, final)
+            for i, row in enumerate(rows):
+                rec = {fld: row[fld] for fld in fields}
+                if rec.get("block") is not None:
+                    rec["block"] = bytes(rec["block"])
+                if f is None:
+                    f = open(tmp, "wb")  # lazily: empty partitions write nothing
+                f.write(_warc_member_bytes(rec, i, gzip_members=gzip_members))
+            if f is not None:
+                f.close()
+                f = None
+                os.replace(tmp, final)
+                wrote = True
         finally:
-            if os.path.exists(tmp):
+            if f is not None:
+                f.close()
+            if not wrote and os.path.exists(tmp):
                 os.remove(tmp)
 
     df.foreachPartition(dump)
