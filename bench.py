@@ -1917,7 +1917,14 @@ def main() -> None:
         try:
             with h1coll.open_search_pool(
                 workers=8, vector_mode="graph", graph_nprobe=1,
-                warm_requests=h1reqs[:4]
+                warm_requests=h1reqs[:4],
+                # decode the whole packed artifact per worker at spawn:
+                # without it the pool RAMPS for many passes while workers
+                # lazily fault cents in (measured 40 -> 93 QPS over five
+                # cold-cache rounds; steady state never arrived inside
+                # the bench window after the 10M blocks evicted the page
+                # cache — the r12 mp8 band miss)
+                preload=True,
             ) as h1pool:
                 h1pool.search_many(h1reqs)  # warm every worker
                 h1p_qps, h1p_passes, h1p_note = qps_best_of(

@@ -1832,7 +1832,8 @@ class Collection:
 
     def open_search_pool(self, workers: int = 8, vector_mode: str = "auto",
                          warm_requests=None,
-                         graph_nprobe: int | None = None):
+                         graph_nprobe: int | None = None,
+                         preload: bool = False):
         """Open a process-parallel HYBRID serving pool over this
         collection's current snapshot
         (:class:`~semadb_spark.plans.local_engine.HybridServePool`): N
@@ -1842,12 +1843,18 @@ class Collection:
         query tree (shard/shard.go:329-472). Workers open the collection
         filesystem-only (no JVM) and pin the snapshot at spawn; rotate
         the pool after DML. Results identical to :meth:`search_local`
-        (parity-tested). Use as a context manager."""
+        (parity-tested). Use as a context manager.
+
+        ``preload=True`` makes each worker decode ALL graph-artifact cent
+        partitions at spawn instead of faulting them in lazily per query
+        — pay the whole decode once, serve at steady state from the first
+        request (see LocalSearchEngine.preload_graph_artifacts)."""
         from .plans.local_engine import HybridServePool
 
         return HybridServePool(
             self.path, workers=workers, vector_mode=vector_mode,
             warm_requests=warm_requests, graph_nprobe=graph_nprobe,
+            preload=preload,
         )
 
     # -- W1: insert ---------------------------------------------------------

@@ -2358,6 +2358,51 @@ def _local_decoded_cents(path: str, cents_needed: list[int], np_dtype,
     return {c: cache.get(c, []) for c in cents_needed}
 
 
+def preload_packed_local(path: str, *, dtype: str = "float32",
+                         compute_dtype: str = "float32",
+                         fp_ttl_sec: float | None = None,
+                         max_cents: int | None = None) -> int:
+    """Eagerly decode a packed artifact's cent partitions into the local
+    serve cache (:func:`_local_decoded_cents`) — returns how many cents
+    were made resident.
+
+    The lazy default decodes a cent the first time a query routes to it,
+    which is right for point-read tails but makes a fresh serving process
+    RAMP to steady state over many requests (measured on the 1M hybrid
+    pool: cold-cache mp8 passes 40 -> 93 QPS over five 48-request rounds
+    while eight workers independently faulted + decoded the artifact).
+    A serving node that is ABOUT to take traffic should decode everything
+    once at spawn — the reference holds its shard decode cache fully
+    resident the same way (cache/manager.go:39-303).
+
+    Only preloads up to the serve cache's own FIFO capacity (or
+    ``max_cents``): asking for more would evict what was just decoded.
+    Artifacts wider than the cache (e.g. the 640-cent 10M fixture) keep
+    the lazy working-set behavior by construction — preloading is for
+    collections whose whole artifact is meant to be resident.
+    """
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(path, partitioning="hive")
+    if "cent" not in dset.schema.names:
+        return 0
+    # cent ids come from the hive directory names — no data pages read
+    cents_set = set()
+    for f in dset.files:
+        for part in f.split("/"):
+            if part.startswith("cent="):
+                cents_set.add(int(part[5:]))
+    cents = sorted(cents_set)
+    cap = 256 if max_cents is None else int(max_cents)
+    cents = cents[:cap]
+    got = _local_decoded_cents(
+        path, cents, np.dtype(dtype), np.dtype(compute_dtype),
+        fp_ttl_sec=fp_ttl_sec,
+    )
+    return sum(1 for c in cents if got.get(c))
+
+
 def vamana_serve_local(
     packed_path: str,
     query: list[float] | np.ndarray,

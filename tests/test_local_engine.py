@@ -701,3 +701,47 @@ def test_pool_serves_ivf_and_code_scan_routes(spark, tmp_path):
                     for r in w.to_dict("records")] == [
                 (r["_id"], round(r["_distance"], 6))
                 for r in g.to_dict("records")]
+
+
+def test_preload_graph_artifacts_and_pool_preload(spark, tmp_path):
+    """preload decodes every cent up front (no lazy faulting ramp) and
+    changes NOTHING about results: engine preload fills the serve cache,
+    and a preload=True pool serves identical frames to search_local."""
+    schema = {"v": {"type": "vectorVamana", "vectorVamana": {
+        "vectorSize": 8, "distanceMetric": "euclidean",
+        "searchSize": 40, "degreeBound": 32, "alpha": 1.2}}}
+    coll = Collection.create(spark, str(tmp_path / "preload"), schema,
+                             num_buckets=4)
+    rng = np.random.RandomState(11)
+    X = rng.normal(size=(120, 8))
+    coll.insert(spark.createDataFrame(
+        [Row(_id=f"p{i:03d}", v=[float(x) for x in X[i]]) for i in range(120)]
+    ))
+    coll.build_vamana_index("v", num_shards=2, seed=7)
+    from semadb_spark.operators import vamana as V
+    from semadb_spark.plans.local_engine import LocalSearchEngine
+
+    eng = LocalSearchEngine(coll, vector_mode="graph")
+    n = eng.preload_graph_artifacts()
+    assert n >= 1  # every cent resident before any query ran
+    packed = eng.graph["v"]["packed"]
+    _, cache = V._LOCAL_PACKED_CACHE[packed]
+    assert len(cache) == n
+    req = {"query": {"property": "v", "vectorVamana": {
+        "vector": [float(x) for x in X[5]], "limit": 5}}, "limit": 5}
+    warm = eng.search(req)  # served fully from the preloaded cache
+    cold = coll.search_local(req, vector_mode="graph")
+    assert warm["_id"].tolist() == cold["_id"].tolist()
+    # engines with no graph artifacts: clean no-op
+    plain = Collection.create(
+        spark, str(tmp_path / "nograph"),
+        {"s": {"type": "string", "string": {"caseSensitive": True}}},
+        num_buckets=2)
+    plain.insert(spark.createDataFrame([Row(_id="a", s="x")]))
+    assert LocalSearchEngine(plain).preload_graph_artifacts() == 0
+    # pool parity with preload=True
+    with coll.open_search_pool(workers=2, vector_mode="graph",
+                               preload=True) as pool:
+        got = pool.search(req)
+    assert got["_id"].tolist() == cold["_id"].tolist()
+    assert np.allclose(got["_distance"], cold["_distance"])
