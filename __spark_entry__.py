@@ -123,6 +123,24 @@ def _docs(spark, sf_dir):
     return _t(spark, sf_dir, "documents").withColumn("_id", F.col("doc_id").cast("string"))
 
 
+# Pinned BPE merge table for the `bpe` gate leg: the verbatim output of
+# `bpe_fit(documents@sf0.01, "text", num_merges=32, min_count=2)` — pinning
+# a REAL fit output preserves the table invariant (every merge's component
+# symbols are base characters or products of earlier-rank merges), which is
+# what makes rank-ordered replace application equivalent to the encoder's
+# iterative lowest-rank loop (`operators/bpe.py:_encode_word`).
+_BPE_GATE_MERGES = [
+    ("e", "r</w>"), ("o", "w</w>"), ("t", "o"), ("a", "t"), ("l", "u"),
+    ("a", "s"), ("i", "n"), ("e", "r"), ("o", "r"), ("a", "r"),
+    ("p", "ar"), ("i", "n</w>"), ("j", "o"), ("jo", "in</w>"),
+    ("as", "h</w>"), ("h", "ash</w>"), ("r", "ow</w>"), ("at", "c"),
+    ("atc", "h</w>"), ("b", "atch</w>"), ("a", "n</w>"), ("c", "an</w>"),
+    ("s", "can</w>"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n</w>"), ("cu", "s"), ("cus", "to"),
+    ("custo", "m"), ("custom", "er</w>"),
+]
+
+
 def _corpus(spark, sf_dir):
     """documents ⋈ embeddings by row id: one hybrid collection with text +
     vector + categorical columns (the products-table analogue)."""
@@ -1142,13 +1160,44 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
     def dsir_select(spark, sf_dir):
         # Gumbel top-k resample (without replacement, proportional to
         # exp(logw)) — the md5-seeded draw is engine-reproducible, so the
-        # PICKED SET itself is oracle-hashed, not just the weights
+        # PICKED SET itself is oracle-hashed, not just the weights.
+        # logw is floor-quantized at 1e-4 on BOTH sides before the top-k
+        # (same idiom as dsir_weights' logw_q4): it is a float SUM whose
+        # partial-agg ordering differs between engines, and an unquantized
+        # near-tie at the rank-50 boundary could flip the picked set
+        # (ADVICE r12). The Gumbel term itself is closed-form from md5 —
+        # deterministic across engines.
         from semadb_spark.operators import selection as sel
 
-        scored = _dsir_scored(spark, sf_dir)
+        scored = _dsir_scored(spark, sf_dir).withColumn(
+            "logw", F.floor(F.col("logw") * 1e4) / F.lit(1e4)
+        )
         return sel.dsir_sample(scored, 50, seed=7).select("_id")
 
     q["dsir_select"] = dsir_select
+
+    def bpe_segment(spark, sf_dir):
+        # BPE ENCODE gate (VERDICT r12 directive #6): the fit is iterative
+        # (tests + pure-Python twin cover it), but encode given a merge
+        # table is deterministic — so the gate pins a LITERAL table (a real
+        # `bpe_fit` output on the sf0.01 corpus: 32 merges, min_count=2)
+        # and hashes every document's full segmentation. DuckDB re-derives
+        # the segmentation per distinct word via a rank-ordered
+        # replace-chain over a pipe-anchored symbol stream (see oracle).
+        from semadb_spark.operators import bpe as bp
+
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        enc = bp.bpe_encode(
+            docs.select("_id", "text"), "text", _BPE_GATE_MERGES,
+            keep_cols=["_id"],
+        )
+        return enc.select(
+            "_id",
+            F.md5(F.concat_ws(" ", "bpe_tokens")).alias("seg_md5"),
+            "n_bpe_tokens",
+        )
+
+    q["bpe_segment"] = bpe_segment
 
     def profile_docs(spark, sf_dir):
         # one-pass column profiler over the documents table; floats are
@@ -1914,7 +1963,7 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
          ("gopher", "gopher_quality"), ("contamination", "contamination_flags"),
          ("lm", "lm_perplexity"), ("lm_word", "lm_word_perplexity"),
          ("chunks", "chunk_docs"), ("dsir", "dsir_weights"),
-         ("dsir_pick", "dsir_select")]
+         ("dsir_pick", "dsir_select"), ("bpe", "bpe_segment")]
     )
     q["web_provenance"] = _combo(
         [("url", "url_features"), ("host", "host_stats"),
@@ -2833,11 +2882,49 @@ def oracle_sql() -> dict[str, str]:
     o["dsir_select"] = f"""
         SELECT _id FROM (
           SELECT _id,
-                 logw + (-ln(-ln(
+                 (floor(logw * 1e4) / 1e4) + (-ln(-ln(
                    ((('0x' || substr(md5('7:' || _id), 1, 15))::BIGINT
                      + 0.5) / 1152921504606846976.0)))) AS key
           FROM ({_dsir_score_sql}))
         ORDER BY key DESC, _id LIMIT 50
+    """
+
+    # BPE encode oracle: re-derive each word's segmentation under the
+    # pinned merge table (_BPE_GATE_MERGES) as a rank-ordered chain of
+    # anchored string replaces over a pipe-delimited symbol stream
+    # ("data" -> "|d|a|t|a</w>|"; merge (a,b) -> replace '|a|b|' with
+    # '|ab|'). Pipes on BOTH sides anchor whole symbols, so a pattern can
+    # never match inside a multi-char symbol or across a word boundary.
+    # For a fitted table (components always produced by earlier ranks)
+    # this equals the encoder's iterative lowest-rank loop; applied
+    # per-WORD via list_transform (order-preserving, no explode) because
+    # replace() consumes the shared pipe between back-to-back occurrences
+    # — word-level streams on this corpus have none (verified exhaustively
+    # over the full 31-word vocabulary).
+    _bpe_seg = (
+        r"regexp_replace('|' || regexp_replace(w, '(.)', '\1|', 'g'),"
+        r" '\|$', '</w>|')"
+    )
+    for _a, _b in _BPE_GATE_MERGES:
+        _bpe_seg = f"replace({_bpe_seg}, '|{_a}|{_b}|', '|{_a}{_b}|')"
+    o["bpe_segment"] = rf"""
+        WITH base AS (
+          SELECT CAST(doc_id AS VARCHAR) AS _id,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             w -> w <> '') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        seg AS (
+          SELECT _id,
+                 array_to_string(
+                   list_transform(toks,
+                     w -> replace(trim({_bpe_seg}, '|'), '|', ' ')),
+                   ' ') AS s
+          FROM base)
+        SELECT _id, md5(s) AS seg_md5,
+               CAST(CASE WHEN s = '' THEN 0
+                    ELSE len(string_split(s, ' ')) END AS BIGINT)
+                 AS n_bpe_tokens
+        FROM seg
     """
 
     o["chunk_docs"] = """
@@ -3197,6 +3284,7 @@ def oracle_sql() -> dict[str, str]:
          ["_id", "chunk_idx", "n_chunk_tokens", "chunk_md5"]),
         ("dsir", "dsir_weights", ["_id", "n_grams", "logw_q4", "lpg_q6"]),
         ("dsir_pick", "dsir_select", ["_id"]),
+        ("bpe", "bpe_segment", ["_id", "seg_md5", "n_bpe_tokens"]),
     ])
     o["web_provenance"] = _sql_union([
         ("url", "url_features",

@@ -108,6 +108,84 @@ NEW_PIPELINE_QUERIES = [
 
 VECTOR_QPS_BATCH = 512  # queries in the throughput batch (batch-first regime)
 
+# ---------------------------------------------------------------------------
+# Wall-clock budget + per-block telemetry (round 13, VERDICT r12 directive
+# #1): the r12 driver bench died rc=124 ~80 min in with Python-worker
+# crashes in the docs_10m block — the harness had outgrown the driver's
+# budget and the crash had no traceback. Three defenses, all active by
+# default:
+#   (a) every block prints `# [t+..s +..s rss=..g]` so the next slow run
+#       names its hog from the log alone;
+#   (b) a global wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default
+#       55 min): once exceeded, optional deep blocks record
+#       {"skipped": "budget"} instead of running, and the band-miss
+#       re-measure loops stop extending passes — the run ALWAYS completes
+#       and prints its JSON line, degrading measurement depth rather than
+#       being killed mid-write;
+#   (c) the bench session enables the Python-worker faulthandler and
+#       bounds Arrow record batches (see get_spark extra_conf below) so a
+#       worker OOM names itself and large-text 10M batches stay bounded.
+_T0 = time.time()
+_LAST_MARK = [_T0]
+BENCH_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "3300"))
+
+
+def _mem_gb() -> tuple[float, float]:
+    """(driver RSS GiB, host used GiB) — cheap /proc reads."""
+    rss = used = 0.0
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    rss = int(line.split()[1]) / 1048576.0
+                    break
+        total = avail = 0
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total = int(line.split()[1])
+                elif line.startswith("MemAvailable:"):
+                    avail = int(line.split()[1])
+        used = (total - avail) / 1048576.0
+    except OSError:
+        pass
+    return rss, used
+
+
+def _mark(name: str) -> None:
+    now = time.time()
+    rss, used = _mem_gb()
+    print(
+        f"# [t+{now - _T0:.0f}s +{now - _LAST_MARK[0]:.0f}s "
+        f"rss={rss:.1f}g used={used:.1f}g] {name}",
+        file=sys.stderr,
+        flush=True,
+    )
+    _LAST_MARK[0] = now
+
+
+def _budget_remaining() -> float:
+    return BENCH_BUDGET_SEC - (time.time() - _T0)
+
+
+def _budget_tight() -> bool:
+    """True once the band-miss re-measure loops should stop extending."""
+    return _budget_remaining() < 240.0
+
+
+def _skip_for_budget(block: str, est_sec: float) -> bool:
+    """True (and logs) when ``block`` would overrun the global budget."""
+    rem = _budget_remaining()
+    if rem < est_sec:
+        print(
+            f"# budget: skipping {block} (est {est_sec:.0f}s > remaining"
+            f" {rem:.0f}s of {BENCH_BUDGET_SEC:.0f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
+        return True
+    return False
+
 
 def _warc_fixture(spark, docs_df, n_rows: int, stats: dict) -> str:
     """One-time WARC export of a bench doc corpus (conversion records, one
@@ -199,6 +277,34 @@ def _below_band(best_dt, pin_sec=None, ref_sec=None, min_ratio=None):
     return False
 
 
+def _detail_write_path(detail_path: str, timings: dict,
+                       max_median_ratio: float = 1.3) -> tuple[str, float]:
+    """Where to write this run's BENCH_DETAIL — the degraded-run guard's
+    decision, extracted for testing. Returns (path, median_ratio): the
+    incumbent path when the run is within ``max_median_ratio`` of the
+    committed incumbent's per-query warm medians (or there is no usable
+    incumbent, or SPARK_GRAFT_BENCH_FORCE_DETAIL=1), else the
+    ``_DEGRADED`` sibling path."""
+    try:
+        with open(detail_path) as f:
+            incumbent = json.load(f)
+        inc_q = incumbent.get("queries", {})
+        ratios = sorted(
+            timings[k] / inc_q[k]
+            for k in timings
+            if k in inc_q and inc_q[k] and timings[k]
+        )
+        med = ratios[len(ratios) // 2] if ratios else 1.0
+    except (OSError, ValueError, KeyError, TypeError, ZeroDivisionError):
+        return detail_path, 1.0
+    if (
+        med > max_median_ratio
+        and os.environ.get("SPARK_GRAFT_BENCH_FORCE_DETAIL") != "1"
+    ):
+        return detail_path.replace(".json", "_DEGRADED.json"), med
+    return detail_path, med
+
+
 def best_of(n, make, pin_sec=None, pass_times=None, ref_sec=None,
             min_ratio=None, band_backoff_sec=0.0):
     """Best-of-n runs of ``make() -> DataFrame``; returns (frame, best_sec).
@@ -245,8 +351,10 @@ def best_of(n, make, pin_sec=None, pass_times=None, ref_sec=None,
     passes = 0
     improving = False
     below_band = False
-    while passes < n or (passes < 8 and (improving or below_band)):
-        if below_band and band_backoff_sec:
+    while passes < n or (
+        passes < 8 and (improving or below_band) and not _budget_tight()
+    ):
+        if below_band and band_backoff_sec and not _budget_tight():
             _time.sleep(band_backoff_sec)
         cand = make()
         t0 = _time.time()
@@ -308,10 +416,12 @@ def qps_best_of(n_queries, run_pass, pin=None, min_passes=2, max_passes=8,
             best_dt = dt
         passes += 1
         if passes >= min_passes and (
-            pin is None or n_queries / best_dt >= note_ratio * pin
+            pin is None
+            or n_queries / best_dt >= note_ratio * pin
+            or _budget_tight()
         ):
             break
-        if passes >= min_passes and band_backoff_sec:
+        if passes >= min_passes and band_backoff_sec and not _budget_tight():
             _time.sleep(band_backoff_sec)
     qps = round(n_queries / best_dt, 1)
     note = None
@@ -331,7 +441,23 @@ def main() -> None:
     from semadb_spark import get_spark
     from semadb_spark.operators.knn import knn_topk_scan
 
-    spark = get_spark(app_name="semadb-bench", cpus=cpus)
+    # Crash-proofing (VERDICT r12 directive #1/#3): faulthandler makes a
+    # worker OOM/segfault print a Python traceback instead of the bare
+    # "Python worker exited unexpectedly"; the Arrow batch bound caps the
+    # rows a single mapInPandas/mapInArrow batch materializes, so 32
+    # concurrent workers over the 10M-doc corpus cannot spike memory on a
+    # loaded host (the r12 driver-run crash mode). 4096 rows x ~2 KiB doc
+    # text ~= 8 MiB/batch/worker — bounded, and large enough that the
+    # vectorized kernels keep their amortization.
+    spark = get_spark(
+        app_name="semadb-bench",
+        cpus=cpus,
+        extra_conf={
+            "spark.python.worker.faulthandler.enabled": "true",
+            "spark.sql.execution.pyspark.udf.faulthandler.enabled": "true",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+        },
+    )
 
     # warm the JVM + file listing + codegen paths shared across queries so
     # per-query timings measure the operator, not one-time session setup
@@ -342,6 +468,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         F.explode(tokenize("text"))
     ).count()
+    _mark("session_warm")
 
     # Two-pass timing per query: the first (cold) run pays one-time codegen
     # and index build; the second (warm) run is steady-state — the number
@@ -366,6 +493,7 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: warm {dt:.2f}s / cold {cold[name]:.2f}s ({n} rows)", file=sys.stderr)
+    _mark("headline_sf01")
 
     # new-in-r11 pipeline queries: one timed pass each, reported per-query
     # and as their own subtotal, NOT in the legacy-comparable headline
@@ -379,6 +507,7 @@ def main() -> None:
         timings[name] = round(dt, 3)
         pipeline_new += dt
         print(f"# {name}: warm {dt:.2f}s (new, excluded from headline)", file=sys.stderr)
+    _mark("pipeline_new")
 
     # ann-benchmarks-scale vector block: replicate the embeddings table to
     # ~1M vectors (glove-100-angular, the reference's headline row, is
@@ -443,6 +572,7 @@ def main() -> None:
         "exact_scan_qps": round(64 / exact_dt, 1),
     }
     print(f"# vector_1m: {vector_1m}", file=sys.stderr)
+    _mark("vector_1m")
 
     # release the euclidean block's persisted frames so the later blocks
     # measure themselves, not its storage pressure
@@ -544,6 +674,7 @@ def main() -> None:
         "exact_scan_qps": round(64 / ang_exact_dt, 1),
     }
     print(f"# vector_1m_angular: {vector_1m_angular}", file=sys.stderr)
+    _mark("vector_1m_angular")
     ang_approx.unpersist()
     ang_index.assigned.unpersist()
 
@@ -599,6 +730,7 @@ def main() -> None:
         "raw_hamming_recall_at10": round(raw_recall, 4),
     }
     print(f"# vector_1m_bq: {vector_1m_bq}", file=sys.stderr)
+    _mark("vector_1m_bq")
     raw_approx.unpersist()
     bq_approx.unpersist()
     bq_index.coded.unpersist()
@@ -648,6 +780,7 @@ def main() -> None:
         "pq_recall_at10": round(pq_rr_recall, 4),
     }
     print(f"# vector_1m_pq: {vector_1m_pq}", file=sys.stderr)
+    _mark("vector_1m_pq")
     pq_rr.unpersist()
     pq_approx.unpersist()
     ivfpq.coded.unpersist()
@@ -710,6 +843,7 @@ def main() -> None:
     if vam_dt > 2.0 * 4.0:
         vamana_1m["qps_note"] = "below_pinned_band:4s_per_pass"
     print(f"# vamana_1m: {vamana_1m}", file=sys.stderr)
+    _mark("vamana_1m")
     vam_frame.unpersist()
 
     # quantized-through-graph serving (VERDICT r6 directives #2/#4): the
@@ -787,6 +921,7 @@ def main() -> None:
             )
         qg_frame.unpersist()
     print(f"# quant_graph_1m: {quant_graph_1m}", file=sys.stderr)
+    _mark("quant_graph_1m")
 
     # 10M scale-proof block (VERDICT r4 directive #1): the 100 TB posture is
     # design-argued at 1M; this measures it one decade up. Same clustered
@@ -894,6 +1029,7 @@ def main() -> None:
             ),
         }
         print(f"# vector_10m: {vector_10m}", file=sys.stderr)
+        _mark("vector_10m")
         approx10.unpersist()
 
         # vamana_10m (VERDICT r6 directive #3): the GRAPH route's decade
@@ -1178,6 +1314,7 @@ def main() -> None:
                     f"error:{type(e).__name__}"
                 )
         print(f"# vamana_10m: {vamana_10m}", file=sys.stderr)
+        _mark("vamana_10m")
         exact10.unpersist()
 
     # vector throughput: batch of exact top-10 over the embeddings table via
@@ -1335,6 +1472,7 @@ def main() -> None:
         docs_1m[f"{key}_sec"] = round(p_dt, 2)
         docs_1m[f"{key}_docs_per_sec"] = round(d1m_n / p_dt)
     print(f"# docs_1m: {docs_1m}", file=sys.stderr)
+    _mark("docs_1m")
 
     # text search at 1M documents: index build (the reference's batch
     # insert+index path is its north-star workload) + TF-IDF serving from
@@ -1479,6 +1617,7 @@ def main() -> None:
         "batch_qps": round(len(batch64) / tb_dt, 1),
     }
     print(f"# text_1m: {text_1m}", file=sys.stderr)
+    _mark("text_1m")
 
     # hybrid at 1M (VERDICT r4 directive #6): pre-filter + vector + text
     # composed over the 1M corpus, BOTH legs served from persisted
@@ -1553,6 +1692,7 @@ def main() -> None:
         "blowup_vs_legs": round(hyb_dt / (hyb_vec_dt + hyb_text_dt), 2),
     }
     print(f"# hybrid_1m: {hybrid_1m}", file=sys.stderr)
+    _mark("hybrid_1m")
 
     # 10M-document decade proof for the pipeline + text operators (VERDICT
     # r5 directive #2): the ANN side got its 10M measurement in round 5;
@@ -1673,6 +1813,7 @@ def main() -> None:
                 docs_1m[f"{key}_docs_per_sec"] / max(d10_n / p_dt, 1), 2
             )
         print(f"# docs_10m: {docs_10m}", file=sys.stderr)
+        _mark("docs_10m")
 
         # 10M text index: ~40 tokens/doc -> ~400M posting rows. Built ONCE
         # (an index is an artifact, same policy as the vamana_1m build);
@@ -1790,6 +1931,7 @@ def main() -> None:
             if note:
                 text_10m[f"{key}_note"] = note
         print(f"# text_10m: {text_10m}", file=sys.stderr)
+        _mark("text_10m")
 
     # hybrid point-read serving (Collection.search_local, r10): the whole
     # compiled query lifecycle in ONE process — filter legs off resident
@@ -1849,6 +1991,7 @@ def main() -> None:
     if hp_note:
         hybrid_local["qps_mp8_note"] = hp_note
     print(f"# hybrid_local: {hybrid_local}", file=sys.stderr)
+    _mark("hybrid_local")
 
     # IVF local point-read serving (r12, VERDICT r11 directive #5): an
     # IVF-indexed collection used to fall back to the ~150 ms/job Spark
@@ -1883,6 +2026,7 @@ def main() -> None:
     if iv_note:
         ivf_local["qps_note"] = iv_note
     print(f"# ivf_local: {ivf_local}", file=sys.stderr)
+    _mark("ivf_local")
 
     # hybrid serving at 1M (r11, VERDICT r10 directive #3): 5x the 200k
     # snapshot, SAME request mix, vector legs through the packed Vamana
@@ -1968,6 +2112,7 @@ def main() -> None:
         if h1p_note:
             hybrid_local_1m["qps_mp8_note"] = h1p_note
         print(f"# hybrid_local_1m: {hybrid_local_1m}", file=sys.stderr)
+        _mark("hybrid_local_1m")
 
     # Full detail (cold timings, all vector-block fields) goes to a file +
     # stderr; the FINAL stdout line is a compact summary kept well under the
@@ -2002,10 +2147,27 @@ def main() -> None:
         "cpus": cpus,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
+    # Degraded-run guard (VERDICT r12 directive #2): the r12 end-of-round
+    # snapshot overwrote a clean committed run (headline 16.2 s) with a
+    # host-contended one (27.6 s, every query 1.2-2.3x slower). A run whose
+    # MEDIAN per-query warm ratio vs the incumbent exceeds 1.3 is host
+    # noise, not code — keep the incumbent and park the new run beside it
+    # (BENCH_DETAIL_DEGRADED.json) for inspection. Override with
+    # SPARK_GRAFT_BENCH_FORCE_DETAIL=1 (e.g. after a known slowdown-for-
+    # correctness change). The stdout/stderr JSON lines always carry the
+    # CURRENT run either way — only the committed file is guarded.
+    write_path, med = _detail_write_path(detail_path, timings)
+    if write_path != detail_path:
+        detail["degraded_vs_incumbent_median_ratio"] = round(med, 3)
+        print(
+            f"# detail guard: median per-query ratio {med:.2f} > 1.3 vs "
+            f"committed incumbent - writing {write_path} instead",
+            file=sys.stderr,
+        )
+    with open(write_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(detail, separators=(",", ":")), file=sys.stderr)
-    print(f"# full detail: {detail_path}", file=sys.stderr)
+    print(f"# full detail: {write_path}", file=sys.stderr)
     # compact stdout line: per-query map FIRST-CLASS (the judge diffs
     # per-query regressions from BENCH_r{N}.json alone — VERDICT r6 #5),
     # every block trimmed to qps/recall (build times, linearity detail and

@@ -186,9 +186,14 @@ def bpe_encode(df: DataFrame, text_col: str, merges, *,
 
     Arrow-batched ``mapInPandas`` (the per-word merge loop is genuinely
     inexpressible as Column ops — see module docstring); the merge ranks
-    ride the closure (a merge table is KBs), and a per-batch dict caches
-    each distinct word's segmentation so the loop cost is per distinct
-    word. Scale shape: embarrassingly parallel, zero shuffles."""
+    ride the closure (a merge table is KBs), and a PER-PARTITION dict
+    caches each distinct word's segmentation so the loop cost is per
+    distinct word (partition scope beats per-batch for hit rate; Zipf
+    means the head dominates every batch). The cache is size-capped —
+    when an open-web tail pushes past the cap it is dropped wholesale
+    (the Zipf head repopulates in one batch; LRU bookkeeping would cost
+    more than re-segmenting the tail). Scale shape: embarrassingly
+    parallel, zero shuffles, bounded worker memory."""
     ranks = {tuple(m): i for i, m in enumerate(merges)}
     if keep_cols is None:
         keep_cols = list(df.columns)
@@ -204,6 +209,8 @@ def bpe_encode(df: DataFrame, text_col: str, merges, *,
     )
     out_schema = f"{fields}, {out_col} array<string>, n_bpe_tokens long"
 
+    max_cache_words = 1_000_000  # ~tens of MB worst case per worker
+
     def encode(batches):
         cache: dict[str, list[str]] = {}
 
@@ -214,6 +221,8 @@ def bpe_encode(df: DataFrame, text_col: str, merges, *,
             for w in (text.lower() if lowercase else text).split():
                 seg = cache.get(w)
                 if seg is None:
+                    if len(cache) >= max_cache_words:
+                        cache.clear()
                     seg = _encode_word(w, ranks)
                     cache[w] = seg
                 toks.extend(seg)

@@ -106,12 +106,16 @@ def pack_sequences(
     rows_per_bucket = 65_536
     int_ord = dict(counts.dtypes)["_ord"] in ("tinyint", "smallint", "int", "bigint")
     if int_ord:
-        # bounds over the pre-tokenize filter only: a slightly-wide key span
-        # is still a valid (non-decreasing) bucket map, and this agg prunes
-        # to the order column alone — no tokenizer evaluation. The count
-        # rides the same single agg job (it sizes the bucket grid).
+        # bounds over the same ``base`` frame the counts use (the
+        # n_tokens_col path must not re-filter on text_col: rows with null
+        # text but non-null counts would fall outside [lo,hi] and an
+        # all-null-text corpus would early-return empty, ADVICE r12). A
+        # slightly-wide key span is still a valid (non-decreasing) bucket
+        # map, and this agg prunes to the order column alone — no
+        # tokenizer evaluation (n_tok is only referenced by ``counts``).
+        # The count rides the same single agg job (it sizes the grid).
         bounds = (
-            df.filter(F.col(text_col).isNotNull())
+            base
             .agg(
                 F.min(F.col(order_col)).alias("lo"),
                 F.max(F.col(order_col)).alias("hi"),
@@ -147,10 +151,7 @@ def pack_sequences(
         ).cast("int")
         parts = counts.withColumn("_part", bucket).repartition(nparts, "_part")
     else:
-        nparts = max(
-            min_parts,
-            -(-df.filter(F.col(text_col).isNotNull()).count() // rows_per_bucket),
-        )
+        nparts = max(min_parts, -(-base.count() // rows_per_bucket))
         parts = counts.repartitionByRange(nparts, F.col("_ord")).withColumn(
             "_part", F.spark_partition_id()
         )

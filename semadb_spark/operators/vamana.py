@@ -2254,8 +2254,15 @@ def _packed_artifact_fingerprint(path: str) -> int:
     return h
 
 
+MAX_CACHED_CENTS = 256
+"""Serve-cache FIFO capacity (cent partitions). Shared by
+:func:`_local_decoded_cents` (eviction) and :func:`preload_packed_local`
+(preload cap): a preload cap above capacity would self-evict what it just
+decoded; below it, spawn-time preload under-fills (ADVICE r12)."""
+
+
 def _local_decoded_cents(path: str, cents_needed: list[int], np_dtype,
-                         c_dtype, max_cached_cents: int = 256,
+                         c_dtype, max_cached_cents: int = MAX_CACHED_CENTS,
                          fp_ttl_sec: float | None = None) -> dict[int, list]:
     """Decode (and cache) the packed shard blobs of the requested cent
     partitions via pyarrow — no Spark session involved. Vectors are cast
@@ -2394,7 +2401,7 @@ def preload_packed_local(path: str, *, dtype: str = "float32",
             if part.startswith("cent="):
                 cents_set.add(int(part[5:]))
     cents = sorted(cents_set)
-    cap = 256 if max_cents is None else int(max_cents)
+    cap = MAX_CACHED_CENTS if max_cents is None else int(max_cents)
     cents = cents[:cap]
     got = _local_decoded_cents(
         path, cents, np.dtype(dtype), np.dtype(compute_dtype),

@@ -175,3 +175,34 @@ def test_pack_sequences_precomputed_counts(spark):
     # doc2: NULL count -> dropped
     got = [(r["_id"], r["seq_id"], r["seq_offset"], r["n_toks"]) for r in out]
     assert got == [("0", 0, 0, 5), ("1", 0, 5, 3), ("1", 1, 0, 4)]
+
+
+def test_pack_sequences_counts_with_null_text(spark):
+    """With n_tokens_col set, rows whose TEXT is null but whose count is
+    non-null must still pack (ADVICE r12: the int-order bounds agg used to
+    filter on text_col, dropping such rows from [lo,hi] and early-returning
+    empty on an all-null-text corpus)."""
+    from semadb_spark.operators import packing as pk
+
+    df = spark.createDataFrame(
+        [(0, None, 5), (1, None, 7), (2, "has text", 4)],
+        "ord int, text string, n_bpe_tokens int",
+    )
+    out = pk.pack_sequences(
+        df, "text", id_col="ord", max_tokens=8, order_col="ord",
+        n_tokens_col="n_bpe_tokens",
+    ).orderBy("ord", "seq_id").collect()
+    got = [(r["ord"], r["seq_id"], r["seq_offset"], r["n_toks"]) for r in out]
+    # 5 + 7 + 4 = 16 tokens -> exactly two full 8-token sequences
+    assert got == [(0, 0, 0, 5), (1, 0, 5, 3), (1, 1, 0, 4), (2, 1, 4, 4)]
+
+    all_null = spark.createDataFrame(
+        [(0, None, 3), (1, None, 6)], "ord int, text string, n int"
+    )
+    out2 = pk.pack_sequences(
+        all_null, "text", id_col="ord", max_tokens=4, order_col="ord",
+        n_tokens_col="n",
+    ).orderBy("ord", "seq_id").collect()
+    assert [(r["ord"], r["seq_id"], r["n_toks"]) for r in out2] == [
+        (0, 0, 3), (1, 0, 1), (1, 1, 4), (1, 2, 1)
+    ]

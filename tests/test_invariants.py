@@ -319,6 +319,39 @@ def test_qps_best_of_notes_25pct_pin_miss():
     assert note2 is None and passes2 == 2 and qps2 >= 0.75 * 120.0
 
 
+def test_bench_detail_degraded_run_guard(tmp_path, monkeypatch):
+    """VERDICT r12 directive #2: a run whose median per-query warm ratio
+    vs the committed incumbent exceeds 1.3 must not overwrite it — the
+    r12 snapshot replaced a clean 16.2 s run with a host-contended 27.6 s
+    one. Within-band runs and force-override still write in place."""
+    import json as _json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _detail_write_path
+
+    inc = tmp_path / "BENCH_DETAIL.json"
+    inc.write_text(_json.dumps({"queries": {"a": 1.0, "b": 2.0, "c": 0.5}}))
+    # uniform 2x degradation -> guarded to the _DEGRADED sibling
+    path, med = _detail_write_path(str(inc), {"a": 2.0, "b": 4.0, "c": 1.0})
+    assert path.endswith("BENCH_DETAIL_DEGRADED.json") and med == 2.0
+    # within noise -> writes in place
+    path2, _ = _detail_write_path(str(inc), {"a": 1.1, "b": 2.1, "c": 0.55})
+    assert path2 == str(inc)
+    # one slow outlier among fast queries -> median protects (no guard)
+    path3, _ = _detail_write_path(str(inc), {"a": 9.0, "b": 2.0, "c": 0.5})
+    assert path3 == str(inc)
+    # explicit force writes in place even when degraded
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FORCE_DETAIL", "1")
+    path4, _ = _detail_write_path(str(inc), {"a": 2.0, "b": 4.0, "c": 1.0})
+    assert path4 == str(inc)
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_FORCE_DETAIL")
+    # no incumbent -> writes in place
+    path5, _ = _detail_write_path(str(tmp_path / "nope.json"), {"a": 2.0})
+    assert path5 == str(tmp_path / "nope.json")
+
+
 def test_gate_budget_and_oracle_key_contract():
     """Driver contract structure, no Spark needed: exactly 50 merged gates
     (budget assert intact), every oracle key names a gate, and merge=False
@@ -333,6 +366,6 @@ def test_gate_budget_and_oracle_key_contract():
     legs = em.queries(merge=False)
     # every base leg the combos absorbed is still addressable for bench
     for name in ("lm_perplexity", "lm_word_perplexity", "chunk_docs",
-                 "dsir_weights", "dsir_select",
+                 "dsir_weights", "dsir_select", "bpe_segment",
                  "contamination_flags", "asof_fwd_events"):
         assert name in legs and callable(legs[name])
