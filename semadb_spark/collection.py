@@ -1845,10 +1845,12 @@ class Collection:
         the pool after DML. Results identical to :meth:`search_local`
         (parity-tested). Use as a context manager.
 
-        ``preload=True`` makes each worker decode ALL graph-artifact cent
-        partitions at spawn instead of faulting them in lazily per query
-        — pay the whole decode once, serve at steady state from the first
-        request (see LocalSearchEngine.preload_graph_artifacts)."""
+        ``preload=True`` decodes every graph artifact ONCE in the parent
+        into POSIX shared memory; workers attach zero-copy views — steady
+        state from the first request at ONE resident artifact copy for
+        the whole pool (vamana.export_packed_shared). ``preload="worker"``
+        keeps the r12 per-worker private decode; oversized artifacts (past
+        the serve-cache cap) stay lazy either way."""
         from .plans.local_engine import HybridServePool
 
         return HybridServePool(

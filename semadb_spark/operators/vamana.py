@@ -2410,6 +2410,206 @@ def preload_packed_local(path: str, *, dtype: str = "float32",
     return sum(1 for c in cents if got.get(c))
 
 
+# -- shared-memory preload (r13) ---------------------------------------------
+#
+# preload_packed_local per pool worker makes N workers each decode + hold a
+# full private copy of the packed artifact (N x resident memory — VERDICT
+# r12 directive #4). The shared path decodes ONCE in the pool parent into a
+# POSIX shared-memory segment; every worker attaches zero-copy numpy views
+# over the same physical pages — the Python analogue of the reference's one
+# shared shard decode cache serving all request goroutines
+# (shard/cache/manager.go:39-303). Resident cost: one artifact copy total
+# (plus per-worker page tables), not one per worker.
+
+_SHM_ATTACHED: dict[str, object] = {}
+"""Strong refs to attached SharedMemory segments, keyed by artifact path —
+numpy views into ``shm.buf`` must never outlive the mapping."""
+
+
+def _shm_align(off: int, align: int = 64) -> int:
+    return (off + align - 1) & ~(align - 1)
+
+
+def export_packed_shared(path: str, *, dtype: str = "float32",
+                         compute_dtype: str = "float32",
+                         fp_ttl_sec: float | None = None,
+                         max_cents: int | None = None):
+    """Decode a packed artifact ONCE into a POSIX shared-memory segment and
+    return ``(shm_name, manifest)`` for pool workers to attach zero-copy
+    (:func:`attach_packed_shared`), or ``None`` when the artifact is wider
+    than the serve-cache capacity (those keep the lazy per-worker
+    working-set behavior, same bound as :func:`preload_packed_local`).
+
+    Everything the serve kernel touches goes into the segment: vectors (in
+    the COMPUTE dtype), CSR adjacency + the padded-adjacency accelerator,
+    the id-sorted seed order, baked BQ/PQ codes, and the ids themselves
+    (fixed-width numpy unicode — ``ids[j]`` yields ``np.str_``, a ``str``
+    subclass, so every downstream consumer is unchanged). The manifest is
+    offsets/shapes only — a few KB to pickle per worker spawn.
+
+    The exporting process briefly holds 2x the artifact (private decode +
+    the shm copy); the private half is dropped before returning. Call
+    :func:`release_packed_shared` (parent, after workers exit) to unlink.
+    """
+    from multiprocessing import shared_memory
+
+    import pyarrow.dataset as pads
+
+    np_dtype = np.dtype(dtype)
+    c_dtype = np.dtype(compute_dtype)
+    dset = pads.dataset(path, partitioning="hive")
+    if "cent" not in dset.schema.names:
+        return None
+    cents_set: set[int] = set()
+    for f in dset.files:
+        for part in f.split("/"):
+            if part.startswith("cent="):
+                cents_set.add(int(part[5:]))
+    cents = sorted(cents_set)
+    cap = MAX_CACHED_CENTS if max_cents is None else int(max_cents)
+    if len(cents) > cap:
+        return None  # oversized artifacts stay lazy by construction
+    decoded = _local_decoded_cents(
+        path, cents, np_dtype, c_dtype, fp_ttl_sec=fp_ttl_sec
+    )
+    fp = _LOCAL_PACKED_FP_AT[path][1]
+
+    # pass 1: layout. ids become fixed-width '<U' arrays (UTF-32) so they
+    # share too; empty shards record width 0 and attach as empty arrays.
+    layout: dict[int, list[dict]] = {}
+    total = 0
+    staged: list[tuple[dict, str, np.ndarray]] = []
+    for cent in cents:
+        shard_entries = []
+        for (ids, X, indptr, indices, start, adj_pad, id_order,
+             code_state) in decoded.get(cent, []):
+            arrays: dict[str, np.ndarray] = {
+                "ids": np.asarray(ids, dtype=str) if len(ids)
+                else np.empty(0, dtype="<U1"),
+                "X": X,
+                "indptr": np.ascontiguousarray(indptr),
+                "indices": np.ascontiguousarray(indices),
+                "adj_pad": adj_pad,
+                "id_order": np.ascontiguousarray(id_order),
+            }
+            if "bq_bytes" in code_state:
+                arrays["bq_bytes"] = code_state["bq_bytes"]
+            if "pq_bytes" in code_state:
+                arrays["pq_bytes"] = code_state["pq_bytes"]
+            entry: dict = {
+                "start": int(start),
+                "bq_words": code_state.get("bq_words"),
+                "pq_m": code_state.get("pq_m"),
+                "arrays": {},
+            }
+            for name, arr in arrays.items():
+                arr = np.ascontiguousarray(arr)
+                off = _shm_align(total)
+                entry["arrays"][name] = (off, arr.shape, arr.dtype.str)
+                total = off + arr.nbytes
+                staged.append((entry, name, arr))
+            shard_entries.append(entry)
+        layout[cent] = shard_entries
+
+    shm = shared_memory.SharedMemory(create=True, size=max(total, 1))
+    for entry, name, arr in staged:
+        off, shape, dt = entry["arrays"][name]
+        np.ndarray(shape, dtype=np.dtype(dt), buffer=shm.buf,
+                   offset=off)[...] = arr
+    manifest = {
+        "fp": fp,
+        "c_dtype": str(c_dtype),
+        "cents": layout,
+    }
+    name = shm.name
+    # drop the private decode (the shm copy replaces it; a parent that
+    # serves later attaches or lazily re-decodes) and release the temp
+    # views so shm.close() stays legal for the parent
+    del staged
+    _LOCAL_PACKED_CACHE.pop(path, None)
+    shm.close()
+    return name, manifest
+
+
+def attach_packed_shared(path: str, shm_name: str, manifest: dict) -> int:
+    """Attach this process's packed-artifact serve cache to a segment
+    exported by :func:`export_packed_shared` — zero-copy views, no decode.
+    Returns the number of cent partitions made resident. Safe to call in a
+    pool-worker initializer before the engine opens; the views are marked
+    read-only (the serve kernels never write shard state)."""
+    from multiprocessing import shared_memory
+
+    shm = shared_memory.SharedMemory(name=shm_name)
+    # CPython < 3.13 registers EVERY attach with the resource tracker,
+    # which then unlinks the segment when THIS process exits — yanking the
+    # mapping out from under sibling workers. The creator (pool parent)
+    # keeps its registration; attachers must not double-register.
+    try:
+        from multiprocessing import resource_tracker
+
+        resource_tracker.unregister(shm._name, "shared_memory")
+    except Exception:
+        pass
+    _SHM_ATTACHED[path] = shm
+
+    def _view(spec):
+        off, shape, dt = spec
+        arr = np.ndarray(tuple(shape), dtype=np.dtype(dt), buffer=shm.buf,
+                         offset=off)
+        arr.flags.writeable = False
+        return arr
+
+    cache: dict[int, list] = {}
+    for cent, shard_entries in manifest["cents"].items():
+        shards = []
+        for entry in shard_entries:
+            a = entry["arrays"]
+            ids = _view(a["ids"])
+            if ids.size == 0:
+                ids = np.empty(0, dtype=object)
+            code_state: dict = {}
+            if entry.get("bq_words"):
+                bq_bytes = _view(a["bq_bytes"])
+                code_state["bq_words"] = int(entry["bq_words"])
+                code_state["bq_bytes"] = bq_bytes
+                code_state["bq_codes"] = (
+                    bq_bytes.view(np.uint64)
+                    .reshape(bq_bytes.shape[0], int(entry["bq_words"]))
+                )
+            if entry.get("pq_m"):
+                code_state["pq_m"] = int(entry["pq_m"])
+                code_state["pq_bytes"] = _view(a["pq_bytes"])
+            shards.append((
+                ids, _view(a["X"]), _view(a["indptr"]), _view(a["indices"]),
+                int(entry["start"]), _view(a["adj_pad"]),
+                _view(a["id_order"]), code_state,
+            ))
+        cache[int(cent)] = shards
+    key = (manifest["fp"], manifest["c_dtype"])
+    _LOCAL_PACKED_CACHE[path] = (key, cache)
+    import time as _time
+
+    _LOCAL_PACKED_FP_AT[path] = (_time.monotonic(), manifest["fp"])
+    return len(cache)
+
+
+def release_packed_shared(shm_name: str) -> None:
+    """Unlink a segment created by :func:`export_packed_shared` (pool
+    parent, at close). Workers still mapped keep their pages until exit —
+    POSIX unlink only removes the name."""
+    from multiprocessing import shared_memory
+
+    try:
+        shm = shared_memory.SharedMemory(name=shm_name)
+    except FileNotFoundError:
+        return
+    # no manual tracker unregister here: attach registered the name and
+    # unlink() unregisters it — doing both double-removes and the tracker
+    # process logs a KeyError at exit
+    shm.close()
+    shm.unlink()
+
+
 def vamana_serve_local(
     packed_path: str,
     query: list[float] | np.ndarray,

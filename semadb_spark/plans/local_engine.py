@@ -1303,21 +1303,33 @@ _HPOOL_ENGINE: "LocalSearchEngine | None" = None
 
 
 def _hpool_init(collection_path: str, vector_mode: str, warm_requests,
-                graph_nprobe=None, preload: bool = False) -> None:
+                graph_nprobe=None, preload: bool = False,
+                shared_graphs=None) -> None:
     """Worker initializer: open the collection WITHOUT a SparkSession
     (Collection.open_local), build this worker's LocalSearchEngine, and
     optionally pre-run warm requests so the resident caches (columns,
     vector matrix, posting row-group index) are hot before real traffic.
-    ``preload`` additionally decodes ALL graph-artifact cents up front
-    (:meth:`LocalSearchEngine.preload_graph_artifacts`) — without it a
+    ``shared_graphs`` (list of ``(artifact_path, shm_name, manifest)``)
+    attaches this worker's packed-graph serve cache to the pool parent's
+    ONE shared-memory decode — zero-copy, no per-worker ramp, no per-worker
+    resident copy. ``preload`` (legacy) instead decodes ALL graph-artifact
+    cents privately in this worker
+    (:meth:`LocalSearchEngine.preload_graph_artifacts`); without either, a
     worker ramps to steady state as queries lazily fault cents in."""
     global _HPOOL_ENGINE
     from semadb_spark.collection import Collection
 
+    for art_path, shm_name, manifest in shared_graphs or []:
+        try:
+            from semadb_spark.operators.vamana import attach_packed_shared
+
+            attach_packed_shared(art_path, shm_name, manifest)
+        except Exception:
+            pass  # optimization, never a brick: worker falls back to lazy
     coll = Collection.open_local(collection_path)
     _HPOOL_ENGINE = LocalSearchEngine(coll, vector_mode=vector_mode,
                                       graph_nprobe=graph_nprobe)
-    if preload:
+    if preload and not shared_graphs:
         try:
             _HPOOL_ENGINE.preload_graph_artifacts()
         except Exception:
@@ -1371,7 +1383,7 @@ class HybridServePool:
                  vector_mode: str = "auto", warm_requests=None,
                  start_method: str | None = None,
                  graph_nprobe: int | None = None,
-                 preload: bool = False):
+                 preload: "bool | str" = False):
         import os
 
         from semadb_spark.operators._pool import make_worker_executor
@@ -1381,18 +1393,60 @@ class HybridServePool:
         if int(workers) < 1:
             raise ValueError("HybridServePool requires workers >= 1")
         self.workers = int(workers)
+        # preload=True: the PARENT decodes each packed graph artifact once
+        # into POSIX shared memory and every worker attaches zero-copy
+        # views — one resident artifact copy for the whole pool, the
+        # reference's single shared shard cache (cache/manager.go:39-303).
+        # preload="worker" keeps the r12 behavior (each worker decodes a
+        # private copy); export failure or an artifact wider than the
+        # serve-cache cap falls back to that path / to lazy faulting.
+        self._shm_names: list[str] = []
+        shared_graphs: list = []
+        if preload and preload != "worker":
+            try:
+                shared_graphs = self._export_shared_graphs(
+                    collection_path, vector_mode, graph_nprobe
+                )
+                self._shm_names = [s[1] for s in shared_graphs]
+            except Exception:
+                shared_graphs = []
         # one shared executor: unlike the vector pool there is no
         # per-partition cache affinity to exploit (every worker holds the
         # whole snapshot), so the shortest queue wins
         self._pool = make_worker_executor(
             self.workers, _hpool_init,
             (collection_path, vector_mode, list(warm_requests or []),
-             graph_nprobe, bool(preload)),
+             graph_nprobe, bool(preload) and not shared_graphs,
+             shared_graphs),
             start_method,
             # serving workers run single-threaded math: W full BLAS pools
             # oversubscribe the host (operators/_pool.py, measured 4x)
             blas_threads=1,
         )
+
+    @staticmethod
+    def _export_shared_graphs(collection_path: str, vector_mode: str,
+                              graph_nprobe):
+        """Parent-side: decode every graph-served packed artifact once into
+        shared memory; returns ``[(artifact_path, shm_name, manifest)]``
+        for the worker initializer to attach. Artifacts wider than the
+        serve-cache capacity export as None and are skipped (workers keep
+        the lazy working-set behavior for those)."""
+        from semadb_spark.collection import Collection
+        from semadb_spark.operators.vamana import export_packed_shared
+
+        coll = Collection.open_local(collection_path)
+        probe = LocalSearchEngine(coll, vector_mode=vector_mode,
+                                  graph_nprobe=graph_nprobe)
+        out = []
+        for g in probe.graph.values():
+            exp = export_packed_shared(
+                g["packed"], dtype=g["pack_dtype"],
+                compute_dtype="float32", fp_ttl_sec=3600.0,
+            )
+            if exp is not None:
+                out.append((g["packed"], exp[0], exp[1]))
+        return out
 
     def search(self, request: dict):
         """One request -> pandas DataFrame (search_local's output shape)."""
@@ -1416,6 +1470,14 @@ class HybridServePool:
 
     def close(self) -> None:
         self._pool.shutdown(wait=True)
+        from semadb_spark.operators.vamana import release_packed_shared
+
+        for name in self._shm_names:
+            try:
+                release_packed_shared(name)
+            except Exception:
+                pass
+        self._shm_names = []
 
     def __enter__(self) -> "HybridServePool":
         return self
