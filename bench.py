@@ -173,6 +173,18 @@ def _budget_tight() -> bool:
     return _budget_remaining() < 240.0
 
 
+EST_SEC = {
+    # conservative full-scale wall-clock estimates per deep block (fresh
+    # /tmp, all sidecars built in-run — the DRIVER's world), measured from
+    # the r13 clean run's block markers + ~30% headroom. Used only to
+    # decide whether a block still fits the remaining budget; a skipped
+    # block records {"skipped": "budget"} and the run completes green.
+    "vector_10m": 1200.0,
+    "docs_10m": 900.0,
+    "hybrid_local_1m": 480.0,
+}
+
+
 def _skip_for_budget(block: str, est_sec: float) -> bool:
     """True (and logs) when ``block`` would overrun the global budget."""
     rem = _budget_remaining()
@@ -278,16 +290,23 @@ def _below_band(best_dt, pin_sec=None, ref_sec=None, min_ratio=None):
 
 
 def _detail_write_path(detail_path: str, timings: dict,
-                       max_median_ratio: float = 1.3) -> tuple[str, float]:
+                       max_median_ratio: float = 1.3,
+                       sf: float | None = None) -> tuple[str, float]:
     """Where to write this run's BENCH_DETAIL — the degraded-run guard's
     decision, extracted for testing. Returns (path, median_ratio): the
     incumbent path when the run is within ``max_median_ratio`` of the
     committed incumbent's per-query warm medians (or there is no usable
     incumbent, or SPARK_GRAFT_BENCH_FORCE_DETAIL=1), else the
-    ``_DEGRADED`` sibling path."""
+    ``_DEGRADED`` sibling path. A run at a DIFFERENT scale factor than
+    the incumbent never replaces it (a tiny-sf smoke run is faster on
+    every query, so the ratio check alone would wave it through)."""
     try:
         with open(detail_path) as f:
             incumbent = json.load(f)
+        inc_sf = incumbent.get("sf")
+        if (sf is not None and inc_sf is not None and float(inc_sf) != float(sf)
+                and os.environ.get("SPARK_GRAFT_BENCH_FORCE_DETAIL") != "1"):
+            return detail_path.replace(".json", "_DEGRADED.json"), 0.0
         inc_q = incumbent.get("queries", {})
         ratios = sorted(
             timings[k] / inc_q[k]
@@ -937,6 +956,11 @@ def main() -> None:
     tenm_rows = int(os.environ.get("SPARK_GRAFT_BENCH_10M_ROWS", 10_000_000))
     vector_10m = {}
     vamana_10m: dict = {}
+    if tenm_rows > 0 and _skip_for_budget("vector_10m+vamana_10m",
+                                          EST_SEC["vector_10m"]):
+        vector_10m = {"skipped": "budget"}
+        vamana_10m = {"skipped": "budget"}
+        tenm_rows = 0
     if tenm_rows > 0:
         from tools.gen_clustered_corpus import generate as _gen_corpus
 
@@ -1251,9 +1275,20 @@ def main() -> None:
             point_qps, _, point_note = qps_best_of(
                 len(point_queries), _point_pass, pin=40.0
             )
+            # per-query latency distribution (VERDICT r12 directive #5):
+            # the tail matters for a serving row, not just the inverse QPS
+            p_lat = sorted(
+                _timed(lambda: vamana_serve_local(VAM10_ART, v, 10, **pkw))
+                for _qid, v in point_queries
+            )
             vamana_10m["point_read"] = {
                 "qps_1client": point_qps,
                 "latency_ms": round(1000.0 / max(point_qps, 0.001), 1),
+                "latency_ms_p50": round(p_lat[len(p_lat) // 2] * 1000, 2),
+                "latency_ms_p99": round(
+                    p_lat[min(len(p_lat) - 1, int(len(p_lat) * 0.99))] * 1000,
+                    2,
+                ),
                 "recall_at10": round(p_hits / max(p_tot, 1), 4),
             }
             if point_note:
@@ -1704,6 +1739,11 @@ def main() -> None:
     docs10m_rows = int(os.environ.get("SPARK_GRAFT_BENCH_10M_DOCS", 10_000_000))
     docs_10m: dict = {}
     text_10m: dict = {}
+    if docs10m_rows > 0 and _skip_for_budget("docs_10m+text_10m",
+                                             EST_SEC["docs_10m"]):
+        docs_10m = {"skipped": "budget"}
+        text_10m = {"skipped": "budget"}
+        docs10m_rows = 0
     if docs10m_rows > 0:
         docs10m_path = f"/tmp/semadb_bench_docs_{docs10m_rows}.parquet"
         if not os.path.exists(os.path.join(docs10m_path, "_SUCCESS")):
@@ -2025,6 +2065,20 @@ def main() -> None:
     }
     if iv_note:
         ivf_local["qps_note"] = iv_note
+    # single-query latency histogram (VERDICT r12 directive #5): the
+    # reference's published QPS are 1-thread serving-latency inverses
+    # (README.md:191-196, ~1 ms/query); this records our point-read
+    # distribution, not just the mean, so the tail is honest too
+    lat = sorted(
+        _timed(lambda: icoll.search(r, route="auto"))
+        for _ in range(2) for r in ireqs
+    )
+    ivf_local["latency_ms"] = {
+        "p50": round(lat[len(lat) // 2] * 1000, 2),
+        "p90": round(lat[int(len(lat) * 0.90)] * 1000, 2),
+        "p99": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1000, 2),
+        "n": len(lat),
+    }
     print(f"# ivf_local: {ivf_local}", file=sys.stderr)
     _mark("ivf_local")
 
@@ -2045,6 +2099,10 @@ def main() -> None:
     HYBRID1M_PIN_1C = 18.0
     HYBRID1M_PIN_MP8 = 120.0
     h1_rows = int(os.environ.get("SPARK_GRAFT_BENCH_HYBRID_1M_ROWS", 1_000_000))
+    if h1_rows > 0 and _skip_for_budget("hybrid_local_1m",
+                                        EST_SEC["hybrid_local_1m"]):
+        hybrid_local_1m = {"skipped": "budget"}
+        h1_rows = 0
     if h1_rows > 0:
         h1path, h1meta = ensure_hybrid_coll(spark, sf_dir=sf_dir, rows=h1_rows)
         h1coll = SColl.open(spark, h1path)
@@ -2156,7 +2214,7 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_FORCE_DETAIL=1 (e.g. after a known slowdown-for-
     # correctness change). The stdout/stderr JSON lines always carry the
     # CURRENT run either way — only the committed file is guarded.
-    write_path, med = _detail_write_path(detail_path, timings)
+    write_path, med = _detail_write_path(detail_path, timings, sf=sf)
     if write_path != detail_path:
         detail["degraded_vs_incumbent_median_ratio"] = round(med, 3)
         print(
@@ -2192,8 +2250,8 @@ def main() -> None:
         "vector_1m_pq": _qr(vector_1m_pq["pq_qps"], vector_1m_pq["pq_recall_at10"]),
         "vector_10m": (
             _qr(vector_10m["ivf_qps"], vector_10m["ivf_recall_at10"])
-            if vector_10m
-            else {}
+            if "ivf_qps" in vector_10m
+            else vector_10m
         ),
         "vamana_1m": _qr(vamana_1m["qps"], vamana_1m["recall_at10"]),
         "quant_graph_1m": {
@@ -2258,7 +2316,7 @@ def main() -> None:
             k: v
             for k, v in hybrid_local_1m.items()
             if k in ("qps_1client", "qps_mp8", "qps_mp8_ratio_vs_200k",
-                     "qps_note", "qps_mp8_note")
+                     "qps_note", "qps_mp8_note", "skipped")
         },
         "ivf_local": {
             k: v

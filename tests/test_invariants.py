@@ -350,6 +350,41 @@ def test_bench_detail_degraded_run_guard(tmp_path, monkeypatch):
     # no incumbent -> writes in place
     path5, _ = _detail_write_path(str(tmp_path / "nope.json"), {"a": 2.0})
     assert path5 == str(tmp_path / "nope.json")
+    # a different-scale run never replaces the incumbent, even when its
+    # per-query ratios look great (a tiny-sf smoke is faster everywhere)
+    inc.write_text(_json.dumps(
+        {"sf": 0.1, "queries": {"a": 1.0, "b": 2.0, "c": 0.5}}))
+    path6, _ = _detail_write_path(
+        str(inc), {"a": 0.1, "b": 0.2, "c": 0.05}, sf=0.01)
+    assert path6.endswith("BENCH_DETAIL_DEGRADED.json")
+    path7, _ = _detail_write_path(
+        str(inc), {"a": 1.0, "b": 2.0, "c": 0.5}, sf=0.1)
+    assert path7 == str(inc)
+
+
+def test_budget_skip_guard(monkeypatch):
+    """_skip_for_budget skips a block whose estimate exceeds the remaining
+    global budget and admits one that fits; every deep-block guard key has
+    a full-scale estimate in EST_SEC (a missing key would KeyError the run
+    at the guard site, not degrade it)."""
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    monkeypatch.setattr(bench, "BENCH_BUDGET_SEC", 1000.0)
+    monkeypatch.setattr(bench, "_T0", time.time() - 900.0)  # 100s remain
+    assert bench._skip_for_budget("deep_block", est_sec=500.0) is True
+    assert bench._skip_for_budget("cheap_block", est_sec=50.0) is False
+    assert bench._budget_tight() is True  # < 240s left
+    monkeypatch.setattr(bench, "_T0", time.time())  # full budget again
+    assert bench._skip_for_budget("deep_block", est_sec=500.0) is False
+    assert bench._budget_tight() is False
+    # the guard sites in main() index EST_SEC with these exact keys
+    for key in ("vector_10m", "docs_10m", "hybrid_local_1m"):
+        assert key in bench.EST_SEC and bench.EST_SEC[key] > 0
 
 
 def test_gate_budget_and_oracle_key_contract():
