@@ -820,6 +820,14 @@ class LocalSearchEngine:
                 [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
             ) if len(pdf) else np.zeros((0, 1))
             cent = pdf["centroid_id"].to_numpy(dtype=np.int64)
+            # inverted-list layout: rows SORTED by centroid_id, so a probe
+            # gathers nprobe CONTIGUOUS slices (searchsorted + BLAS on
+            # views) instead of masking the whole matrix — the per-query
+            # cost drops from O(corpus) to O(probed rows). Result-set
+            # parity is free: _take_topk orders by (distance, id), so
+            # candidate order never matters.
+            order = np.argsort(cent, kind="stable")
+            ids, X, cent = ids[order], np.ascontiguousarray(X[order]), cent[order]
             hit = (ids, X, (X * X).sum(axis=1), cent)
             self._ivf_cache[prop] = hit
         return hit
@@ -858,21 +866,38 @@ class LocalSearchEngine:
         q = np.asarray(vector, dtype=np.float64)
         cdist = numpy_distance_matrix(metric, centroids, q[None, :])[:, 0]
         probed = np.argsort(cdist)[:nprobe]
-        keep = np.isin(cent, probed)
-        ids, X, n2 = ids[keep], X[keep], n2[keep]
+        # rows are centroid-sorted (_ivf_state): each probed cell is one
+        # contiguous slice — distances run as BLAS on views, and only the
+        # probed cells' ids/distances are ever materialized (the r12 path
+        # masked the FULL matrix per query: O(corpus) isin + a big fancy-
+        # index copy, 73% of the measured 13.7 ms point-read)
+        los = np.searchsorted(cent, probed, side="left")
+        his = np.searchsorted(cent, probed, side="right")
+        id_parts: list = []
+        d_parts: list = []
+        for lo, hi in zip(los, his):
+            if lo == hi:
+                continue
+            Xs = X[lo:hi]
+            if metric == "euclidean":
+                dd = np.maximum(n2[lo:hi] - 2.0 * (Xs @ q) + (q @ q), 0.0)
+            elif metric == "dot":
+                dd = -(Xs @ q)
+            elif metric == "cosine":
+                dd = 1.0 - Xs @ q
+            else:
+                dd = numpy_distance_matrix(metric, Xs, q[None, :])[:, 0]
+            id_parts.append(ids[lo:hi])
+            d_parts.append(dd)
+        if not id_parts:
+            return _empty_ranked().drop(columns=["_score", "_hybridScore"])
+        ids = np.concatenate(id_parts)
+        d = np.concatenate(d_parts)
         if candidates is not None:
             m = pd.Series(ids).isin(candidates).to_numpy()
-            ids, X, n2 = ids[m], X[m], n2[m]
+            ids, d = ids[m], d[m]
         if len(ids) == 0:
             return _empty_ranked().drop(columns=["_score", "_hybridScore"])
-        if metric == "euclidean":
-            d = np.maximum(n2 - 2.0 * (X @ q) + (q @ q), 0.0)
-        elif metric == "dot":
-            d = -(X @ q)
-        elif metric == "cosine":
-            d = 1.0 - X @ q
-        else:
-            d = numpy_distance_matrix(metric, X, q[None, :])[:, 0]
         return self._take_topk(ids, d, limit)
 
     def _compile_vector(self, prop: str, query: dict, value) -> _LocalCompiled:
