@@ -174,15 +174,54 @@ def _budget_tight() -> bool:
 
 
 EST_SEC = {
-    # conservative full-scale wall-clock estimates per deep block (fresh
-    # /tmp, all sidecars built in-run — the DRIVER's world), measured from
-    # the r13 clean run's block markers + ~30% headroom. Used only to
-    # decide whether a block still fits the remaining budget; a skipped
-    # block records {"skipped": "budget"} and the run completes green.
+    # conservative full-scale wall-clock estimates per deep block (warm
+    # /tmp: sidecars present). Used only to decide whether a block still
+    # fits the remaining budget; a skipped block records
+    # {"skipped": "budget"} and the run completes green. One-time fixture
+    # builds are charged ON TOP by the artifact-aware helpers below — the
+    # r13 baseline run proved the flat numbers catastrophically low on a
+    # fresh /tmp (docs_10m est 900 s, actual cold >2400 s: 10M fixture
+    # synth+write, WARC export, text-index build all first-time).
     "vector_10m": 1200.0,
     "docs_10m": 900.0,
     "hybrid_local_1m": 480.0,
 }
+
+# one-time sidecar build surcharges (fresh /tmp), measured r13 cold run
+# (docs_10m block marker: 2983 s total = 1375 s timed legs + 26 s WARC
+# export + ~1580 s fixture synth+write+count)
+_COLD_SEC = {
+    "docs10m_fixture": 1600.0,  # 10M-doc synth + parquet write + count
+    "warc10m_fixture": 60.0,    # 10M-record WARC export (measured 26 s)
+    "textidx10m_build": 700.0,  # ~400M-posting text index build
+}
+
+
+def _est_docs10m(rows: int) -> float:
+    """Budget estimate for the docs_10m+text_10m branch: warm-legs base
+    plus a surcharge per absent one-time artifact, so a fresh /tmp skips
+    the block instead of blowing the budget mid-block (r12's rc=124)."""
+    est = EST_SEC["docs_10m"]
+    docs_path = f"/tmp/semadb_bench_docs_{rows}.parquet"
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+        est += _COLD_SEC["docs10m_fixture"]
+    if not os.path.exists(os.path.join(f"/tmp/semadb_bench_warc_{rows}", "_FIXTURE_DONE")):
+        est += _COLD_SEC["warc10m_fixture"]
+    est += _est_textidx10m(rows) - 120.0  # text serving base is inside EST_SEC
+    return est
+
+
+def _est_textidx10m(rows: int) -> float:
+    """Estimate for the text_10m sub-block alone (serving passes + build
+    surcharge when the index artifact is absent)."""
+    tidx = f"/tmp/semadb_bench_textidx_{rows}.parquet"
+    est = 120.0  # warm serving passes
+    if not (
+        os.path.exists(tidx + ".meta.json")
+        and os.path.exists(os.path.join(tidx, "_SUCCESS"))
+    ):
+        est += _COLD_SEC["textidx10m_build"]
+    return est
 
 
 def _skip_for_budget(block: str, est_sec: float) -> bool:
@@ -1740,7 +1779,7 @@ def main() -> None:
     docs_10m: dict = {}
     text_10m: dict = {}
     if docs10m_rows > 0 and _skip_for_budget("docs_10m+text_10m",
-                                             EST_SEC["docs_10m"]):
+                                             _est_docs10m(docs10m_rows)):
         docs_10m = {"skipped": "budget"}
         text_10m = {"skipped": "budget"}
         docs10m_rows = 0
@@ -1845,6 +1884,26 @@ def main() -> None:
                 ),
             ),
         ):
+            # per-leg budget gate (r13): the block-level estimate cannot
+            # see leg-level drift, and one slow leg must degrade the
+            # MEASUREMENT (later legs skipped, run completes green) rather
+            # than overrun the driver's wall clock (r12's rc=124). The
+            # leg's own estimate is its measured 1M time scaled by the
+            # row ratio with 40% headroom.
+            leg_est = (
+                docs_1m.get(f"{key}_sec", 30.0)
+                * (d10_n / max(docs_1m.get("rows", d10_n // 10), 1))
+                * 1.4
+            )
+            if _budget_remaining() < leg_est + 180.0:
+                docs_10m[f"{key}_skipped"] = "budget"
+                print(
+                    f"# budget: skipping docs_10m leg {key} (est"
+                    f" {leg_est:.0f}s > remaining"
+                    f" {_budget_remaining():.0f}s)",
+                    file=sys.stderr, flush=True,
+                )
+                continue
             frame, p_dt = best_of(1, make)
             frame.unpersist()
             docs_10m[f"{key}_sec"] = round(p_dt, 2)
@@ -1855,123 +1914,130 @@ def main() -> None:
         print(f"# docs_10m: {docs_10m}", file=sys.stderr)
         _mark("docs_10m")
 
-        # 10M text index: ~40 tokens/doc -> ~400M posting rows. Built ONCE
-        # (an index is an artifact, same policy as the vamana_1m build);
-        # build_sec comes from the sidecar, flagged build_once. Smaller
-        # parquet row groups than the 1M index: with term-sorted rows the
-        # pyarrow/Spark readers then prune to a few hundred-k rows per
-        # queried term instead of multi-M.
-        tidx10_path = f"/tmp/semadb_bench_textidx_{docs10m_rows}.parquet"
-        tidx10_meta = tidx10_path + ".meta.json"
-        if not (
-            os.path.exists(tidx10_meta)
-            and os.path.exists(os.path.join(tidx10_path, "_SUCCESS"))
-        ):
-            t0 = time.time()
-            (
-                build_text_index(d10, "text")
-                .withColumn(
-                    "term_bucket",
-                    F.pmod(md5_hash64(F.col("term")), F.lit(TERM_BUCKETS)),
+        if _budget_remaining() < _est_textidx10m(docs10m_rows) + 120.0:
+            # r13: the text_10m sub-block gets its own artifact-aware
+            # gate — a cold index build (~700 s) must not start when
+            # the docs legs already consumed the budget
+            text_10m = {"skipped": "budget"}
+            print("# budget: skipping text_10m", file=sys.stderr, flush=True)
+        else:
+            # 10M text index: ~40 tokens/doc -> ~400M posting rows. Built ONCE
+            # (an index is an artifact, same policy as the vamana_1m build);
+            # build_sec comes from the sidecar, flagged build_once. Smaller
+            # parquet row groups than the 1M index: with term-sorted rows the
+            # pyarrow/Spark readers then prune to a few hundred-k rows per
+            # queried term instead of multi-M.
+            tidx10_path = f"/tmp/semadb_bench_textidx_{docs10m_rows}.parquet"
+            tidx10_meta = tidx10_path + ".meta.json"
+            if not (
+                os.path.exists(tidx10_meta)
+                and os.path.exists(os.path.join(tidx10_path, "_SUCCESS"))
+            ):
+                t0 = time.time()
+                (
+                    build_text_index(d10, "text")
+                    .withColumn(
+                        "term_bucket",
+                        F.pmod(md5_hash64(F.col("term")), F.lit(TERM_BUCKETS)),
+                    )
+                    .repartition("term_bucket")
+                    # lead with the partition column (see the 1M block note).
+                    # 1 MB row groups: a point query decodes whole row groups
+                    # (no page-level pruning in the readers), so at ~400M
+                    # postings the group size IS the per-term read cost —
+                    # 1 MB keeps it at ~100k rows instead of ~1.1M
+                    .sortWithinPartitions("term_bucket", "term")
+                    .write.mode("overwrite")
+                    .option("parquet.block.size", 1024 * 1024)
+                    .partitionBy("term_bucket")
+                    .parquet(tidx10_path)
                 )
-                .repartition("term_bucket")
-                # lead with the partition column (see the 1M block note).
-                # 1 MB row groups: a point query decodes whole row groups
-                # (no page-level pruning in the readers), so at ~400M
-                # postings the group size IS the per-term read cost —
-                # 1 MB keeps it at ~100k rows instead of ~1.1M
-                .sortWithinPartitions("term_bucket", "term")
-                .write.mode("overwrite")
-                .option("parquet.block.size", 1024 * 1024)
-                .partitionBy("term_bucket")
-                .parquet(tidx10_path)
-            )
-            t_build10 = round(time.time() - t0, 3)
-            with open(tidx10_meta, "w") as fh:
-                json.dump(
-                    {
-                        "build_sec": t_build10,
-                        "postings": spark.read.parquet(tidx10_path).count(),
-                    },
-                    fh,
+                t_build10 = round(time.time() - t0, 3)
+                with open(tidx10_meta, "w") as fh:
+                    json.dump(
+                        {
+                            "build_sec": t_build10,
+                            "postings": spark.read.parquet(tidx10_path).count(),
+                        },
+                        fh,
+                    )
+            with open(tidx10_meta) as fh:
+                tmeta10 = json.load(fh)
+            text_disk10 = spark.read.parquet(tidx10_path)
+            text_disk10.createOrReplaceTempView("bench_postings_10m")
+
+            def _serve10(args):
+                qtext, op = args
+                return text_serve(
+                    spark, "bench_postings_10m", qtext, op, limit=75,
+                    num_docs=d10_n,
+                ).count()
+
+            # Repro-pinned bands for the 10M serving rows (qps_best_of docstring
+            # has the round-8 story): isolation medians from
+            # tools/repro_text16c.py (~37 QPS for both the 1-client local path
+            # and the 16-thread Spark-SQL path) and
+            # tools/repro_text_multiproc.py (250.8 @ 8 procs, 401.5 @ 16). A
+            # best pass >2x below a pin keeps re-measuring and, failing that,
+            # lands with an explicit note instead of silently.
+            # r10 re-pin: the factorize + fingerprint-TTL fixes nearly doubled
+            # the 1-client point-read path (committed 59.7-68.7 vs r9's 37.9),
+            # so the old 37-QPS pin would let a real regression back to r9
+            # levels land silently. 16c stays lower (the Spark-SQL thread path
+            # didn't change); mp16 follows the 373-401 committed band.
+            TEXT10M_PIN_1C = 55.0
+            TEXT10M_PIN_16C = 40.0
+            TEXT10M_PIN_MP16 = 320.0
+            for q in text_queries:
+                _serve10(q)  # warm file listing + codegen
+            with ThreadPoolExecutor(16) as ex:
+                conc10_qps, conc10_passes, conc10_note = qps_best_of(
+                    len(q64), lambda: list(ex.map(_serve10, q64)),
+                    pin=TEXT10M_PIN_16C,
                 )
-        with open(tidx10_meta) as fh:
-            tmeta10 = json.load(fh)
-        text_disk10 = spark.read.parquet(tidx10_path)
-        text_disk10.createOrReplaceTempView("bench_postings_10m")
-
-        def _serve10(args):
-            qtext, op = args
-            return text_serve(
-                spark, "bench_postings_10m", qtext, op, limit=75,
-                num_docs=d10_n,
-            ).count()
-
-        # Repro-pinned bands for the 10M serving rows (qps_best_of docstring
-        # has the round-8 story): isolation medians from
-        # tools/repro_text16c.py (~37 QPS for both the 1-client local path
-        # and the 16-thread Spark-SQL path) and
-        # tools/repro_text_multiproc.py (250.8 @ 8 procs, 401.5 @ 16). A
-        # best pass >2x below a pin keeps re-measuring and, failing that,
-        # lands with an explicit note instead of silently.
-        # r10 re-pin: the factorize + fingerprint-TTL fixes nearly doubled
-        # the 1-client point-read path (committed 59.7-68.7 vs r9's 37.9),
-        # so the old 37-QPS pin would let a real regression back to r9
-        # levels land silently. 16c stays lower (the Spark-SQL thread path
-        # didn't change); mp16 follows the 373-401 committed band.
-        TEXT10M_PIN_1C = 55.0
-        TEXT10M_PIN_16C = 40.0
-        TEXT10M_PIN_MP16 = 320.0
-        for q in text_queries:
-            _serve10(q)  # warm file listing + codegen
-        with ThreadPoolExecutor(16) as ex:
-            conc10_qps, conc10_passes, conc10_note = qps_best_of(
-                len(q64), lambda: list(ex.map(_serve10, q64)),
-                pin=TEXT10M_PIN_16C,
-            )
-        for q, op in text_queries:
-            text_serve_local(tidx10_path, q, op, limit=75, num_docs=d10_n)
-
-        def _local_pass_10m():
             for q, op in text_queries:
                 text_serve_local(tidx10_path, q, op, limit=75, num_docs=d10_n)
 
-        local10_qps, local10_passes, local10_note = qps_best_of(
-            len(text_queries), _local_pass_10m, pin=TEXT10M_PIN_1C
-        )
-        # process-parallel serving tier (TextServePool, promoted from
-        # tools/repro_text_multiproc.py in r9): one worker process per
-        # client, each with its own ParquetFile handles on the immutable
-        # artifact — the GIL-free shape a real tier deploys.
-        from semadb_spark.operators.text_search import TextServePool
+            def _local_pass_10m():
+                for q, op in text_queries:
+                    text_serve_local(tidx10_path, q, op, limit=75, num_docs=d10_n)
 
-        with TextServePool(tidx10_path, num_docs=d10_n, workers=16) as pool:
-            pool.search_many(text_queries, limit=75)  # warm every worker
-            mp_qps, mp_passes, mp_note = qps_best_of(
-                len(q64),
-                lambda: pool.search_many(q64, limit=75),
-                pin=TEXT10M_PIN_MP16,
+            local10_qps, local10_passes, local10_note = qps_best_of(
+                len(text_queries), _local_pass_10m, pin=TEXT10M_PIN_1C
             )
-        text_10m = {
-            "rows": d10_n,
-            "postings": tmeta10["postings"],
-            "index_build_sec": tmeta10["build_sec"],
-            "build_once": True,
-            "search_qps_16c": conc10_qps,
-            "search_qps_1client": local10_qps,
-            "search_qps_multiproc": mp_qps,
-            "multiproc_workers": 16,
-            "band_passes": [local10_passes, conc10_passes, mp_passes],
-        }
-        for key, note in (
-            ("search_qps_1client", local10_note),
-            ("search_qps_16c", conc10_note),
-            ("search_qps_multiproc", mp_note),
-        ):
-            if note:
-                text_10m[f"{key}_note"] = note
-        print(f"# text_10m: {text_10m}", file=sys.stderr)
-        _mark("text_10m")
+            # process-parallel serving tier (TextServePool, promoted from
+            # tools/repro_text_multiproc.py in r9): one worker process per
+            # client, each with its own ParquetFile handles on the immutable
+            # artifact — the GIL-free shape a real tier deploys.
+            from semadb_spark.operators.text_search import TextServePool
+
+            with TextServePool(tidx10_path, num_docs=d10_n, workers=16) as pool:
+                pool.search_many(text_queries, limit=75)  # warm every worker
+                mp_qps, mp_passes, mp_note = qps_best_of(
+                    len(q64),
+                    lambda: pool.search_many(q64, limit=75),
+                    pin=TEXT10M_PIN_MP16,
+                )
+            text_10m = {
+                "rows": d10_n,
+                "postings": tmeta10["postings"],
+                "index_build_sec": tmeta10["build_sec"],
+                "build_once": True,
+                "search_qps_16c": conc10_qps,
+                "search_qps_1client": local10_qps,
+                "search_qps_multiproc": mp_qps,
+                "multiproc_workers": 16,
+                "band_passes": [local10_passes, conc10_passes, mp_passes],
+            }
+            for key, note in (
+                ("search_qps_1client", local10_note),
+                ("search_qps_16c", conc10_note),
+                ("search_qps_multiproc", mp_note),
+            ):
+                if note:
+                    text_10m[f"{key}_note"] = note
+            print(f"# text_10m: {text_10m}", file=sys.stderr)
+            _mark("text_10m")
 
     # hybrid point-read serving (Collection.search_local, r10): the whole
     # compiled query lifecycle in ONE process — filter legs off resident

@@ -156,16 +156,17 @@ def text_search(
         matches = doc_terms.filter(F.col("term").isin(terms))
     # Corpus-wide document frequency per query term: a materialized index
     # carries it denormalized per posting row (index-time fact); the ad-hoc
-    # path computes it as a window over the matched rows alone — doc_terms
-    # rows are unique per (id, term), so df_t = count per term over the
-    # query-term postings, no full-corpus stats pass (text.go:368-371 reads
-    # the posting-set cardinality the same way).
-    from pyspark.sql import Window
-
+    # path derives df_t = count per term over the query-term postings alone
+    # (doc_terms rows are unique per (id, term); text.go:368-371 reads the
+    # posting-set cardinality the same way). Computed as a partial-agg
+    # groupBy + broadcast join, NOT a count() window: the window shuffled
+    # every matched posting into |query terms| partitions — a guaranteed
+    # skewed full shuffle of the postings (2 terms = 2 tasks at any corpus
+    # size) where the groupBy exchanges one partial count per (partition,
+    # term) and the join is map-side (r13, guide §2.3/§2.5).
     if "df" not in matches.columns:
-        matches = matches.withColumn(
-            "df", F.count("*").over(Window.partitionBy("term"))
-        )
+        dfq = matches.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        matches = matches.join(F.broadcast(dfq), "term")
     if candidate_ids is not None:
         cand = candidate_ids.select(
             F.col(candidate_ids.columns[0]).cast("string").alias("id")

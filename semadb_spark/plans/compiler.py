@@ -104,6 +104,13 @@ class Compiled:
     # compositions dominated by them) — such frames are always safe to
     # broadcast by hint, table size notwithstanding.
     ids_bounded: bool = False
+    # True when the ``ids`` set is PROVABLY equal to ``ranked``'s id set
+    # (ranked leaves, and bool compositions that preserve the equality).
+    # ``_assemble`` then skips the filter-set backfill outright: the
+    # leftover set is empty by construction, and materializing it costs an
+    # anti-join plus a full second scan of the table (r13, guide §2.4 —
+    # remove an exchange the data can't populate).
+    ids_is_ranked: bool = False
 
     @property
     def is_pure(self) -> bool:
@@ -667,7 +674,12 @@ class SearchEngine:
                 F.lit(-1.0 * weight) * F.col("_distance"),
             )
         )
-        return Compiled(ids=ranked.select(self.id_col), ranked=ranked, ids_bounded=True)
+        return Compiled(
+            ids=ranked.select(self.id_col),
+            ranked=ranked,
+            ids_bounded=True,
+            ids_is_ranked=True,
+        )
 
     def _compile_text(self, prop: str, query: dict, value) -> Compiled:
         opts = query.get("text")
@@ -713,7 +725,12 @@ class SearchEngine:
             .withColumn("_distance", F.lit(None).cast("double"))
             .select(self.id_col, "_distance", "_score", "_hybridScore")
         )
-        return Compiled(ids=ranked.select(self.id_col), ranked=ranked, ids_bounded=True)
+        return Compiled(
+            ids=ranked.select(self.id_col),
+            ranked=ranked,
+            ids_bounded=True,
+            ids_is_ranked=True,
+        )
 
     # -- boolean composition (B1-B3) ---------------------------------------
 
@@ -801,7 +818,23 @@ class SearchEngine:
             if conjunction
             else all(c.ids_bounded for c in children)
         )
-        return Compiled(ids=final_set, ranked=merged, ids_bounded=bounded_out)
+        # Does final_set == ids(merged)?
+        # _and with any ranked child: merged is final_set ⋈ merged-union, so
+        # ids(merged) = final_set ∩ merged_ids; if SOME child has
+        # ids == its ranked ids then final_set ⊆ that child's ranked ids
+        # ⊆ merged_ids, hence equality. _or: equality iff EVERY child's ids
+        # coincide with its ranked ids (a pure child or a wider-than-ranked
+        # child contributes score-less ids that must backfill as
+        # filter-set rows).
+        if conjunction:
+            eq = merged is not None and any(
+                (not c.is_pure) and c.ids_is_ranked for c in children
+            )
+        else:
+            eq = all((not c.is_pure) and c.ids_is_ranked for c in children)
+        return Compiled(
+            ids=final_set, ranked=merged, ids_bounded=bounded_out, ids_is_ranked=eq
+        )
 
     # -- result assembly + shaping (P1-P3, B4) ------------------------------
 
@@ -832,6 +865,12 @@ class SearchEngine:
         ranked_rows = self.df.join(F.broadcast(ranked), self.id_col).withColumn(
             "_rankedFirst", F.lit(0)
         )
+        if compiled.ids_is_ranked:
+            # the id set IS the ranked set: the leftover filter-set is empty
+            # by construction — skip the anti-join + second table scan that
+            # would materialize it (r13; every pure-ranked query, i.e. all
+            # knn/text leaves and all-ranked hybrids, takes this path)
+            return ranked_rows
         # the anti build side (ranked ids) is always bounded; the leftover
         # set inherits compiled.ids' boundedness
         leftover_ids = compiled.ids.join(
@@ -902,17 +941,28 @@ class SearchEngine:
                     .filter(F.col("_rn") > offset)
                     .drop("_rn")
                 )
-        else:
+        elif offset:
+            # unlimited + offset: the one shape that still needs a global
+            # row_number over the full result (rare; prefer a limit)
             rows = rows.orderBy(*order)
-            if offset:
-                # unlimited + offset: the one shape that still needs a global
-                # row_number over the full result (rare; prefer a limit)
-                w = Window.orderBy(*order)
-                rows = (
-                    rows.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") > offset)
-                    .drop("_rn")
-                )
+            w = Window.orderBy(*order)
+            rows = (
+                rows.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") > offset)
+                .drop("_rn")
+            )
+        elif user_order:
+            # unlimited but explicitly sorted: honor the requested order
+            rows = rows.orderBy(*order)
+        # else: batch mode (explicit null limit, no offset, no sort keys) —
+        # return the full result set UNORDERED. The default ranked-first
+        # order exists for paginated API responses; globally sorting an
+        # unbounded batch result costs a range-sampling pass plus a full
+        # sort exchange (r13: one extra job per query at any scale, a full
+        # extra shuffle of the entire result at 100 TB) and every ordering
+        # column (_hybridScore, _distance, _score, id) is still present in
+        # the rows for consumers that need it. Spark guide §2.4: remove an
+        # orderBy used only to make output deterministic.
         rows = rows.drop("_rankedFirst")
 
         select = request.get("select")

@@ -84,9 +84,26 @@ def assert_parity(coll, request, vector_mode="auto"):
         f"row count {len(got_records)} != {len(want)} for {request}"
     )
     want_cols = set(want[0]) if want else set()
-    for g, w in zip(got_records, want):
-        gn = {k: _norm(v) for k, v in g.items() if k in want_cols}
-        wn = {k: _norm(v) for k, v in w.items()}
+    gn_rows = [
+        {k: _norm(v) for k, v in g.items() if k in want_cols}
+        for g in got_records
+    ]
+    wn_rows = [{k: _norm(v) for k, v in w.items()} for w in want]
+    # Batch mode (explicit null limit, no offset/sort) returns an UNORDERED
+    # set from the Spark engine (r13: the global presentation sort is
+    # pagination plumbing, dropped for unbounded batch results) — parity is
+    # set-parity there; every other shape pins row order.
+    unordered = (
+        "limit" in request
+        and request["limit"] is None
+        and not request.get("offset")
+        and not request.get("sort")
+    )
+    if unordered:
+        key = lambda r: sorted((k, repr(v)) for k, v in r.items())  # noqa: E731
+        gn_rows.sort(key=key)
+        wn_rows.sort(key=key)
+    for gn, wn in zip(gn_rows, wn_rows):
         assert gn == wn, f"row mismatch for {request}\nlocal={gn}\nspark={wn}"
     return got
 

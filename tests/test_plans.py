@@ -150,6 +150,62 @@ def test_explicit_null_limit_returns_all(table):
     assert "Window" not in _plan(res)
 
 
+def test_all_ranked_query_skips_backfill_scan(table):
+    # r13: when every leg of the query is ranked, the leftover filter-set
+    # is empty by construction (ids == ranked ids); _assemble must skip
+    # the anti-join + second table scan + union that would materialize it.
+    eng = SearchEngine(table, SCHEMA)
+    single = eng.search(
+        {"query": {"property": "vec", "vectorFlat": {"vector": [1.0, 2.0], "operator": "near", "limit": 5}}}
+    )
+    plan = _plan(single)
+    assert "LeftAnti" not in plan, plan
+    assert "Union" not in plan, plan
+    assert single.count() == 5
+    # mixed ranked + pure _or still backfills score-less filter rows
+    mixed = eng.search(
+        {
+            "query": {
+                "property": "_or",
+                "_or": [
+                    {"property": "vec", "vectorFlat": {"vector": [1.0, 2.0], "operator": "near", "limit": 5}},
+                    {"property": "size", "integer": {"operator": "lessThan", "value": 3}},
+                ],
+            },
+            "limit": None,
+        }
+    )
+    mplan = _plan(mixed)
+    assert "Union" in mplan, mplan
+    null_score_rows = mixed.filter(F.col("_hybridScore") == 0.0).count()
+    assert null_score_rows > 0  # filter-only rows survive with no score
+
+
+def test_batch_mode_skips_global_sort(table):
+    # r13: explicit null limit + no sort keys = batch mode; the default
+    # ranked-first presentation order is pagination plumbing, and a global
+    # sort of an unbounded result is a full extra exchange at scale.
+    eng = SearchEngine(table, SCHEMA)
+    res = eng.search(
+        {"query": {"property": "size", "integer": {"operator": "lessThan", "value": 10}}, "limit": None}
+    )
+    plan = _plan(res)
+    assert "Sort [" not in plan, plan
+    assert res.count() == 200
+    # an explicit sort key keeps the global order even when unlimited
+    ordered = eng.search(
+        {
+            "query": {"property": "size", "integer": {"operator": "lessThan", "value": 10}},
+            "limit": None,
+            "sort": [{"property": "size", "descending": True}],
+        }
+    )
+    oplan = _plan(ordered)
+    assert "Sort [" in oplan, oplan
+    top = ordered.select("size").head()["size"]
+    assert top == 9
+
+
 def test_ranked_backfill_broadcasts_without_aqe_help(spark, table):
     # The ranked frame is bounded by branch limits, so the backfill join
     # must broadcast BY HINT — not by AQE's runtime size estimate (which a
