@@ -830,6 +830,9 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
     q["fingerprint_docs"] = fingerprint_docs
 
     def repetition_signals(spark, sf_dir):
+        # measured r13: fanning this one out LOSES (0.41 -> 0.47 s A/B) —
+        # the timed count() prunes the heavy per-doc array exprs, so the
+        # exchange cost isn't bought back; left on the plain scan
         docs = _docs(spark, sf_dir)
         rep = ts_ops.repetition_signals(docs, "text")
         # integer-quantized fractions for the driver hash: both engines do
@@ -1364,7 +1367,9 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
     def pack_sequences(spark, sf_dir):
         from semadb_spark.operators import packing as pk_ops
 
-        docs = _docs(spark, sf_dir).withColumn("ord", F.col("doc_id"))
+        # fan out before the per-doc tokenize+count pass (single-row-group
+        # input; r13, guide §2.5) — packing itself re-partitions by bucket
+        docs = _fan_out(_docs(spark, sf_dir)).withColumn("ord", F.col("doc_id"))
         return pk_ops.pack_sequences(docs, "text", "_id", max_tokens=256, order_col="ord")
 
     q["pack_sequences"] = pack_sequences

@@ -404,3 +404,48 @@ def test_gate_budget_and_oracle_key_contract():
                  "dsir_weights", "dsir_select", "bpe_segment",
                  "contamination_flags", "asof_fwd_events"):
         assert name in legs and callable(legs[name])
+
+
+def test_best_of_materialize_false_skips_final_recompute():
+    """r13: the docs_1m/docs_10m linearity loops discard best_of's
+    returned frame immediately, yet best_of always rebuilt + persisted it
+    once more after timing — a full extra untimed pass per leg (~half the
+    docs_10m block's wall-clock). materialize=False must return
+    (None, best_sec) and run make() exactly once per timed pass; the
+    default path keeps the extra materialization for callers that use
+    the frame."""
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import best_of
+
+    class FakeFrame:
+        runs = 0
+
+        def persist(self):
+            return self
+
+        def count(self):
+            FakeFrame.runs += 1
+            # fixed per-pass cost so the improving->extend rule (>10%
+            # faster) can't fire on scheduler jitter and add passes
+            time.sleep(0.05)
+            return 1
+
+        def unpersist(self, blocking=False):
+            return self
+
+    def make():
+        return FakeFrame()
+
+    FakeFrame.runs = 0
+    frame, dt = best_of(2, make, materialize=False)
+    assert frame is None and dt is not None
+    assert FakeFrame.runs == 2  # timed passes only, no extra recompute
+
+    FakeFrame.runs = 0
+    frame, dt = best_of(2, make)
+    assert frame is not None
+    assert FakeFrame.runs == 3  # 2 timed + 1 returned materialization
