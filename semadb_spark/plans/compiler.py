@@ -746,6 +746,60 @@ class SearchEngine:
             combine = (lambda a, b: a & b) if conjunction else (lambda a, b: a | b)
             return Compiled(pred=reduce(combine, [c.pred for c in children]))
 
+        # All-ranked composition (r13): when EVERY child is ranked with
+        # ids == its ranked ids, the id-set machinery folds into the merge
+        # aggregation itself — membership count per id replaces the
+        # semi-join intersection (_and) / the union+distinct set (_or),
+        # and the post-merge bounding join disappears (guide §2.4: two
+        # operations keyed the same way share one exchange). Each child's
+        # ranked frame carries distinct ids (leaf topk/groupBy output; the
+        # pre-existing "inner join is a semi join" comment below leans on
+        # the same invariant), so count(*) per id == number of
+        # contributing children. Aggregate expressions are IDENTICAL to
+        # the general path; _and keeps ids present in all children
+        # (search.go:266-268), _or keeps them all.
+        if all(
+            (not c.is_pure) and c.ids_is_ranked and c.ranked is not None
+            for c in children
+        ):
+            unioned = reduce(
+                DataFrame.unionByName,
+                [
+                    c.ranked.withColumn("_src", F.lit(i))
+                    for i, c in enumerate(children)
+                ],
+            )
+            merged = unioned.groupBy(self.id_col).agg(
+                F.sum("_hybridScore").alias("_hybridScore"),
+                F.min(
+                    F.when(
+                        F.col("_distance").isNotNull(),
+                        F.struct(F.col("_src"), F.col("_distance")),
+                    )
+                ).alias("_dmin"),
+                F.min(
+                    F.when(
+                        F.col("_score").isNotNull(),
+                        F.struct(F.col("_src"), F.col("_score")),
+                    )
+                ).alias("_smin"),
+                F.count(F.lit(1)).alias("_nsrc"),
+            )
+            if conjunction:
+                merged = merged.filter(F.col("_nsrc") == len(children))
+            merged = merged.select(
+                self.id_col,
+                F.col("_dmin._distance").alias("_distance"),
+                F.col("_smin._score").alias("_score"),
+                "_hybridScore",
+            )
+            return Compiled(
+                ids=merged.select(self.id_col),
+                ranked=merged,
+                ids_bounded=True,
+                ids_is_ranked=True,
+            )
+
         # Mixed/ranked: materialize id sets (shard/index/search.go:248-252).
         if conjunction:
             # Ranked children's id sets are bounded by their branch limits;

@@ -332,3 +332,54 @@ def test_rplsh_filtered_candidate_ids(spark):
     # every unfiltered hit that satisfies the filter must survive (the
     # pre-filter only removes candidates, never adds or reorders the rest)
     assert u_allowed <= f_pairs
+
+
+def test_all_ranked_bool_folds_idset_into_merge(table):
+    # r13: an _and/_or whose every child is ranked folds the id-set
+    # machinery into the merge aggregation — membership count per id
+    # replaces the broadcast semi-join intersection (_and) and the
+    # union+distinct set (_or), and the post-merge bounding join
+    # disappears. Mixed ranked+pure conjunctions keep the semi-join path.
+    eng = SearchEngine(table, SCHEMA)
+    both = eng.search(
+        {
+            "query": {
+                "property": "_and",
+                "_and": [
+                    {"property": "vec", "vectorFlat": {"vector": [1.0, 2.0], "operator": "near", "limit": 5}},
+                    {"property": "vec", "vectorFlat": {"vector": [1.0, 2.0], "operator": "near", "limit": 5}},
+                ],
+            },
+            "limit": None,
+        }
+    )
+    plan = _plan(both)
+    assert "LeftSemi" not in plan, plan
+    rows = both.collect()
+    assert len(rows) == 5  # identical legs: intersection is the leg itself
+    # merge semantics intact: hybrid score is the SUM of both legs, and
+    # the first-non-null distance survives (search.go:255-289)
+    single = eng.search(
+        {"query": {"property": "vec", "vectorFlat": {"vector": [1.0, 2.0], "operator": "near", "limit": 5}}}
+    ).collect()
+    sscore = {r["_id"]: r["_hybridScore"] for r in single}
+    sdist = {r["_id"]: r["_distance"] for r in single}
+    for r in rows:
+        assert abs(r["_hybridScore"] - 2 * sscore[r["_id"]]) < 1e-9
+        assert r["_distance"] == sdist[r["_id"]]
+    # ranked + pure conjunction still intersects via the broadcast
+    # semi-join accumulator (the fold must not fire)
+    mixed = eng.search(
+        {
+            "query": {
+                "property": "_and",
+                "_and": [
+                    {"property": "vec", "vectorFlat": {"vector": [1.0, 2.0], "operator": "near", "limit": 5}},
+                    {"property": "size", "integer": {"operator": "lessThan", "value": 50}},
+                ],
+            },
+            "limit": None,
+        }
+    )
+    assert "LeftSemi" in _plan(mixed)
+    assert mixed.count() <= 5
