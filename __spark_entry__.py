@@ -26,6 +26,7 @@ from semadb_spark.operators import dedup as dedup_ops
 from semadb_spark.operators import knn as knn_ops
 from semadb_spark.operators import textstats as ts_ops
 from semadb_spark.plans import SearchEngine
+from semadb_spark.session import local_df
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -110,8 +111,25 @@ def _qd_sql(expr: str, scale: int = 1000) -> str:
     return f"CAST(floor(({expr}) * {float(scale)} + 1e-9) AS BIGINT)"
 
 
+# Parquet schemas per (sf_dir, table): schema inference is a driver job that
+# reads the file footer — one extra Spark job PER spark.read.parquet PER pass
+# (measured 0.1-0.5 s at sf0.1; guide §6 file-listing/metadata caching). The
+# fixture schemas are immutable within a session, so infer once and pass the
+# schema explicitly afterwards. Metadata only — every action still scans the
+# parquet data in full.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def _read_pq(spark: SparkSession, path: str) -> DataFrame:
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
+    return spark.read.schema(schema).parquet(path)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _read_pq(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def _part(spark, sf_dir):
@@ -1367,9 +1385,12 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
     def pack_sequences(spark, sf_dir):
         from semadb_spark.operators import packing as pk_ops
 
-        # fan out before the per-doc tokenize+count pass (single-row-group
-        # input; r13, guide §2.5) — packing itself re-partitions by bucket
-        docs = _fan_out(_docs(spark, sf_dir)).withColumn("ord", F.col("doc_id"))
+        # r14 A/B: after the operator's totals-subtree dedup the fan-out
+        # LOSES (fanned 1.21 s vs plain 1.02 s min-of-5 isolated at sf0.1) —
+        # packing's own bucket repartition already spreads the token-count
+        # work, so the extra exchange (and its cost inside the bounds agg)
+        # isn't bought back. r13 had it fanned at 0.92 vs 1.17.
+        docs = _docs(spark, sf_dir).withColumn("ord", F.col("doc_id"))
         return pk_ops.pack_sequences(docs, "text", "_id", max_tokens=256, order_col="ord")
 
     q["pack_sequences"] = pack_sequences
@@ -1482,6 +1503,55 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
 
         return _cached_index(f"exact_topk_{k}", sf_dir, build)
 
+    def _recall_vs_truth(spark, approx, truth, bar=0.5, ok_col="recall_ok",
+                         spine_cols=None):
+        """Per-query recall booleans vs ground-truth id sets, computed
+        INSIDE the approx query's own action (r14, guide §1.5/§2.4: one
+        action per gate instead of collect + local-frame rebuild). The
+        (session-cached, bounded: queries x k ids) truth sets ride into the
+        plan as literal maps; the hit count is one aggregation over the
+        approx output; the tiny query spine (with any driver-computed
+        boolean columns, e.g. the vamana build route) broadcast-joins in.
+        Emits exactly one row per truth query, missing queries at 0 hits —
+        the same rows the old driver-side set comparison produced."""
+        qids = sorted(truth)
+        tmap = F.map_from_arrays(
+            F.array(*[F.lit(q) for q in qids]),
+            F.array(*[
+                F.array(*[F.lit(i) for i in sorted(truth[q])]) for q in qids
+            ]),
+        )
+        ntmap = F.map_from_arrays(
+            F.array(*[F.lit(q) for q in qids]),
+            F.array(*[F.lit(len(truth[q])) for q in qids]),
+        )
+        hits = (
+            approx.select("query_id", "_id")
+            .groupBy("query_id")
+            .agg(
+                F.sum(
+                    F.array_contains(
+                        tmap[F.col("query_id")], F.col("_id")
+                    ).cast("int")
+                ).alias("_nhit")
+            )
+        )
+        extra = dict(spine_cols or {})
+        spine_schema = "query_id string" + "".join(
+            f", {c} boolean" for c in extra
+        )
+        spine = local_df(
+            spark,
+            [tuple([q] + [bool(extra[c][q]) for c in extra]) for q in qids],
+            spine_schema,
+        )
+        out = spine.join(hits, "query_id", "left").withColumn(
+            ok_col,
+            (F.coalesce(F.col("_nhit"), F.lit(0))
+             / ntmap[F.col("query_id")]) >= F.lit(float(bar)),
+        )
+        return out.select("query_id", *extra, ok_col)
+
     def ann_ivf_topk(spark, sf_dir):
         from semadb_spark.operators.ann import ivf_search
 
@@ -1581,18 +1651,19 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
         # distributed serving route
         qs = _qlist(spark, sf_dir)
         res = vm.vamana_serve(
-            spark.read.parquet(os.path.join(d, "nodes")),
-            spark.read.parquet(os.path.join(d, "edges")),
+            _read_pq(spark, os.path.join(d, "nodes")),
+            _read_pq(spark, os.path.join(d, "edges")),
             qs, 10, metric="euclidean", search_size=40, centroids=cents,
         )
-        served_got: dict[str, set] = {}
-        for r in res.select("query_id", "_id").collect():
-            served_got.setdefault(r["query_id"], set()).add(r["_id"])
-
+        # driver route (build_ok) + exact sets: bounded numpy over the cached
+        # artifact; the SERVED recall comparison is folded into the serve
+        # job itself via _recall_vs_truth (r14: one action, no collect of
+        # the served rows). Booleans identical to the old set comparison.
         ids = sorted(vectors, key=int)
         X = np.stack([vectors[i] for i in ids])
         int_ids = np.asarray([int(i) for i in ids])
-        rows = []
+        truth: dict[str, set] = {}
+        build_ok: dict[str, bool] = {}
         for qid in [str(i) for i in range(5)]:
             got = {
                 nid
@@ -1602,13 +1673,11 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
             }
             d2 = ((X - vectors[qid]) ** 2).sum(axis=1)
             exact = {ids[j] for j in np.lexsort((int_ids, d2))[:10]}
-            rows.append((
-                qid,
-                len(got & exact) / 10.0 >= 0.5,
-                len(served_got.get(qid, set()) & exact) / 10.0 >= 0.5,
-            ))
-        return spark.createDataFrame(
-            rows, "query_id string, build_ok boolean, served_ok boolean"
+            truth[qid] = exact
+            build_ok[qid] = len(got & exact) / 10.0 >= 0.5
+        return _recall_vs_truth(
+            spark, res, truth, ok_col="served_ok",
+            spine_cols={"build_ok": build_ok},
         )
 
     q["ann_vamana_recall"] = ann_vamana_recall
@@ -1672,8 +1741,8 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
             rows.append(
                 (qid, bool(route_ok), len(got & exact[qid]) / 10.0 >= 0.5)
             )
-        return spark.createDataFrame(
-            rows, "query_id string, route_ok boolean, recall_ok boolean"
+        return local_df(
+            spark, rows, "query_id string, route_ok boolean, recall_ok boolean"
         )
 
     q["vamana_graph_route_recall"] = vamana_graph_route_recall
@@ -1725,15 +1794,12 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
             qs, thr, 10, oversample=20,
         )
         truth = _exact_topk_sets(spark, sf_dir, k=10)
-        rows = approx.select("query_id", "_id").collect()
-        got: dict[str, set] = {}
-        for r in rows:
-            got.setdefault(r["query_id"], set()).add(r["_id"])
-        data = [
-            (qid, len(got.get(qid, set()) & ids) / len(ids) >= 0.5)
-            for qid, ids in sorted(truth.items())
-        ]
-        return spark.createDataFrame(data, "query_id string, recall_ok boolean")
+        # recall comparison folded INTO the rerank job (r14, guide §1.5:
+        # fewer actions per query): the session-cached ground-truth id sets
+        # ride into the plan as a literal map and the per-query hit count is
+        # one aggregation over the rerank output — one action instead of a
+        # driver-side collect + a second local-frame job. Booleans identical.
+        return _recall_vs_truth(spark, approx, truth)
 
     q["bq_rerank_recall"] = bq_rerank_recall
 
@@ -1766,8 +1832,9 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
         # whole evaluation caches per sf_dir — repeat calls (bench warm pass)
         # measure serving, not re-proving
         out = _cached_index("pq_recall_rows", sf_dir, run)
-        return spark.createDataFrame(
-            out, "query_id string, adc_ok boolean, rerank_ok boolean, compiler_ok boolean"
+        return local_df(
+            spark, out,
+            "query_id string, adc_ok boolean, rerank_ok boolean, compiler_ok boolean",
         )
 
     def _pq_recall_impl(spark, sf_dir, Q, QuantizedIndex):
@@ -1902,7 +1969,7 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
         broadcast-join MERGE over the customer table — no table shuffle."""
         from semadb_spark.collection import apply_update_merge
 
-        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        cust = _read_pq(spark, f"{sf_dir}/customer.parquet").withColumn(
             "_id", F.col("c_custkey").cast("string")
         )
         upd = cust.filter(F.col("c_custkey") % 7 == 0).select(

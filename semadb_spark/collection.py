@@ -942,9 +942,12 @@ class Collection:
         if candidate_ids is not None and not isinstance(
             candidate_ids, DataFrame
         ):
-            # convenience: accept a plain id list/sequence
-            candidate_ids = self.spark.createDataFrame(
-                [(str(i),) for i in candidate_ids], "id string"
+            # convenience: accept a plain id list/sequence (Arrow-path local
+            # frame — see semadb_spark.session.local_df)
+            from semadb_spark.session import local_df
+
+            candidate_ids = local_df(
+                self.spark, [(str(i),) for i in candidate_ids], "id string"
             )
         if os.path.exists(os.path.join(packed_dir, "_SUCCESS")):
             # packed-blob serving (shuffle-free scan, cent-routed); baked

@@ -1106,7 +1106,12 @@ def rplsh_search(
     qb = _bucket_ids(qmat, index.planes)  # (q, tables)
     spark = index.df.sparkSession
     id_col = index.id_col
-    probe = spark.createDataFrame(
+    # Arrow-path local frame (session.local_df): a pickled-RDD probe would
+    # force a Python-worker round-trip just to BUILD the broadcast side.
+    from semadb_spark.session import local_df
+
+    probe = local_df(
+        spark,
         [
             (qid, t, int(qb[j, t]))
             for j, qid in enumerate(qids)

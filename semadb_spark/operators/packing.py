@@ -159,8 +159,13 @@ def pack_sequences(
     local = parts.withColumn("_local_end", F.sum("n").over(w))
 
     # one row per partition; cumulating this tiny frame through a window is
-    # fine — it never exceeds the partition count
-    totals = local.groupBy("_part").agg(F.max("_local_end").alias("_tot"))
+    # fine — it never exceeds the partition count. Aggregate from ``parts``,
+    # not from ``local``: max(running sum) == sum(n) per partition, but the
+    # ``local`` form re-evaluates the whole window subtree a second time for
+    # this branch (the bucket exchange is reused, the sort+window is not) —
+    # the partial agg shares the exchange and skips that recompute
+    # (guide §2.4: two operations keyed the same way share one exchange).
+    totals = parts.groupBy("_part").agg(F.sum("n").alias("_tot"))
     w_tot = Window.orderBy("_part").rowsBetween(
         Window.unboundedPreceding, Window.currentRow - 1
     )
@@ -222,7 +227,10 @@ def mixture_sample(
     total = sum(weights.values())
     w_rows = [(s, w / total) for s, w in weights.items()]
     spark = df.sparkSession
-    wdf = spark.createDataFrame(w_rows, f"{source_col} string, _w double")
+    # Arrow-path local frame: see semadb_spark.session.local_df.
+    from semadb_spark.session import local_df
+
+    wdf = local_df(spark, w_rows, f"{source_col} string, _w double")
 
     counts = (
         df.join(F.broadcast(wdf), source_col)

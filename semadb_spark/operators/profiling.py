@@ -62,25 +62,35 @@ def profile(df, columns: list[str] | None = None, *, approx: bool = False):
         if isinstance(dt, _NUMERIC_TYPES):
             aggs.append(F.avg(c).alias(f"{c}__mean"))
             aggs.append(F.stddev(c).alias(f"{c}__std"))
-    row = df.agg(*aggs).collect()[0]
-    out = []
+    # Fully lazy (r14): the one-row agg is unpivoted to one row per column
+    # INSIDE the plan (struct array + explode) instead of collect()ing and
+    # rebuilding a local frame — one action instead of two per evaluation,
+    # and no driver round-trip of the stats row (guide §5: the driver does
+    # no data work; §1.5: fewer jobs per query). Values are identical: the
+    # same aggregate columns feed the same output slots.
+    row_agg = df.agg(*aggs)
+    null_s = F.lit(None).cast("string")
+    structs = []
     for c in cols:
         dt = fields[c]
         numeric = isinstance(dt, _NUMERIC_TYPES)
-        out.append(
-            (
-                c,
-                dt.simpleString(),
-                row["__n"],
-                row[f"{c}__nulls"] or 0,
-                row[f"{c}__nd"] if simple[c] else None,
-                row[f"{c}__min"] if simple[c] else None,
-                row[f"{c}__max"] if simple[c] else None,
-                float(row[f"{c}__mean"]) if numeric and row[f"{c}__mean"] is not None else None,
-                float(row[f"{c}__std"]) if numeric and row[f"{c}__std"] is not None else None,
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dt.simpleString()).alias("dtype"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                F.coalesce(F.col(f"{c}__nulls"), F.lit(0)).cast("bigint").alias("n_null"),
+                (F.col(f"{c}__nd").cast("bigint") if simple[c]
+                 else F.lit(None).cast("bigint")).alias("n_distinct"),
+                (F.col(f"{c}__min") if simple[c] else null_s).alias("min_str"),
+                (F.col(f"{c}__max") if simple[c] else null_s).alias("max_str"),
+                (F.col(f"{c}__mean").cast("double") if numeric
+                 else F.lit(None).cast("double")).alias("mean"),
+                (F.col(f"{c}__std").cast("double") if numeric
+                 else F.lit(None).cast("double")).alias("stddev"),
             )
         )
-    return df.sparkSession.createDataFrame(out, PROFILE_SCHEMA)
+    return row_agg.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
 
 
 def histogram(df, col: str, bins: int = 10, *,

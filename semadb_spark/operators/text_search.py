@@ -584,7 +584,11 @@ def text_search_batch(
             [], "query_id string, id string, _score double, _hybridScore double"
         )
     all_terms = sorted({t for _, t, _ in q_rows})
-    qdf = spark.createDataFrame(q_rows, "query_id string, term string, n_terms int")
+    # Arrow-path local frame: see semadb_spark.session.local_df (the pickled
+    # RDD route would add a Python-worker job per search).
+    from semadb_spark.session import local_df
+
+    qdf = local_df(spark, q_rows, "query_id string, term string, n_terms int")
     nd_lit: Column | None = (
         F.lit(float(num_docs)) if num_docs is not None else None
     )

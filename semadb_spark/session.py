@@ -83,3 +83,30 @@ def _ship_package(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Load one of the driver-generated parquet tables (TESTDATA.md)."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def local_df(spark: SparkSession, rows, schema: str):
+    """Small driver-side row list -> DataFrame via the Arrow/pandas path.
+
+    ``spark.createDataFrame(list, ddl)`` builds a *pickled Python RDD*: every
+    downstream action — even ``count()`` of five rows — launches Python
+    worker tasks to unpickle it (~0.3 s per action measured at local[32]).
+    Routing the same rows through a pandas frame plans a ``LocalTableScan``
+    of Arrow batches instead, evaluated entirely in the JVM (guide §4:
+    eliminate the Python boundary; §6 Arrow for driver transfers). Same
+    rows, same explicit schema, same result — only the physical source node
+    changes.
+
+    ``rows`` must be flat tuples of scalars (None allowed) matching the DDL
+    ``schema``. Columns are kept ``object``-dtyped so ints stay ints and
+    None stays null under the explicit Arrow cast.
+    """
+    import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
+
+    struct = _parse_datatype_string(schema)
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], struct)
+    pdf = pd.DataFrame(rows, columns=[f.name for f in struct.fields], dtype=object)
+    return spark.createDataFrame(pdf, schema=struct)
