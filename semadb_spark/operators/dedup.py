@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from semadb_spark.functions.analyzer import tokenize
-from semadb_spark.functions.distances import l2_normalize
+from semadb_spark.functions.distances import with_l2_normalized
 from semadb_spark.functions.hashing import md5_hash64
 
 
@@ -561,9 +561,11 @@ def embedding_neardup_pairs(
                 f"pass block_col"
             )
 
-    base = df.select(
+    base = with_l2_normalized(
+        df, F.col(vec_col).cast("array<double>"), "v"
+    ).select(
         F.col(id_col).alias("id"),
-        l2_normalize(F.col(vec_col).cast("array<double>")).alias("v"),
+        "v",
         (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
     )
 
@@ -616,9 +618,11 @@ def embedding_neardup_pairs_lsh(
     """
     from semadb_spark.operators.ann import rplsh_build
 
-    base = df.select(
+    base = with_l2_normalized(
+        df, F.col(vec_col).cast("array<double>"), "__nv"
+    ).select(
         F.col(id_col).cast("string").alias(id_col),
-        l2_normalize(F.col(vec_col).cast("array<double>")).alias("__nv"),
+        "__nv",
     )
     idx = rplsh_build(base, "__nv", dim, id_col=id_col, tables=tables, bits=bits, seed=seed)
     blocked = idx.buckets.join(base, id_col).select(

@@ -96,6 +96,16 @@ def fingerprint(c: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", toks))
 
 
+def let_bound(bound: Column, body) -> Column:
+    """Let-bind ``bound`` so ``body(var)`` evaluates it ONCE per row no
+    matter how many times the body references it: HOF lambdas get no CSE
+    and no codegen, so referencing a non-trivial expression N times inside
+    one output column costs N full evaluations (guide §1.2 step 2). The
+    1-element-array + transform idiom from :func:`~semadb_spark.operators.
+    dedup.shingles`; bind a struct to share several subexpressions."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def _bigrams(toks: Column) -> Column:
     """ARRAY<STRING> tokens -> ARRAY<STRING> of space-joined word bigrams.
 
@@ -164,14 +174,21 @@ def repetition_signals(df, text_col: str, id_col: str = "_id"):
         .select(F.col(id_col).alias("_rid"), toks.alias("toks"))
         .filter(F.size("toks") > 0)
     )
-    bg = _bigrams(F.col("toks"))
-    stats = base.select(
+    # bigram array materialized as an ATTRIBUTE before the stats projection:
+    # referencing the transform expression in two output columns (size +
+    # max-run) evaluated it twice per row — HOF lambdas get no CSE and no
+    # codegen, so that was two full bigram constructions per document
+    # (same no-CSE discipline as _gram_rows' __norm; guide §1.2 step 2).
+    # CollapseProject keeps the staging projection because the producer is
+    # non-cheap and referenced twice. Values unchanged.
+    staged = base.withColumn("_bg", _bigrams(F.col("toks")))
+    stats = staged.select(
         "_rid",
         F.size("toks").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
         _max_run(F.array_sort("toks")).alias("top_c"),
-        F.size(bg).cast("long").alias("nb"),
-        _max_run(F.array_sort(bg)).alias("top_b"),
+        F.size("_bg").cast("long").alias("nb"),
+        _max_run(F.array_sort("_bg")).alias("top_b"),
     )
     n = F.col("n_tokens").cast("double")
     return stats.select(
@@ -258,6 +275,11 @@ def line_filter(
         "cleaned": F.array_join(kept, "\n"),
         "n_lines": F.size(lines),
         "n_kept": F.size(kept),
+        # the surviving-lines ARRAY itself: consumers needing several of
+        # the above should materialize this once (withColumn) and derive
+        # the rest from the attribute — selecting "cleaned" and "n_kept"
+        # as separate expressions re-runs the whole line filter per column
+        "kept_lines": kept,
     }
 
 
@@ -343,11 +365,45 @@ def gopher_quality_flags(
         "alpha_ok": alpha_frac >= min_alpha_word_frac,
         "stopword_ok": stop_hits >= min_stop_hits,
     }
-    keep = F.lit(True)
-    for k in ("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
-              "bullet_ok", "ellipsis_ok", "alpha_ok", "stopword_ok"):
-        keep = keep & flags[k]
-    flags["keep"] = keep
+    # ``keep`` as a single LET-BOUND expression: the naive conjunction of
+    # the seven flag expressions re-evaluates ``words`` (a whitespace split
+    # of the whole document) four times and ``lines`` twice per row — HOF
+    # bodies get no CSE (guide §1.2 step 2; this predicate is the hot path
+    # of curate_corpus at 10M docs). Each sub-rule below is the SAME
+    # expression as its flags[...] twin, reading the split arrays from the
+    # lambda variable instead; the conjunction order is identical.
+    def _keep(e):
+        w, li = e["w"], e["l"]
+        nw = F.size(w)
+        safe = F.greatest(nw, F.lit(1))
+        mean = F.aggregate(
+            w, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).cast("double") / safe
+        sym = (n_hash + n_ell).cast("double") / safe
+        nl = F.greatest(F.size(li), F.lit(1))
+        bull = F.size(
+            F.filter(li, lambda x: F.trim(x).rlike(r"^[-*•]"))
+        ).cast("double") / nl
+        ell = F.size(
+            F.filter(li, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"))
+        ).cast("double") / nl
+        alpha = F.size(
+            F.filter(w, lambda t: F.lower(t).rlike("[a-z]"))
+        ).cast("double") / safe
+        return (
+            F.lit(True)
+            & ((nw >= min_words) & (nw <= max_words))
+            & ((mean >= min_mean_word_len) & (mean <= max_mean_word_len))
+            & (sym <= max_symbol_ratio)
+            & (bull <= max_bullet_frac)
+            & (ell <= max_ellipsis_frac)
+            & (alpha >= min_alpha_word_frac)
+            & (stop_hits >= min_stop_hits)
+        )
+
+    flags["keep"] = let_bound(
+        F.struct(words.alias("w"), lines.alias("l")), _keep
+    )
     return flags
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from semadb_spark.operators.textstats import (
     encoding_signals,
     gopher_quality_flags,
+    let_bound,
     line_filter,
 )
 
@@ -84,19 +85,37 @@ def curate_corpus(df, text_col: str = "text", id_col: str = "_id", *,
     cur = df.filter(F.col(text_col).isNotNull())
     note("input", cur)
 
+    # let-bound (r14, textstats.let_bound): the suspect flag embeds the
+    # control ratio, so the naive two-term filter ran the control-char
+    # regexp_replace over the full text twice per row. Same predicate,
+    # one evaluation; the 0.01 literal mirrors encoding_signals'
+    # encoding_suspect threshold.
     enc = encoding_signals(text_col)
-    cur = cur.filter(~enc["encoding_suspect"]
-                     & (enc["control_ratio"] <= max_control_ratio))
+    cur = cur.filter(
+        let_bound(
+            F.struct(
+                enc["n_replacement"].alias("nr"),
+                enc["mojibake_hits"].alias("mh"),
+                enc["control_ratio"].alias("cr"),
+            ),
+            lambda e: ~(
+                (e["nr"] > 0) | (e["mh"] > 0) | (e["cr"] > 0.01)
+            ) & (e["cr"] <= max_control_ratio),
+        )
+    )
     note("encoding", cur)
 
+    # the kept-lines ARRAY is materialized once (attribute) and both the
+    # page-drop test and the rejoined text derive from it — the previous
+    # cleaned/n_kept pair re-ran the whole per-line filter twice per row
+    # (r14, see line_filter's kept_lines note)
     lf = line_filter(text_col, min_words=min_line_words,
                      require_terminal=require_terminal_punct)
     cur = (
-        cur.withColumn("__cleaned", lf["cleaned"])
-        .withColumn("__kept", lf["n_kept"])
-        .filter(F.col("__kept") > 0)
-        .withColumn(text_col, F.col("__cleaned"))
-        .drop("__cleaned", "__kept")
+        cur.withColumn("__ka", lf["kept_lines"])
+        .filter(F.size("__ka") > 0)
+        .withColumn(text_col, F.array_join("__ka", "\n"))
+        .drop("__ka")
     )
     note("line_clean", cur)
 
