@@ -50,12 +50,23 @@ _IDX_CACHE_MAX = 64
 
 
 def _evict_index(obj: object) -> None:
-    """Unpersist whatever persisted frames an evicted artifact holds."""
+    """Unpersist whatever persisted frames an evicted artifact holds.
+    String artifacts are exported temp directories (the warc gate's
+    ``warc_gate_export``): remove them on eviction, else the directory is
+    stranded on disk once its cache entry is gone (ADVICE r13)."""
     from pyspark.sql import DataFrame as _DF
 
     seen = [obj]
     for item in seen:
-        if isinstance(item, _DF):
+        if isinstance(item, str):
+            import shutil
+            import tempfile
+
+            if item.startswith(tempfile.gettempdir() + os.sep) and (
+                "warc_gate_" in os.path.basename(item)
+            ):
+                shutil.rmtree(item, ignore_errors=True)
+        elif isinstance(item, _DF):
             try:
                 item.unpersist()
             except Exception:
@@ -1025,6 +1036,11 @@ def queries(merge: bool = True) -> dict[str, Callable[[SparkSession, str], DataF
             return d
 
         d = _cached_index("warc_gate_export", sf_dir, build)
+        if not os.path.isdir(d):
+            # /tmp cleaned mid-session: a dangling cached path must rebuild,
+            # not fail the read (ADVICE r13)
+            _IDX_CACHE.pop(("warc_gate_export", sf_dir), None)
+            d = _cached_index("warc_gate_export", sf_dir, build)
         out = read_warc(spark, d)
         return out.select(
             F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).alias("_id"),

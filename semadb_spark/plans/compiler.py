@@ -118,7 +118,24 @@ class Compiled:
 
 
 class SearchEngine:
-    """Compiles SemaDB search requests against one collection DataFrame."""
+    """Compiles SemaDB search requests against one collection DataFrame.
+
+    Invariant (ADVICE r13): ``df``'s ``id_col`` values must be unique — the
+    reference's point-id contract (every point has exactly one row). Leaf
+    ranked frames inherit distinctness from their per-id topk/groupBy
+    shapes, and the all-ranked boolean fast path decides conjunction
+    membership by counting contributing children per id, which is only
+    equivalent to the general path's semi-join intersection under this
+    invariant. A duplicate base-table id would also double point rows in
+    every assembled result, so it is a data bug upstream of the compiler.
+
+    Batch-mode ordering contract (ADVICE r13): a request with an explicit
+    ``limit: None``, no offset and no user sort keys returns an UNORDERED
+    result set (the result SET is deterministic; row order is not) — batch
+    consumers get no presentation sort, which at scale removes a
+    range-sampling pass plus a full sort exchange. Limited, offset and
+    user-sorted requests keep the deterministic ranked-first order.
+    """
 
     def __init__(
         self,
@@ -182,7 +199,15 @@ class SearchEngine:
 
     def search(self, request: dict) -> DataFrame:
         """Execute a full SearchRequest; returns the shaped result frame with
-        ``_distance``/``_score``/``_hybridScore`` plus selected columns."""
+        ``_distance``/``_score``/``_hybridScore`` plus selected columns.
+
+        Ordering: limited, offset and user-sorted requests return rows in
+        the deterministic ranked-first order. A batch-shape request
+        (explicit ``limit: None``, no offset, no sort) returns an UNORDERED
+        frame — the result SET is deterministic and the ordering columns
+        stay in the rows, but consumers needing a presentation order must
+        sort (or pass sort keys); see the class docstring.
+        """
         self.validate_request(request)
         compiled = self.compile(request["query"])
         rows = self._assemble(compiled)
@@ -885,7 +910,12 @@ class SearchEngine:
                 (not c.is_pure) and c.ids_is_ranked for c in children
             )
         else:
-            eq = all((not c.is_pure) and c.ids_is_ranked for c in children)
+            # An _or whose children ALL satisfy ids_is_ranked already
+            # returned via the all-ranked fast path above, so on this path
+            # at least one child contributes score-less ids that must
+            # backfill as filter-set rows (ADVICE r13: the old
+            # all-children check here was unreachable-True).
+            eq = False
         return Compiled(
             ids=final_set, ranked=merged, ids_bounded=bounded_out, ids_is_ranked=eq
         )
