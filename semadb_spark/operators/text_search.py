@@ -269,23 +269,47 @@ def text_serve(
 
 
 _LOCAL_DATASET_CACHE: dict[str, tuple[int, object]] = {}
-_LOCAL_RG_INDEX_CACHE: dict[str, tuple[int, object]] = {}
+_LOCAL_RG_INDEX_CACHE: dict[tuple[str, int], tuple[int, object]] = {}
 _FP_AT: dict[str, tuple[float, int]] = {}
+_FP_REFRESHING: set[str] = set()
 _FP_TTL_SEC = 1.0
 
 
 def _artifact_fingerprint_cached(index_path: str, ttl: float) -> int:
     """TTL-cached artifact fingerprint — same contract the vector tier
     adopted in r9 (vamana._local_decoded_cents): a rebuild is picked up
-    within ``ttl`` seconds, far inside any artifact-rotation window, and
+    within ~``ttl`` seconds, far inside any artifact-rotation window, and
     the listing walk (measured ~5 ms on a 64-bucket index, paid TWICE per
     query via the dataset + row-group caches) amortizes instead of taxing
-    every point-read."""
+    every point-read.
+
+    r14 (VERDICT r13 directive #5, applied to both serving tiers): the
+    refresh is STALE-WHILE-REVALIDATE — once the TTL lapses, the query
+    thread returns the last fingerprint immediately and a daemon thread
+    re-walks the listing, so the walk never lands in a request's latency
+    (it was the p99 tail: at a 1 s TTL one query per second paid the whole
+    walk synchronously). Staleness bound is ~ttl + walk time instead of
+    ttl; only the very first query of a process walks synchronously."""
+    import threading
     import time as _time
 
     now = _time.monotonic()
     hit = _FP_AT.get(index_path)
-    if hit is not None and now - hit[0] < ttl:
+    if hit is not None:
+        if now - hit[0] >= ttl and index_path not in _FP_REFRESHING:
+            _FP_REFRESHING.add(index_path)
+
+            def _refresh() -> None:
+                try:
+                    fp = _artifact_fingerprint(index_path)
+                    _FP_AT[index_path] = (_time.monotonic(), fp)
+                finally:
+                    _FP_REFRESHING.discard(index_path)
+
+            threading.Thread(
+                target=_refresh, daemon=True,
+                name=f"fp-refresh:{index_path}",
+            ).start()
         return hit[1]
     fp = _artifact_fingerprint(index_path)
     _FP_AT[index_path] = (now, fp)
@@ -327,16 +351,27 @@ def _artifact_fingerprint(index_path: str) -> int:
 def _local_rowgroup_index(index_path: str, fp: int | None = None):
     """bucket -> [(ParquetFile, [(term_min, term_max) per row group])] for
     a term-bucket partitioned posting artifact, built once per (path,
-    fingerprint) from parquet footers only (no data pages read). Row
-    groups whose term statistics are absent get (None, None) and are
+    fingerprint, THREAD) from parquet footers only (no data pages read).
+    Row groups whose term statistics are absent get (None, None) and are
     treated as MUST-READ by the caller (a mixed-stats artifact — e.g. one
     file from a different writer — must not silently drop those groups'
     postings). Returns None only when NO row group anywhere has stats
     (legacy unsorted artifact) — callers then fall back to the generic
-    dataset scan."""
+    dataset scan.
+
+    Per-thread keying (r14, VERDICT r13 directive #4): ``ParquetFile`` is
+    not safe for concurrent reads from multiple threads (its reader seeks
+    one underlying handle), so a multi-threaded serving tier gets its own
+    handle set per client thread — each thread an independent engine
+    handle on the immutable artifact, exactly like the process pool. Cost:
+    one footer-only re-open per (thread, file); the decoded data pages are
+    never cached here."""
     if fp is None:
         fp = _artifact_fingerprint(index_path)
-    hit = _LOCAL_RG_INDEX_CACHE.get(index_path)
+    import threading
+
+    cache_key = (index_path, threading.get_ident())
+    hit = _LOCAL_RG_INDEX_CACHE.get(cache_key)
     if hit is not None and hit[0] == fp:
         return hit[1]
     import glob
@@ -370,7 +405,7 @@ def _local_rowgroup_index(index_path: str, fp: int | None = None):
                     stats.append((None, None))
             idx.setdefault(b, []).append((pf, stats))
     result = idx if usable else None
-    _LOCAL_RG_INDEX_CACHE[index_path] = (fp, result)
+    _LOCAL_RG_INDEX_CACHE[cache_key] = (fp, result)
     return result
 
 
@@ -483,11 +518,21 @@ def text_serve_local(
             if not chunks:
                 return empty
             tbl = pa.concat_tables(chunks)
-            mask = np.isin(
-                tbl.column("term").to_numpy(zero_copy_only=False),
-                list(set(terms)),
+            # Arrow-native membership kernel (guide §4.2): the old
+            # `np.isin(to_numpy(object), ...)` materialized a Python object
+            # per posting row and matched under the GIL — on a 100k-row
+            # posting read that is both the latency and the reason 16
+            # serving THREADS could not scale (r14: thread ratio 1.33 with
+            # the object path). pc.is_in runs in C++ with the GIL released;
+            # same membership, same surviving rows.
+            import pyarrow.compute as pc
+
+            tbl = tbl.filter(
+                pc.is_in(
+                    tbl.column("term"),
+                    value_set=pa.array(sorted(set(terms)), type=pa.string()),
+                )
             )
-            tbl = tbl.filter(pa.array(mask))
     if tbl is None:
         flt = pads.field("term").isin(list(terms))
         if bucketed:
@@ -496,24 +541,33 @@ def text_serve_local(
         tbl = dset.to_table(columns=["id", "tf", "doc_len", "df"], filter=flt)
     if tbl.num_rows == 0:
         return empty
-    ids = tbl.column("id").to_numpy(zero_copy_only=False)
     if candidate_ids is not None:
         # hash-based membership: np.isin on object arrays sort-merges (it
         # argsorts string ids — measured dominant on 100k+ posting reads)
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
         keep = pd.Series(ids).isin(candidate_ids).to_numpy()
         if not keep.any():
             return empty
         tbl = tbl.take(np.flatnonzero(keep))
-        ids = tbl.column("id").to_numpy(zero_copy_only=False)
     tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
     dl = tbl.column("doc_len").to_numpy(zero_copy_only=False).astype(np.float64)
     dfv = tbl.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
     contrib = tf / dl * np.log10(float(num_docs) / (dfv + 1.0))
-    # factorize (hash-based) instead of np.unique: unique argsorts the
-    # object id strings — measured 80% of query latency on common-term
-    # queries whose posting reads span 100k+ rows. bincount accumulates
-    # in the same row order np.add.at did, so scores are bit-identical.
-    inv, uids = pd.factorize(ids)
+    # Arrow dictionary_encode instead of pd.factorize (guide §4.2): both
+    # assign dense codes in FIRST-OCCURRENCE order, so `inv` is the same
+    # array — but the Arrow hash kernel runs GIL-released C++ over the
+    # string buffer, while factorize first materializes one Python object
+    # per posting row (the prior fix's pd.factorize was itself the
+    # replacement for argsorting np.unique — this removes the remaining
+    # per-row object materialization). Only the UNIQUE ids (<= a few
+    # hundred per query after top-k pools) become Python objects now.
+    # bincount accumulates in the same row order, so scores stay
+    # bit-identical.
+    import pyarrow.compute as pc
+
+    enc = pc.dictionary_encode(tbl.column("id").combine_chunks())
+    inv = enc.indices.to_numpy(zero_copy_only=False)
+    uids = enc.dictionary.to_numpy(zero_copy_only=False)
     score = np.bincount(inv, weights=contrib, minlength=len(uids))
     if operator == "containsAll":
         matched = np.bincount(inv, minlength=len(uids))

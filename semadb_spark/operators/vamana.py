@@ -2228,6 +2228,7 @@ def vamana_serve_packed(
 
 _LOCAL_PACKED_CACHE: dict[str, tuple[tuple, dict]] = {}
 _LOCAL_PACKED_FP_AT: dict[str, tuple[float, int]] = {}
+_FP_REFRESHING: set[str] = set()
 _FP_TTL_SEC = 1.0
 
 
@@ -2286,7 +2287,29 @@ def _local_decoded_cents(path: str, cents_needed: list[int], np_dtype,
         fp_ttl_sec = _FP_TTL_SEC
     now = _time.monotonic()
     cached_at = _LOCAL_PACKED_FP_AT.get(path)
-    if cached_at is not None and now - cached_at[0] < fp_ttl_sec:
+    if cached_at is not None:
+        # r14 (VERDICT r13 directive #5): stale-while-revalidate — a lapsed
+        # TTL returns the last fingerprint immediately and refreshes the
+        # ~100 ms listing walk (3000-file 10M artifact) on a daemon thread,
+        # so the walk never lands inside a point-read (it WAS the p99 tail:
+        # at the 1 s TTL one query per second paid it synchronously).
+        # Staleness bound ~ttl + walk instead of ttl; the first query of a
+        # process still walks synchronously.
+        if now - cached_at[0] >= fp_ttl_sec and path not in _FP_REFRESHING:
+            import threading
+
+            _FP_REFRESHING.add(path)
+
+            def _refresh() -> None:
+                try:
+                    new_fp = _packed_artifact_fingerprint(path)
+                    _LOCAL_PACKED_FP_AT[path] = (_time.monotonic(), new_fp)
+                finally:
+                    _FP_REFRESHING.discard(path)
+
+            threading.Thread(
+                target=_refresh, daemon=True, name=f"fp-refresh:{path}"
+            ).start()
         fp = cached_at[1]
     else:
         fp = _packed_artifact_fingerprint(path)
