@@ -577,6 +577,48 @@ def main() -> None:
         print(f"# {name}: warm {dt:.2f}s (new, excluded from headline)", file=sys.stderr)
     _mark("pipeline_new")
 
+    # WARC sink timed row (VERDICT r13 directive #3): the warc_ingest gate's
+    # warm passes measure the PARSER only since r13 (the export became a
+    # session-cached built artifact), which left write_warc with no per-round
+    # warm-world signal — the 1M/10M fixture exports only time it when /tmp
+    # is cold. One timed export of the sf0.1 gate corpus per run (cold, once;
+    # a fresh target dir so nothing is reused), then removed. Same record
+    # recipe as the warc_ingest gate (response + conversion per doc).
+    import shutil
+    import tempfile
+
+    from semadb_spark.sources.warc import write_warc as _ww
+
+    _docs_we = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumn("_id", F.col("doc_id").cast("string"))
+        .filter(F.col("text").isNotNull())
+    )
+    _we_head = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\nServer: gate\r\n\r\n"
+    _we_uri = F.concat(F.lit("http://corpus.invalid/doc/"), F.col("_id"))
+    _we_frame = _docs_we.select(
+        F.lit("response").alias("warc_type"),
+        _we_uri.alias("target_uri"),
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        F.encode(F.concat(F.lit(_we_head), F.col("text")), "utf-8").alias("block"),
+        F.lit(None).cast("string").alias("text"),
+    ).unionByName(
+        _docs_we.select(
+            F.lit("conversion").alias("warc_type"),
+            _we_uri.alias("target_uri"),
+            F.lit("text/plain").alias("content_type"),
+            F.lit(None).cast("binary").alias("block"),
+            F.concat(F.lit("extracted "), F.col("text")).alias("text"),
+        )
+    ).repartition(4)
+    _we_dir = tempfile.mkdtemp(prefix="warc_export_row_")
+    t0 = time.time()
+    _ww(_we_frame, _we_dir)
+    warc_export_sec = round(time.time() - t0, 3)
+    shutil.rmtree(_we_dir, ignore_errors=True)
+    print(f"# warc_export_sec: {warc_export_sec}", file=sys.stderr)
+    _mark("warc_export")
+
     # ann-benchmarks-scale vector block: replicate the embeddings table to
     # ~1M vectors (glove-100-angular, the reference's headline row, is
     # 1.18M x 100d) and measure (a) IVF index build — the north-star batch
@@ -1648,9 +1690,27 @@ def main() -> None:
     local_qps_1m, _, _ = qps_best_of(len(text_queries), _local_pass_1m)
     from concurrent.futures import ThreadPoolExecutor
 
+    # 16-client row REDEFINED r14 (VERDICT r13 directive #4): each client
+    # thread serves through its OWN local engine handle on the immutable
+    # posting artifact (text_serve_local's row-group index is per-thread;
+    # numpy/pyarrow release the GIL) — the Spark-SQL thread path serializes
+    # in the scheduler (r13: 16 threads added nothing over 1 client) and is
+    # kept for continuity under the _sql key.
     q64 = text_queries * 8
+
+    def _serve_local_1m(args):
+        qtext, op = args
+        return text_serve_local(
+            text_idx_path, qtext, op, limit=75, num_docs=d1m_n
+        )
+
     with ThreadPoolExecutor(16) as ex:
+        list(ex.map(_serve_local_1m, q64))  # warm per-thread handles
         conc_qps_1m, _, _ = qps_best_of(
+            len(q64), lambda: list(ex.map(_serve_local_1m, q64))
+        )
+    with ThreadPoolExecutor(16) as ex:
+        conc_qps_1m_sql, _, _ = qps_best_of(
             len(q64), lambda: list(ex.map(_serve, q64))
         )
     # batched serving: 64 queries in ONE job (text_search_batch reads each
@@ -1690,6 +1750,11 @@ def main() -> None:
         # number now carries the client count in its key so cross-round
         # compact-line comparisons can't read the change as a speedup
         "search_qps_16c": conc_qps_1m,
+        "search_qps_16c_sql": conc_qps_1m_sql,
+        "search_16c_note": (
+            "16c redefined r14: per-thread local engine handles "
+            "(VERDICT r13 #4); _sql keeps the old Spark-SQL thread path"
+        ),
         "search_clients": 16,
         # 1-client via the driver-local pyarrow path (no Spark job; the
         # serving-tier story for single bounded queries); the _sql key keeps
@@ -2118,6 +2183,23 @@ def main() -> None:
                 )
                 continue
             _, p_dt = best_of(1, make, materialize=False)
+            # r14 noise tripwire (VERDICT r13 directive #2): the 10M legs
+            # were the only rows with NO noise defense — one timed pass, so
+            # a multi-minute noisy-neighbor window lands straight in the
+            # linearity record (this round's diagnosis: repetition_10m
+            # measured 229.6 s in-bench vs 57-75 s isolated, same code;
+            # System.gc()/session-state ruled out, fresh-JVM-after-load
+            # fast). A leg whose linearity lands above 1.25 re-measures once
+            # (budget-gated, same philosophy as qps_best_of's band
+            # re-measure) and records the min plus both pass times. A
+            # genuinely sublinear leg records two slow passes honestly.
+            lin0 = docs_1m[f"{key}_docs_per_sec"] / max(d10_n / p_dt, 1)
+            pass_times = [round(p_dt, 2)]
+            if lin0 > 1.25 and _budget_remaining() > leg_est + 180.0:
+                _, p_dt2 = best_of(1, make, materialize=False)
+                pass_times.append(round(p_dt2, 2))
+                p_dt = min(p_dt, p_dt2)
+                docs_10m[f"{key}_passes"] = pass_times
             docs_10m[f"{key}_sec"] = round(p_dt, 2)
             docs_10m[f"{key}_docs_per_sec"] = round(d10_n / p_dt)
             docs_10m[f"{key}_linearity_vs_1m"] = round(
@@ -2203,8 +2285,27 @@ def main() -> None:
             for q in text_queries:
                 _serve10(q)  # warm file listing + codegen
             with ThreadPoolExecutor(16) as ex:
+                conc10_sql_qps, _conc10_sql_passes, conc10_sql_note = (
+                    qps_best_of(
+                        len(q64), lambda: list(ex.map(_serve10, q64)),
+                        pin=TEXT10M_PIN_16C,
+                    )
+                )
+
+            # 16-client row REDEFINED r14 (VERDICT r13 directive #4): one
+            # local engine handle per client thread on the immutable index
+            # (same redefinition as text_1m; the Spark-SQL thread path
+            # serializes and keeps its number under the _sql key).
+            def _serve_local_10m(args):
+                qtext, op = args
+                return text_serve_local(
+                    tidx10_path, qtext, op, limit=75, num_docs=d10_n
+                )
+
+            with ThreadPoolExecutor(16) as ex:
+                list(ex.map(_serve_local_10m, q64))  # warm per-thread handles
                 conc10_qps, conc10_passes, conc10_note = qps_best_of(
-                    len(q64), lambda: list(ex.map(_serve10, q64)),
+                    len(q64), lambda: list(ex.map(_serve_local_10m, q64)),
                     pin=TEXT10M_PIN_16C,
                 )
             for q, op in text_queries:
@@ -2236,6 +2337,11 @@ def main() -> None:
                 "index_build_sec": tmeta10["build_sec"],
                 "build_once": True,
                 "search_qps_16c": conc10_qps,
+                "search_qps_16c_sql": conc10_sql_qps,
+                "search_16c_note": (
+                    "16c redefined r14: per-thread local engine handles "
+                    "(VERDICT r13 #4); _sql keeps the Spark-SQL thread path"
+                ),
                 "search_qps_1client": local10_qps,
                 "search_qps_multiproc": mp_qps,
                 "multiproc_workers": 16,
@@ -2244,6 +2350,7 @@ def main() -> None:
             for key, note in (
                 ("search_qps_1client", local10_note),
                 ("search_qps_16c", conc10_note),
+                ("search_qps_16c_sql", conc10_sql_note),
                 ("search_qps_multiproc", mp_note),
             ):
                 if note:
@@ -2263,6 +2370,7 @@ def main() -> None:
         "pipeline_new_sec": round(pipeline_new, 3),
         "queries": timings,
         "cold_queries": cold,
+        "warc_export_sec": warc_export_sec,
         "timing": "warm steady-state (cold incl. codegen+index-build in cold_queries)",
         "sf": sf,
         "vector_qps": vector_qps,
@@ -2321,6 +2429,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        "warc_export_sec": warc_export_sec,
         "vector_qps": vector_qps,
         "vector_1m": _qr(vector_1m["ivf_qps"], vector_1m["ivf_recall_at10"]),
         "vector_1m_bq": _qr(vector_1m_bq["bq_qps"], vector_1m_bq["bq_recall_at10"]),
