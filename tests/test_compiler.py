@@ -618,6 +618,75 @@ def test_text_serve_local_matches_text_serve(products, tmp_path):
         text_serve_local(path, "x", "nope", num_docs=1)
 
 
+def test_text_serve_local_thread_handles_isolated_and_consistent(
+    products, tmp_path
+):
+    """r14: the per-bucket row-group index is keyed per (path, fingerprint,
+    THREAD) — ParquetFile handles are not safe for concurrent reads, so a
+    multi-threaded serving tier must get its own handle set per client
+    thread, and concurrent queries must return exactly what sequential ones
+    do."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from semadb_spark.functions.hashing import md5_hash64
+    from semadb_spark.operators.text_search import (
+        TERM_BUCKETS,
+        _LOCAL_RG_INDEX_CACHE,
+        build_text_index,
+        text_serve_local,
+    )
+
+    idx = build_text_index(products, "description")
+    n_docs = idx.select("id").distinct().count()
+    path = str(tmp_path / "postings_threads")
+    (
+        idx.withColumn(
+            "term_bucket", F.pmod(md5_hash64(F.col("term")), F.lit(TERM_BUCKETS))
+        )
+        .write.partitionBy("term_bucket")
+        .parquet(path)
+    )
+    queries = ["gandalf wizard", "red shoe", "the blue walking", "shoe"]
+    want = {
+        q: text_serve_local(path, q, "containsAny", limit=5, num_docs=n_docs)
+        .to_dict("records")
+        for q in queries
+    }
+    results = {}
+    with ThreadPoolExecutor(4) as ex:
+        for q, got in zip(
+            queries * 8,
+            ex.map(
+                lambda q: text_serve_local(
+                    path, q, "containsAny", limit=5, num_docs=n_docs
+                ).to_dict("records"),
+                queries * 8,
+            ),
+        ):
+            results.setdefault(q, []).append(got)
+    for q, runs in results.items():
+        for got in runs:
+            assert got == want[q], q
+    # each serving thread built its own handle set for this path
+    thread_keys = {
+        k for k in _LOCAL_RG_INDEX_CACHE if isinstance(k, tuple) and k[0] == path
+    }
+    assert len(thread_keys) >= 2
+    main_key = (path, threading.get_ident())
+    others = [k for k in thread_keys if k != main_key]
+    if main_key in _LOCAL_RG_INDEX_CACHE and others:
+        pf_main = _LOCAL_RG_INDEX_CACHE[main_key][1]
+        pf_other = _LOCAL_RG_INDEX_CACHE[others[0]][1]
+        shared = [
+            b for b in pf_main if b in pf_other and pf_main[b] and pf_other[b]
+        ]
+        if shared:
+            assert pf_main[shared[0]][0][0] is not pf_other[shared[0]][0][0]
+
+
 def test_text_serve_local_mixed_stats_rowgroups_must_read(products, tmp_path):
     """A posting file whose row groups lack term statistics (different
     writer, stats dropped) must still be READ by the fast path — stats-less
